@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()[name]`` is a (spark, sf_dir) -> DataFrame callable
+implementing one operator family from SURVEY.md §2; ``oracle_sql()``
+holds the DuckDB-equivalent ANSI SQL. Cross-engine value equality is
+engineered, not hoped for: aggregates run in exact DECIMAL/BIGINT and
+only convert to DOUBLE at the output boundary with identical expression
+trees on both sides (see transferdb_spark/functions/canonical.py).
 """
 
 from __future__ import annotations
@@ -12,27 +13,539 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transferdb_spark.operators.checksum import chunk_checksums
+from transferdb_spark.operators.compare_fixture import MUTATED_TARGET_SQL, mutated_target
+from transferdb_spark.operators.normalize import normalize_projection, normalize_projection_sql
+from transferdb_spark.plans.chunker import with_chunk_id
+from transferdb_spark.functions.canonical import row_string_sql
+from transferdb_spark.functions.hashing import portable_hash64_sql
+from transferdb_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# static schemas (stable driver fixtures — TESTDATA.md)
+
+LINEITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampType()),
+    ]
+)
+
+N_CHUNKS = 16
+
+DEC = "decimal(18,2)"  # exact money arithmetic on both engines
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# flagship + TPC-H-style queries (scan/filter/agg/join/sort/limit)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4-family aggregation pipeline (pricing summary)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc_f = (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    tax_f = (F.lit(1).cast(DEC) + F.col("l_tax").cast(DEC))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * disc_f).cast("double").alias("sum_disc_price"),
+            F.sum(ep * disc_f * tax_f).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(ep).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-N (broadcast dims, deterministic ordering)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-01-01"))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join with broadcast dimension chain + grouped agg."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# migration-engine operators (P1/P2, P3/P4, A1/A2, J1/U3)
+
+
+def normalize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 — canonical migration projection of every column."""
+    return normalize_projection(_t(spark, sf_dir, "lineitem"))
+
+
+NORMALIZE_SQL = normalize_projection_sql(LINEITEM_SCHEMA, "lineitem")
+
+
+def chunk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 + A1 — chunk planning + per-chunk row counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    tagged, _, _ = with_chunk_id(li, "l_orderkey", N_CHUNKS)
+    return tagged.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("cnt")).orderBy("chunk_id")
+
+
+CHUNK_COUNTS_SQL = f"""
+WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)
+SELECT CAST(LEAST(GREATEST((l_orderkey - b.lo) // ((b.hi - b.lo) // {N_CHUNKS} + 1), 0), {N_CHUNKS - 1}) AS INT) AS chunk_id,
+       COUNT(*) AS cnt
+FROM lineitem, b
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def compare_chunk_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — commutative per-chunk checksum over canonical row strings."""
+    li = _t(spark, sf_dir, "lineitem")
+    return chunk_checksums(li, "l_orderkey", N_CHUNKS).orderBy("chunk_id")
+
+
+_ROWHASH_SQL = portable_hash64_sql(row_string_sql(LINEITEM_SCHEMA))
+
+CHECKSUM_SQL = f"""
+WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)
+SELECT CAST(LEAST(GREATEST((l_orderkey - b.lo) // ((b.hi - b.lo) // {N_CHUNKS} + 1), 0), {N_CHUNKS - 1}) AS INT) AS chunk_id,
+       COUNT(*) AS cnt,
+       CAST(SUM({_ROWHASH_SQL}) AS BIGINT) AS checksum
+FROM lineitem, b
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def compare_diff_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/U3 — source-minus-target rows (INSERT repairs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.exceptAll(mutated_target(li))
+
+
+def compare_diff_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/U3 — target-minus-source rows (DELETE repairs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return mutated_target(li).exceptAll(li)
+
+
+DIFF_INS_SQL = f"""
+WITH tgt AS ({MUTATED_TARGET_SQL})
+SELECT * FROM lineitem
+EXCEPT ALL
+SELECT * FROM tgt
+"""
+
+DIFF_DEL_SQL = f"""
+WITH tgt AS ({MUTATED_TARGET_SQL})
+SELECT * FROM tgt
+EXCEPT ALL
+SELECT * FROM lineitem
+"""
+
+
+def compare_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fix-SQL accounting: rows to insert / delete (one row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    tgt = mutated_target(li)
+    ins = li.exceptAll(tgt).agg(F.count(F.lit(1)).alias("insert_rows"))
+    dele = tgt.exceptAll(li).agg(F.count(F.lit(1)).alias("delete_rows"))
+    return ins.crossJoin(dele)
+
+
+COMPARE_SUMMARY_SQL = f"""
+WITH tgt AS ({MUTATED_TARGET_SQL}),
+ins AS (SELECT COUNT(*) AS insert_rows FROM (SELECT * FROM lineitem EXCEPT ALL SELECT * FROM tgt)),
+del AS (SELECT COUNT(*) AS delete_rows FROM (SELECT * FROM tgt EXCEPT ALL SELECT * FROM lineitem))
+SELECT insert_rows, delete_rows FROM ins, del
+"""
+
+
+def split_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — selectivity ranking of split-key candidates (exact NDV)."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = []
+    for c in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]:
+        parts.append(li.select(F.lit(c).alias("col"), F.col(c).alias("v")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (
+        u.groupBy("col")
+        .agg(F.count_distinct("v").alias("ndv"))
+        .orderBy(F.desc("ndv"), "col")
+    )
+
+
+SPLIT_KEY_SQL = """
+SELECT col, CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv FROM (
+  SELECT 'l_orderkey' AS col, l_orderkey AS v FROM lineitem
+  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+  UNION ALL SELECT 'l_linenumber', l_linenumber FROM lineitem
+) GROUP BY col ORDER BY ndv DESC, col
+"""
+
+
+# ---------------------------------------------------------------------------
+# assess-mode aggregations (A4-A7) + windows/set-ops/listagg
+
+
+def assess_schema_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — schema-wide per-table cardinality overview."""
+    parts = []
+    for name in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        parts.append(
+            _t(spark, sf_dir, name).agg(
+                F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("row_cnt")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return u.orderBy("table_name")
+
+
+ASSESS_OVERVIEW_SQL = """
+SELECT 'region' AS table_name, COUNT(*) AS row_cnt FROM region
+UNION ALL SELECT 'nation', COUNT(*) FROM nation
+UNION ALL SELECT 'customer', COUNT(*) FROM customer
+UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+UNION ALL SELECT 'part', COUNT(*) FROM part
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+ORDER BY table_name
+"""
+
+
+def assess_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/O3 — top-10 customers by total order value."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"))
+        .orderBy(F.desc("total_spend"), "o_custkey")
+        .limit(10)
+    )
+
+
+ASSESS_TOPN_SQL = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders GROUP BY o_custkey
+ORDER BY total_spend DESC, o_custkey LIMIT 10
+"""
+
+
+def assess_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — categorical distribution counts."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+ASSESS_DIST_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def assess_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — over-limit detection (HAVING over groupBy)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .filter(F.col("order_cnt") > 12)
+        .orderBy(F.desc("order_cnt"), "o_custkey")
+    )
+
+
+ASSESS_THRESHOLD_SQL = """
+SELECT o_custkey, COUNT(*) AS order_cnt
+FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+ORDER BY order_cnt DESC, o_custkey
+"""
+
+
+def listagg_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — LISTAGG WITHIN GROUP (ordered, deterministic)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("customers"))
+        .orderBy("n_name")
+    )
+
+
+LISTAGG_SQL = """
+SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window functions — top-3 orders per customer by price."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def setop_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — set difference (EXCEPT)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ordered = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.subtract(ordered).orderBy("c_custkey")
+
+
+SETOP_EXCEPT_SQL = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+ORDER BY c_custkey
+"""
+
+
+def setop_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — set intersection (INTERSECT)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ordered = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.intersect(ordered).orderBy("c_custkey")
+
+
+SETOP_INTERSECT_SQL = """
+SELECT c_custkey FROM customer
+INTERSECT
+SELECT o_custkey FROM orders
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC / streaming-shaped operators on `events` (batch-equivalent forms)
+
+
+def scn_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — checkpoint gate: keep ops in whitelist with id beyond SCN."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_id") > 500) & F.col("event_type").isin("click", "purchase", "signup")
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+SCN_FILTER_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE event_id > 500 AND event_type IN ('click', 'purchase', 'signup')
+"""
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family batch equivalent — tumbling 1h window aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "normalize_lineitem": normalize_lineitem,
+        "chunk_counts": chunk_counts,
+        "compare_chunk_checksum": compare_chunk_checksum,
+        "compare_diff_inserts": compare_diff_inserts,
+        "compare_diff_deletes": compare_diff_deletes,
+        "compare_summary": compare_summary,
+        "split_key_candidates": split_key_candidates,
+        "assess_schema_overview": assess_schema_overview,
+        "assess_topn": assess_topn,
+        "assess_distribution": assess_distribution,
+        "assess_threshold": assess_threshold,
+        "listagg_nation_customers": listagg_nation_customers,
+        "window_topk_orders": window_topk_orders,
+        "setop_customers_without_orders": setop_customers_without_orders,
+        "setop_customers_with_orders": setop_customers_with_orders,
+        "scn_filter_events": scn_filter_events,
+        "events_hourly_rollup": events_hourly_rollup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_local_supplier": Q5_SQL,
+        "normalize_lineitem": NORMALIZE_SQL,
+        "chunk_counts": CHUNK_COUNTS_SQL,
+        "compare_chunk_checksum": CHECKSUM_SQL,
+        "compare_diff_inserts": DIFF_INS_SQL,
+        "compare_diff_deletes": DIFF_DEL_SQL,
+        "compare_summary": COMPARE_SUMMARY_SQL,
+        "split_key_candidates": SPLIT_KEY_SQL,
+        "assess_schema_overview": ASSESS_OVERVIEW_SQL,
+        "assess_topn": ASSESS_TOPN_SQL,
+        "assess_distribution": ASSESS_DIST_SQL,
+        "assess_threshold": ASSESS_THRESHOLD_SQL,
+        "listagg_nation_customers": LISTAGG_SQL,
+        "window_topk_orders": WINDOW_TOPK_SQL,
+        "setop_customers_without_orders": SETOP_EXCEPT_SQL,
+        "setop_customers_with_orders": SETOP_INTERSECT_SQL,
+        "scn_filter_events": SCN_FILTER_SQL,
+        "events_hourly_rollup": EVENTS_ROLLUP_SQL,
+    }

@@ -1,0 +1,71 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "normalize_lineitem",
+    "chunk_counts",
+    "compare_chunk_checksum",
+    "compare_diff_inserts",
+    "compare_summary",
+    "split_key_candidates",
+    "window_topk_orders",
+    "listagg_nation_customers",
+    "events_hourly_rollup",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from transferdb_spark.session import get_spark
+
+    spark = get_spark("transferdb-bench")
+    qs = entry_mod.queries()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+
+    # warmup: JVM + parquet footer caches, so timings measure the plans
+    qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    total = 0.0
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Unit tests for the core migration operators (SURVEY.md §5 plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20
+
+
+def test_chunk_plan_covers_range(lineitem):
+    from transferdb_spark.plans.chunker import plan_chunks, with_chunk_id
+
+    chunks = plan_chunks(lineitem, "l_orderkey", 8)
+    assert len(chunks) == 8
+    assert chunks[0].predicate.startswith("l_orderkey <=")
+    assert chunks[-1].predicate.startswith("l_orderkey >=")
+    # every row lands in exactly one chunk and counts add up
+    tagged, _, _ = with_chunk_id(lineitem, "l_orderkey", 8)
+    total = tagged.groupBy("chunk_id").count().agg(F.sum("count")).first()[0]
+    assert total == lineitem.count()
+
+
+def test_split_key_election(lineitem):
+    from transferdb_spark.plans.chunker import elect_split_key
+
+    assert elect_split_key(lineitem, approx=False) == "l_orderkey"
+
+
+def test_split_key_election_no_numeric(spark):
+    import pytest
+
+    from transferdb_spark.plans.chunker import elect_split_key
+
+    df = spark.createDataFrame([("a", "b")], ["v1", "v2"])
+    with pytest.raises(ValueError):
+        elect_split_key(df)
+
+
+def test_compare_identical_matches(lineitem):
+    from transferdb_spark.operators.checksum import compare_chunks
+
+    res = compare_chunks(lineitem, lineitem, "l_orderkey", 8)
+    rows = res.collect()
+    assert len(rows) == 8
+    assert all(r["is_match"] for r in rows)
+
+
+def test_compare_detects_corruption(lineitem):
+    from transferdb_spark.operators.checksum import compare_chunks
+    from transferdb_spark.operators.compare_fixture import mutated_target
+
+    res = compare_chunks(lineitem, mutated_target(lineitem), "l_orderkey", 8).collect()
+    assert any(not r["is_match"] for r in res)
+    # count deltas must reconcile: deleted rows missing, added rows extra
+    assert sum(r["src_cnt"] for r in res) == lineitem.count()
+
+
+def test_diff_roundtrip_repair(lineitem):
+    """full→compare invariant: applying the diff makes the sets equal."""
+    from transferdb_spark.operators.compare_fixture import mutated_target
+    from transferdb_spark.operators.diff import dataset_diff
+
+    tgt = mutated_target(lineitem)
+    ins, dele = dataset_diff(lineitem, tgt)
+    repaired = tgt.exceptAll(dele).unionAll(ins)
+    assert repaired.exceptAll(lineitem).count() == 0
+    assert lineitem.exceptAll(repaired).count() == 0
+
+
+def test_diff_zero_on_identical(lineitem):
+    from transferdb_spark.operators.diff import diff_summary
+
+    row = diff_summary(lineitem, lineitem).first()
+    assert row["insert_rows"] == 0 and row["delete_rows"] == 0
+
+
+def test_normalize_empty_string_null(spark):
+    from transferdb_spark.operators.normalize import normalize_projection
+
+    df = spark.createDataFrame(
+        [(1, "", 1.5), (2, None, None), (3, " ", 2.0)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("s", T.StringType()),
+                T.StructField("d", T.DoubleType()),
+            ]
+        ),
+    )
+    out = {r["id"]: r for r in normalize_projection(df).collect()}
+    assert out[1]["s"] is None  # '' -> NULL (reference full.go:197-213)
+    assert out[2]["s"] is None
+    assert out[3]["s"] == " "  # blank is NOT collapsed
+    assert out[1]["d"] == "1.50"  # fixed-scale decimal rendering
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    from transferdb_spark.functions.hashing import portable_hash64, portable_hash64_sql
+
+    vals = ["", "abc", "hello\x1fworld", "\\N", "0.50"]
+    sdf = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r["s"]: r["h"] for r in sdf.select("s", portable_hash64(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        expected = con.execute(
+            "SELECT " + portable_hash64_sql("?::VARCHAR"), [v]
+        ).fetchone()[0]
+        assert got[v] == expected, v
+
+
+def test_repair_sql_escaping():
+    from transferdb_spark.operators.diff import repair_sql
+
+    stmts = repair_sql(
+        [{"a": 1, "b": "it's"}], [{"a": None, "b": "x\\y"}], ["a", "b"], "t"
+    )
+    assert stmts[0] == "INSERT INTO t (a, b) VALUES (1, 'it''s');"
+    assert "a IS NULL" in stmts[1] and "'x\\\\y'" in stmts[1]
+
+
+def test_glob_filter():
+    from transferdb_spark.functions.scalars import glob_match
+
+    assert glob_match(["line*"], "LINEITEM")
+    assert glob_match(["*item"], "lineitem")
+    assert not glob_match(["ord?"], "orders")

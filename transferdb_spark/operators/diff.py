@@ -1,0 +1,68 @@
+"""J1/U3 — row-set difference and repair generation (compare slow path).
+
+The reference renders each row to a string, builds in-memory string
+sets for source and target, and takes set differences both directions:
+source-minus-target rows become INSERT repairs, target-minus-source
+become DELETE repairs
+(/root/reference/module/compare/oracle/o2m/report.go:236-302).
+
+Spark-first: `exceptAll` both directions — Catalyst plans it as a
+hash/sort-merge anti-difference keyed on all columns; at 100 TB the
+rows are pre-normalized (narrow) and the diff runs only on chunks whose
+checksums mismatched, so the shuffled volume is bounded by the damaged
+fraction, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dataset_diff(src: DataFrame, tgt: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(source_minus_target, target_minus_source) with multiplicity.
+
+    exceptAll keeps duplicate multiplicity — matches the reference's
+    multiset semantics over rendered row strings.
+    """
+    return src.exceptAll(tgt), tgt.exceptAll(src)
+
+
+def diff_summary(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """One-row summary: rows to insert / delete (fix-SQL accounting)."""
+    ins, dele = dataset_diff(src, tgt)
+    return ins.agg(F.count(F.lit(1)).alias("insert_rows")).crossJoin(
+        dele.agg(F.count(F.lit(1)).alias("delete_rows"))
+    )
+
+
+def repair_sql(
+    insert_rows: list, delete_rows: list, schema_cols: list[str], table: str
+) -> list[str]:
+    """Render fix-SQL statements from (already collected, small) diff rows.
+
+    Mirrors report.go:244-302 INSERT/DELETE generation. Driver-side by
+    design: repair sets are the *output* of the job and expected small;
+    values are SQL-escaped (common/strings.go:453-472 semantics for
+    quotes/backslashes).
+    """
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, (int, float)):
+            return str(v)
+        s = str(v).replace("\\", "\\\\").replace("'", "''")
+        return f"'{s}'"
+
+    cols = ", ".join(schema_cols)
+    out = []
+    for r in insert_rows:
+        vals = ", ".join(lit(r[c]) for c in schema_cols)
+        out.append(f"INSERT INTO {table} ({cols}) VALUES ({vals});")
+    for r in delete_rows:
+        conds = " AND ".join(
+            f"{c} IS NULL" if r[c] is None else f"{c} = {lit(r[c])}" for c in schema_cols
+        )
+        out.append(f"DELETE FROM {table} WHERE {conds} LIMIT 1;")
+    return out

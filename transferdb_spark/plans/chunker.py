@@ -1,0 +1,106 @@
+"""Chunk planner — Spark-native DBMS_PARALLEL_EXECUTE (SURVEY.md §2.2 P3/P4).
+
+The reference splits every table into WHERE-range chunks via
+DBMS_PARALLEL_EXECUTE.CREATE_CHUNKS_BY_{ROWID,NUMBER_COL}
+(/root/reference/database/oracle/full.go:42-93,
+/root/reference/database/oracle/compare.go:105-132) and persists the
+plan as rows. On Spark, partitioning is native — this planner exists for
+(a) *deterministic, resumable* chunk identity (checkpoint semantics,
+full.go:287-331), (b) chunk-level compare aggregation, and (c) JDBC
+predicate generation at real scale.
+
+Chunk id derivation is pure integer arithmetic on the split key so the
+DuckDB oracle can reproduce it exactly:
+
+    width    = (max-min) // n + 1
+    chunk_id = (key - min) // width
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Chunk:
+    """One planned chunk: a closed integer range on the split key.
+
+    Mirrors FullSyncMeta/DataCompareMeta rows — the persisted chunk plan
+    (/root/reference/database/meta/sync_meta_full.go:39)."""
+
+    chunk_id: int
+    lower: int  # inclusive
+    upper: int  # inclusive
+    predicate: str  # SQL WHERE fragment (JDBC pushdown ready)
+
+
+def plan_chunks(df: DataFrame, key: str, n_chunks: int) -> list[Chunk]:
+    """Plan fixed-width integer ranges over [min(key), max(key)].
+
+    One tiny agg job (min/max) — the analogue of the reference reading
+    optimizer stats before splitting (compare.go:84-103). Boundary-guard
+    semantics (chunk.go:331-369): the first/last chunks are emitted as
+    open-ended predicates so target-side rows outside the source range
+    still land in a chunk.
+    """
+    row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    lo, hi = int(row["lo"]), int(row["hi"])
+    width = (hi - lo) // n_chunks + 1
+    chunks = []
+    for i in range(n_chunks):
+        c_lo, c_hi = lo + i * width, min(lo + (i + 1) * width - 1, hi)
+        if i == 0:
+            pred = f"{key} <= {c_hi}"
+        elif i == n_chunks - 1:
+            pred = f"{key} >= {c_lo}"
+        else:
+            pred = f"{key} BETWEEN {c_lo} AND {c_hi}"
+        chunks.append(Chunk(i, c_lo, c_hi, pred))
+    return chunks
+
+
+def chunk_id_col(key: str, lo: int, width: int, n_chunks: int) -> Column:
+    """chunk_id as a Column — exact *integer* division (`div`), never
+    double math: at 64-bit key ranges a double quotient would lose
+    precision past 2^53 and misassign chunks."""
+    raw = F.expr(f"(({key} - {lo}) div {width})")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_chunks - 1)).cast("int")
+
+
+def chunk_id_sql(key: str, lo: int, width: int, n_chunks: int) -> str:
+    """DuckDB SQL equivalent of chunk_id_col (// = integer division)."""
+    raw = f"(({key} - {lo}) // {width})"
+    return f"CAST(LEAST(GREATEST({raw}, 0), {n_chunks - 1}) AS INT)"
+
+
+def with_chunk_id(df: DataFrame, key: str, n_chunks: int) -> tuple[DataFrame, int, int]:
+    """Tag every row with its chunk id (single scan, no shuffle)."""
+    row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    lo, hi = int(row["lo"]), int(row["hi"])
+    width = (hi - lo) // n_chunks + 1
+    return df.withColumn("chunk_id", chunk_id_col(key, lo, width, n_chunks)), lo, width
+
+
+def elect_split_key(df: DataFrame, candidates: list[str] | None = None, approx: bool = True) -> str:
+    """Split-key election by selectivity (compare task.go:194-343).
+
+    The reference prefers single-column numeric PK/UK, then unique
+    index, then the indexed column with the highest NUM_DISTINCT. With
+    no catalog constraints on parquet, election = the numeric column
+    with max (approx) distinct count; ties break on column order.
+    approx_count_distinct keeps this a cheap single pass at 100 TB.
+    """
+    numeric = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("long", "integer", "short", "byte")
+        and (candidates is None or f.name in candidates)
+    ]
+    if not numeric:
+        raise ValueError("no numeric split-key candidate (reference: task.go:213-214 hard error)")
+    agg = F.approx_count_distinct if approx else F.count_distinct
+    row = df.select([agg(c).alias(c) for c in numeric]).first()
+    return max(numeric, key=lambda c: (row[c], -numeric.index(c)))
