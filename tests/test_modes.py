@@ -1,0 +1,143 @@
+"""End-to-end mode tests on sf0.001 fixtures (SURVEY.md §5 plan):
+prepare → reverse → check → full → compare(clean+corrupted) → csv → assess."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("modes"))
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, sf_dir):
+    from transferdb_spark.catalog.fixture import fixture_catalog
+
+    return fixture_catalog(spark, sf_dir)
+
+
+def test_prepare_creates_layout_and_rules(workdir):
+    from transferdb_spark.modes.prepare import prepare_workspace
+
+    paths = prepare_workspace(workdir)
+    assert os.path.isdir(paths["target"])
+    assert os.path.exists(os.path.join(paths["rules"], "datatype_o2m.json"))
+
+
+def test_reverse_generates_ddl(catalog):
+    from transferdb_spark.modes.reverse import gen_create_table_spark, reverse_tables
+
+    res = reverse_tables(catalog)
+    assert len(res.ddl) == len(catalog)
+    li_ddl = next(d for d in res.ddl if "`lineitem`" in d)
+    assert "PRIMARY KEY (`l_orderkey`, `l_linenumber`)" in li_ddl
+    assert "`l_extendedprice` DOUBLE" in li_ddl
+    assert "FOREIGN KEY (`l_orderkey`) REFERENCES `orders`" in li_ddl
+    assert not res.errors
+    spark_ddl = gen_create_table_spark(catalog["lineitem"])
+    assert "USING parquet" in spark_ddl and "l_orderkey BIGINT" in spark_ddl
+
+
+def test_reverse_quarantines_incompatible(catalog):
+    import dataclasses
+
+    from transferdb_spark.catalog.meta import IndexMeta
+    from transferdb_spark.modes.reverse import reverse_tables
+
+    part = dataclasses.replace(catalog["part"])  # shallow copy
+    part.table_type = "PARTITIONED"
+    nat = dataclasses.replace(catalog["nation"])
+    nat.indexes = [IndexMeta("IX_BM", ("N_NAME",), index_type="BITMAP")]
+    res = reverse_tables({"part": part, "nation": nat})
+    assert any("PARTITIONED" in c for c in res.compatibility)
+    assert any("BITMAP" in c for c in res.compatibility)
+    assert len(res.ddl) == 1  # nation still converted, bitmap index skipped
+
+
+def test_check_detects_struct_drift(catalog):
+    import dataclasses
+
+    from transferdb_spark.modes.check import check_table
+
+    src = catalog["customer"]
+    tgt = dataclasses.replace(src)
+    tgt.columns = [c for c in src.columns if c.name != "C_ACCTBAL"]
+    tgt.constraints = []
+    r = check_table(src, tgt)
+    assert r.missing_columns == ["C_ACCTBAL"]
+    assert r.pk_mismatch is not None
+    assert any("ADD COLUMN `c_acctbal` DOUBLE" in s for s in r.fix_sql)
+    assert any("ADD PRIMARY KEY (`c_custkey`)" in s for s in r.fix_sql)
+
+
+def test_check_clean_on_identical(catalog):
+    from transferdb_spark.modes.check import check_table
+
+    r = check_table(catalog["orders"], catalog["orders"])
+    assert r.is_clean and not r.fix_sql
+
+
+def test_full_migrate_then_compare_zero_diff(spark, sf_dir, workdir, lineitem):
+    """The reference's own correctness loop: full then compare == clean."""
+    from transferdb_spark.modes.compare_mode import compare_tables
+    from transferdb_spark.modes.full import full_migrate_table
+
+    target = full_migrate_table(spark, lineitem, "lineitem", workdir, n_chunks=8)
+    migrated = spark.read.parquet(target)
+    assert migrated.count() == lineitem.count()
+
+    report = compare_tables(spark, lineitem, migrated, "lineitem", workdir, n_chunks=8)
+    assert report.is_equal
+
+
+def test_full_migrate_resume_skips_success(spark, workdir, lineitem):
+    from transferdb_spark.state.store import SUCCESS, StateStore
+
+    store = StateStore(workdir, "full")
+    assert all(c.status == SUCCESS for c in store._chunks.values() if c.table == "lineitem")
+    assert store.pending("lineitem") == []
+
+
+def test_compare_corrupted_emits_fix_sql(spark, sf_dir, workdir, lineitem):
+    from transferdb_spark.modes.compare_mode import compare_tables
+    from transferdb_spark.operators.compare_fixture import mutated_target
+
+    report = compare_tables(
+        spark, lineitem, mutated_target(lineitem), "lineitem_tgt", workdir, n_chunks=8
+    )
+    assert not report.is_equal
+    assert report.insert_rows > 0 and report.delete_rows > 0
+    text = open(report.fix_sql_path).read()
+    assert "INSERT INTO lineitem_tgt" in text and "DELETE FROM lineitem_tgt" in text
+
+
+def test_csv_roundtrip(spark, sf_dir, workdir):
+    from transferdb_spark.modes.csv_mode import csv_export, csv_import
+    from transferdb_spark.operators.normalize import normalize_projection
+    from transferdb_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = csv_export(spark, cust, "customer", workdir, delimiter="|", n_chunks=4)
+    files = [f for f in os.listdir(path) if f.endswith(".csv")]
+    assert files, "expected part csv files"
+
+    norm = normalize_projection(cust)
+    back = csv_import(spark, path, norm.schema, delimiter="|")
+    assert back.count() == cust.count()
+    assert back.exceptAll(norm).count() == 0  # lossless under canonical form
+
+
+def test_assess_report(spark, sf_dir, workdir):
+    from transferdb_spark.modes.assess import assess_to_file
+
+    out = os.path.join(workdir, "reports", "assess.html")
+    report = assess_to_file(spark, sf_dir, out)
+    assert {r["table"] for r in report.overview} >= {"LINEITEM", "ORDERS", "CUSTOMER"}
+    li = next(r for r in report.overview if r["table"] == "LINEITEM")
+    assert li["rows"] == 6000
+    assert report.compatibility_pct > 90
+    assert "<html>" in open(out).read()

@@ -1,0 +1,97 @@
+"""`full` mode — chunked full table migration (SURVEY.md §3.1).
+
+Reference pipeline: snapshot SCN → chunk split → per-chunk
+SELECT-normalize-INSERT through three nested worker pools
+(/root/reference/module/migrate/sql/oracle/o2m/full.go:66-385).
+
+Spark-first shape: ONE declarative job per table —
+read → normalize select → repartitionByRange(split key) → write.
+Partitions are the chunks; Spark's scheduler is the worker pool; the
+chunk plan is persisted only for resume bookkeeping. Failed-chunk
+retry re-runs with the chunk predicate pushed into the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transferdb_spark.operators.normalize import normalize_projection
+from transferdb_spark.plans.chunker import elect_split_key, plan_chunks
+from transferdb_spark.state.store import FAILED, SUCCESS, StateStore
+
+
+def full_migrate_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    workdir: str,
+    n_chunks: int = 32,
+    key: str | None = None,
+    normalize: bool = False,
+    store: StateStore | None = None,
+) -> str:
+    """Migrate one table to the parquet target; returns target path.
+
+    normalize=False keeps native types (lossless lakehouse landing);
+    True applies the reference's canonical string projection (P1).
+    """
+    store = store or StateStore(workdir, "full")
+    key = key or elect_split_key(df)
+    chunks = plan_chunks(df, key, n_chunks)
+    states = store.init_table(table, chunks)
+    pending = store.pending(table)
+    target = os.path.join(workdir, "target", table)
+
+    out = normalize_projection(df) if normalize else df
+
+    if len(pending) == len(states):
+        # fresh run: one job, chunk-aligned range partitioning
+        try:
+            out.repartitionByRange(n_chunks, key).write.mode("overwrite").parquet(target)
+            for c in states:
+                store.mark(table, c.chunk_id, SUCCESS)
+        except Exception as e:
+            for c in states:
+                store.mark(table, c.chunk_id, FAILED, str(e)[:500])
+            raise
+    else:
+        # resume: re-run only failed/waiting chunks, predicate pushdown
+        for c in pending:
+            try:
+                out.filter(c.predicate).write.mode("append").parquet(target)
+                store.mark(table, c.chunk_id, SUCCESS)
+            except Exception as e:
+                store.mark(table, c.chunk_id, FAILED, str(e)[:500])
+                raise
+    return target
+
+
+def full_migrate(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    tables: list[str] | None = None,
+    n_chunks: int = 32,
+) -> dict[str, str]:
+    """Migrate a set of tables; returns table -> target path."""
+    from transferdb_spark.plans.chunker import elect_split_key
+    from transferdb_spark.sources.registry import load_tables
+
+    out = {}
+    store = StateStore(workdir, "full")
+    for name, df in load_tables(spark, sf_dir, include=tables).items():
+        try:
+            key = elect_split_key(df)
+        except ValueError:
+            key = None
+        if key is None:
+            target = os.path.join(workdir, "target", name)
+            df.write.mode("overwrite").parquet(target)
+            out[name] = target
+            continue
+        out[name] = full_migrate_table(
+            spark, df, name, workdir, n_chunks=n_chunks, key=key, store=store
+        )
+    return out

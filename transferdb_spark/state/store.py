@@ -1,0 +1,86 @@
+"""Persisted chunk-plan + status store (checkpoint/resume semantics).
+
+The reference persists the chunk plan and per-chunk status in MySQL
+meta tables (wait_sync_meta / full_sync_meta / data_compare_meta —
+/root/reference/database/meta/meta.go:100-117) and resumes by re-running
+only FAILED/WAITING chunks, refusing to resume when the persisted chunk
+count no longer matches the plan
+(/root/reference/module/migrate/sql/oracle/o2m/full.go:287-331).
+
+Plans are tiny (n_chunks rows/table) and driver-owned, so the store is
+a JSON file per task — the *data* path stays fully distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+WAITING, RUNNING, SUCCESS, FAILED = "WAITING", "RUNNING", "SUCCESS", "FAILED"
+
+
+@dataclass
+class ChunkState:
+    table: str
+    chunk_id: int
+    lower: int
+    upper: int
+    predicate: str
+    status: str = WAITING
+    error: str = ""
+
+
+class StateStore:
+    def __init__(self, workdir: str, task: str):
+        os.makedirs(workdir, exist_ok=True)
+        self.path = os.path.join(workdir, f"{task}_sync_meta.json")
+        self._chunks: dict[tuple[str, int], ChunkState] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for row in json.load(f):
+                    cs = ChunkState(**row)
+                    self._chunks[(cs.table, cs.chunk_id)] = cs
+
+    def init_table(self, table: str, chunks: list) -> list[ChunkState]:
+        """Register a chunk plan; on resume, verify plan identity.
+
+        Mirrors full.go:315-331 — resume only when the persisted chunk
+        count matches; otherwise the old state is discarded.
+        """
+        existing = [c for (t, _), c in self._chunks.items() if t == table]
+        if existing and len(existing) == len(chunks):
+            return sorted(existing, key=lambda c: c.chunk_id)
+        for t, cid in list(self._chunks):
+            if t == table:
+                del self._chunks[(t, cid)]
+        out = []
+        for ch in chunks:
+            cs = ChunkState(table, ch.chunk_id, ch.lower, ch.upper, ch.predicate)
+            self._chunks[(table, ch.chunk_id)] = cs
+            out.append(cs)
+        self._flush()
+        return out
+
+    def pending(self, table: str) -> list[ChunkState]:
+        return sorted(
+            (c for (t, _), c in self._chunks.items() if t == table and c.status != SUCCESS),
+            key=lambda c: c.chunk_id,
+        )
+
+    def mark(self, table: str, chunk_id: int, status: str, error: str = "") -> None:
+        cs = self._chunks[(table, chunk_id)]
+        cs.status, cs.error = status, error
+        self._flush()
+
+    def summary(self) -> dict[str, dict[str, int]]:
+        """A10 — per-table success/failed rollup (full.go:548-619)."""
+        out: dict[str, dict[str, int]] = {}
+        for (t, _), c in self._chunks.items():
+            out.setdefault(t, {}).setdefault(c.status, 0)
+            out[t][c.status] += 1
+        return out
+
+    def _flush(self) -> None:
+        with open(self.path, "w") as f:
+            json.dump([asdict(c) for c in self._chunks.values()], f, indent=1)
