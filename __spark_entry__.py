@@ -493,6 +493,135 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline extensions (SURVEY.md §7 ext/): text analysis,
+# dedup (exact / n-gram Jaccard / MinHash-LSH), similarity search (ANN)
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.text import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.dedup import exact_dedup_summary
+
+    return exact_dedup_summary(_t(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.similarity import embedding_norms
+
+    return embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.similarity import topk_bruteforce
+
+    return topk_bruteforce(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def ann_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.similarity import lsh_bucket_histogram
+
+    return lsh_bucket_histogram(_t(spark, sf_dir, "embeddings"))
+
+
+def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.similarity import ann_topk_lsh
+
+    return ann_topk_lsh(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def _ext_oracle_sql() -> dict[str, str]:
+    from transferdb_spark.ext.dedup import (
+        EXACT_DEDUP_SUMMARY_SQL,
+        minhash_lsh_sql,
+        ngram_jaccard_sql,
+    )
+    from transferdb_spark.ext.similarity import (
+        EMBEDDING_NORMS_SQL,
+        ann_topk_lsh_sql,
+        embedding_neardup_sql,
+        lsh_bucket_histogram_sql,
+        topk_bruteforce_sql,
+    )
+    from transferdb_spark.ext.text import (
+        FINGERPRINT_SQL,
+        LANG_ID_SQL,
+        QUALITY_SQL,
+        TOKEN_STATS_SQL,
+    )
+
+    return {
+        "text_token_stats": TOKEN_STATS_SQL,
+        "text_quality": QUALITY_SQL,
+        "text_lang_id": LANG_ID_SQL,
+        "doc_fingerprint": FINGERPRINT_SQL,
+        "dedup_exact": EXACT_DEDUP_SUMMARY_SQL,
+        "dedup_ngram_jaccard": ngram_jaccard_sql(0.5),
+        "dedup_minhash_lsh": minhash_lsh_sql(),
+        "embedding_norms": EMBEDDING_NORMS_SQL,
+        "similarity_topk": topk_bruteforce_sql(0, 10),
+        "ann_bucket_histogram": lsh_bucket_histogram_sql(),
+        "ann_topk_lsh": ann_topk_lsh_sql(0, 10),
+        "embedding_neardup": embedding_neardup_sql(0.3),
+    }
+
+
+EXT_QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "embedding_norms": embedding_norms_q,
+    "similarity_topk": similarity_topk,
+    "ann_bucket_histogram": ann_bucket_histogram,
+    "ann_topk_lsh": ann_topk_lsh_q,
+    "embedding_neardup": embedding_neardup,
+}
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -523,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_customers_with_orders": setop_customers_with_orders,
         "scn_filter_events": scn_filter_events,
         "events_hourly_rollup": events_hourly_rollup,
+        **EXT_QUERIES,
     }
 
 
@@ -548,4 +678,5 @@ def oracle_sql() -> dict[str, str]:
         "setop_customers_with_orders": SETOP_INTERSECT_SQL,
         "scn_filter_events": SCN_FILTER_SQL,
         "events_hourly_rollup": EVENTS_ROLLUP_SQL,
+        **_ext_oracle_sql(),
     }

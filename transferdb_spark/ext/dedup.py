@@ -1,0 +1,216 @@
+"""Deduplication operators over `documents` (north-star extension).
+
+Scale design (100 TB):
+- exact: hash-groupBy — map-side partial agg, shuffle carries one row
+  per distinct digest.
+- n-gram Jaccard: shingle-inverted-index self-join — shuffle keyed on
+  shingle; hot shingles are the skew risk, handled by AQE skew split
+  (a frequency cap can be added as a pre-filter).
+- MinHash+LSH: signatures are computed *within the row* (array
+  expressions, no explode until banding), then candidates emerge from
+  a band-hash groupBy — O(docs × bands) shuffle rows instead of O(n²)
+  comparisons.
+
+Everything is Spark built-in expressions; the DuckDB twins reproduce
+the exact same hashes/signatures for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transferdb_spark.ext.text import TOKENS, TOKENS_SQL
+
+SHINGLE_K = 3
+NUM_HASHES = 12
+BANDS = 4  # rows per band r = NUM_HASHES // BANDS = 3
+
+
+def _h64(expr: str) -> str:
+    """Portable 40-bit hash of a string SQL expression (Spark dialect)."""
+    return f"cast(conv(substr(md5({expr}), 1, 10), 16, 10) as bigint)"
+
+
+def _h64_duck(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 10)) AS BIGINT)"
+
+
+# --- shingling (shared contract) ---
+
+SHINGLES = (
+    f"case when size({TOKENS}) < {SHINGLE_K} then array(array_join({TOKENS}, ' ')) "
+    f"else transform(sequence(0, size({TOKENS}) - {SHINGLE_K}), "
+    f"i -> array_join(slice({TOKENS}, i + 1, {SHINGLE_K}), ' ')) end"
+)
+
+SHINGLES_SQL = (
+    f"CASE WHEN len({TOKENS_SQL}) < {SHINGLE_K} THEN [array_to_string({TOKENS_SQL}, ' ')] "
+    f"ELSE list_transform(range(len({TOKENS_SQL}) - {SHINGLE_K} + 1), "
+    f"i -> array_to_string({TOKENS_SQL}[i + 1: i + {SHINGLE_K}], ' ')) END"
+)
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: digest → canonical doc, group size.
+
+    Returns only groups with >1 member (the dedup working set)."""
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    digest = portable_hash64(F.trim(F.lower(F.col("text"))))
+    return (
+        docs.select(digest.alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+EXACT_DEDUP_SQL = f"""
+SELECT {_h64_duck('trim(lower(text))')} AS digest,
+       MIN(doc_id) AS canonical_doc,
+       COUNT(*) AS group_size
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+def exact_dedup_summary(docs: DataFrame) -> DataFrame:
+    """One-row dedup accounting: total docs, distinct digests, dup docs.
+
+    n_docs - n_distinct = rows removable by exact dedup."""
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    digest = portable_hash64(F.trim(F.lower(F.col("text"))))
+    return docs.select(digest.alias("digest")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("digest")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("digest"))).alias("n_dup_docs"),
+    )
+
+
+EXACT_DEDUP_SUMMARY_SQL = f"""
+SELECT COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT {_h64_duck('trim(lower(text))')}) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT {_h64_duck('trim(lower(text))')}) AS BIGINT) AS n_dup_docs
+FROM documents
+"""
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over distinct word shingles.
+
+    Inverted-index join: only docs sharing ≥1 shingle are compared —
+    never the full cross product."""
+    sh = docs.select(
+        "doc_id", F.array_distinct(F.expr(SHINGLES)).alias("shingles")
+    ).select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.round(
+        F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 5
+    )
+    return (
+        common.select("doc_a", "doc_b", jac.cast("double").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+  FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS shingles FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(round(common / CAST(n_a + n_b - common AS DOUBLE), 5) AS DOUBLE) AS jaccard
+FROM pairs
+WHERE round(common / CAST(n_a + n_b - common AS DOUBLE), 5) >= {threshold}
+"""
+
+
+# --- MinHash + LSH ---
+
+_SLOT_HASH = _h64("concat(cast(i as string), ':', s)")
+MINHASH_SIG = (
+    f"transform(sequence(0, {NUM_HASHES - 1}), "
+    f"i -> array_min(transform(sh, s -> {_SLOT_HASH})))"
+)
+
+_SLOT_HASH_DUCK = _h64_duck("i || ':' || s")
+MINHASH_SIG_SQL = (
+    f"list_transform(range({NUM_HASHES}), "
+    f"i -> list_min(list_transform(sh, s -> {_SLOT_HASH_DUCK})))"
+)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id, sig: NUM_HASHES-wide MinHash signature.
+
+    Computed entirely inside the row (array expressions) — a narrow map
+    stage; nothing shuffles until banding."""
+    return docs.select(
+        "doc_id", F.array_distinct(F.expr(SHINGLES)).alias("sh")
+    ).select("doc_id", F.expr(MINHASH_SIG).alias("sig"))
+
+
+def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ≥1 LSH band.
+
+    Band hash = portable hash of r concatenated signature slots; pairs
+    come from a groupBy on (band_idx, band_hash)."""
+    r = NUM_HASHES // BANDS
+    band_hash = _h64(f"array_join(slice(sig, b * {r} + 1, {r}), ',')")
+    bands = f"transform(sequence(0, {BANDS - 1}), b -> {band_hash})"
+    sig = minhash_signatures(docs).select(
+        "doc_id", F.posexplode(F.expr(bands)).alias("band_idx", "band_hash")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_sql() -> str:
+    r = NUM_HASHES // BANDS
+    band_hash = _h64_duck(f"array_to_string(sig[b * {r} + 1: b * {r} + {r}], ',')")
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {MINHASH_SIG_SQL} AS sig
+  FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM documents)
+),
+bands AS (
+  SELECT doc_id, b, {band_hash} AS band_hash
+  FROM sigs, (SELECT unnest(range({BANDS})) AS b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""

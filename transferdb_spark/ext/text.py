@@ -1,0 +1,140 @@
+"""Text analysis operators over the `documents` table.
+
+All computed with built-in JVM expressions (split/transform/aggregate),
+no Python in the row path — at 100 TB these are narrow map stages that
+pipeline with the scan. Every operator has an exact DuckDB SQL twin for
+the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokenization of lowercased text — the shared contract
+TOKENS = "split(trim(lower(text)), '\\\\s+')"
+TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def tokens_col() -> Column:
+    return F.expr(TOKENS)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """doc_id, n_tokens, n_chars, avg_token_len (rounded, stable)."""
+    t = F.expr(TOKENS)
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length(F.array_join(t, "")) / F.size(t), 4
+        ).alias("avg_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len({TOKENS_SQL}) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(round(length(array_to_string({TOKENS_SQL}, '')) / CAST(len({TOKENS_SQL}) AS DOUBLE), 4) AS DOUBLE) AS avg_token_len
+FROM documents
+"""
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality facets: alnum ratio, whitespace ratio,
+    digit ratio, mean token length — arithmetic only, so the oracle
+    reproduces it bit-for-bit."""
+    n = F.length("text").cast("double")
+    non_alnum = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", ""))
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    spaces = F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
+    return docs.select(
+        "doc_id",
+        F.round(non_alnum / n, 5).alias("punct_ratio"),
+        F.round(digits / n, 5).alias("digit_ratio"),
+        F.round(spaces / n, 5).alias("space_ratio"),
+        (F.length("text") >= 100).cast("int").alias("len_ok"),
+    )
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+       CAST(round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE), 5) AS DOUBLE) AS punct_ratio,
+       CAST(round(length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE), 5) AS DOUBLE) AS digit_ratio,
+       CAST(round(length(regexp_replace(text, '[^ ]', '', 'g')) / CAST(length(text) AS DOUBLE), 5) AS DOUBLE) AS space_ratio,
+       CAST(length(text) >= 100 AS INT) AS len_ok
+FROM documents
+"""
+
+
+# tiny per-language stopword sets (language-ID by lexicon overlap —
+# the n-gram-heuristic family; deterministic and oracle-reproducible)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "von", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por"],
+    "fr": ["le", "la", "les", "et", "de", "un", "pour", "dans"],
+}
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """doc_id, lang_pred, best_score: argmax lexicon overlap with
+    deterministic tie-break on language code order."""
+    t = F.array_distinct(F.expr(TOKENS))
+    scores = {
+        lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    # reverse order so that earlier codes win ties (en < es overridden last)
+    return docs.select(
+        "doc_id",
+        F.when(best == 0, F.lit("und")).otherwise(pred).alias("lang_pred"),
+        best.cast("int").alias("best_score"),
+    )
+
+
+def _lang_id_sql() -> str:
+    score = {
+        lang: f"CAST(len(list_intersect(list_distinct({TOKENS_SQL}), {words!r}::VARCHAR[])) AS INT)"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = "GREATEST(" + ", ".join(score.values()) + ")"
+    case = "CASE "
+    for lang in sorted(LANG_STOPWORDS):
+        case += f"WHEN {score[lang]} = best THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH scored AS (SELECT doc_id, {best} AS best FROM documents),
+full_scored AS (
+  SELECT d.doc_id,
+         CASE WHEN best = 0 THEN 'und' ELSE ({case}) END AS lang_pred,
+         best AS best_score
+  FROM documents d JOIN scored USING (doc_id)
+)
+SELECT doc_id, lang_pred, best_score FROM full_scored
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: 64-bit portable hash of the
+    whitespace-normalized lowercase text (rolling-hash family)."""
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    return docs.select("doc_id", portable_hash64(norm).alias("fp"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 10)) AS BIGINT) AS fp
+FROM documents
+"""

@@ -1,0 +1,133 @@
+"""Incremental replication — Structured Streaming over the event stream.
+
+The reference's `all` mode polls LogMiner every 300 ms, filters records
+by per-table SCN checkpoints (≥/> reset dance for re-read redo), and
+applies them through ordered worker pools with UPDATE = DELETE+REPLACE
+(/root/reference/module/migrate/sql/oracle/o2m/incr.go:61-247,
+public/logminer.go:100-193, o2m/apply.go:58-233).
+
+Structured Streaming replaces every piece of that machinery:
+- poll loop        -> micro-batch trigger (ProcessingTime / availableNow)
+- SCN checkpoints  -> the streaming checkpoint (offsets, exactly-once)
+- ≥/> re-read gate -> idempotent anti-join apply in foreachBatch
+- ordered appliers -> per-key dedupe inside the batch + idempotent merge
+- late records     -> event-time watermark on windowed aggregations
+
+The `events` fixture plays the redo stream: event_id ≈ SCN (monotone),
+event_type ≈ operation, ts = event time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+OP_WHITELIST = ("click", "view", "purchase", "signup", "error")
+
+
+def stream_events(spark: SparkSession, source_dir: str, schema=None) -> DataFrame:
+    """File-based streaming source over event parquet drops.
+
+    Each new file in source_dir is a redo-log batch — the analogue of
+    LogMiner's archived-log discovery (T1, incr.go:507-548)."""
+    if schema is None:
+        files = [f for f in os.listdir(source_dir) if f.endswith(".parquet")]
+        if not files:
+            raise ValueError(f"no parquet seed in {source_dir} to infer schema")
+        schema = spark.read.parquet(os.path.join(source_dir, files[0])).schema
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def filter_ops(stream: DataFrame, min_scn: int = 0) -> DataFrame:
+    """P7 — op whitelist + SCN gate (logminer.go:100-193)."""
+    return stream.filter(
+        (F.col("event_id") > min_scn) & F.col("event_type").isin(*OP_WHITELIST)
+    )
+
+
+def apply_cdc_stream(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key: str = "event_id",
+    available_now: bool = True,
+):
+    """foreachBatch idempotent apply — the T4-T6 replacement.
+
+    Within each micro-batch: keep the latest record per key (ordered
+    apply), then anti-join against the current target so re-delivered
+    records are no-ops (the reference's ≥/> SCN gate exists precisely
+    because redo can be re-read; idempotence subsumes it)."""
+    spark = stream.sparkSession
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(F.desc("ts"), F.desc(key))
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        if os.path.exists(target_dir) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(target_dir) for f in fs
+        ):
+            existing = spark.read.parquet(target_dir).select(key)
+            latest = latest.join(existing, key, "left_anti")
+        latest.write.mode("append").parquet(target_dir)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(apply_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="300 milliseconds")  # reference poll cadence
+    return writer.start()
+
+
+def hourly_rollup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T-family windowed aggregation with late-data watermark.
+
+    The reference has no window semantics (SCN ordering only) — this is
+    the Spark-native upgrade: tumbling 1h windows, late events beyond
+    the watermark dropped deterministically."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def run_rollup_to_memory(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, name: str = "rollup"
+):
+    """Drive the rollup with availableNow into an in-memory sink
+    (complete mode) — the test/verification harness path."""
+    stream = stream_events(spark, source_dir)
+    q = (
+        hourly_rollup_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
