@@ -448,6 +448,123 @@ ORDER BY c_custkey
 """
 
 
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation — ROLLUP (Catalyst-native grouping sets,
+    beyond the reference's plain GROUP BYs)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+GROUPING_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers holding a 400k+ order."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+def anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): parts not shipped in the final window."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.to_timestamp(F.lit("2001-06-01"))
+    )
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_shipdate >= TIMESTAMP '2001-06-01 00:00:00')
+ORDER BY p_partkey
+"""
+
+
+def date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — temporal projection: parts + formatted strings."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+DATE_EXTRACT_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+
+def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape via window: orders above their
+    customer's average order value (exact decimal average)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    # exact decimal sum cast to double / exact count: identical IEEE
+    # value on both engines, so no rounding enters the filter
+    avg_dec = (
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg", avg_dec)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+) WHERE o_totalprice > cust_avg
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # CDC / streaming-shaped operators on `events` (batch-equivalent forms)
 
@@ -651,6 +768,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_customers_with_orders": setop_customers_with_orders,
         "scn_filter_events": scn_filter_events,
         "events_hourly_rollup": events_hourly_rollup,
+        "grouping_rollup": grouping_rollup,
+        "semi_join_customers": semi_join_customers,
+        "anti_join_parts": anti_join_parts,
+        "date_extract": date_extract,
+        "above_customer_avg": above_customer_avg,
+        "dedup_simhash": dedup_simhash,
         **EXT_QUERIES,
     }
 
@@ -677,5 +800,17 @@ def oracle_sql() -> dict[str, str]:
         "setop_customers_with_orders": SETOP_INTERSECT_SQL,
         "scn_filter_events": SCN_FILTER_SQL,
         "events_hourly_rollup": EVENTS_ROLLUP_SQL,
+        "grouping_rollup": GROUPING_ROLLUP_SQL,
+        "semi_join_customers": SEMI_JOIN_SQL,
+        "anti_join_parts": ANTI_JOIN_SQL,
+        "date_extract": DATE_EXTRACT_SQL,
+        "above_customer_avg": ABOVE_AVG_SQL,
+        "dedup_simhash": _simhash_oracle(),
         **_ext_oracle_sql(),
     }
+
+
+def _simhash_oracle() -> str:
+    from transferdb_spark.ext.dedup import simhash_sql
+
+    return simhash_sql()

@@ -1,0 +1,109 @@
+"""CLI dispatcher, JDBC plan construction, and scalar-function tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+def run_cli(argv, capsys):
+    from transferdb_spark.__main__ import main
+
+    assert main(argv) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_prepare_and_reverse(tmp_path, capsys, spark):
+    wd = str(tmp_path / "wd")
+    out = run_cli(["--mode", "prepare", "--workdir", wd], capsys)
+    assert out["mode"] == "prepare"
+
+    out = run_cli(["--mode", "reverse", "--workdir", wd, "--tables", "lineitem,orders"], capsys)
+    assert out["tables"] == 2 and not out["errors"]
+    assert "PRIMARY KEY" in open(out["ddl"]).read()
+
+
+def test_cli_compare_corrupted(tmp_path, capsys, spark):
+    wd = str(tmp_path / "wd")
+    out = run_cli(["--mode", "compare", "--workdir", wd, "--chunks", "8"], capsys)
+    assert out["equal"] is False
+    assert out["insert_rows"] > 0 and out["delete_rows"] > 0
+
+
+def test_jdbc_reader_plan(spark):
+    from transferdb_spark.plans.chunker import Chunk
+    from transferdb_spark.sources.jdbc import JdbcSink, JdbcSource
+
+    chunks = [
+        Chunk(0, 1, 100, "id <= 100"),
+        Chunk(1, 101, 200, "id >= 101"),
+    ]
+    src = JdbcSource(url="jdbc:mysql://host/db", table="s.t", user="u", fetch_size=5000)
+    reader, preds = src.reader(spark, chunks)
+    assert preds == ["id <= 100", "id >= 101"]
+
+    sink = JdbcSink(url="jdbc:mysql://host/db", table="t")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    stmt = sink.upsert_batch(df, key_cols=["id"])
+    assert stmt == (
+        "INSERT INTO t (id, v) VALUES (?, ?) ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+
+
+def test_escape_mysql_contract():
+    """256-byte sweep (the reference's own test shape,
+    common/strings_test.go:11-38): every punct/symbol except % _ gets a
+    backslash; alnum/space/control pass through."""
+    import unicodedata
+
+    from transferdb_spark.functions.escaping import escape_mysql
+
+    for code in range(256):
+        ch = chr(code)
+        out = escape_mysql(ch)
+        is_ps = unicodedata.category(ch)[0] in ("P", "S")
+        if is_ps and ch not in ("%", "_"):
+            assert out == "\\" + ch, repr(ch)
+        else:
+            assert out == ch, repr(ch)
+
+
+def test_escape_oracle_and_csv_binary():
+    from transferdb_spark.functions.escaping import escape_csv_binary, escape_oracle
+
+    assert escape_oracle("it's") == "it''s"
+    assert escape_csv_binary(b"\x00\xff") == "0x00ff"
+    assert escape_csv_binary(None) == ""
+
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [("5.7.26", "5.7.9", 1), ("8.0", "8.0.0", 0), ("10.4.6-MariaDB", "10.4.7", -1)],
+)
+def test_version_compare(a, b, expected):
+    from transferdb_spark.functions.escaping import compare_version
+
+    assert compare_version(a, b) == expected
+
+
+def test_simhash_near_duplicates_close(spark, sf_dir):
+    """SimHash of a doc vs itself with one token changed: small Hamming
+    distance; unrelated docs: larger."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.ext.dedup import simhash_fingerprints
+    from transferdb_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    tweaked = docs.withColumn("text", F.concat(F.col("text"), F.lit(" zzz"))).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs.unionByName(tweaked)).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    ids = sorted(k for k in fp if k < 100000)
+    near = [ham(fp[i], fp[i + 100000]) for i in ids]
+    assert max(near) <= 6  # one extra token flips few bits

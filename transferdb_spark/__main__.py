@@ -1,0 +1,139 @@
+"""CLI — the reference's 8-mode task surface (server/server.go:28-82).
+
+    python -m transferdb_spark --mode <mode> [--source-dir D] [--workdir W]
+
+Modes: prepare | assess | reverse | check | compare | csv | full | all.
+Fixture-backed (parquet source dirs); JDBC endpoints plug in through
+transferdb_spark.sources.jdbc when drivers are present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="transferdb_spark", description=__doc__)
+    p.add_argument(
+        "--mode",
+        required=True,
+        choices=["prepare", "assess", "reverse", "check", "compare", "csv", "full", "all"],
+    )
+    p.add_argument("--source-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    p.add_argument("--workdir", default="./transferdb_work")
+    p.add_argument("--tables", default="", help="comma-separated include globs")
+    p.add_argument("--chunks", type=int, default=32)
+    p.add_argument("--target-dir", default="", help="compare: target parquet dir (defaults to mutated fixture)")
+    p.add_argument("--case-policy", type=int, default=1, choices=[0, 1, 2])
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from transferdb_spark.session import get_spark
+
+    spark = get_spark(f"transferdb-{args.mode}")
+    tables = [t for t in args.tables.split(",") if t] or None
+    out: dict = {"mode": args.mode}
+
+    if args.mode == "prepare":
+        from transferdb_spark.modes.prepare import prepare_workspace
+
+        out["paths"] = prepare_workspace(args.workdir)
+
+    elif args.mode == "assess":
+        from transferdb_spark.modes.assess import assess_to_file
+
+        path = os.path.join(args.workdir, "reports", "assess.html")
+        r = assess_to_file(spark, args.source_dir, path)
+        out.update(report=path, compatibility_pct=r.compatibility_pct, tables=len(r.overview))
+
+    elif args.mode == "reverse":
+        from transferdb_spark.catalog.fixture import fixture_catalog
+        from transferdb_spark.modes.reverse import reverse_tables
+
+        cat = fixture_catalog(spark, args.source_dir)
+        if tables:
+            cat = {k: v for k, v in cat.items() if k in tables}
+        res = reverse_tables(cat, case_policy=args.case_policy)
+        os.makedirs(args.workdir, exist_ok=True)
+        ddl_path = os.path.join(args.workdir, "reverse.sql")
+        with open(ddl_path, "w") as f:
+            f.write("\n\n".join(res.ddl) + "\n")
+        compat_path = os.path.join(args.workdir, "compatibility.sql")
+        with open(compat_path, "w") as f:
+            f.write("\n".join(res.compatibility) + "\n")
+        out.update(ddl=ddl_path, tables=len(res.ddl), compat=len(res.compatibility), errors=res.errors)
+
+    elif args.mode == "check":
+        from transferdb_spark.catalog.fixture import fixture_catalog
+        from transferdb_spark.modes.check import check_catalogs
+
+        cat = fixture_catalog(spark, args.source_dir)
+        results = check_catalogs(cat, cat)
+        out.update(tables=len(results), clean=all(r.is_clean for r in results.values()))
+
+    elif args.mode == "compare":
+        from transferdb_spark.modes.compare_mode import compare_tables
+        from transferdb_spark.operators.compare_fixture import mutated_target
+        from transferdb_spark.sources.registry import load_table
+
+        src = load_table(spark, args.source_dir, "lineitem")
+        tgt = (
+            spark.read.parquet(args.target_dir) if args.target_dir else mutated_target(src)
+        )
+        r = compare_tables(spark, src, tgt, "lineitem", args.workdir, n_chunks=args.chunks)
+        out.update(
+            equal=r.is_equal,
+            mismatched_chunks=r.mismatched_chunks,
+            insert_rows=r.insert_rows,
+            delete_rows=r.delete_rows,
+            fix_sql=r.fix_sql_path,
+        )
+
+    elif args.mode == "csv":
+        from transferdb_spark.modes.csv_mode import csv_export
+        from transferdb_spark.sources.registry import load_tables
+
+        paths = {}
+        for name, df in load_tables(spark, args.source_dir, include=tables).items():
+            paths[name] = csv_export(spark, df, name, os.path.join(args.workdir, "csv"), n_chunks=args.chunks)
+        out["paths"] = paths
+
+    elif args.mode == "full":
+        from transferdb_spark.modes.full import full_migrate
+
+        out["targets"] = full_migrate(spark, args.source_dir, args.workdir, tables=tables, n_chunks=args.chunks)
+
+    elif args.mode == "all":
+        from transferdb_spark.modes.full import full_migrate
+        from transferdb_spark.streaming.incr import apply_cdc_stream, stream_events
+
+        out["targets"] = full_migrate(spark, args.source_dir, args.workdir, tables=tables, n_chunks=args.chunks)
+        # incremental phase: consume the events stream into the target
+        src_dir = os.path.join(args.workdir, "events_source")
+        if not os.path.exists(src_dir):
+            from transferdb_spark.sources.registry import load_table
+
+            load_table(spark, args.source_dir, "events").drop("props").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(src_dir)
+        q = apply_cdc_stream(
+            stream_events(spark, src_dir),
+            os.path.join(args.workdir, "target", "events_incr"),
+            os.path.join(args.workdir, "checkpoints", "incr"),
+        )
+        q.awaitTermination(300)
+        out["incr_rows"] = spark.read.parquet(
+            os.path.join(args.workdir, "target", "events_incr")
+        ).count()
+
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

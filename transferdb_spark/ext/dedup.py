@@ -231,6 +231,49 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- SimHash ---
+
+SIMHASH_BITS = 24
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """doc_id, simhash: SIMHASH_BITS-bit SimHash over distinct tokens.
+
+    bit b is set when Σ_tokens (±1 by token-hash bit b) > 0 — near-dup
+    texts differ in few bits (compare by Hamming distance). All integer
+    expression arithmetic, reproducible in the oracle."""
+    terms = []
+    for b in range(SIMHASH_BITS):
+        w = (
+            f"aggregate(th, 0, (acc, h) -> acc + "
+            f"(case when (h div {1 << b}) % 2 = 1 then 1 else -1 end))"
+        )
+        terms.append(f"(case when ({w}) > 0 then {1 << b} else 0 end)")
+    expr = " + ".join(terms)
+    return (
+        docs.withColumn("toks", F.expr(TOKENS))
+        .withColumn("th", F.expr(f"transform(array_distinct(toks), s -> {_h64('s')})"))
+        .select("doc_id", F.expr(expr).cast("bigint").alias("simhash"))
+    )
+
+
+def simhash_sql() -> str:
+    terms = []
+    for b in range(SIMHASH_BITS):
+        w = (
+            f"list_sum(list_transform(th, h -> "
+            f"CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN ({w}) > 0 THEN {1 << b} ELSE 0 END)")
+    expr = " + ".join(terms)
+    return f"""
+SELECT doc_id, CAST({expr} AS BIGINT) AS simhash
+FROM (SELECT doc_id,
+             list_transform(list_distinct({TOKENS_SQL}), s -> {_h64_duck('s')}) AS th
+      FROM documents)
+"""
+
+
 def minhash_lsh_sql() -> str:
     r = NUM_HASHES // BANDS
     band_hash = _h64_duck(f"array_to_string(sig[b * {r} + 1: b * {r} + {r}], ',')")
