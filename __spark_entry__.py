@@ -448,6 +448,142 @@ ORDER BY c_custkey
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + single-row aggregate (pushdown showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS cnt
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE WHEN inside SUM) per year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+Q12_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional ratio over a broadcast join (promo revenue share)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")
+        ).alias("promo_pct")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-filter-join pipeline: orders whose total quantity > 250."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+def stats_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — cardinality estimates (exact counts on fixtures) with a
+    per-table distinct-key ratio (selectivity snapshot)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = orders.agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_custkey").alias("n_keys"),
+    )
+    l = li.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_keys"),
+    )
+    return o.unionAll(l).orderBy("table_name")
+
+
+STATS_ROWCOUNTS_SQL = """
+SELECT 'orders' AS table_name, COUNT(*) AS n_rows, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys FROM orders
+UNION ALL
+SELECT 'lineitem', COUNT(*), CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+ORDER BY table_name
+"""
+
+
 def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation — ROLLUP (Catalyst-native grouping sets,
     beyond the reference's plain GROUP BYs)."""
@@ -774,6 +910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_extract": date_extract,
         "above_customer_avg": above_customer_avg,
         "dedup_simhash": dedup_simhash,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q12_priority_shipping": q12_priority_shipping,
+        "q14_promo_effect": q14_promo_effect,
+        "q18_large_orders": q18_large_orders,
+        "stats_rowcounts": stats_rowcounts,
         **EXT_QUERIES,
     }
 
@@ -806,6 +947,11 @@ def oracle_sql() -> dict[str, str]:
         "date_extract": DATE_EXTRACT_SQL,
         "above_customer_avg": ABOVE_AVG_SQL,
         "dedup_simhash": _simhash_oracle(),
+        "q6_forecast_revenue": Q6_SQL,
+        "q12_priority_shipping": Q12_SQL,
+        "q14_promo_effect": Q14_SQL,
+        "q18_large_orders": Q18_SQL,
+        "stats_rowcounts": STATS_ROWCOUNTS_SQL,
         **_ext_oracle_sql(),
     }
 

@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for the pure rule/function layer,
+plus a seeded cross-engine hash-parity sweep (SURVEY.md §5 plan)."""
+
+from __future__ import annotations
+
+import unicodedata
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(p=st.integers(min_value=1, max_value=38), s=st.integers(min_value=0, max_value=127))
+@settings(max_examples=300, deadline=None)
+def test_number_bucketing_total_and_bounded(p, s):
+    """Every (p,s) maps to a valid MySQL type within engine maxima."""
+    from transferdb_spark.rules.datatypes import OracleColumn, map_oracle_type
+
+    origin, mysql_t, spark_t = map_oracle_type(
+        OracleColumn("C", "NUMBER", data_precision=p, data_scale=s)
+    )
+    assert origin == f"NUMBER({p},{s})"
+    if s == 0:
+        assert mysql_t in ("TINYINT", "SMALLINT", "INT", "BIGINT") or mysql_t.startswith(
+            "DECIMAL"
+        )
+    else:
+        assert mysql_t.startswith("DECIMAL(")
+        prec, scale = map(int, mysql_t[8:-1].split(","))
+        assert prec <= 65 and scale <= 30
+    st_str = spark_t.simpleString()
+    if st_str.startswith("decimal"):
+        sp, ss = map(int, st_str[8:-1].split(","))
+        assert sp <= 38 and ss <= 38 and ss <= sp
+
+
+@given(st.text(max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_escape_mysql_property(s):
+    """Escaped output: every P/S char except % _ gains exactly one
+    backslash prefix; everything else unchanged; reversible by rule."""
+    from transferdb_spark.functions.escaping import escape_mysql
+
+    out = escape_mysql(s)
+    expected_len = len(s) + sum(
+        1
+        for ch in s
+        if unicodedata.category(ch)[0] in ("P", "S") and ch not in ("%", "_")
+    )
+    assert len(out) == expected_len
+    # unescaping by the inverse rule restores the input
+    restored = []
+    i = 0
+    while i < len(out):
+        if out[i] == "\\" and i + 1 < len(out):
+            nxt = out[i + 1]
+            if unicodedata.category(nxt)[0] in ("P", "S") and nxt not in ("%", "_"):
+                restored.append(nxt)
+                i += 2
+                continue
+        restored.append(out[i])
+        i += 1
+    assert "".join(restored) == s
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=4),
+    b=st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_version_compare_antisymmetric(a, b):
+    from transferdb_spark.functions.escaping import compare_version
+
+    va, vb = ".".join(map(str, a)), ".".join(map(str, b))
+    assert compare_version(va, vb) == -compare_version(vb, va)
+    assert compare_version(va, va) == 0
+
+
+def test_portable_hash_parity_sweep(spark):
+    """Seeded 500-string sweep (ASCII + unicode + controls): the Spark
+    and DuckDB portable hashes agree on every value."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.functions.hashing import portable_hash64, portable_hash64_sql
+
+    rng = random.Random(42)
+    alphabet = (
+        [chr(c) for c in range(32, 127)]
+        + ["é", "ü", "中", "文", "🙂", "\t", "\x1f", "\\"]
+    )
+    vals = ["".join(rng.choices(alphabet, k=rng.randint(0, 40))) for _ in range(500)]
+    vals += ["", " ", "\\N", "0.50", "NULL"]
+
+    sdf = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = [
+        r["h"]
+        for r in sdf.select(portable_hash64(F.col("s")).alias("h")).collect()
+    ]
+    con = duckdb.connect()
+    expected = [
+        con.execute("SELECT " + portable_hash64_sql("?::VARCHAR"), [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == expected
+
+
+def test_canonical_decimal_rendering_parity(spark):
+    """Doubles → DECIMAL(18,2) strings agree across engines for a
+    seeded sweep including negatives and integer-valued floats."""
+    import random
+
+    import duckdb
+
+    from transferdb_spark.functions.canonical import canon_column, canon_sql
+    from pyspark.sql import types as T
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(-1e6, 1e6), 2) for _ in range(300)] + [0.0, -0.5, 1.0, 42.0]
+    sdf = spark.createDataFrame([(v,) for v in vals], ["d"])
+    got = [
+        r["c"]
+        for r in sdf.select(canon_column("d", T.DoubleType()).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    sql = canon_sql("?::DOUBLE", T.DoubleType())
+    expected = [con.execute("SELECT " + sql, [v]).fetchone()[0] for v in vals]
+    assert got == expected

@@ -1,0 +1,60 @@
+"""applyInPandasWithState custom stateful operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_user_activity_profile_matches_batch(spark, sf_dir, tmp_path):
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.streaming.stateful import run_profile_to_memory
+
+    events = load_table(spark, sf_dir, "events").drop("props")
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.parquet(src)
+
+    q = run_profile_to_memory(spark, src, str(tmp_path / "ckpt"), name="t_profiles")
+    q.awaitTermination(120)
+
+    got = {
+        r["user_id"]: (r["cnt"], round(r["total"], 6))
+        for r in spark.sql("SELECT * FROM t_profiles").collect()
+    }
+    expected = {
+        r["user_id"]: (r["cnt"], round(r["total"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_state_accumulates_across_batches(spark, sf_dir, tmp_path):
+    """Second micro-batch (one file per trigger) folds into existing
+    per-user state within one query run."""
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.streaming.stateful import run_profile_to_memory
+
+    events = load_table(spark, sf_dir, "events").drop("props")
+    first = events.filter(F.col("event_id") <= 500)
+    second = events.filter(F.col("event_id") > 500)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+    q = run_profile_to_memory(spark, src, ckpt, name="t_acc", max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    # latest update per user must equal the full batch aggregate
+    latest = {
+        r["user_id"]: r["cnt"]
+        for r in spark.sql(
+            "SELECT user_id, max_by(cnt, cnt) AS cnt FROM t_acc GROUP BY user_id"
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: r["cnt"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert latest == expected

@@ -101,7 +101,10 @@ def _number_to_spark(p: int | None, s: int | None) -> T.DataType:
     p = 38 if p is None else p
     s = 127 if s is None else s
     if s > 0:
-        return T.DecimalType(min(p, SPARK_DECIMAL_MAX), min(s, SPARK_DECIMAL_MAX))
+        # Oracle permits scale > precision (e.g. NUMBER(1,2) holds 0.0x);
+        # Spark requires scale <= precision, so widen precision to fit.
+        ss = min(s, SPARK_DECIMAL_MAX)
+        return T.DecimalType(min(max(p, ss), SPARK_DECIMAL_MAX), ss)
     if 1 <= p < 3:
         return T.ByteType()
     if 3 <= p < 5:

@@ -28,17 +28,27 @@ from pyspark.sql.window import Window
 OP_WHITELIST = ("click", "view", "purchase", "signup", "error")
 
 
-def stream_events(spark: SparkSession, source_dir: str, schema=None) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-based streaming source over event parquet drops.
 
     Each new file in source_dir is a redo-log batch — the analogue of
-    LogMiner's archived-log discovery (T1, incr.go:507-548)."""
+    LogMiner's archived-log discovery (T1, incr.go:507-548).
+    max_files_per_trigger caps each micro-batch (honored by availableNow
+    too), mirroring the reference's bounded per-poll log pull."""
     if schema is None:
         files = [f for f in os.listdir(source_dir) if f.endswith(".parquet")]
         if not files:
             raise ValueError(f"no parquet seed in {source_dir} to infer schema")
         schema = spark.read.parquet(os.path.join(source_dir, files[0])).schema
-    return spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 def filter_ops(stream: DataFrame, min_scn: int = 0) -> DataFrame:
