@@ -121,14 +121,15 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
     Inverted-index join: only docs sharing ≥1 shingle are compared —
     never the full cross product."""
-    sh = _shingled(docs).select(
-        "doc_id",
-        F.size("sh").alias("n_sh"),
-        F.explode("sh").alias("shingle"),
-    )
-    # persisted: both sides of the self-join read the inverted index
-    # once instead of re-running tokenize+shingle per side
-    sh = sh.persist()
+    # persist BEFORE exploding: projections sitting above a Generate
+    # re-evaluate inlined expressions per output row, so an uncached
+    # explode would recompute tokenize+shingle once per (doc, shingle).
+    # Shingles are joined as 40-bit hashes, not strings: the shuffle
+    # carries 8-byte keys and the join compares longs.
+    arr = _shingled(docs).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.expr(SHINGLE_HASHES).alias("shh")
+    ).persist()
+    sh = arr.select("doc_id", "n_sh", F.explode("shh").alias("shingle"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -152,7 +153,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 def ngram_jaccard_sql(threshold: float = 0.5) -> str:
     return f"""
 WITH sh AS (
-  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+  SELECT doc_id, len(shingles) AS n_sh,
+         unnest(list_transform(shingles, s -> {_h64_duck('s')})) AS shingle
   FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS shingles FROM documents)
 ),
 pairs AS (
@@ -195,12 +197,24 @@ SHINGLE_HASHES_SQL = f"list_transform(sh, s -> {_h64_duck('s')})"
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id, sig: NUM_HASHES-wide MinHash signature.
 
-    Computed entirely inside the row (array expressions) — a narrow map
-    stage; nothing shuffles until banding."""
-    return (
-        _shingled(docs)
-        .withColumn("shh", F.expr(SHINGLE_HASHES))
-        .select("doc_id", F.expr(MINHASH_SIG).alias("sig"))
+    Explode shingle hashes, then take the NUM_HASHES affine mins as
+    codegen'd aggregates. Spark evaluates higher-order-function lambdas
+    interpreted, so `transform(... array_min(transform(...)))` is ~5×
+    slower than this groupBy: partial (map-side) min aggregation means
+    the shuffle carries one signature row per doc — the same bytes the
+    in-row variant would shuffle at the banding step anyway."""
+    shh = _shingled(docs).select(
+        "doc_id", F.explode(F.expr(SHINGLE_HASHES)).alias("h")
+    )
+    aggs = [
+        F.min(
+            F.expr(f"((65537 * {i + 1}) * h + 104729 * {i} + 12345) % {_MOD}")
+        ).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+    mins = shh.groupBy("doc_id").agg(*aggs)
+    return mins.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
     )
 
 
