@@ -6,15 +6,25 @@ pseudo-random planes derived from the portable hash so buckets (and the
 DuckDB oracle) are reproducible; candidate generation is a bucket-equi
 join instead of an O(n²) cross.
 
-Dot products run as JVM array expressions (zip_with + aggregate) in
-DOUBLE with left-to-right summation — the DuckDB twin sums in the same
-order, so rounded scores match exactly.
+Vector math runs in Arrow-vectorized pandas UDFs (numpy, float64).
+This is the one hot path where built-in expressions lose: higher-order
+functions (zip_with/aggregate) evaluate interpreted per element, and
+expanded 64-term arithmetic pays seconds of Janino codegen compile per
+stage. Summation uses np.cumsum — strict left-to-right accumulation —
+so doubles are bit-equal with the DuckDB oracle's expanded `x1*y1 +
+x2*y2 + ...` chain and rounded scores hash-match across engines.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, IntegerType
 
 DIM = 64
 # 4 planes = 16 buckets: sized so local-test buckets hold enough
@@ -23,25 +33,14 @@ DIM = 64
 N_PLANES = 4
 ROUND = 5
 
-# --- cosine as expression (Spark + DuckDB dialects) ---
+# --- DuckDB dialect: expanded left-to-right chains ---
 
-DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-    "cast(0 as double), (acc, v) -> acc + v)"
+DOT_SQL = " + ".join(
+    f"CAST({{a}}[{j + 1}] AS DOUBLE) * CAST({{b}}[{j + 1}] AS DOUBLE)" for j in range(DIM)
 )
-NORM = (
-    "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
-    "cast(0 as double), (acc, v) -> acc + v))"
-)
-
-DOT_SQL = "list_sum(list_transform(range(len({a})), i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
-NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-
-
-def cosine_expr(a: str, b: str):
-    return F.expr(
-        f"round({DOT.format(a=a, b=b)} / ({NORM.format(a=a)} * {NORM.format(a=b)}), {ROUND})"
-    )
+NORM_SQL = "sqrt(" + " + ".join(
+    f"CAST({{a}}[{j + 1}] AS DOUBLE) * CAST({{a}}[{j + 1}] AS DOUBLE)" for j in range(DIM)
+) + ")"
 
 
 def cosine_sql(a: str, b: str) -> str:
@@ -50,10 +49,44 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
+# --- Spark side: Arrow-batched numpy kernels ---
+
+
+def _mat(s: pd.Series) -> np.ndarray:
+    """(n, DIM) float64 matrix from an Arrow array-column batch."""
+    if len(s) == 0:
+        return np.empty((0, DIM), dtype=np.float64)
+    return np.stack(s.to_numpy()).astype(np.float64)
+
+
+def _ltr_sum(prod: np.ndarray) -> np.ndarray:
+    """Row-wise strict left-to-right float64 sum (parity with SQL chains)."""
+    return np.cumsum(prod, axis=1)[:, -1]
+
+
+@pandas_udf(DoubleType())
+def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    A, B = _mat(a), _mat(b)
+    return pd.Series(_ltr_sum(A * B))
+
+
+@pandas_udf(DoubleType())
+def norm_udf(a: pd.Series) -> pd.Series:
+    A = _mat(a)
+    return pd.Series(np.sqrt(_ltr_sum(A * A)))
+
+
+def cosine_expr(a: str, b: str):
+    return F.round(
+        dot_udf(F.col(a), F.col(b)) / (norm_udf(F.col(a)) * norm_udf(F.col(b))),
+        ROUND,
+    )
+
+
 def embedding_norms(emb: DataFrame) -> DataFrame:
     """vec_id, l2_norm — cheap sanity operator over the vector column."""
     return emb.select(
-        "vec_id", F.expr(f"round({NORM.format(a='embedding')}, {ROUND})").alias("l2_norm")
+        "vec_id", F.round(norm_udf(F.col("embedding")), ROUND).alias("l2_norm")
     )
 
 
@@ -95,39 +128,68 @@ LIMIT {k}
 
 
 # --- hyperplane LSH ---
-# plane(i, j) ∈ {-1, +1} from the parity of the portable hash of "i,j":
-# deterministic, no stored plane matrix, reproducible in SQL.
+# plane(i, j) ∈ {-1, +1} from the parity of the portable hash of "i,j".
+# The plane matrix is a compile-time constant, so the signs are
+# precomputed here (same md5 parity both engines used to compute
+# in-query) and folded into an expanded ±x_j sum — a signed add chain
+# the JVM/DuckDB execute codegen'd, with zero per-row hashing.
 
-_PLANE = "(1 - 2 * (cast(conv(substr(md5(concat(cast({i} as string), ',', cast(j as string))), 1, 10), 16, 10) as bigint) % 2))"
+
+def _plane_sign(i: int, j: int) -> int:
+    h = int(hashlib.md5(f"{i},{j}".encode()).hexdigest()[:10], 16)
+    return 1 - 2 * (h % 2)
 
 
-def _bucket_expr() -> str:
-    """Spark SQL: LSH bucket id = Σ bit_i · 2^i over N_PLANES sign bits."""
-    bits = []
-    for i in range(N_PLANES):
-        dot = (
-            f"aggregate(sequence(0, {DIM - 1}), cast(0 as double), "
-            f"(acc, j) -> acc + cast(element_at(embedding, j + 1) as double) * {_PLANE.format(i=i)})"
+def _signed_dot(i: int, elem: str) -> str:
+    """±element add chain for plane i; elem holds '{j}' (1-based)."""
+    parts = []
+    for j in range(DIM):
+        t = elem.format(j=j + 1)
+        if j == 0:
+            parts.append(t if _plane_sign(i, 0) > 0 else f"-{t}")
+        else:
+            parts.append(("+ " if _plane_sign(i, j) > 0 else "- ") + t)
+    return " ".join(parts)
+
+
+_SIGNS = None
+
+
+def _signs() -> np.ndarray:
+    global _SIGNS
+    if _SIGNS is None:
+        _SIGNS = np.array(
+            [[_plane_sign(i, j) for j in range(DIM)] for i in range(N_PLANES)],
+            dtype=np.float64,
         )
-        bits.append(f"(case when {dot} >= 0 then {1 << i} else 0 end)")
-    return " + ".join(bits)
+    return _SIGNS
+
+
+@pandas_udf(IntegerType())
+def bucket_udf(emb: pd.Series) -> pd.Series:
+    """LSH bucket id = Σ bit_i · 2^i over N_PLANES sign bits.
+
+    Signed-product cumsum ≡ the SQL ±x_j add chain (x - y == x + (-y)
+    in IEEE double), so bucket ids match the oracle exactly."""
+    M = _mat(emb)
+    out = np.zeros(len(M), dtype=np.int32)
+    for i in range(N_PLANES):
+        dots = _ltr_sum(M * _signs()[i])
+        out += np.where(dots >= 0, 1 << i, 0).astype(np.int32)
+    return pd.Series(out)
 
 
 def _bucket_sql() -> str:
     bits = []
     for i in range(N_PLANES):
-        plane = f"(1 - 2 * (CAST(('0x' || substr(md5('{i}' || ',' || j), 1, 10)) AS BIGINT) % 2))"
-        dot = (
-            f"list_sum(list_transform(range({DIM}), "
-            f"j -> CAST(embedding[j + 1] AS DOUBLE) * {plane}))"
-        )
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        dot = _signed_dot(i, "CAST(embedding[{j}] AS DOUBLE)")
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
     return " + ".join(bits)
 
 
 def lsh_buckets(emb: DataFrame) -> DataFrame:
     """vec_id, bucket — one narrow pass, no shuffle."""
-    return emb.select("vec_id", F.expr(_bucket_expr()).cast("int").alias("bucket"))
+    return emb.select("vec_id", bucket_udf(F.col("embedding")).alias("bucket"))
 
 
 def lsh_bucket_histogram(emb: DataFrame) -> DataFrame:
@@ -151,8 +213,9 @@ def ann_topk_lsh(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFram
     The bucket join replaces the full scan — at 100 TB with B buckets
     the candidate set is ~n/B; recall is tuned by N_PLANES (and can be
     extended to multi-probe by unioning neighbouring buckets)."""
-    b = lsh_buckets(emb)
-    with_b = emb.join(b, "vec_id")
+    with_b = emb.select(
+        "vec_id", "embedding", bucket_udf(F.col("embedding")).alias("bucket")
+    )
     q = with_b.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
     )
@@ -184,12 +247,14 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
     Norms are computed once per vector before the pair join — the
     per-pair work is a single dot product (the pair count, not the
     vector count, dominates at scale)."""
-    b = lsh_buckets(emb)
-    with_b = emb.join(b, "vec_id").withColumn(
-        "nrm", F.expr(NORM.format(a="embedding"))
+    with_b = emb.select(
+        "vec_id",
+        "embedding",
+        bucket_udf(F.col("embedding")).alias("bucket"),
+        norm_udf(F.col("embedding")).alias("nrm"),
     )
     a, c = with_b.alias("a"), with_b.alias("b")
-    dot = F.expr(DOT.format(a="a.embedding", b="b.embedding"))
+    dot = dot_udf(F.col("a.embedding"), F.col("b.embedding"))
     cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND)
     return (
         a.join(
