@@ -19,6 +19,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q18_large_orders",
     "normalize_lineitem",
     "chunk_counts",
     "compare_chunk_checksum",
