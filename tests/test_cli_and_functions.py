@@ -107,3 +107,68 @@ def test_simhash_near_duplicates_close(spark, sf_dir):
     ids = sorted(k for k in fp if k < 100000)
     near = [ham(fp[i], fp[i + 100000]) for i in ids]
     assert max(near) <= 6  # one extra token flips few bits
+
+
+def test_charset_transcode_roundtrip(spark):
+    from transferdb_spark.functions.charset import (
+        canonical_charset,
+        convert_bytes,
+        decode_from,
+        encode_as,
+        transcode_bytes,
+    )
+
+    assert canonical_charset("utf8mb4") == "UTF-8"
+    assert canonical_charset("ZHS16GBK") == "GBK"
+    with pytest.raises(ValueError):
+        canonical_charset("EBCDIC")
+
+    s = "数据迁移"
+    assert convert_bytes(s.encode("gbk"), "GBK", "UTF8MB4") == s.encode("utf-8")
+
+    df = spark.createDataFrame([(s.encode("gbk"),), (None,)], "raw binary")
+    got = df.select(decode_from("raw", "GBK").alias("v")).collect()
+    assert {r["v"] for r in got} == {s, None}
+
+    # full byte transcode GBK -> UTF-8 and back
+    rt = df.select(
+        transcode_bytes(transcode_bytes("raw", "GBK", "UTF8MB4"), "UTF8MB4", "GBK").alias("v")
+    ).collect()
+    assert {bytes(r["v"]) if r["v"] is not None else None for r in rt} == {s.encode("gbk"), None}
+
+    # sink-side encode of a native string column
+    t = "資料遷移"  # traditional: representable in Big5
+    enc = spark.createDataFrame([(t,)], ["v"]).select(encode_as("v", "BIG5").alias("b")).collect()
+    assert bytes(enc[0]["b"]) == t.encode("big5")
+
+
+def test_subset_ops(spark):
+    from transferdb_spark.functions.scalars import df_is_subset, is_subset
+
+    assert is_subset(["a"], ["a", "b"])
+    assert not is_subset(["a", "c"], ["a", "b"])
+
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["k"])
+    b = spark.createDataFrame([(1,), (1,), (2,), (3,)], ["k"])
+    assert df_is_subset(a, b)
+    # multiplicity matters: 'a' has two 1s, b2 only one
+    b2 = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    assert not df_is_subset(a, b2)
+
+
+def test_full_migrate_user_range(tmp_path, spark, lineitem):
+    from transferdb_spark.modes.full import full_migrate_table
+
+    wd = str(tmp_path / "wd")
+    target = full_migrate_table(
+        spark,
+        lineitem,
+        "lineitem",
+        wd,
+        n_chunks=4,
+        user_range="l_quantity < 10",
+    )
+    out = spark.read.parquet(target)
+    assert out.filter("l_quantity >= 10").count() == 0
+    expected = lineitem.filter("l_quantity < 10").count()
+    assert out.count() == expected

@@ -31,13 +31,20 @@ def full_migrate_table(
     key: str | None = None,
     normalize: bool = False,
     store: StateStore | None = None,
+    user_range: str | None = None,
 ) -> str:
     """Migrate one table to the parquet target; returns target path.
 
     normalize=False keeps native types (lossless lakehouse landing);
     True applies the reference's canonical string projection (P1).
+    user_range is the P5 operator — a user WHERE clause ANDed with
+    every chunk predicate (reference merges config `range` into chunk
+    SQL, module/migrate/sql/oracle/o2m/full.go:740-804); Catalyst
+    pushes it into the scan alongside the chunk ranges.
     """
     store = store or StateStore(workdir, "full")
+    if user_range:
+        df = df.filter(user_range)
     key = key or elect_split_key(df)
     chunks = plan_chunks(df, key, n_chunks)
     states = store.init_table(table, chunks)
