@@ -1,0 +1,106 @@
+"""Physical-plan audits — the scale contract, asserted.
+
+Correctness says WHAT each operator returns; these tests pin HOW
+Spark executes it: filters reach the parquet scan, projections prune
+the read schema, small dimensions broadcast instead of shuffling, and
+aggregations combine map-side before exchanging. A regression here is
+invisible at sf0.01 but fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def plan_of(df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def tree_of(plan: str) -> str:
+    """The indented operator tree at the top of a formatted plan."""
+    return plan.split("\n\n(")[0]
+
+
+def n_nodes(plan: str, name: str) -> int:
+    return tree_of(plan).count(name)
+
+
+@pytest.fixture(scope="module")
+def queries(spark, sf_dir):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    return {name: fn(spark, sf_dir) for name, fn in qs.items()}
+
+
+def test_q1_prunes_and_partially_aggregates(queries):
+    p = plan_of(queries["q1_pricing_summary"])
+    # column pruning: orderkey/partkey/suppkey are not read
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+    # shipdate filter reaches the scan
+    assert "l_shipdate" in p.split("PushedFilters")[1].splitlines()[0]
+    # map-side combine: partial + final aggregate pair around one exchange
+    assert n_nodes(p, "HashAggregate") == 2
+    assert "partial_sum" in p
+
+
+def test_q3_broadcasts_dimensions(queries):
+    p = plan_of(queries["q3_shipping_priority"])
+    assert n_nodes(p, "BroadcastHashJoin") == 2
+    assert n_nodes(p, "SortMergeJoin") == 0
+    # segment filter pushed into the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_q6_pushes_all_predicates(queries):
+    p = plan_of(queries["q6_forecast_revenue"])
+    pushed = p.split("PushedFilters")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+
+
+def test_q18_avoids_shuffling_the_big_side_twice(queries):
+    p = plan_of(queries["q18_large_orders"])
+    # lineitem aggregates once, then joins only broadcast dims
+    assert n_nodes(p, "SortMergeJoin") == 0
+    assert n_nodes(p, "BroadcastHashJoin") == 2
+
+
+def test_semi_and_anti_joins_stay_joins(queries):
+    for name, kind in [
+        ("semi_join_customers", "LeftSemi"),
+        ("anti_join_parts", "LeftAnti"),
+    ]:
+        p = plan_of(queries[name])
+        assert kind in p, f"{name} lost its {kind} join"
+
+
+def test_checksum_compare_combines_map_side(queries):
+    p = plan_of(queries["compare_chunk_checksum"])
+    # partial + final pair: the shuffle carries chunk rows, not data rows
+    assert n_nodes(p, "HashAggregate") == 2
+    assert "partial_" in p
+
+
+def test_window_topk_single_shuffle(queries):
+    p = plan_of(queries["window_topk_orders"])
+    # rank-within-partition needs exactly one hash exchange on the key
+    assert n_nodes(p, "Exchange") <= 2
+
+
+def test_similarity_uses_arrow_not_rowpython(queries):
+    p = plan_of(queries["embedding_neardup"])
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p  # row-at-a-time Python is banned
+
+
+def test_normalize_is_a_pure_narrow_projection(queries):
+    p = plan_of(queries["normalize_lineitem"])
+    # one scan, one projection — no shuffle, no Python in the row path
+    assert n_nodes(p, "Exchange") == 0
+    assert n_nodes(p, "Scan parquet") == 1
+    assert "EvalPython" not in p
