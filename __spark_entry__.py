@@ -974,6 +974,199 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — lag + running sum
+    over a per-user window, then per-session aggregation. The classic
+    event-analytics operator the reference lacks; one shuffle on
+    user_id serves both window passes and the final groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq", F.sum("new_sess").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_sec"
+            ),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN (epoch_ms(ts) // 1000) - (epoch_ms(lag(ts) OVER w) // 1000) > 1800
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       CAST(MAX(epoch_ms(ts) // 1000) - MIN(epoch_ms(ts) // 1000) AS BIGINT) AS duration_sec,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window aggregate: 7-row moving average per user,
+    exact decimal arithmetic inside the frame, double at the boundary."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    mv_sum = F.sum(F.col("value").cast(DEC)).over(w)
+    mv_cnt = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (mv_sum.cast("double") / mv_cnt).alias("mv_avg"),
+    ).orderBy("event_id")
+
+
+MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       / COUNT(*) OVER w AS mv_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation: inter-event gap and the next event type."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
+            "gap_sec"
+        ),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).orderBy("event_id")
+
+
+LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+       (epoch_ms(ts) // 1000) - lag(epoch_ms(ts) // 1000) OVER w AS gap_sec,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group without engine percentile builtins:
+    row_number from both ends picks the middle row(s); the even-count
+    average runs on exact decimals. Engine quantile functions disagree
+    in ulps (interpolation formula order), so the median is derived
+    from first principles identically on both sides."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    tp = F.col("o_totalprice").cast(DEC)
+    wa = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wd = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.desc("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        tp.alias("tp"),
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    mid = ranked.filter(
+        (F.col("ra") == F.col("rd"))
+        | (F.col("ra") == F.col("rd") + 1)
+        | (F.col("rd") == F.col("ra") + 1)
+    )
+    return (
+        mid.groupBy("o_orderpriority")
+        .agg((F.sum("tp") / F.count(F.lit(1))).cast("double").alias("median_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS ra,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(SUM(tp) / COUNT(*) AS DOUBLE) AS median_price
+FROM ranked
+WHERE ra = rd OR ra = rd + 1 OR rd = ra + 1
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def json_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + bucketed histogram over the props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(F.floor(k / 10).cast("int").alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("k_bucket")
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT CAST(floor(CAST(props->>'$.k' AS INT) / 10.0) AS INT) AS k_bucket, COUNT(*) AS cnt
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking: acctbal quartiles with per-quartile stats."""
+    cust = _t(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
+NTILE_SQL = """
+SELECT quartile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM (SELECT c_acctbal, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer)
+GROUP BY quartile ORDER BY quartile
+"""
+
+
 def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation — ROLLUP (Catalyst-native grouping sets,
     beyond the reference's plain GROUP BYs)."""
@@ -1315,6 +1508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_predicates": q19_disjunctive_predicates,
         "q22_idle_customers": q22_idle_customers,
+        "sessionize_events": sessionize_events,
+        "moving_avg_user_value": moving_avg_user_value,
+        "lag_lead_deltas": lag_lead_deltas,
+        "median_order_value": median_order_value,
+        "json_props_histogram": json_props_histogram,
+        "ntile_customer_quartiles": ntile_customer_quartiles,
         **EXT_QUERIES,
     }
 
@@ -1362,6 +1561,12 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": Q17_SQL,
         "q19_disjunctive_predicates": Q19_SQL,
         "q22_idle_customers": Q22_SQL,
+        "sessionize_events": SESSIONIZE_SQL,
+        "moving_avg_user_value": MOVING_AVG_SQL,
+        "lag_lead_deltas": LAG_LEAD_SQL,
+        "median_order_value": MEDIAN_SQL,
+        "json_props_histogram": JSON_PROPS_SQL,
+        "ntile_customer_quartiles": NTILE_SQL,
         **_ext_oracle_sql(),
     }
 
