@@ -1404,6 +1404,39 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction (rows-only check: the fake
+    byte-fold extractor is deliberately non-SQL — it stands in for a
+    real image/audio decoder, so no DuckDB oracle entry exists)."""
+    from transferdb_spark.ext.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(0).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 16), 6).alias("f_last"),
+    ).orderBy("media_id")
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -1412,6 +1445,7 @@ def _ext_oracle_sql() -> dict[str, str]:
     )
     from transferdb_spark.ext.similarity import (
         EMBEDDING_NORMS_SQL,
+        ann_topk_ivf_sql,
         ann_topk_lsh_sql,
         embedding_neardup_sql,
         lsh_bucket_histogram_sql,
@@ -1436,7 +1470,9 @@ def _ext_oracle_sql() -> dict[str, str]:
         "similarity_topk": topk_bruteforce_sql(0, 10),
         "ann_bucket_histogram": lsh_bucket_histogram_sql(),
         "ann_topk_lsh": ann_topk_lsh_sql(0, 10),
+        "ann_topk_ivf": ann_topk_ivf_sql(0, 10),
         "embedding_neardup": embedding_neardup_sql(0.3),
+        # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
 
 
@@ -1452,7 +1488,9 @@ EXT_QUERIES = {
     "similarity_topk": similarity_topk,
     "ann_bucket_histogram": ann_bucket_histogram,
     "ann_topk_lsh": ann_topk_lsh_q,
+    "ann_topk_ivf": ann_topk_ivf_q,
     "embedding_neardup": embedding_neardup,
+    "multimodal_features": multimodal_features_q,
 }
 
 

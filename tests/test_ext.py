@@ -116,3 +116,34 @@ def test_multimodal_frame_sampling(spark):
     # duration 4000ms @ 1000ms -> 5 offsets (0..4000) per video
     assert len(frames) == 4 * 5
     assert {r["offset_ms"] for r in frames} == {0, 1000, 2000, 3000, 4000}
+
+
+def test_ann_ivf_matches_bruteforce_topk(spark, sf_dir):
+    """IVF with 4-of-16 probes must recover the true top-10 here (the
+    fixture's neighbours share cells with the query)."""
+    from transferdb_spark.ext.similarity import ann_topk_ivf, topk_bruteforce
+    from transferdb_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = {r["vec_id"]: r["cosine"] for r in ann_topk_ivf(emb, 0, 10).collect()}
+    brute = {r["vec_id"]: r["cosine"] for r in topk_bruteforce(emb, 0, 10).collect()}
+    # recall won't be perfect in general; assert the probed result is a
+    # subset of the brute-force ranking extended to 3x depth
+    deep = {r["vec_id"] for r in topk_bruteforce(emb, 0, 30).collect()}
+    assert set(ivf) <= deep
+    # and scores agree exactly where both found the same neighbour
+    for v, c in ivf.items():
+        if v in brute:
+            assert brute[v] == c
+
+
+def test_multimodal_feature_extraction_shapes(spark):
+    from transferdb_spark.ext.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=32)
+    out = extract_features(media, fake=True).collect()
+    assert len(out) == 32
+    assert all(len(r["features"]) == 16 for r in out)
+    # deterministic: same input bytes -> same features
+    again = extract_features(synthetic_media(spark, n=32), fake=True).collect()
+    assert [r["features"] for r in out] == [r["features"] for r in again]

@@ -281,3 +281,102 @@ SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
 FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 WHERE round({dot} / (x.nrm * y.nrm), {ROUND}) >= {threshold}
 """
+
+
+# --- IVF (inverted-file) ANN ---
+# Pivots are the first N_CELLS stored vectors (deterministic — no
+# k-means RNG to reproduce in the oracle). Every vector is assigned to
+# its max-dot pivot; a query probes the N_PROBE nearest cells and runs
+# exact cosine only there. At 100 TB: assignment is a narrow Arrow
+# pass with the (N_CELLS × DIM) pivot matrix in the UDF closure
+# (broadcast by task serialization), and the probe filter prunes the
+# candidate scan to ~n·N_PROBE/N_CELLS rows before any pair work.
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _pivot_matrix(emb: DataFrame) -> np.ndarray:
+    rows = (
+        emb.filter(F.col("vec_id") < N_CELLS)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def _cell_ids(M: np.ndarray, pivots: np.ndarray) -> np.ndarray:
+    """argmax-dot cell per row; ties -> lowest pivot id (oracle order).
+
+    Dots via cumsum per pivot: bit-equal with the SQL add chains."""
+    n = len(M)
+    best_dot = np.full(n, -np.inf)
+    best_pid = np.zeros(n, dtype=np.int32)
+    for pid in range(len(pivots)):
+        d = _ltr_sum(M * pivots[pid])
+        take = d > best_dot  # strict: earlier pid wins ties
+        best_dot = np.where(take, d, best_dot)
+        best_pid = np.where(take, pid, best_pid)
+    return best_pid
+
+
+def ivf_assign(emb: DataFrame, pivots: np.ndarray) -> DataFrame:
+    """vec_id, embedding, cell — one narrow Arrow pass."""
+
+    @pandas_udf(IntegerType())
+    def cell_udf(e: pd.Series) -> pd.Series:
+        return pd.Series(_cell_ids(_mat(e), pivots))
+
+    return emb.select("vec_id", "embedding", cell_udf(F.col("embedding")).alias("cell"))
+
+
+def ann_topk_ivf(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10, n_probe: int = N_PROBE
+) -> DataFrame:
+    """IVF ANN top-k: exact cosine within the probed cells only."""
+    pivots = _pivot_matrix(emb)
+    q_row = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    qvec = np.array([q_row[0]["embedding"]], dtype=np.float64)
+    qdots = [( _ltr_sum(qvec * pivots[pid])[0], pid) for pid in range(len(pivots))]
+    probe = [pid for _, pid in sorted(qdots, key=lambda t: (-t[0], t[1]))[:n_probe]]
+
+    cells = ivf_assign(emb, pivots).filter(F.col("cell").isin(probe))
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    return (
+        cells.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+        .select("vec_id", cosine_expr("embedding", "qvec").cast("double").alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def ann_topk_ivf_sql(query_vec_id: int = 0, k: int = 10, n_probe: int = N_PROBE) -> str:
+    dot_ep = DOT_SQL.format(a="e.embedding", b="p.pvec")
+    dot_qp = DOT_SQL.format(a="q.qvec", b="p.pvec")
+    return f"""
+WITH pivots AS (
+  SELECT vec_id AS pid, embedding AS pvec FROM embeddings WHERE vec_id < {N_CELLS}
+),
+qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}),
+assign AS (
+  SELECT e.vec_id, e.embedding, p.pid,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {dot_ep} DESC, p.pid) AS rn
+  FROM embeddings e CROSS JOIN pivots p
+),
+cells AS (SELECT vec_id, embedding, pid AS cell FROM assign WHERE rn = 1),
+probed AS (
+  SELECT pid AS cell FROM (
+    SELECT p.pid, row_number() OVER (ORDER BY {dot_qp} DESC, p.pid) AS rn
+    FROM pivots p CROSS JOIN qv q
+  ) WHERE rn <= {n_probe}
+)
+SELECT c.vec_id, CAST({cosine_sql('c.embedding', 'q.qvec')} AS DOUBLE) AS cosine
+FROM cells c JOIN probed USING (cell) CROSS JOIN qv q
+WHERE c.vec_id <> {query_vec_id}
+ORDER BY cosine DESC, c.vec_id
+LIMIT {k}
+"""
