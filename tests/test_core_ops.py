@@ -135,3 +135,61 @@ def test_glob_filter():
     assert glob_match(["line*"], "LINEITEM")
     assert glob_match(["*item"], "lineitem")
     assert not glob_match(["ord?"], "orders")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from transferdb_spark.operators.skew import salted_join
+    from transferdb_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(orders, "l_orderkey").groupBy("o_orderpriority").count()
+    salted = (
+        salted_join(li, orders, "l_orderkey", salt=4)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_hot_key_split_matches_plain_join(spark, sf_dir):
+    from transferdb_spark.operators.skew import hot_key_split
+    from transferdb_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(orders, "l_orderkey")
+    # tiny threshold so some keys actually take the broadcast path
+    hybrid = hot_key_split(li, orders, "l_orderkey", threshold=5)
+    assert plain.count() == hybrid.count()
+    assert (
+        plain.agg(F.sum("l_quantity")).collect()[0][0]
+        == hybrid.agg(F.sum("l_quantity")).collect()[0][0]
+    )
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    from transferdb_spark.sources.bucketed import co_located_join, write_bucketed
+    from transferdb_spark.sources.registry import load_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path}/wh'")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    lt = write_bucketed(li, "li_b", "l_orderkey", buckets=4, database="bktest")
+    ot = write_bucketed(orders, "ord_b", "l_orderkey", buckets=4, database="bktest")
+
+    # force the merge path (broadcast would also be shuffle-free, but
+    # the point is the bucket layout aligning both sides)
+    joined = spark.table(lt).hint("merge").join(spark.table(ot), "l_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan, (
+        "bucketed merge join must not shuffle"
+    )
+    assert joined.count() == li.join(orders, "l_orderkey").count()
+    spark.sql("DROP DATABASE bktest CASCADE")

@@ -88,3 +88,29 @@ def test_op_filter_gate(spark, events):
     rows = out.collect()
     assert all(r["event_id"] > 500 for r in rows)
     assert {r["event_type"] for r in rows} <= set(OP_WHITELIST)
+
+
+def test_session_windows_match_batch(spark, tmp_path, source_dir, events):
+    """Streaming session windows == batch session_window aggregation."""
+    from transferdb_spark.streaming.incr import run_sessions_to_memory
+
+    q = run_sessions_to_memory(spark, source_dir, str(tmp_path / "ck_sess"), name="t_sessions")
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("session_value"),
+        )
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events", "session_value")
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+        for r in batch.collect()
+    }
+    assert got == want

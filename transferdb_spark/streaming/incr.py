@@ -141,3 +141,40 @@ def run_rollup_to_memory(
         .start()
     )
     return q
+
+
+def session_window_stream(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Dynamic-gap session windows per user — the streaming twin of the
+    batch sessionize operator. State closes when event time passes
+    session end + watermark, so state size tracks *open* sessions
+    (active users), not stream length."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_sessions_to_memory(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, name: str = "sessions"
+):
+    stream = stream_events(spark, source_dir)
+    return (
+        session_window_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
