@@ -1,0 +1,121 @@
+"""Differential query fuzzing — random plans, two engines, one answer.
+
+Seeded random SELECT/WHERE/GROUP BY/JOIN queries are rendered from one
+AST into Spark SQL and DuckDB SQL and must agree exactly (order
+-insensitive row-set equality, NULLs included). The generator stays
+inside the cross-engine-exact subset the whole engine is built on:
+integer/decimal arithmetic, counts, min/max, string equality — no raw
+double aggregation (summation order is engine-defined).
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+N_QUERIES = 30
+SEED = 20260813
+
+# column -> (kind, sample constants)
+LINEITEM_COLS = {
+    "l_orderkey": ("int", [1, 1500, 3000, 4500, 5999]),
+    "l_partkey": ("int", [1, 100, 500, 900]),
+    "l_suppkey": ("int", [1, 20, 50, 80]),
+    "l_linenumber": ("int", [1, 2, 3, 5, 7]),
+    "l_quantity": ("num", [1, 10, 25, 40, 50]),
+    "l_returnflag": ("str", ["A", "N", "R"]),
+    "l_linestatus": ("str", ["O", "F"]),
+    "l_shipdate": ("ts", ["1995-06-01", "1996-01-01", "1997-03-15", "1998-01-01"]),
+}
+ORDERS_COLS = {
+    "o_orderstatus": ("str", ["P", "O", "F"]),
+    "o_orderpriority": ("str", ["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+    "o_orderdate": ("ts", ["1995-06-01", "1996-09-01", "1999-01-01"]),
+}
+
+AGGS = [
+    ("COUNT(*)", "cnt"),
+    ("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)", "sum_qty"),
+    ("MIN(l_orderkey)", "min_ok"),
+    ("MAX(l_linenumber)", "max_ln"),
+    ("CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)", "nd_supp"),
+    ("MIN(l_returnflag)", "min_rf"),
+    ("MAX(l_shipdate)", "max_sd"),
+]
+
+
+def _pred(rng: random.Random, col: str, kind: str, consts: list) -> str:
+    c = rng.choice(consts)
+    if kind == "int" or kind == "num":
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return f"{col} {op} {c}"
+    if kind == "str":
+        if rng.random() < 0.3:
+            pair = rng.sample(consts, min(2, len(consts)))
+            vals = ", ".join(f"'{v}'" for v in pair)
+            return f"{col} IN ({vals})"
+        return f"{col} {rng.choice(['=', '<>'])} '{c}'"
+    # timestamp: both engines accept the TIMESTAMP literal form
+    return f"{col} {rng.choice(['<', '>='])} TIMESTAMP '{c} 00:00:00'"
+
+
+def gen_query(rng: random.Random) -> str:
+    join = rng.random() < 0.4
+    cols = dict(LINEITEM_COLS)
+    table = "lineitem"
+    if join:
+        cols.update(ORDERS_COLS)
+        table = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+
+    n_preds = rng.randint(1, 3)
+    preds = [
+        _pred(rng, c, *info) for c, info in rng.sample(sorted(cols.items()), n_preds)
+    ]
+    where = " AND ".join(preds)
+
+    groupable = [c for c, (k, _) in cols.items() if k in ("str", "int")]
+    n_group = rng.randint(0, 2)
+    groups = rng.sample(groupable, n_group) if n_group else []
+
+    n_aggs = rng.randint(1, 3)
+    aggs = rng.sample(AGGS, n_aggs)
+    select = ", ".join(groups + [f"{expr} AS {alias}" for expr, alias in aggs])
+    sql = f"SELECT {select} FROM {table} WHERE {where}"
+    if groups:
+        sql += " GROUP BY " + ", ".join(groups)
+    return sql
+
+
+@pytest.fixture(scope="module")
+def engines(spark, sf_dir):
+    from transferdb_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "orders"])
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return spark, con
+
+
+def signature(df) -> set:
+    rows = set()
+    for tup in df.itertuples(index=False, name=None):
+        rows.add(tuple(str(v) for v in tup))
+    return rows
+
+
+def test_differential_fuzz(engines):
+    spark, con = engines
+    rng = random.Random(SEED)
+    failures = []
+    for i in range(N_QUERIES):
+        sql = gen_query(rng)
+        got = signature(spark.sql(sql).toPandas())
+        want = signature(con.execute(sql).df())
+        if got != want:
+            failures.append((sql, len(got), len(want)))
+    assert not failures, f"{len(failures)} differential mismatches: {failures[:3]}"
