@@ -1167,6 +1167,58 @@ GROUP BY quartile ORDER BY quartile
 """
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.text import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — per-linestatus quantity totals spread across returnflag
+    columns (Spark pivot == conditional aggregation in the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(qty).cast("double"))
+        .withColumnsRenamed({"A": "qty_a", "N": "qty_n", "R": "qty_r"})
+        .orderBy("l_linestatus")
+    )
+
+
+PIVOT_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+FROM lineitem
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() disambiguation of the all-rows rollups."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation — ROLLUP (Catalyst-native grouping sets,
     beyond the reference's plain GROUP BYs)."""
@@ -1552,6 +1604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_order_value": median_order_value,
         "json_props_histogram": json_props_histogram,
         "ntile_customer_quartiles": ntile_customer_quartiles,
+        "pivot_returnflag": pivot_returnflag,
+        "grouping_cube": grouping_cube,
+        "text_bpe_tokens": text_bpe_tokens,
         **EXT_QUERIES,
     }
 
@@ -1605,6 +1660,9 @@ def oracle_sql() -> dict[str, str]:
         "median_order_value": MEDIAN_SQL,
         "json_props_histogram": JSON_PROPS_SQL,
         "ntile_customer_quartiles": NTILE_SQL,
+        "pivot_returnflag": PIVOT_SQL,
+        "grouping_cube": CUBE_SQL,
+        "text_bpe_tokens": _bpe_token_sql(),
         **_ext_oracle_sql(),
     }
 
@@ -1613,3 +1671,9 @@ def _simhash_oracle() -> str:
     from transferdb_spark.ext.dedup import simhash_sql
 
     return simhash_sql()
+
+
+def _bpe_token_sql() -> str:
+    from transferdb_spark.ext.text import BPE_TOKEN_SQL
+
+    return BPE_TOKEN_SQL

@@ -138,3 +138,27 @@ SELECT doc_id,
        CAST(('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 10)) AS BIGINT) AS fp
 FROM documents
 """
+
+
+# BPE-ish pre-tokenization: the GPT-2-style splitter simplified to a
+# portable alternation (letter runs / digit runs / punctuation runs,
+# each with an optional leading space). Counting these pre-tokens is
+# the standard cheap proxy for BPE token cost in pipeline budgeting.
+BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """doc_id, ws_tokens, bpe_tokens — whitespace vs BPE-ish counts."""
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(TOKENS)).alias("ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+    )
+
+
+BPE_TOKEN_SQL = f"""
+SELECT doc_id,
+       CAST(len({TOKENS_SQL}) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS INT) AS bpe_tokens
+FROM documents
+"""
