@@ -1219,6 +1219,104 @@ ORDER BY gid, l_returnflag, l_linestatus
 """
 
 
+FIXTURE_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/catalog cross-check: per-table column-type census from Spark's
+    view of the parquet schemas, verified against DuckDB's
+    information_schema over the same files — two independent catalog
+    readers must describe the data identically."""
+    rows = []
+    for t in FIXTURE_TABLES:
+        schema = _t(spark, sf_dir, t).schema
+        n_int = n_float = n_str = n_ts = n_arr = 0
+        for f in schema.fields:
+            d = f.dataType
+            if isinstance(d, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+                n_int += 1
+            elif isinstance(d, (T.DoubleType, T.FloatType)):
+                n_float += 1
+            elif isinstance(d, T.StringType):
+                n_str += 1
+            elif isinstance(d, (T.TimestampType, T.TimestampNTZType)):
+                n_ts += 1
+            elif isinstance(d, T.ArrayType):
+                n_arr += 1
+        rows.append((t, len(schema.fields), n_int, n_float, n_str, n_ts, n_arr))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, n_cols long, n_int long, n_float long, n_str long, n_ts long, n_arr long",
+    ).orderBy("table_name")
+
+
+CATALOG_COLUMNS_SQL = """
+SELECT table_name, COUNT(*) AS n_cols,
+       CAST(SUM(CASE WHEN data_type IN ('BIGINT', 'INTEGER', 'SMALLINT', 'TINYINT') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+       CAST(SUM(CASE WHEN data_type IN ('DOUBLE', 'FLOAT', 'REAL') THEN 1 ELSE 0 END) AS BIGINT) AS n_float,
+       CAST(SUM(CASE WHEN data_type = 'VARCHAR' THEN 1 ELSE 0 END) AS BIGINT) AS n_str,
+       CAST(SUM(CASE WHEN data_type LIKE 'TIMESTAMP%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+       CAST(SUM(CASE WHEN data_type LIKE '%[]' THEN 1 ELSE 0 END) AS BIGINT) AS n_arr
+FROM information_schema.columns
+WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                     'orders', 'lineitem', 'events', 'documents', 'embeddings')
+GROUP BY table_name ORDER BY table_name
+"""
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4 bands of 6 bits generate candidates,
+    exact Hamming distance (bit_count of xor) filters to <= 1
+    (4 bands of 6 bits guarantee recall: one flipped bit leaves 3 bands intact). Banding
+    keeps the join O(docs x bands), never O(n^2)."""
+    from transferdb_spark.ext.dedup import simhash_fingerprints
+
+    fp = simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr("transform(sequence(0, 3), b -> struct(b, (simhash div cast(pow(2, b * 6) as bigint)) % 64 as v))")
+        ).alias("band"),
+    ).select("doc_id", "simhash", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
+    a, c = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 1).orderBy("doc_a", "doc_b")
+
+
+def _simhash_neardup_sql() -> str:
+    from transferdb_spark.ext.dedup import simhash_sql
+
+    return f"""
+WITH fp AS ({simhash_sql()}),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash // CAST(pow(2, b * 6) AS BIGINT)) % 64 AS v
+  FROM fp, (SELECT unnest(range(4)) AS b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+ORDER BY doc_a, doc_b
+"""
+
+
 def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation — ROLLUP (Catalyst-native grouping sets,
     beyond the reference's plain GROUP BYs)."""
@@ -1607,6 +1705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_returnflag": pivot_returnflag,
         "grouping_cube": grouping_cube,
         "text_bpe_tokens": text_bpe_tokens,
+        "catalog_columns": catalog_columns,
+        "simhash_neardup": simhash_neardup,
         **EXT_QUERIES,
     }
 
@@ -1663,6 +1763,8 @@ def oracle_sql() -> dict[str, str]:
         "pivot_returnflag": PIVOT_SQL,
         "grouping_cube": CUBE_SQL,
         "text_bpe_tokens": _bpe_token_sql(),
+        "catalog_columns": CATALOG_COLUMNS_SQL,
+        "simhash_neardup": _simhash_neardup_sql(),
         **_ext_oracle_sql(),
     }
 
