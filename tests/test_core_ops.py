@@ -193,3 +193,26 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     )
     assert joined.count() == li.join(orders, "l_orderkey").count()
     spark.sql("DROP DATABASE bktest CASCADE")
+
+
+def test_snapshot_versions_are_immutable_images(spark, sf_dir, tmp_path):
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import (
+        list_versions,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    li = load_table(spark, sf_dir, "lineitem")
+    v0 = write_snapshot(li.filter("l_orderkey <= 1000"), base)
+    v1 = write_snapshot(li.filter("l_orderkey > 1000"), base, mode="append")
+    v2 = write_snapshot(li.filter("l_linenumber = 1"), base)  # overwrite image
+
+    assert [v0, v1, v2] == [0, 1, 2] == list_versions(base)
+    n0 = li.filter("l_orderkey <= 1000").count()
+    assert read_snapshot(spark, base, 0).count() == n0
+    assert read_snapshot(spark, base, 1).count() == li.count()
+    assert read_snapshot(spark, base).count() == li.filter("l_linenumber = 1").count()
+    # as-of semantics: v0's image unchanged by later commits
+    assert read_snapshot(spark, base, 0).count() == n0

@@ -1,0 +1,102 @@
+"""Versioned snapshot store — the AS-OF-SCN consistency boundary.
+
+The reference pins every chunked read to one Oracle SCN
+(`SELECT ... AS OF SCN <n>`, /root/reference/module/migrate/sql/oracle/
+o2m/table.go:89-102, snapshot taken at database/oracle/full.go:28-40)
+so a multi-hour migration sees a single consistent image. Plain
+parquet directories have no such notion — this store supplies it:
+
+    dir/
+      _versions/000000.json   {"version": 0, "files": [...], "ts": ...}
+      _versions/000001.json
+      data/<uuid>.parquet     (immutable — versions only add manifests)
+
+A writer lands new files then commits a manifest listing EVERY live
+file for that version (full-image semantics, like Delta's add/remove
+collapsed). Readers resolve a version (latest by default) and load
+exactly its file list — concurrent writers can't tear a read, and
+`read_snapshot(v)` is the engine's `AS OF SCN v`.
+
+This is deliberately a minimal Delta-shaped core: enough for
+consistent compare/migrate semantics on plain parquet, replaced
+wholesale by Delta/Iceberg when the lakehouse provides one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _versions_dir(base: str) -> str:
+    return os.path.join(base, "_versions")
+
+
+def _data_dir(base: str) -> str:
+    return os.path.join(base, "data")
+
+
+def list_versions(base: str) -> list[int]:
+    vd = _versions_dir(base)
+    if not os.path.isdir(vd):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(vd) if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def write_snapshot(df: DataFrame, base: str, mode: str = "overwrite") -> int:
+    """Commit df as the next version; returns the version number.
+
+    mode='overwrite': the new version's image is exactly df.
+    mode='append': the new version = previous image + df's files.
+    Data files are immutable; only the manifest advances — failed
+    writes leave orphan files, never a torn version."""
+    os.makedirs(_versions_dir(base), exist_ok=True)
+    staging = os.path.join(_data_dir(base), uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(staging)
+    new_files = [
+        os.path.join(staging, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    ]
+
+    versions = list_versions(base)
+    version = (versions[-1] + 1) if versions else 0
+    files = new_files
+    if mode == "append" and versions:
+        prev = _manifest(base, versions[-1])
+        files = prev["files"] + new_files
+
+    manifest = {"version": version, "files": sorted(files)}
+    tmp = os.path.join(_versions_dir(base), f"{version:06d}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(_versions_dir(base), f"{version:06d}.json"))
+    return version
+
+
+def _manifest(base: str, version: int) -> dict:
+    with open(os.path.join(_versions_dir(base), f"{version:06d}.json")) as fh:
+        return json.load(fh)
+
+
+def read_snapshot(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Load one committed image; latest when version is None.
+
+    The file list is pinned by the manifest, so a concurrent
+    write_snapshot can never change what this reader sees — the
+    multi-stage compare/migrate job gets one consistent image."""
+    versions = list_versions(base)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions under {base}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    files = _manifest(base, v)["files"]
+    return spark.read.parquet(*files)
