@@ -141,3 +141,30 @@ def test_assess_report(spark, sf_dir, workdir):
     assert li["rows"] == 6000
     assert report.compatibility_pct > 90
     assert "<html>" in open(out).read()
+
+
+def test_full_migrate_partitioned_layout_prunes(spark, sf_dir, workdir, lineitem):
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.modes.full import full_migrate_table
+
+    li = lineitem.withColumn("ship_year", F.year("l_shipdate"))
+    target = full_migrate_table(
+        spark,
+        li,
+        "lineitem_part",
+        str(workdir) + "/part",
+        n_chunks=4,
+        key="l_orderkey",
+        partition_cols=["ship_year"],
+    )
+    import os
+
+    years = [d for d in os.listdir(target) if d.startswith("ship_year=")]
+    assert len(years) >= 3  # hive-style directories per year
+
+    out = spark.read.parquet(target).filter("ship_year = 1996")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ship_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert out.count() == li.filter("ship_year = 1996").count()

@@ -32,6 +32,7 @@ def full_migrate_table(
     normalize: bool = False,
     store: StateStore | None = None,
     user_range: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> str:
     """Migrate one table to the parquet target; returns target path.
 
@@ -41,6 +42,9 @@ def full_migrate_table(
     every chunk predicate (reference merges config `range` into chunk
     SQL, module/migrate/sql/oracle/o2m/full.go:740-804); Catalyst
     pushes it into the scan alongside the chunk ranges.
+    partition_cols writes a hive-partitioned layout (the 100 TB table
+    organization: partition pruning serves the dominant filter axis,
+    parquet row-group stats serve the rest).
     """
     store = store or StateStore(workdir, "full")
     if user_range:
@@ -53,10 +57,23 @@ def full_migrate_table(
 
     out = normalize_projection(df) if normalize else df
 
+    def _writer(d):
+        w = d.write.option("maxRecordsPerFile", 5_000_000)
+        if partition_cols:
+            # hive-style layout: downstream date/tenant filters become
+            # partition pruning (directories skipped, never scanned)
+            w = w.partitionBy(*partition_cols)
+        return w
+
     if len(pending) == len(states):
         # fresh run: one job, chunk-aligned range partitioning
         try:
-            out.repartitionByRange(n_chunks, key).write.mode("overwrite").parquet(target)
+            shaped = (
+                out.repartition(n_chunks, *partition_cols)
+                if partition_cols
+                else out.repartitionByRange(n_chunks, key)
+            )
+            _writer(shaped).mode("overwrite").parquet(target)
             for c in states:
                 store.mark(table, c.chunk_id, SUCCESS)
         except Exception as e:
@@ -67,7 +84,7 @@ def full_migrate_table(
         # resume: re-run only failed/waiting chunks, predicate pushdown
         for c in pending:
             try:
-                out.filter(c.predicate).write.mode("append").parquet(target)
+                _writer(out.filter(c.predicate)).mode("append").parquet(target)
                 store.mark(table, c.chunk_id, SUCCESS)
             except Exception as e:
                 store.mark(table, c.chunk_id, FAILED, str(e)[:500])
