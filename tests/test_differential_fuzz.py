@@ -15,7 +15,7 @@ import random
 import duckdb
 import pytest
 
-N_QUERIES = 30
+N_QUERIES = 50
 SEED = 20260813
 
 # column -> (kind, sample constants)
@@ -75,8 +75,30 @@ def gen_query(rng: random.Random) -> str:
     ]
     where = " AND ".join(preds)
 
+    shape = rng.choice(["agg", "agg", "agg", "having", "limit", "window"])
+
+    if shape == "limit":
+        # deterministic total order -> deterministic LIMIT selection
+        sort_col = rng.choice(["l_quantity", "l_shipdate", "l_suppkey"])
+        return (
+            f"SELECT l_orderkey, l_linenumber, {sort_col} FROM {table} WHERE {where} "
+            f"ORDER BY {sort_col} {rng.choice(['ASC', 'DESC'])}, l_orderkey, l_linenumber "
+            f"LIMIT {rng.choice([7, 50, 200])}"
+        )
+
+    if shape == "window":
+        grp = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey"])
+        ordc = rng.choice(["l_quantity", "l_shipdate", "l_partkey"])
+        k = rng.choice([2, 5, 10])
+        return (
+            f"SELECT l_orderkey, l_linenumber, rn FROM ("
+            f"SELECT l_orderkey, l_linenumber, row_number() OVER ("
+            f"PARTITION BY {grp} ORDER BY {ordc}, l_orderkey, l_linenumber) AS rn "
+            f"FROM {table} WHERE {where}) t WHERE rn <= {k}"
+        )
+
     groupable = [c for c, (k, _) in cols.items() if k in ("str", "int")]
-    n_group = rng.randint(0, 2)
+    n_group = rng.randint(0, 2) if shape == "agg" else rng.randint(1, 2)
     groups = rng.sample(groupable, n_group) if n_group else []
 
     n_aggs = rng.randint(1, 3)
@@ -85,6 +107,8 @@ def gen_query(rng: random.Random) -> str:
     sql = f"SELECT {select} FROM {table} WHERE {where}"
     if groups:
         sql += " GROUP BY " + ", ".join(groups)
+    if shape == "having" and groups:
+        sql += f" HAVING COUNT(*) > {rng.choice([1, 3, 10])}"
     return sql
 
 
