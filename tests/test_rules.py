@@ -140,3 +140,32 @@ def test_m2o_direction():
     assert map_mysql_to_oracle_type("LONGTEXT") == "CLOB"
     with pytest.raises(ValueError):
         map_mysql_to_oracle_type("ENUM")  # unsupported (common/reverse.go:362)
+
+
+def test_collation_o2m_matrix():
+    from transferdb_spark.rules.collation import oracle_to_mysql_collation as o2m
+
+    # sensitive default -> binary collation per charset
+    assert o2m("BINARY_CS", "utf8mb4") == "UTF8MB4_BIN"
+    assert o2m("BINARY", "GBK") == "GBK_BIN"
+    # case-insensitive accent-sensitive: 0900_AS_CI on unicode only
+    assert o2m("BINARY_CI", "utf8mb4") == "UTF8MB4_0900_AS_CI"
+    assert o2m("BINARY_CI", "gb18030") == "GB18030_CHINESE_CI"
+    # fully insensitive
+    assert o2m("BINARY_AI", "utf8") == "UTF8_GENERAL_CI"
+    assert o2m("BINARY_AI", "big5") == "BIG5_CHINESE_CI"
+    with pytest.raises(ValueError):
+        o2m("BINARY_CS", "latin1")
+
+
+def test_collation_m2o_roundtrip():
+    from transferdb_spark.rules.collation import (
+        mysql_to_oracle_collation as m2o,
+        oracle_to_mysql_collation as o2m,
+    )
+
+    for oc in ("BINARY_CS", "BINARY_CI", "BINARY_AI"):
+        got = m2o(o2m(oc, "utf8mb4"))
+        assert got == oc
+    # CJK ambiguity resolves to the stricter CI class
+    assert m2o("GBK_CHINESE_CI") == "BINARY_CI"
