@@ -1317,6 +1317,195 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q16_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier census per part class (q16 adapted: the
+    supplier-part relation is evidenced from lineitem — the fixture has
+    no partsupp table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(40)
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group value vs global-total fraction (q11 shape): parts whose
+    revenue exceeds 0.05% of total — the fraction test runs float-free
+    as part_value * 2000 > total on exact decimals."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("value_dec"))
+    total = li.agg(F.sum(rev).alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec") * 2000 > F.col("total_dec"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_dec
+  FROM lineitem
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM rev, tot
+WHERE value_dec * 2000 > total_dec
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q21_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 shape without commit dates: suppliers who were the LAST to
+    ship in multi-supplier finalized orders — window max over the
+    order, EXISTS another supplier, per-supplier count."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_orderkey")
+    enriched = li.join(
+        F.broadcast(orders.select("o_orderkey")), li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w).alias("order_last_ship"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supps"),
+    )
+    return (
+        enriched.filter(
+            (F.col("n_supps") >= 2) & (F.col("l_shipdate") == F.col("order_last_ship"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH enriched AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate,
+         MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS order_last_ship,
+         COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supps
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS numwait
+FROM enriched JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supps >= 2 AND l_shipdate = order_last_ship
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline sampling: hash-gated, seedless, and stable —
+    membership depends only on the key, so re-runs, engines, and
+    incremental batches agree on the sample (unlike rand()-based
+    TABLESAMPLE). 5% of orders."""
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    orders = _t(spark, sf_dir, "orders")
+    gate = portable_hash64(F.col("o_orderkey").cast("string")) % 100 < 5
+    return (
+        orders.filter(gate)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+DETERMINISTIC_SAMPLE_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE {portable_hash64_sql("CAST(o_orderkey AS VARCHAR)")} % 100 < 5
+ORDER BY o_orderkey
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class rates (class rebalancing): URGENT orders kept at 50%,
+    others at 10% — the hash gate varies by class, still deterministic."""
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    orders = _t(spark, sf_dir, "orders")
+    h = portable_hash64(F.col("o_orderkey").cast("string")) % 100
+    rate = F.when(F.col("o_orderpriority") == "1-URGENT", 50).otherwise(10)
+    return (
+        orders.filter(h < rate)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("sampled"))
+        .orderBy("o_orderpriority")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS sampled
+FROM orders
+WHERE {portable_hash64_sql("CAST(o_orderkey AS VARCHAR)")} % 100
+      < CASE WHEN o_orderpriority = '1-URGENT' THEN 50 ELSE 10 END
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: explode tokens, count document frequency
+    and total frequency, top 50 by tf with deterministic ties."""
+    from transferdb_spark.ext.text import TOKENS
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(50)
+    )
+
+
+def _vocab_sql() -> str:
+    from transferdb_spark.ext.text import TOKENS_SQL
+
+    return f"""
+SELECT token, COUNT(*) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 50
+"""
+
+
 def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation — ROLLUP (Catalyst-native grouping sets,
     beyond the reference's plain GROUP BYs)."""
@@ -1707,6 +1896,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text_bpe_tokens,
         "catalog_columns": catalog_columns,
         "simhash_neardup": simhash_neardup,
+        "q16_supplier_part_census": q16_supplier_part_census,
+        "q11_important_parts": q11_important_parts,
+        "q21_last_shippers": q21_last_shippers,
+        "deterministic_sample": deterministic_sample,
+        "stratified_sample": stratified_sample,
+        "vocab_topn": vocab_topn,
         **EXT_QUERIES,
     }
 
@@ -1765,6 +1960,12 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _bpe_token_sql(),
         "catalog_columns": CATALOG_COLUMNS_SQL,
         "simhash_neardup": _simhash_neardup_sql(),
+        "q16_supplier_part_census": Q16_SQL,
+        "q11_important_parts": Q11_SQL,
+        "q21_last_shippers": Q21_SQL,
+        "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,
+        "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "vocab_topn": _vocab_sql(),
         **_ext_oracle_sql(),
     }
 
