@@ -216,3 +216,29 @@ def test_snapshot_versions_are_immutable_images(spark, sf_dir, tmp_path):
     assert read_snapshot(spark, base).count() == li.filter("l_linenumber = 1").count()
     # as-of semantics: v0's image unchanged by later commits
     assert read_snapshot(spark, base, 0).count() == n0
+
+
+def test_quantile_chunks_balance_skewed_keys(spark):
+    from transferdb_spark.plans.chunker import plan_chunks, plan_chunks_quantile
+
+    # zipf-ish skew: 90% of rows in the low 1% of the key space
+    import itertools
+
+    rows = [(k,) for k in itertools.chain(
+        (i % 100 for i in range(9000)), (100 + i * 1000 for i in range(1000))
+    )]
+    df = spark.createDataFrame(rows, "k long")
+
+    fixed = plan_chunks(df, "k", 8)
+    eqd = plan_chunks_quantile(df, "k", 8)
+
+    def chunk_counts(chunks):
+        return [df.filter(c.predicate).count() for c in chunks]
+
+    fixed_counts = chunk_counts(fixed)
+    eq_counts = chunk_counts(eqd)
+    # fixed-width: one chunk swallows ~90% of rows; equi-depth: none does
+    assert max(fixed_counts) > 0.8 * 10000
+    assert max(eq_counts) < 0.5 * 10000
+    # both plans cover every row exactly once
+    assert sum(eq_counts) == 10000 and sum(fixed_counts) == 10000

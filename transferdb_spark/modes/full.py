@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from transferdb_spark.operators.normalize import normalize_projection
-from transferdb_spark.plans.chunker import elect_split_key, plan_chunks
+from transferdb_spark.plans.chunker import elect_split_key, plan_chunks, plan_chunks_quantile
 from transferdb_spark.state.store import FAILED, SUCCESS, StateStore
 
 
@@ -33,6 +33,7 @@ def full_migrate_table(
     store: StateStore | None = None,
     user_range: str | None = None,
     partition_cols: list[str] | None = None,
+    chunk_strategy: str = "width",
 ) -> str:
     """Migrate one table to the parquet target; returns target path.
 
@@ -45,12 +46,16 @@ def full_migrate_table(
     partition_cols writes a hive-partitioned layout (the 100 TB table
     organization: partition pruning serves the dominant filter axis,
     parquet row-group stats serve the rest).
+    chunk_strategy="quantile" plans equi-depth chunks from approximate
+    key quantiles — use on skewed keys, where fixed-width ranges put
+    most of the table in one straggler chunk.
     """
     store = store or StateStore(workdir, "full")
     if user_range:
         df = df.filter(user_range)
     key = key or elect_split_key(df)
-    chunks = plan_chunks(df, key, n_chunks)
+    planner = plan_chunks_quantile if chunk_strategy == "quantile" else plan_chunks
+    chunks = planner(df, key, n_chunks)
     states = store.init_table(table, chunks)
     pending = store.pending(table)
     target = os.path.join(workdir, "target", table)

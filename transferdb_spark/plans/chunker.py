@@ -84,6 +84,36 @@ def with_chunk_id(df: DataFrame, key: str, n_chunks: int) -> tuple[DataFrame, in
     return df.withColumn("chunk_id", chunk_id_col(key, lo, width, n_chunks)), lo, width
 
 
+def plan_chunks_quantile(df: DataFrame, key: str, n_chunks: int, error: float = 0.001) -> list[Chunk]:
+    """Equi-depth chunk plan from approximate key quantiles.
+
+    Fixed-width ranges (plan_chunks) go pathological on skewed keys —
+    one chunk holds most of the table and becomes the straggler task at
+    scale. Quantile boundaries give every chunk ~rows/n rows whatever
+    the key distribution, at the cost of one approxQuantile pass
+    (Greenwald-Khanna: single scan, deterministic for a given dataset
+    and error). Boundary-guard semantics match plan_chunks: first/last
+    predicates are open-ended."""
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    cuts = [int(c) for c in df.stat.approxQuantile(key, probs, error)]
+    row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    lo, hi = int(row["lo"]), int(row["hi"])
+    # dedupe + clamp: heavy skew can repeat a cut value
+    bounds = sorted({c for c in cuts if lo < c <= hi})
+    edges = [lo] + [b for b in bounds] + [hi + 1]
+    chunks = []
+    for i in range(len(edges) - 1):
+        c_lo, c_hi = edges[i], edges[i + 1] - 1
+        if i == 0:
+            pred = f"{key} <= {c_hi}"
+        elif i == len(edges) - 2:
+            pred = f"{key} >= {c_lo}"
+        else:
+            pred = f"{key} BETWEEN {c_lo} AND {c_hi}"
+        chunks.append(Chunk(i, c_lo, c_hi, pred))
+    return chunks
+
+
 def elect_split_key(df: DataFrame, candidates: list[str] | None = None, approx: bool = True) -> str:
     """Split-key election by selectivity (compare task.go:194-343).
 
