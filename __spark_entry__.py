@@ -1506,6 +1506,39 @@ LIMIT 50
 """
 
 
+def compare_keyed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff classification — INSERT/DELETE/UPDATE counts from a
+    full-outer key join with row-hash payload comparison (finer than
+    exceptAll, which can only express UPDATE as DELETE+INSERT)."""
+    from transferdb_spark.operators.compare_fixture import mutated_orders
+    from transferdb_spark.operators.diff import keyed_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    ins, dele, upd = keyed_diff(orders, mutated_orders(orders), ["o_orderkey"])
+    return (
+        ins.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("insert").alias("op"), "n")
+        .unionAll(dele.agg(F.count(F.lit(1)).alias("n")).select(F.lit("delete").alias("op"), "n"))
+        .unionAll(upd.agg(F.count(F.lit(1)).alias("n")).select(F.lit("update").alias("op"), "n"))
+        .orderBy("op")
+    )
+
+
+KEYED_DIFF_SQL = f"""
+WITH tgt AS ({{mut}}),
+sh AS (SELECT o_orderkey, {{rh}} AS h FROM orders),
+th AS (SELECT o_orderkey, {{rh}} AS h FROM tgt),
+j AS (SELECT sh.h AS s_h, th.h AS t_h
+      FROM sh FULL OUTER JOIN th USING (o_orderkey))
+SELECT 'delete' AS op, CAST(SUM(CASE WHEN s_h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n FROM j
+UNION ALL
+SELECT 'insert', CAST(SUM(CASE WHEN t_h IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM j
+UNION ALL
+SELECT 'update', CAST(SUM(CASE WHEN s_h IS NOT NULL AND t_h IS NOT NULL AND s_h <> t_h THEN 1 ELSE 0 END) AS BIGINT) FROM j
+ORDER BY op
+"""
+
+
 def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation — ROLLUP (Catalyst-native grouping sets,
     beyond the reference's plain GROUP BYs)."""
@@ -1902,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": deterministic_sample,
         "stratified_sample": stratified_sample,
         "vocab_topn": vocab_topn,
+        "compare_keyed_diff": compare_keyed_diff,
         **EXT_QUERIES,
     }
 
@@ -1966,6 +2000,9 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "vocab_topn": _vocab_sql(),
+        "compare_keyed_diff": KEYED_DIFF_SQL.format(
+            rh=_ORDERS_ROWHASH_SQL, mut=_MUTATED_ORDERS_SQL
+        ),
         **_ext_oracle_sql(),
     }
 
@@ -1980,3 +2017,18 @@ def _bpe_token_sql() -> str:
     from transferdb_spark.ext.text import BPE_TOKEN_SQL
 
     return BPE_TOKEN_SQL
+
+
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+_ORDERS_ROWHASH_SQL = portable_hash64_sql(row_string_sql(ORDERS_SCHEMA))
+
+from transferdb_spark.operators.compare_fixture import MUTATED_ORDERS_SQL as _MUTATED_ORDERS_SQL  # noqa: E402

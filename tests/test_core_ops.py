@@ -242,3 +242,23 @@ def test_quantile_chunks_balance_skewed_keys(spark):
     assert max(eq_counts) < 0.5 * 10000
     # both plans cover every row exactly once
     assert sum(eq_counts) == 10000 and sum(fixed_counts) == 10000
+
+
+def test_keyed_diff_classifies_mutations(spark, sf_dir):
+    from transferdb_spark.operators.compare_fixture import mutated_orders
+    from transferdb_spark.operators.diff import keyed_diff
+    from transferdb_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    ins, dele, upd = keyed_diff(orders, mutated_orders(orders), ["o_orderkey"])
+    # the mutation spec, seen through the keyed lens: deleted source
+    # rows -> inserts; added target rows -> deletes; price bumps ->
+    # updates (same key, changed payload)
+    n_deleted = orders.filter("o_orderkey % 97 = 0").count()
+    n_added = orders.filter("o_orderkey % 53 = 0").count()
+    n_mod = orders.filter("o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0").count()
+    assert ins.count() == n_deleted
+    assert dele.count() == n_added
+    assert upd.count() == n_mod
+    # update rows carry the SOURCE payload (the repair image)
+    assert upd.filter("o_orderkey % 89 <> 0").count() == 0

@@ -64,3 +64,45 @@ SELECT l_orderkey + 10000000, l_partkey, l_suppkey, l_linenumber, l_quantity,
 FROM lineitem
 WHERE l_orderkey % 499 = 0 AND l_linenumber = 1
 """
+
+
+ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def mutated_orders(orders: DataFrame) -> DataFrame:
+    """Keyed-diff twin of mutated_target over `orders` — the fixture's
+    only table with a guaranteed-unique key (o_orderkey):
+    - DELETED : o_orderkey % 97 == 0 absent        -> INSERT repairs
+    - MODIFIED: o_orderkey % 89 == 0 totalprice+1  -> UPDATE repairs
+    - ADDED   : o_orderkey % 53 == 0 cloned +10M   -> DELETE repairs
+    """
+    base = orders.filter(~(F.col("o_orderkey") % 97 == 0)).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.filter(F.col("o_orderkey") % 53 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    return base.select(ORDERS_COLS).unionAll(added.select(ORDERS_COLS))
+
+
+MUTATED_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+WHERE NOT (o_orderkey % 97 = 0)
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderkey % 53 = 0
+"""

@@ -78,3 +78,48 @@ def repair_sql(
         )
         out.append(f"DELETE FROM {table} WHERE {conds} LIMIT 1;")
     return out
+
+
+def keyed_diff(
+    src: DataFrame, tgt: DataFrame, keys: list[str]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(inserts, deletes, updates) by primary key — the keyed repair
+    plan the reference approximates with UPDATE = DELETE+REPLACE
+    (translate.go:149-334). A full outer join on the key classifies:
+    key only in source -> INSERT, only in target -> DELETE, both but
+    row-hash differs -> UPDATE. One shuffle on the key; the hash folds
+    the non-key payload to 8 bytes before it moves.
+
+    Both sides are renamed to disjoint column names BEFORE the hash is
+    attached: src and tgt are typically derived from the same base
+    relation (compare source vs its own mutated target), and Spark's
+    self-join attribute dedup can silently rebind same-id columns
+    across sides — fresh aliases make the lineages unambiguous."""
+    from pyspark.sql import types as T
+
+    from transferdb_spark.functions.hashing import row_hash
+
+    payload = [c for c in src.columns if c not in keys]
+
+    def hashed(df, p):
+        renamed = df.toDF(*[f"{p}{c}" for c in df.columns])
+        schema = T.StructType(
+            [T.StructField(f"{p}{f.name}", f.dataType) for f in df.schema.fields]
+        )
+        return renamed.withColumn(f"{p}h", row_hash(schema))
+
+    s = hashed(src, "s_")
+    t = hashed(tgt, "t_").select(*[f"t_{k}" for k in keys], "t_h")
+    cond = [F.col(f"s_{k}") == F.col(f"t_{k}") for k in keys]
+    j = s.join(t, cond, "full_outer")
+
+    inserts = j.filter(F.col("t_h").isNull()).select(
+        *[F.col(f"s_{c}").alias(c) for c in keys + payload]
+    )
+    deletes = j.filter(F.col("s_h").isNull()).select(
+        *[F.col(f"t_{k}").alias(k) for k in keys]
+    )
+    updates = j.filter(
+        F.col("s_h").isNotNull() & F.col("t_h").isNotNull() & (F.col("s_h") != F.col("t_h"))
+    ).select(*[F.col(f"s_{c}").alias(c) for c in keys + payload])
+    return inserts, deletes, updates
