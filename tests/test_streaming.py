@@ -114,3 +114,57 @@ def test_session_windows_match_batch(spark, tmp_path, source_dir, events):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_dedup_stream_drops_redelivered(spark, tmp_path, events):
+    """Events delivered twice across micro-batches survive exactly once."""
+    from transferdb_spark.streaming.incr import dedup_stream, stream_events
+
+    src = str(tmp_path / "dup_src")
+    half = events.filter("event_id < 500")
+    half.coalesce(1).write.mode("overwrite").parquet(src)
+    # redeliver the same records (new file, same keys) + fresh ones
+    half.coalesce(1).write.mode("append").parquet(src)
+    events.filter("event_id >= 500 AND event_id < 600").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream, ["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT event_id, COUNT(*) c FROM t_dedup GROUP BY 1 HAVING c > 1")
+    assert got.count() == 0
+    assert spark.sql("SELECT COUNT(*) c FROM t_dedup").collect()[0]["c"] == 600
+
+
+def test_stream_dimension_enrichment(spark, tmp_path, source_dir, events, sf_dir):
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.streaming.incr import enrich_stream_with_dimension, stream_events
+
+    # dimension: event_type -> weight
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 0)],
+        "event_type string, weight int",
+    )
+    stream = stream_events(spark, source_dir)
+    q = (
+        enrich_stream_with_dimension(stream, dim, "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_enrich")
+        .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT COUNT(*) c, COUNT(weight) w FROM t_enrich").collect()[0]
+    assert out["c"] == events.count()
+    assert out["w"] == out["c"]  # every type resolved

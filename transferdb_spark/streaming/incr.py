@@ -178,3 +178,26 @@ def run_sessions_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    stream: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once record stream from an at-least-once source.
+
+    dropDuplicatesWithinWatermark keeps one copy of each key and
+    expires its dedup state once event time passes the watermark —
+    bounded state, unlike dropDuplicates' grow-forever set. This is
+    the streaming-native form of the reference's ≥/> SCN re-read gate
+    (logminer.go:134-174): re-delivered redo inside the window is
+    dropped by key, not by offset arithmetic."""
+    keys = keys or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream_with_dimension(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: every micro-batch joins the latest snapshot
+    of the dimension (broadcast — never a stateful stream-stream join
+    when one side is a table). The migrate analogue: tagging CDC rows
+    with rule/catalog metadata."""
+    return stream.join(F.broadcast(dim), on, "left")
