@@ -168,3 +168,30 @@ def test_full_migrate_partitioned_layout_prunes(spark, sf_dir, workdir, lineitem
     assert "PartitionFilters" in plan
     assert "ship_year" in plan.split("PartitionFilters")[1].split("]")[0]
     assert out.count() == li.filter("ship_year = 1996").count()
+
+
+def test_incremental_compare_skips_unchanged_chunks(spark, sf_dir, tmp_path, lineitem):
+    from transferdb_spark.modes.compare_mode import compare_tables
+    from transferdb_spark.operators.compare_fixture import mutated_target
+
+    wd = str(tmp_path / "inc")
+    tgt = mutated_target(lineitem)
+    r1 = compare_tables(
+        spark, lineitem, tgt, "lineitem", wd, key="l_orderkey", n_chunks=8,
+        incremental=True,
+    )
+    assert r1.mismatched_chunks  # corruption detected on first run
+    # second run, nothing changed on either side: every damaged chunk's
+    # checksums match the recorded state -> no phase-2 rescan
+    r2 = compare_tables(
+        spark, lineitem, tgt, "lineitem", wd, key="l_orderkey", n_chunks=8,
+        incremental=True,
+    )
+    assert r2.mismatched_chunks == []
+    # new damage in one chunk reactivates exactly that chunk
+    tgt2 = tgt.filter("l_orderkey <> 42")
+    r3 = compare_tables(
+        spark, lineitem, tgt2, "lineitem", wd, key="l_orderkey", n_chunks=8,
+        incremental=True,
+    )
+    assert len(r3.mismatched_chunks) == 1

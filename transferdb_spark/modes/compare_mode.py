@@ -44,11 +44,19 @@ def compare_tables(
     key: str | None = None,
     n_chunks: int = 32,
     only_rows: bool = False,
+    incremental: bool = False,
 ) -> CompareReport:
     """Compare src vs tgt; emit fix-SQL for divergent rows.
 
     only_rows=True is the reference's `only-check-rows` fast path
-    (COUNT(1) per chunk, no checksum)."""
+    (COUNT(1) per chunk, no checksum).
+    incremental=True persists per-chunk (src, tgt) checksums under
+    workdir and, on the next run, skips phase 2 for chunks whose BOTH
+    checksums are unchanged since the last verified run — re-verify
+    cost tracks the changed fraction, the way the reference's
+    data_compare_meta lets a re-run touch only unfinished chunks."""
+    import json
+
     report = CompareReport(table=table, total_chunks=n_chunks)
     key = key or elect_split_key(src)
 
@@ -58,6 +66,28 @@ def compare_tables(
     else:
         mism = summary.filter("NOT is_match").select("chunk_id").collect()
     report.mismatched_chunks = sorted(r["chunk_id"] for r in mism)
+
+    if incremental:
+        state_path = os.path.join(workdir, f"compare_state_{table}.json")
+        rows = summary.select(
+            "chunk_id", "src_checksum", "tgt_checksum"
+        ).collect()
+        current = {
+            str(r["chunk_id"]): [r["src_checksum"], r["tgt_checksum"]] for r in rows
+        }
+        previous = {}
+        if os.path.exists(state_path):
+            with open(state_path) as fh:
+                previous = json.load(fh)
+        # a mismatched chunk whose both-side checksums are identical to
+        # the previous run would re-derive the identical repair rows
+        report.mismatched_chunks = [
+            c for c in report.mismatched_chunks if current.get(str(c)) != previous.get(str(c))
+        ]
+        os.makedirs(workdir, exist_ok=True)
+        with open(state_path, "w") as fh:
+            json.dump(current, fh)
+
     if not report.mismatched_chunks:
         return report
 
