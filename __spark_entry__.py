@@ -1809,15 +1809,29 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def dedup_jaccard_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.dedup import ngram_jaccard_rare_pairs
+
+    return ngram_jaccard_rare_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.similarity import ann_topk_lsh_multiprobe
+
+    return ann_topk_lsh_multiprobe(_t(spark, sf_dir, "embeddings"), 0, 10)
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
         minhash_lsh_sql,
+        ngram_jaccard_rare_sql,
         ngram_jaccard_sql,
     )
     from transferdb_spark.ext.similarity import (
         EMBEDDING_NORMS_SQL,
         ann_topk_ivf_sql,
+        ann_topk_lsh_multiprobe_sql,
         ann_topk_lsh_sql,
         embedding_neardup_sql,
         lsh_bucket_histogram_sql,
@@ -1843,6 +1857,8 @@ def _ext_oracle_sql() -> dict[str, str]:
         "ann_bucket_histogram": lsh_bucket_histogram_sql(),
         "ann_topk_lsh": ann_topk_lsh_sql(0, 10),
         "ann_topk_ivf": ann_topk_ivf_sql(0, 10),
+        "ann_topk_multiprobe": ann_topk_lsh_multiprobe_sql(0, 10),
+        "dedup_jaccard_rare": ngram_jaccard_rare_sql(0.5),
         "embedding_neardup": embedding_neardup_sql(0.3),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
@@ -1861,6 +1877,8 @@ EXT_QUERIES = {
     "ann_bucket_histogram": ann_bucket_histogram,
     "ann_topk_lsh": ann_topk_lsh_q,
     "ann_topk_ivf": ann_topk_ivf_q,
+    "ann_topk_multiprobe": ann_topk_multiprobe,
+    "dedup_jaccard_rare": dedup_jaccard_rare,
     "embedding_neardup": embedding_neardup,
     "multimodal_features": multimodal_features_q,
 }

@@ -305,3 +305,69 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 """
+
+
+DF_CAP = 20
+
+
+def ngram_jaccard_rare_pairs(docs: DataFrame, threshold: float = 0.5, df_cap: int = DF_CAP) -> DataFrame:
+    """Jaccard over RARE shingles only (global document frequency <=
+    df_cap). The scale-hardening variant of ngram_jaccard_pairs: hot
+    shingles are exactly the inverted-index join's skew term (a
+    df=100k shingle alone yields 10^10 candidate pairs), and they
+    carry the least similarity signal. Capping df bounds per-shingle
+    join fan-out at df_cap^2 while the per-doc denominator counts only
+    rare shingles — semantics the oracle mirrors exactly."""
+    arr = _shingled(docs).select(
+        "doc_id", F.explode(F.expr(SHINGLE_HASHES)).alias("shingle")
+    )
+    rare = (
+        arr.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    kept = arr.join(rare, "shingle").persist()
+    n_rare = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = kept.join(n_rare, "doc_id")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 5)
+    return common.select(
+        "doc_a", "doc_b", jac.cast("double").alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_rare_sql(threshold: float = 0.5, df_cap: int = DF_CAP) -> str:
+    return f"""
+WITH arr AS (
+  SELECT doc_id, unnest(list_transform(list_distinct({SHINGLES_SQL}), s -> {_h64_duck('s')})) AS shingle
+  FROM documents
+),
+rare AS (SELECT shingle FROM arr GROUP BY 1 HAVING COUNT(*) <= {df_cap}),
+kept AS (SELECT arr.doc_id, arr.shingle FROM arr JOIN rare USING (shingle)),
+n_rare AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+sh AS (SELECT kept.doc_id, kept.shingle, n_rare.n_sh FROM kept JOIN n_rare USING (doc_id)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(round(common / CAST(n_a + n_b - common AS DOUBLE), 5) AS DOUBLE) AS jaccard
+FROM pairs
+WHERE round(common / CAST(n_a + n_b - common AS DOUBLE), 5) >= {threshold}
+"""

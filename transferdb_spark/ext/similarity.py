@@ -380,3 +380,45 @@ WHERE c.vec_id <> {query_vec_id}
 ORDER BY cosine DESC, c.vec_id
 LIMIT {k}
 """
+
+
+def ann_topk_lsh_multiprobe(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Multi-probe LSH ANN: search the query's bucket plus every
+    bucket at Hamming distance 1 (one plane flipped) — recall recovers
+    toward brute force at (1 + N_PLANES)/2^N_PLANES of the scan cost."""
+    with_b = emb.select(
+        "vec_id", "embedding", bucket_udf(F.col("embedding")).alias("bucket")
+    )
+    q = with_b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    probe = F.col("bucket") == F.col("qbucket")
+    for i in range(N_PLANES):
+        probe = probe | (
+            F.col("bucket") == F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+        )
+    return (
+        with_b.join(F.broadcast(q), probe)
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", cosine_expr("embedding", "qvec").cast("double").alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def ann_topk_lsh_multiprobe_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    probes = " OR ".join(
+        ["b.bucket = q.qbucket"]
+        + [f"b.bucket = xor(q.qbucket, {1 << i})" for i in range(N_PLANES)]
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST(({_bucket_sql()}) AS INT) AS bucket FROM embeddings),
+q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = {query_vec_id})
+SELECT b.vec_id, CAST({cosine_sql('b.embedding', 'q.qvec')} AS DOUBLE) AS cosine
+FROM b, q
+WHERE ({probes}) AND b.vec_id <> {query_vec_id}
+ORDER BY cosine DESC, b.vec_id
+LIMIT {k}
+"""
