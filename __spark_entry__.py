@@ -1821,6 +1821,37 @@ def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh_multiprobe(_t(spark, sf_dir, "embeddings"), 0, 10)
 
 
+def assess_identifier_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 family — identifier-length audit (the reference flags names
+    over the target's 64-char cap, assess.go:422-481). Spark's schema
+    reader vs DuckDB's information_schema must agree on every length."""
+    rows = []
+    for t in FIXTURE_TABLES:
+        for f in _t(spark, sf_dir, t).schema.fields:
+            rows.append((t, f.name, len(f.name)))
+    df = spark.createDataFrame(rows, "table_name string, column_name string, name_len int")
+    return (
+        df.groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cols"),
+            F.max("name_len").alias("max_name_len"),
+            F.sum(F.when(F.col("name_len") > 64, 1).otherwise(0)).alias("over_limit"),
+        )
+        .orderBy("table_name")
+    )
+
+
+ASSESS_IDENT_SQL = """
+SELECT table_name, COUNT(*) AS n_cols,
+       CAST(MAX(length(column_name)) AS INT) AS max_name_len,
+       CAST(SUM(CASE WHEN length(column_name) > 64 THEN 1 ELSE 0 END) AS BIGINT) AS over_limit
+FROM information_schema.columns
+WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                     'orders', 'lineitem', 'events', 'documents', 'embeddings')
+GROUP BY table_name ORDER BY table_name
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -1859,6 +1890,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": ann_topk_ivf_sql(0, 10),
         "ann_topk_multiprobe": ann_topk_lsh_multiprobe_sql(0, 10),
         "dedup_jaccard_rare": ngram_jaccard_rare_sql(0.5),
+        "assess_identifier_lengths": ASSESS_IDENT_SQL,
         "embedding_neardup": embedding_neardup_sql(0.3),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
@@ -1879,6 +1911,7 @@ EXT_QUERIES = {
     "ann_topk_ivf": ann_topk_ivf_q,
     "ann_topk_multiprobe": ann_topk_multiprobe,
     "dedup_jaccard_rare": dedup_jaccard_rare,
+    "assess_identifier_lengths": assess_identifier_lengths,
     "embedding_neardup": embedding_neardup,
     "multimodal_features": multimodal_features_q,
 }
