@@ -1852,6 +1852,39 @@ GROUP BY table_name ORDER BY table_name
 """
 
 
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each click annotated with the user's latest purchase
+    value at click time. Spark side: union + last-value-carry-forward
+    window (operators/asof.py); oracle side: DuckDB's native ASOF JOIN.
+    Two independent implementations of the operator must agree."""
+    from transferdb_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, key="user_id", ts="ts", payload=["purchase_value"])
+    return out.select("event_id", "user_id", "purchase_value_asof").orderBy("event_id")
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, p.purchase_value AS purchase_value_asof
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -1891,6 +1924,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "ann_topk_multiprobe": ann_topk_lsh_multiprobe_sql(0, 10),
         "dedup_jaccard_rare": ngram_jaccard_rare_sql(0.5),
         "assess_identifier_lengths": ASSESS_IDENT_SQL,
+        "asof_last_purchase": ASOF_SQL,
         "embedding_neardup": embedding_neardup_sql(0.3),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
@@ -1912,6 +1946,7 @@ EXT_QUERIES = {
     "ann_topk_multiprobe": ann_topk_multiprobe,
     "dedup_jaccard_rare": dedup_jaccard_rare,
     "assess_identifier_lengths": assess_identifier_lengths,
+    "asof_last_purchase": asof_last_purchase,
     "embedding_neardup": embedding_neardup,
     "multimodal_features": multimodal_features_q,
 }

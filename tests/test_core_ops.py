@@ -262,3 +262,23 @@ def test_keyed_diff_classifies_mutations(spark, sf_dir):
     assert upd.count() == n_mod
     # update rows carry the SOURCE payload (the repair image)
     assert upd.filter("o_orderkey % 89 <> 0").count() == 0
+
+
+def test_asof_join_semantics(spark):
+    from transferdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 5, 102), (2, 10, 103)],
+        "k long, ts long, eid long",
+    ).select("eid", "k", "ts")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, 2.0), (2, 99, 9.0)], "k long, ts long, v double"
+    )
+    out = {
+        r["eid"]: r["v_asof"]
+        for r in asof_join(left, right, key="k", ts="ts", payload=["v"]).collect()
+    }
+    assert out[100] == 1.0  # right row at exactly left.ts wins (<=)
+    assert out[101] == 2.0  # latest prior
+    assert out[102] is None  # no right row yet
+    assert out[103] is None  # right row is in the future
