@@ -1885,6 +1885,57 @@ ORDER BY c.event_id
 """
 
 
+def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour -> day -> month,
+    each level aggregating the PREVIOUS level's partials (count-sum
+    pairs re-sum losslessly). At 100 TB the raw table is touched once;
+    daily/monthly views cost |hours| and |days| rows respectively."""
+    ev = _t(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,3)")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(vdec).alias("sum_dec")
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
+        F.sum("cnt").alias("cnt"), F.sum("sum_dec").alias("sum_dec")
+    )
+    monthly = daily.groupBy(F.date_trunc("month", "bucket").alias("bucket")).agg(
+        F.sum("cnt").alias("cnt"), F.sum("sum_dec").alias("sum_dec")
+    )
+    out = None
+    for level, df in (("hour", hourly), ("day", daily), ("month", monthly)):
+        leveled = df.select(
+            F.lit(level).alias("level"),
+            "bucket",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+        out = leveled if out is None else out.unionByName(leveled)
+    return out.orderBy("level", "bucket")
+
+
+MULTIRES_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt,
+         SUM(CAST(value AS DECIMAL(18,3))) AS sum_dec
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT date_trunc('day', bucket) AS bucket, SUM(cnt) AS cnt, SUM(sum_dec) AS sum_dec
+  FROM hourly GROUP BY 1
+),
+monthly AS (
+  SELECT date_trunc('month', bucket) AS bucket, SUM(cnt) AS cnt, SUM(sum_dec) AS sum_dec
+  FROM daily GROUP BY 1
+)
+SELECT 'hour' AS level, bucket, CAST(cnt AS BIGINT) AS cnt, CAST(sum_dec AS DOUBLE) AS sum_value FROM hourly
+UNION ALL
+SELECT 'day', bucket, CAST(cnt AS BIGINT), CAST(sum_dec AS DOUBLE) FROM daily
+UNION ALL
+SELECT 'month', bucket, CAST(cnt AS BIGINT), CAST(sum_dec AS DOUBLE) FROM monthly
+ORDER BY level, bucket
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -1925,6 +1976,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "dedup_jaccard_rare": ngram_jaccard_rare_sql(0.5),
         "assess_identifier_lengths": ASSESS_IDENT_SQL,
         "asof_last_purchase": ASOF_SQL,
+        "multires_rollup": MULTIRES_SQL,
         "embedding_neardup": embedding_neardup_sql(0.3),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
@@ -1947,6 +1999,7 @@ EXT_QUERIES = {
     "dedup_jaccard_rare": dedup_jaccard_rare,
     "assess_identifier_lengths": assess_identifier_lengths,
     "asof_last_purchase": asof_last_purchase,
+    "multires_rollup": multires_rollup,
     "embedding_neardup": embedding_neardup,
     "multimodal_features": multimodal_features_q,
 }
