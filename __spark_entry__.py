@@ -1936,6 +1936,56 @@ ORDER BY level, bucket
 """
 
 
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — error events falling inside any purchase-anchored
+    1-hour window of the same user, counted per user. Spark side:
+    bucketed equi-join decomposition (operators/rangejoin.py — a raw
+    inequality join would plan as a nested-loop); oracle side: plain
+    theta join."""
+    from transferdb_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+        )
+    )
+    joined = range_join(
+        errors, windows, point_ts="ts", start="w_start", end="w_end",
+        bucket_width=3600, extra_key="user_id",
+    )
+    return (
+        joined.select("user_id", "event_id").distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("errors_in_windows"))
+        .orderBy("user_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+windows AS (
+  SELECT user_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.user_id, COUNT(*) AS errors_in_windows
+FROM (
+  SELECT DISTINCT e.user_id, e.event_id
+  FROM errors e JOIN windows w
+    ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
+) e
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -1977,6 +2027,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "assess_identifier_lengths": ASSESS_IDENT_SQL,
         "asof_last_purchase": ASOF_SQL,
         "multires_rollup": MULTIRES_SQL,
+        "range_join_windows": RANGE_JOIN_SQL,
         "embedding_neardup": embedding_neardup_sql(0.3),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
@@ -2000,6 +2051,7 @@ EXT_QUERIES = {
     "assess_identifier_lengths": assess_identifier_lengths,
     "asof_last_purchase": asof_last_purchase,
     "multires_rollup": multires_rollup,
+    "range_join_windows": range_join_windows,
     "embedding_neardup": embedding_neardup,
     "multimodal_features": multimodal_features_q,
 }

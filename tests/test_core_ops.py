@@ -282,3 +282,24 @@ def test_asof_join_semantics(spark):
     assert out[101] == 2.0  # latest prior
     assert out[102] is None  # no right row yet
     assert out[103] is None  # right row is in the future
+
+
+def test_range_join_matches_naive(spark, sf_dir):
+    from transferdb_spark.operators.rangejoin import range_join
+    from transferdb_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    ivl = ev.filter("event_type = 'signup'").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 2 HOURS").alias("e"),
+    )
+    fast = range_join(pts, ivl, "ts", "s", "e", bucket_width=1800, extra_key="user_id")
+    naive = pts.alias("p").join(
+        ivl.alias("i"),
+        (F.col("p.user_id") == F.col("i.user_id"))
+        & (F.col("p.ts") >= F.col("i.s"))
+        & (F.col("p.ts") <= F.col("i.e")),
+    )
+    assert fast.count() == naive.count()

@@ -104,3 +104,8 @@ def test_normalize_is_a_pure_narrow_projection(queries):
     assert n_nodes(p, "Exchange") == 0
     assert n_nodes(p, "Scan parquet") == 1
     assert "EvalPython" not in p
+
+
+def test_range_join_is_hash_not_nested_loop(queries):
+    p = plan_of(queries["range_join_windows"])
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
