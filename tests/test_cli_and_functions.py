@@ -172,3 +172,31 @@ def test_full_migrate_user_range(tmp_path, spark, lineitem):
     assert out.filter("l_quantity >= 10").count() == 0
     expected = lineitem.filter("l_quantity < 10").count()
     assert out.count() == expected
+
+
+def test_cli_assess_csv_full_check(tmp_path, capsys, spark):
+    wd = str(tmp_path / "wd2")
+    out = run_cli(["--mode", "assess", "--workdir", wd], capsys)
+    assert out["mode"] == "assess" and out["tables"] > 0
+    assert "<html" in open(out["report"]).read().lower()
+
+    out = run_cli(["--mode", "csv", "--workdir", wd, "--tables", "nation"], capsys)
+    assert out["mode"] == "csv"
+
+    out = run_cli(["--mode", "full", "--workdir", wd, "--tables", "nation,region"], capsys)
+    assert len(out["targets"]) == 2
+
+    out = run_cli(["--mode", "check", "--workdir", wd], capsys)
+    assert out["mode"] == "check"
+
+
+def test_cli_all_mode_runs_full_plus_incremental(tmp_path, capsys, spark):
+    """The reference's hallmark mode: full load then CDC consumption."""
+    wd = str(tmp_path / "wd3")
+    out = run_cli(
+        ["--mode", "all", "--workdir", wd, "--tables", "nation", "--chunks", "4"],
+        capsys,
+    )
+    assert out["mode"] == "all"
+    assert out["targets"]  # full phase landed tables
+    assert out["incr_rows"] > 0  # incremental phase consumed the stream
