@@ -1986,6 +1986,38 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids — posexplode the vectors, average
+    each (label, dimension) cell. The distributed pattern for
+    per-class means: one shuffle keyed on (label, dim), exact decimal
+    sums, map-side combine shrinking the exchange to
+    |labels| x |dims| rows per partition."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cell = F.col("x").cast("decimal(28,12)")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .filter(F.col("dim") < 8)
+        .groupBy("label", "dim")
+        .agg(
+            F.round((F.sum(cell) / F.count(F.lit(1))).cast("double"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, CAST(dim - 1 AS INT) AS dim,
+       CAST(round(SUM(CAST(x AS DECIMAL(28,12))) / COUNT(*), 6) AS DOUBLE) AS centroid,
+       COUNT(*) AS n
+FROM (SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+WHERE dim - 1 < 8
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -2028,6 +2060,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "asof_last_purchase": ASOF_SQL,
         "multires_rollup": MULTIRES_SQL,
         "range_join_windows": RANGE_JOIN_SQL,
+        "label_centroids": LABEL_CENTROIDS_SQL,
         "embedding_neardup": embedding_neardup_sql(0.3),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
@@ -2052,6 +2085,7 @@ EXT_QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "multires_rollup": multires_rollup,
     "range_join_windows": range_join_windows,
+    "label_centroids": label_centroids,
     "embedding_neardup": embedding_neardup,
     "multimodal_features": multimodal_features_q,
 }
