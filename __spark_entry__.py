@@ -2018,6 +2018,129 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning — the quality-monitoring histogram over
+    order totals (explicit floor formula: DuckDB has no width_bucket,
+    so both engines evaluate the identical expression)."""
+    orders = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    bucket = (
+        F.when(x < 0, 0)
+        .when(x >= 500000, 21)
+        .otherwise(F.floor(x / 25000) + 1)
+    )
+    return (
+        orders.groupBy(bucket.cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 500000 THEN 21
+            ELSE floor(o_totalprice / 25000) + 1 END AS INT) AS bin,
+       COUNT(*) AS cnt
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moments. Engine corr()
+    builtins accumulate doubles in engine-defined order (not
+    cross-engine reproducible); the five sums here are exact decimals,
+    and the final formula is one identical double expression."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(F.round(corr, 6).alias("corr_qty_price"), "n")
+
+
+PRICE_QTY_CORR_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+  FROM lineitem
+)
+SELECT CAST(round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS DOUBLE)
+       AS corr_qty_price, n
+FROM m
+"""
+
+
+def cumulative_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer over order history (cumulative
+    window on exact decimals, double at the boundary)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col("o_totalprice").cast(DEC)).over(w)
+    return orders.select(
+        "o_custkey", "o_orderkey", run.cast("double").alias("running_revenue")
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+CUMULATIVE_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+FROM orders WHERE o_custkey <= 100
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: Levenshtein distance between customer names on
+    a bounded sample (at scale this pairs via LSH candidates, never a
+    raw cross join — the sample keeps the oracle cheap)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 60)
+    a = cust.select(F.col("c_custkey").alias("ca"), F.col("c_name").alias("na"))
+    b = cust.select(F.col("c_custkey").alias("cb"), F.col("c_name").alias("nb"))
+    return (
+        a.join(b, F.col("ca") < F.col("cb"))
+        .select("ca", "cb", F.levenshtein("na", "nb").alias("dist"))
+        .filter(F.col("dist") <= 4)
+        .orderBy("ca", "cb")
+    )
+
+
+NAME_EDIT_SQL = """
+SELECT a.c_custkey AS ca, b.c_custkey AS cb,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey <= 60 AND b.c_custkey <= 60
+  AND levenshtein(a.c_name, b.c_name) <= 4
+ORDER BY ca, cb
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -2061,6 +2184,10 @@ def _ext_oracle_sql() -> dict[str, str]:
         "multires_rollup": MULTIRES_SQL,
         "range_join_windows": RANGE_JOIN_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
+        "price_histogram": PRICE_HISTOGRAM_SQL,
+        "price_qty_corr": PRICE_QTY_CORR_SQL,
+        "cumulative_customer_revenue": CUMULATIVE_REVENUE_SQL,
+        "name_edit_distance": NAME_EDIT_SQL,
         "embedding_neardup": embedding_neardup_sql(0.3),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
@@ -2086,6 +2213,10 @@ EXT_QUERIES = {
     "multires_rollup": multires_rollup,
     "range_join_windows": range_join_windows,
     "label_centroids": label_centroids,
+    "price_histogram": price_histogram,
+    "price_qty_corr": price_qty_corr,
+    "cumulative_customer_revenue": cumulative_customer_revenue,
+    "name_edit_distance": name_edit_distance,
     "embedding_neardup": embedding_neardup,
     "multimodal_features": multimodal_features_q,
 }
