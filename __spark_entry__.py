@@ -2141,6 +2141,65 @@ ORDER BY ca, cb
 """
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end: exact-dedup (keep each
+    digest's canonical doc) -> quality gate (punctuation/whitespace
+    ratios) -> language ID -> per-language corpus accounting. One
+    composed DataFrame plan; every stage reuses the ext operator with
+    a SQL twin, so the whole pipeline is oracle-verified."""
+    from transferdb_spark.ext.text import lang_id, quality_scores, token_stats
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    digest = portable_hash64(F.trim(F.lower(F.col("text"))))
+    canonical = (
+        docs.select("doc_id", digest.alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q = quality_scores(docs).filter(
+        (F.col("punct_ratio") <= 0.1) & (F.col("space_ratio") <= 0.35)
+    ).select("doc_id")
+    lang = lang_id(docs).select("doc_id", "lang_pred")
+    toks = token_stats(docs).select("doc_id", "n_tokens")
+    kept = docs.select("doc_id").join(canonical, "doc_id").join(q, "doc_id")
+    return (
+        kept.join(lang, "doc_id")
+        .join(toks, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+def _pipeline_sql() -> str:
+    from transferdb_spark.ext.text import LANG_ID_SQL, QUALITY_SQL, TOKEN_STATS_SQL
+
+    return f"""
+WITH canonical AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, {portable_hash64_sql("trim(lower(text))")} AS digest FROM documents)
+  GROUP BY digest
+),
+quality AS (
+  SELECT doc_id FROM ({QUALITY_SQL}) WHERE punct_ratio <= 0.1 AND space_ratio <= 0.35
+),
+lang AS (SELECT doc_id, lang_pred FROM ({LANG_ID_SQL})),
+toks AS (SELECT doc_id, n_tokens FROM ({TOKEN_STATS_SQL}))
+SELECT lang_pred, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM canonical
+JOIN quality USING (doc_id)
+JOIN lang USING (doc_id)
+JOIN toks USING (doc_id)
+GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -2188,6 +2247,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "price_qty_corr": PRICE_QTY_CORR_SQL,
         "cumulative_customer_revenue": CUMULATIVE_REVENUE_SQL,
         "name_edit_distance": NAME_EDIT_SQL,
+        "pipeline_clean_corpus": _pipeline_sql(),
         "embedding_neardup": embedding_neardup_sql(0.3),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
@@ -2217,6 +2277,7 @@ EXT_QUERIES = {
     "price_qty_corr": price_qty_corr,
     "cumulative_customer_revenue": cumulative_customer_revenue,
     "name_edit_distance": name_edit_distance,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
     "embedding_neardup": embedding_neardup,
     "multimodal_features": multimodal_features_q,
 }
