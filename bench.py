@@ -31,6 +31,10 @@ BENCH_QUERIES = [
     "window_topk_orders",
     "listagg_nation_customers",
     "events_hourly_rollup",
+    "sessionize_events",
+    "asof_last_purchase",
+    "multires_rollup",
+    "range_join_windows",
     "text_token_stats",
     "text_lang_id",
     "dedup_ngram_jaccard",
