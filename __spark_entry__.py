@@ -2200,6 +2200,75 @@ GROUP BY lang_pred ORDER BY lang_pred
 """
 
 
+def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over the vector column: slice, reverse,
+    sort, containment — exact float passthrough, no arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    prefix = F.slice("embedding", 1, 4)
+    return emb.select(
+        "vec_id",
+        prefix.alias("head4"),
+        F.reverse(prefix).alias("head4_rev"),
+        F.sort_array(prefix).alias("head4_sorted"),
+        F.element_at(F.sort_array(prefix, asc=False), 1).alias("head4_max"),
+        F.size("embedding").alias("dim"),
+    ).orderBy("vec_id")
+
+
+EMBEDDING_ARRAY_SQL = """
+SELECT vec_id,
+       embedding[1:4] AS head4,
+       list_reverse(embedding[1:4]) AS head4_rev,
+       list_sort(embedding[1:4]) AS head4_sorted,
+       list_sort(embedding[1:4])[4] AS head4_max,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+"""
+
+
+def intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal INTERSECT: customers who bought in both 1995 and 2000."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def buyers(year: int):
+        return orders.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+    return buyers(1995).intersect(buyers(2000)).orderBy("o_custkey")
+
+
+INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+ORDER BY o_custkey
+"""
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max aggregation (max_by / arg_max) with a deterministic
+    composite rank: ties on date resolve by order key, encoded into
+    one bigint so both engines pick the identical row."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    rank = F.col("o_orderdate").cast("timestamp").cast("long") * 100000000 + F.col("o_orderkey")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", rank).alias("latest_orderkey"),
+            F.max("o_orderdate").alias("latest_date"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+LATEST_ORDER_SQL = """
+SELECT o_custkey,
+       arg_max(o_orderkey, (epoch_ms(o_orderdate) // 1000) * 100000000 + o_orderkey) AS latest_orderkey,
+       MAX(o_orderdate) AS latest_date
+FROM orders WHERE o_custkey <= 200
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -2248,6 +2317,9 @@ def _ext_oracle_sql() -> dict[str, str]:
         "cumulative_customer_revenue": CUMULATIVE_REVENUE_SQL,
         "name_edit_distance": NAME_EDIT_SQL,
         "pipeline_clean_corpus": _pipeline_sql(),
+        "embedding_array_ops": EMBEDDING_ARRAY_SQL,
+        "intersect_repeat_buyers": INTERSECT_SQL,
+        "latest_order_per_customer": LATEST_ORDER_SQL,
         "embedding_neardup": embedding_neardup_sql(0.3),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
@@ -2278,6 +2350,9 @@ EXT_QUERIES = {
     "cumulative_customer_revenue": cumulative_customer_revenue,
     "name_edit_distance": name_edit_distance,
     "pipeline_clean_corpus": pipeline_clean_corpus,
+    "embedding_array_ops": embedding_array_ops,
+    "intersect_repeat_buyers": intersect_repeat_buyers,
+    "latest_order_per_customer": latest_order_per_customer,
     "embedding_neardup": embedding_neardup,
     "multimodal_features": multimodal_features_q,
 }
