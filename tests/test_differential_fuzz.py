@@ -15,7 +15,7 @@ import random
 import duckdb
 import pytest
 
-N_QUERIES = 50
+N_QUERIES = 60
 SEED = 20260813
 
 # column -> (kind, sample constants)
@@ -61,13 +61,26 @@ def _pred(rng: random.Random, col: str, kind: str, consts: list) -> str:
     return f"{col} {rng.choice(['<', '>='])} TIMESTAMP '{c} 00:00:00'"
 
 
+CUSTOMER_COLS = {
+    "c_mktsegment": ("str", ["BUILDING", "AUTOMOBILE", "MACHINERY"]),
+    "c_nationkey": ("int", [0, 5, 10, 20, 24]),
+}
+
+
 def gen_query(rng: random.Random) -> str:
-    join = rng.random() < 0.4
+    shape_roll = rng.random()
     cols = dict(LINEITEM_COLS)
     table = "lineitem"
-    if join:
+    if shape_roll < 0.4:
         cols.update(ORDERS_COLS)
         table = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+    elif shape_roll < 0.55:
+        cols.update(ORDERS_COLS)
+        cols.update(CUSTOMER_COLS)
+        table = (
+            "lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+        )
 
     n_preds = rng.randint(1, 3)
     preds = [
@@ -116,9 +129,9 @@ def gen_query(rng: random.Random) -> str:
 def engines(spark, sf_dir):
     from transferdb_spark.sources.registry import register_views
 
-    register_views(spark, sf_dir, ["lineitem", "orders"])
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer"])
     con = duckdb.connect()
-    for t in ("lineitem", "orders"):
+    for t in ("lineitem", "orders", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
