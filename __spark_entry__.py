@@ -2269,6 +2269,36 @@ GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family over customer names: case, substring,
+    padding, replacement, reversal — portable across both dialects."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.substring("c_name", 1, 6).alias("pre6"),
+        F.lpad("c_name", 16, "_").alias("padded"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("masked"),
+        F.reverse(F.col("c_name")).alias("rev"),
+        F.length("c_name").alias("len"),
+        F.concat_ws("-", "c_name", F.col("c_custkey").cast("string")).alias("tagged"),
+    ).orderBy("c_custkey")
+
+
+STRING_FUNCS_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       substring(c_name, 1, 6) AS pre6,
+       lpad(c_name, 16, '_') AS padded,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+       reverse(c_name) AS rev,
+       CAST(length(c_name) AS INT) AS len,
+       concat_ws('-', c_name, CAST(c_custkey AS VARCHAR)) AS tagged
+FROM customer WHERE c_custkey <= 300
+ORDER BY c_custkey
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -2320,6 +2350,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "embedding_array_ops": EMBEDDING_ARRAY_SQL,
         "intersect_repeat_buyers": INTERSECT_SQL,
         "latest_order_per_customer": LATEST_ORDER_SQL,
+        "string_functions": STRING_FUNCS_SQL,
         "embedding_neardup": embedding_neardup_sql(0.3),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
@@ -2353,6 +2384,7 @@ EXT_QUERIES = {
     "embedding_array_ops": embedding_array_ops,
     "intersect_repeat_buyers": intersect_repeat_buyers,
     "latest_order_per_customer": latest_order_per_customer,
+    "string_functions": string_functions,
     "embedding_neardup": embedding_neardup,
     "multimodal_features": multimodal_features_q,
 }
