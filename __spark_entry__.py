@@ -2299,6 +2299,180 @@ ORDER BY c_custkey
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape adapted to the fixture star schema (no partsupp table —
+    lineitem is the part/supplier offer list): for each SMALL-type part,
+    the ASIA supplier(s) achieving the minimum unit price, ties kept as
+    in TPC-H q2 (ref: module/compare task pushdown uses the same
+    min-per-group correlated pattern).
+
+    Spark-first rewrite: the correlated scalar subquery becomes a
+    per-part min aggregate joined back; region/nation/part dims are
+    broadcast so the only shuffle is the offer aggregation itself.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(asia_supp), li.l_suppkey == asia_supp.s_suppkey)
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = offers.groupBy("p_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        offers.join(best, "p_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH asia_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+), offers AS (
+  SELECT l_partkey AS p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN asia_supp ON s_suppkey = l_suppkey
+  WHERE p_type = 'SMALL'
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+FROM offers o
+WHERE unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
+                   WHERE o2.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape (nested correlated subqueries) adapted: suppliers who
+    shipped more than a sixth of the total shipped quantity of some
+    'small *' part. Quantity sums run in exact DECIMAL so the
+    share test is float-free on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    qty = F.col("l_quantity").cast(DEC)
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty).alias("supp_qty"))
+    )
+    totals = shipped.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        shipped.join(totals, "l_partkey")
+        .filter(F.col("supp_qty") * 6 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem l
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_partkey, l_suppkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) * 6 >
+         (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+)
+ORDER BY s_suppkey
+"""
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family over order dates: truncation, month ends,
+    offsets, day arithmetic — portable across both dialects."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.to_date(F.lit("1998-12-31")), d).alias("days_to_eoy"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+    ).orderBy("o_orderkey")
+
+
+DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+       strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS plus30,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+         AS days_to_eoy,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+FROM orders WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+"""
+
+
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression family: CASE banding, NULLIF, GREATEST/
+    LEAST capping, COALESCE fallback chains."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, "deep")
+        .when(F.col("l_discount") > 0.02, "mid")
+        .otherwise("low")
+        .alias("disc_band"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("tax_or_null"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag"
+        ),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("capped_qty"),
+        F.greatest(F.col("l_discount"), F.col("l_tax")).alias("max_rate"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+COND_FUNCS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount > 0.05 THEN 'deep'
+            WHEN l_discount > 0.02 THEN 'mid'
+            ELSE 'low' END AS disc_band,
+       nullif(l_tax, 0.0) AS tax_or_null,
+       coalesce(nullif(l_returnflag, 'N'), 'none') AS flag,
+       least(l_quantity, 25.0) AS capped_qty,
+       greatest(l_discount, l_tax) AS max_rate
+FROM lineitem WHERE l_orderkey <= 200
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -2351,6 +2525,8 @@ def _ext_oracle_sql() -> dict[str, str]:
         "intersect_repeat_buyers": INTERSECT_SQL,
         "latest_order_per_customer": LATEST_ORDER_SQL,
         "string_functions": STRING_FUNCS_SQL,
+        "date_functions": DATE_FUNCS_SQL,
+        "conditional_functions": COND_FUNCS_SQL,
         "embedding_neardup": embedding_neardup_sql(0.3),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
@@ -2385,6 +2561,8 @@ EXT_QUERIES = {
     "intersect_repeat_buyers": intersect_repeat_buyers,
     "latest_order_per_customer": latest_order_per_customer,
     "string_functions": string_functions,
+    "date_functions": date_functions,
+    "conditional_functions": conditional_functions,
     "embedding_neardup": embedding_neardup,
     "multimodal_features": multimodal_features_q,
 }
@@ -2460,6 +2638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample,
         "vocab_topn": vocab_topn,
         "compare_keyed_diff": compare_keyed_diff,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
         **EXT_QUERIES,
     }
 
@@ -2527,6 +2707,8 @@ def oracle_sql() -> dict[str, str]:
         "compare_keyed_diff": KEYED_DIFF_SQL.format(
             rh=_ORDERS_ROWHASH_SQL, mut=_MUTATED_ORDERS_SQL
         ),
+        "q2_min_cost_supplier": Q2_SQL,
+        "q20_dominant_suppliers": Q20_SQL,
         **_ext_oracle_sql(),
     }
 
