@@ -168,3 +168,46 @@ def test_stream_dimension_enrichment(spark, tmp_path, source_dir, events, sf_dir
     out = spark.sql("SELECT COUNT(*) c, COUNT(weight) w FROM t_enrich").collect()[0]
     assert out["c"] == events.count()
     assert out["w"] == out["c"]  # every type resolved
+
+
+def test_attribution_join_matches_batch(spark, tmp_path, events):
+    """Stream-stream range join equals the batch join over the same data."""
+    from transferdb_spark.streaming.incr import attribution_join_stream, stream_events
+
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purchases")
+    clicks = events.filter("event_type = 'click'")
+    purchases = events.filter("event_type = 'purchase'")
+    clicks.coalesce(1).write.mode("overwrite").parquet(clicks_dir)
+    purchases.coalesce(1).write.mode("overwrite").parquet(purch_dir)
+
+    joined = attribution_join_stream(
+        stream_events(spark, clicks_dir), stream_events(spark, purch_dir)
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attr")
+        .option("checkpointLocation", str(tmp_path / "ck_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.sql("SELECT click_id, purchase_id FROM t_attr")
+    expected = (
+        clicks.alias("c")
+        .join(
+            purchases.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+        )
+    )
+    assert expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

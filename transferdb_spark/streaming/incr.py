@@ -201,3 +201,44 @@ def enrich_stream_with_dimension(stream: DataFrame, dim: DataFrame, on: str) -> 
     when one side is a table). The migrate analogue: tagging CDC rows
     with rule/catalog metadata."""
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def attribution_join_stream(
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time range: each
+    purchase is attributed to the same user's click(s) in the preceding
+    `within` interval.
+
+    Both sides carry watermarks AND the join condition bounds the two
+    event times relative to each other, so Spark can evict join state
+    as the watermark advances — state size tracks the `within` window,
+    not stream length. Without the range condition this would be an
+    unbounded-state join, which does not survive at scale.
+
+    The reference has no stream-stream semantics (SCN ordering only,
+    incr.go:61-247) — this is the Spark-native upgrade."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", within)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", within)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
