@@ -2473,6 +2473,51 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def union_all_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of heterogeneous activity sources (orders + events)
+    into one tagged ledger, then aggregated per source — the one set
+    operation shape (U-family) not covered by EXCEPT/INTERSECT queries.
+    Sums run in exact DECIMAL; unioned branches share one schema so the
+    union is a zero-shuffle narrow op."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.lit("order").alias("source"),
+        F.col("o_custkey").alias("actor"),
+        F.col("o_totalprice").cast("decimal(18,3)").alias("amount"),
+    )
+    events = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    purchases = events.select(
+        F.lit("event").alias("source"),
+        F.col("user_id").alias("actor"),
+        F.col("value").cast("decimal(18,3)").alias("amount"),
+    )
+    return (
+        orders.unionAll(purchases)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.col("actor")).alias("n_actors_nonnull"),
+            F.sum("amount").cast("double").alias("total_amount"),
+        )
+        .orderBy("source")
+    )
+
+
+UNION_ALL_SQL = """
+WITH ledger AS (
+  SELECT 'order' AS source, o_custkey AS actor,
+         CAST(o_totalprice AS DECIMAL(18,3)) AS amount
+  FROM orders
+  UNION ALL
+  SELECT 'event' AS source, user_id AS actor,
+         CAST(value AS DECIMAL(18,3)) AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT source, count(*) AS n, count(actor) AS n_actors_nonnull,
+       CAST(sum(amount) AS DOUBLE) AS total_amount
+FROM ledger GROUP BY source ORDER BY source
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -2640,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_keyed_diff": compare_keyed_diff,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q20_dominant_suppliers": q20_dominant_suppliers,
+        "union_all_activity": union_all_activity,
         **EXT_QUERIES,
     }
 
@@ -2709,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q2_min_cost_supplier": Q2_SQL,
         "q20_dominant_suppliers": Q20_SQL,
+        "union_all_activity": UNION_ALL_SQL,
         **_ext_oracle_sql(),
     }
 
