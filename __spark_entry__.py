@@ -2518,6 +2518,46 @@ FROM ledger GROUP BY source ORDER BY source
 """
 
 
+def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame (the one frame kind rows-based
+    queries don't cover): per customer, revenue over the trailing 30
+    calendar days. Ordering key is an integer day number (epoch-day
+    offset) so the frame is timezone-proof on both engines; peer rows
+    on the same day share the frame per RANGE semantics."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daynum = F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    t = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        daynum.cast("int").alias("daynum"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("daynum").rangeBetween(-29, 0)
+    return t.select(
+        "o_orderkey",
+        "o_custkey",
+        "daynum",
+        F.sum("price").over(w).cast("double").alias("r30_revenue"),
+    ).orderBy("o_orderkey")
+
+
+ROLLING_30D_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS INT)
+           AS daynum,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, daynum,
+       CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY daynum
+            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS r30_revenue
+FROM t ORDER BY o_orderkey
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -2686,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q20_dominant_suppliers": q20_dominant_suppliers,
         "union_all_activity": union_all_activity,
+        "rolling_30d_revenue": rolling_30d_revenue,
         **EXT_QUERIES,
     }
 
@@ -2756,6 +2797,7 @@ def oracle_sql() -> dict[str, str]:
         "q2_min_cost_supplier": Q2_SQL,
         "q20_dominant_suppliers": Q20_SQL,
         "union_all_activity": UNION_ALL_SQL,
+        "rolling_30d_revenue": ROLLING_30D_SQL,
         **_ext_oracle_sql(),
     }
 
