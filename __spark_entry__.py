@@ -2558,6 +2558,34 @@ FROM t ORDER BY o_orderkey
 """
 
 
+def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family in one window: dense_rank, percent_rank,
+    cume_dist over customer account balance within each nation —
+    ties broken into the ordering key so every rank is deterministic."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    ).orderBy("c_custkey")
+
+
+RANK_FAMILY_SQL = """
+SELECT c_custkey, c_nationkey,
+       CAST(dense_rank() OVER w AS INT) AS drank,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist
+FROM customer WHERE c_custkey <= 1000
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_custkey
+"""
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -2727,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_dominant_suppliers": q20_dominant_suppliers,
         "union_all_activity": union_all_activity,
         "rolling_30d_revenue": rolling_30d_revenue,
+        "rank_family": rank_family,
         **EXT_QUERIES,
     }
 
@@ -2798,6 +2827,7 @@ def oracle_sql() -> dict[str, str]:
         "q20_dominant_suppliers": Q20_SQL,
         "union_all_activity": UNION_ALL_SQL,
         "rolling_30d_revenue": ROLLING_30D_SQL,
+        "rank_family": RANK_FAMILY_SQL,
         **_ext_oracle_sql(),
     }
 
