@@ -64,6 +64,72 @@ def test_compare_detects_corruption(lineitem):
     assert sum(r["src_cnt"] for r in res) == lineitem.count()
 
 
+def test_compare_shared_grid_localizes_damage(lineitem):
+    """Both sides must be tagged over ONE grid (source-derived), so a
+    matched chunk proves its key range equal and damage stays localized
+    even though the target's key extremes differ (+10M added keys)."""
+    from transferdb_spark.operators.checksum import compare_chunks, shared_chunk_bounds
+    from transferdb_spark.operators.compare_fixture import mutated_target
+
+    tgt = mutated_target(lineitem)
+    bounds = shared_chunk_bounds(lineitem, tgt, "l_orderkey")
+    src_row = lineitem.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    assert bounds == (src_row[0], src_row[1])  # grid from the source plan
+    res = compare_chunks(lineitem, tgt, "l_orderkey", 8).collect()
+    matched = [r for r in res if r["is_match"]]
+    mismatched = [r for r in res if not r["is_match"]]
+    assert mismatched, "corruption must be detected"
+    assert matched, "shared grid must not degenerate to total mismatch"
+    # target rows beyond source max clamp into the last (open) chunk
+    assert sum(r["tgt_cnt"] for r in res) == tgt.count()
+
+
+def test_empty_table_chunk_plan(spark):
+    """Empty table: single open 1=1 chunk, no NULL-min/max crash
+    (reference stats=0 full-scan chunk, chunk.go:199-242)."""
+    from transferdb_spark.plans.chunker import (
+        plan_chunks,
+        plan_chunks_quantile,
+        with_chunk_id,
+    )
+
+    empty = spark.createDataFrame([], "k long, v string")
+    for planner in (plan_chunks, plan_chunks_quantile):
+        chunks = planner(empty, "k", 8)
+        assert len(chunks) == 1 and chunks[0].predicate == "1=1"
+    tagged, lo, width = with_chunk_id(empty, "k", 8)
+    assert tagged.count() == 0 and width >= 1
+
+
+def test_empty_table_full_migrate(spark, tmp_path):
+    from transferdb_spark.modes.full import full_migrate_table
+
+    empty = spark.createDataFrame([], "k long, v string")
+    target = full_migrate_table(spark, empty, "empty_t", str(tmp_path / "wd"), n_chunks=4, key="k")
+    assert spark.read.parquet(target).count() == 0
+
+
+def test_store_discards_shifted_plan(tmp_path):
+    """Same chunk count but shifted boundaries = plan drift -> the stale
+    state must be discarded, not silently resumed (full.go:315-331)."""
+    from transferdb_spark.plans.chunker import Chunk
+    from transferdb_spark.state.store import SUCCESS, StateStore
+
+    wd = str(tmp_path / "st")
+    plan_a = [Chunk(0, 0, 49, "k <= 49"), Chunk(1, 50, 99, "k >= 50")]
+    store = StateStore(wd, "full")
+    store.init_table("t", plan_a)
+    store.mark("t", 0, SUCCESS)
+    store.mark("t", 1, SUCCESS)
+    # identical re-plan resumes (everything already SUCCESS)
+    assert StateStore(wd, "full").init_table("t", plan_a)[0].status == SUCCESS
+    # same count, shifted bounds -> discard: all chunks pending again
+    plan_b = [Chunk(0, 0, 59, "k <= 59"), Chunk(1, 60, 119, "k >= 60")]
+    store2 = StateStore(wd, "full")
+    store2.init_table("t", plan_b)
+    assert len(store2.pending("t")) == 2
+
+
 def test_diff_roundtrip_repair(lineitem):
     """full→compare invariant: applying the diff makes the sets equal."""
     from transferdb_spark.operators.compare_fixture import mutated_target

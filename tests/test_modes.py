@@ -181,17 +181,24 @@ def test_incremental_compare_skips_unchanged_chunks(spark, sf_dir, tmp_path, lin
         incremental=True,
     )
     assert r1.mismatched_chunks  # corruption detected on first run
+    assert r1.skipped_chunks == []
     # second run, nothing changed on either side: every damaged chunk's
-    # checksums match the recorded state -> no phase-2 rescan
+    # checksums match the recorded state -> no phase-2 rescan, but the
+    # tables are STILL unequal — 'unchanged since last run' must not be
+    # conflated with 'equal'
     r2 = compare_tables(
         spark, lineitem, tgt, "lineitem", wd, key="l_orderkey", n_chunks=8,
         incremental=True,
     )
-    assert r2.mismatched_chunks == []
-    # new damage in one chunk reactivates exactly that chunk
+    assert r2.mismatched_chunks == r1.mismatched_chunks
+    assert r2.skipped_chunks == r1.mismatched_chunks
+    assert r2.rescan_chunks == []
+    assert not r2.is_equal
+    # new damage in one chunk reactivates exactly that chunk's phase 2
     tgt2 = tgt.filter("l_orderkey <> 42")
     r3 = compare_tables(
         spark, lineitem, tgt2, "lineitem", wd, key="l_orderkey", n_chunks=8,
         incremental=True,
     )
-    assert len(r3.mismatched_chunks) == 1
+    assert len(r3.rescan_chunks) == 1
+    assert set(r3.mismatched_chunks) >= set(r3.rescan_chunks)

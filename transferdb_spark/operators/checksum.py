@@ -24,15 +24,46 @@ from transferdb_spark.functions.canonical import row_string
 from transferdb_spark.plans.chunker import with_chunk_id
 
 
-def chunk_checksums(df: DataFrame, key: str, n_chunks: int, cols: list[str] | None = None) -> DataFrame:
-    """Per-chunk (cnt, checksum) — columns: chunk_id, cnt, checksum."""
-    tagged, _, _ = with_chunk_id(df, key, n_chunks)
+def chunk_checksums(
+    df: DataFrame,
+    key: str,
+    n_chunks: int,
+    cols: list[str] | None = None,
+    bounds: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Per-chunk (cnt, checksum) — columns: chunk_id, cnt, checksum.
+
+    `bounds` pins the chunk grid (lo, hi) externally so two tables can
+    be aggregated over the SAME key ranges (see shared_chunk_bounds)."""
+    tagged, _, _ = with_chunk_id(df, key, n_chunks, bounds=bounds)
     h = portable_hash64(row_string(df.schema, cols))
     return (
         tagged.select("chunk_id", h.alias("h"))
         .groupBy("chunk_id")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("h").alias("checksum"))
     )
+
+
+def shared_chunk_bounds(src: DataFrame, tgt: DataFrame, key: str) -> tuple[int, int] | None:
+    """One chunk grid for both sides, derived from the SOURCE key range.
+
+    The reference computes the chunk plan once (from the source) and
+    applies the same WHERE ranges to both databases, with open-ended
+    boundary chunks catching target rows outside the source min/max
+    (module/compare/oracle/o2m/chunk.go:108-399, 331-369). Letting each
+    side derive its own grid from its own min/max makes the same
+    chunk_id cover *different* key ranges when extremes diverge —
+    phase 1 then degenerates to near-total mismatch. Deriving from the
+    source (not the union of extremes) also keeps one rogue target key
+    from stretching the grid so far that every real row lands in one
+    chunk; target outliers clamp into the first/last chunk, whose plan
+    predicates are open-ended. Falls back to the target range when the
+    source is empty; None when both are."""
+    for side in (src, tgt):
+        r = side.select(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        if r["lo"] is not None:
+            return int(r["lo"]), int(r["hi"])
+    return None
 
 
 def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -43,8 +74,19 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
-def compare_chunks(src: DataFrame, tgt: DataFrame, key: str, n_chunks: int) -> DataFrame:
+def compare_chunks(
+    src: DataFrame,
+    tgt: DataFrame,
+    key: str,
+    n_chunks: int,
+    bounds: tuple[int, int] | None = None,
+) -> DataFrame:
     """Join per-chunk summaries of both sides; flag mismatching chunks.
+
+    Both sides are tagged with ONE shared grid (union of extremes, or a
+    caller-pinned `bounds`) so a matched chunk proves its key range is
+    equal on both sides — the reference applies one chunk plan's WHERE
+    ranges to both databases (chunk.go:108-399).
 
     Full-outer join on chunk_id (tiny — n_chunks rows/side, broadcast).
     Output: chunk_id, src_cnt, tgt_cnt, src_checksum, tgt_checksum,
@@ -52,10 +94,12 @@ def compare_chunks(src: DataFrame, tgt: DataFrame, key: str, n_chunks: int) -> D
     diff slow path (operators.diff), exactly the reference's two-phase
     design (report.go:168-304).
     """
-    s = chunk_checksums(src, key, n_chunks).withColumnsRenamed(
+    if bounds is None:
+        bounds = shared_chunk_bounds(src, tgt, key) or (0, 0)
+    s = chunk_checksums(src, key, n_chunks, bounds=bounds).withColumnsRenamed(
         {"cnt": "src_cnt", "checksum": "src_checksum"}
     )
-    t = chunk_checksums(tgt, key, n_chunks).withColumnsRenamed(
+    t = chunk_checksums(tgt, key, n_chunks, bounds=bounds).withColumnsRenamed(
         {"cnt": "tgt_cnt", "checksum": "tgt_checksum"}
     )
     joined = s.join(t, "chunk_id", "full_outer")

@@ -37,7 +37,9 @@ class Chunk:
     predicate: str  # SQL WHERE fragment (JDBC pushdown ready)
 
 
-def plan_chunks(df: DataFrame, key: str, n_chunks: int) -> list[Chunk]:
+def plan_chunks(
+    df: DataFrame, key: str, n_chunks: int, bounds: tuple[int, int] | None = None
+) -> list[Chunk]:
     """Plan fixed-width integer ranges over [min(key), max(key)].
 
     One tiny agg job (min/max) — the analogue of the reference reading
@@ -45,9 +47,20 @@ def plan_chunks(df: DataFrame, key: str, n_chunks: int) -> list[Chunk]:
     semantics (chunk.go:331-369): the first/last chunks are emitted as
     open-ended predicates so target-side rows outside the source range
     still land in a chunk.
+
+    `bounds` pins the (lo, hi) key range externally — compare mode plans
+    ONE grid from the union of both sides' extremes and applies it to
+    both, the way the reference applies one chunk plan's WHERE ranges to
+    both databases (chunk.go:108-399). An empty table (NULL min/max)
+    yields a single open `1=1` chunk — the reference's stats=0 full-scan
+    chunk (chunk.go:199-242).
     """
-    row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-    lo, hi = int(row["lo"]), int(row["hi"])
+    if bounds is None:
+        row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        if row["lo"] is None:
+            return [Chunk(0, 0, 0, "1=1")]
+        bounds = int(row["lo"]), int(row["hi"])
+    lo, hi = bounds
     width = (hi - lo) // n_chunks + 1
     chunks = []
     for i in range(n_chunks):
@@ -76,10 +89,20 @@ def chunk_id_sql(key: str, lo: int, width: int, n_chunks: int) -> str:
     return f"CAST(LEAST(GREATEST({raw}, 0), {n_chunks - 1}) AS INT)"
 
 
-def with_chunk_id(df: DataFrame, key: str, n_chunks: int) -> tuple[DataFrame, int, int]:
-    """Tag every row with its chunk id (single scan, no shuffle)."""
-    row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-    lo, hi = int(row["lo"]), int(row["hi"])
+def with_chunk_id(
+    df: DataFrame, key: str, n_chunks: int, bounds: tuple[int, int] | None = None
+) -> tuple[DataFrame, int, int]:
+    """Tag every row with its chunk id (single scan, no shuffle).
+
+    `bounds` pins the grid externally (see plan_chunks); an empty table
+    tags the (zero) rows with chunk 0 instead of crashing on NULL
+    min/max."""
+    if bounds is None:
+        row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        if row["lo"] is None:
+            return df.withColumn("chunk_id", F.lit(0).cast("int")), 0, 1
+        bounds = int(row["lo"]), int(row["hi"])
+    lo, hi = bounds
     width = (hi - lo) // n_chunks + 1
     return df.withColumn("chunk_id", chunk_id_col(key, lo, width, n_chunks)), lo, width
 
@@ -94,10 +117,12 @@ def plan_chunks_quantile(df: DataFrame, key: str, n_chunks: int, error: float = 
     (Greenwald-Khanna: single scan, deterministic for a given dataset
     and error). Boundary-guard semantics match plan_chunks: first/last
     predicates are open-ended."""
+    row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    if row["lo"] is None:
+        return [Chunk(0, 0, 0, "1=1")]
+    lo, hi = int(row["lo"]), int(row["hi"])
     probs = [i / n_chunks for i in range(1, n_chunks)]
     cuts = [int(c) for c in df.stat.approxQuantile(key, probs, error)]
-    row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-    lo, hi = int(row["lo"]), int(row["hi"])
     # dedupe + clamp: heavy skew can repeat a cut value
     bounds = sorted({c for c in cuts if lo < c <= hi})
     edges = [lo] + [b for b in bounds] + [hi + 1]

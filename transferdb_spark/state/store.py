@@ -45,12 +45,29 @@ class StateStore:
     def init_table(self, table: str, chunks: list) -> list[ChunkState]:
         """Register a chunk plan; on resume, verify plan identity.
 
-        Mirrors full.go:315-331 — resume only when the persisted chunk
-        count matches; otherwise the old state is discarded.
+        Mirrors full.go:315-331 — resume only when the persisted plan is
+        identical: same chunk count AND same per-chunk (lower, upper,
+        predicate). A re-plan with equal count but shifted boundaries
+        (source data changed between runs) discards the stale state
+        instead of silently resuming it.
         """
-        existing = [c for (t, _), c in self._chunks.items() if t == table]
-        if existing and len(existing) == len(chunks):
-            return sorted(existing, key=lambda c: c.chunk_id)
+        existing = sorted(
+            (c for (t, _), c in self._chunks.items() if t == table),
+            key=lambda c: c.chunk_id,
+        )
+        planned = sorted(chunks, key=lambda c: c.chunk_id)
+        if (
+            existing
+            and len(existing) == len(planned)
+            and all(
+                e.chunk_id == p.chunk_id
+                and e.lower == p.lower
+                and e.upper == p.upper
+                and e.predicate == p.predicate
+                for e, p in zip(existing, planned)
+            )
+        ):
+            return existing
         for t, cid in list(self._chunks):
             if t == table:
                 del self._chunks[(t, cid)]
