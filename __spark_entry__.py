@@ -1735,6 +1735,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT jaccard dedup = the df-capped (skew-safe) candidate
+    generator: a hot shingle with df=100k would alone yield 10^10
+    candidate pairs in the exact inverted-index join, so the capped
+    variant is the path that survives 100 TB. The exact variant stays
+    opt-in as dedup_ngram_jaccard_exact."""
+    from transferdb_spark.ext.dedup import ngram_jaccard_rare_pairs
+
+    return ngram_jaccard_rare_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in exact-Jaccard pairs (uncapped inverted-index join) — full
+    recall, but a hot shingle is a straggler/OOM at scale; prefer the
+    capped default."""
     from transferdb_spark.ext.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
@@ -1807,12 +1821,6 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 16), 6).alias("f_last"),
     ).orderBy("media_id")
-
-
-def dedup_jaccard_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from transferdb_spark.ext.dedup import ngram_jaccard_rare_pairs
-
-    return ngram_jaccard_rare_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2615,7 +2623,8 @@ def _ext_oracle_sql() -> dict[str, str]:
         "text_lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
         "dedup_exact": EXACT_DEDUP_SUMMARY_SQL,
-        "dedup_ngram_jaccard": ngram_jaccard_sql(0.5),
+        "dedup_ngram_jaccard": ngram_jaccard_rare_sql(0.5),
+        "dedup_ngram_jaccard_exact": ngram_jaccard_sql(0.5),
         "dedup_minhash_lsh": minhash_lsh_sql(),
         "embedding_norms": EMBEDDING_NORMS_SQL,
         "similarity_topk": topk_bruteforce_sql(0, 10),
@@ -2623,7 +2632,6 @@ def _ext_oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": ann_topk_lsh_sql(0, 10),
         "ann_topk_ivf": ann_topk_ivf_sql(0, 10),
         "ann_topk_multiprobe": ann_topk_lsh_multiprobe_sql(0, 10),
-        "dedup_jaccard_rare": ngram_jaccard_rare_sql(0.5),
         "assess_identifier_lengths": ASSESS_IDENT_SQL,
         "asof_last_purchase": ASOF_SQL,
         "multires_rollup": MULTIRES_SQL,
@@ -2652,6 +2660,7 @@ EXT_QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_exact": dedup_ngram_jaccard_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "embedding_norms": embedding_norms_q,
     "similarity_topk": similarity_topk,
@@ -2659,7 +2668,6 @@ EXT_QUERIES = {
     "ann_topk_lsh": ann_topk_lsh_q,
     "ann_topk_ivf": ann_topk_ivf_q,
     "ann_topk_multiprobe": ann_topk_multiprobe,
-    "dedup_jaccard_rare": dedup_jaccard_rare,
     "assess_identifier_lengths": assess_identifier_lengths,
     "asof_last_purchase": asof_last_purchase,
     "multires_rollup": multires_rollup,

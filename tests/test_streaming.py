@@ -81,6 +81,52 @@ def test_cdc_apply_dedupes_redelivered_records(spark, tmp_path, source_dir, even
     assert total.select("event_id").distinct().count() == total.count()
 
 
+def test_cdc_apply_upsert_and_no_target_rescan(spark, tmp_path, source_dir, events):
+    """The apply must (a) never read the target — per-batch IO is
+    O(batch), not O(target) — and (b) land updates for already-applied
+    business keys, which the old full-target anti-join silently dropped."""
+    import inspect
+
+    from transferdb_spark.streaming import incr
+    from transferdb_spark.streaming.incr import (
+        apply_cdc_stream,
+        cdc_current_state,
+        stream_events,
+    )
+
+    # plan/IO guard: the batch function must not scan the target
+    src = inspect.getsource(incr.apply_cdc_stream)
+    assert "spark.read" not in src and "left_anti" not in src
+
+    target = str(tmp_path / "target3")
+    ckpt = str(tmp_path / "cdc_ckpt3")
+    q = apply_cdc_stream(
+        stream_events(spark, source_dir), target, ckpt, key="user_id"
+    )
+    q.awaitTermination(120)
+    state1 = cdc_current_state(spark, target, key="user_id")
+    n_users = state1.count()
+    u0 = state1.orderBy("user_id").first()
+
+    # a later record for an existing user = an UPDATE: higher SCN, new value
+    upd = (
+        events.filter(F.col("user_id") == u0["user_id"])
+        .limit(1)
+        .withColumn("event_id", F.lit(5_000_000).cast(events.schema["event_id"].dataType))
+        .withColumn("value", F.lit(123456.789))
+    )
+    upd.coalesce(1).write.mode("append").parquet(source_dir)
+    q2 = apply_cdc_stream(
+        stream_events(spark, source_dir), target, ckpt, key="user_id"
+    )
+    q2.awaitTermination(120)
+
+    state2 = cdc_current_state(spark, target, key="user_id")
+    assert state2.count() == n_users  # upsert, not insert
+    got = state2.filter(F.col("user_id") == u0["user_id"]).first()
+    assert got["value"] == 123456.789 and got["event_id"] == 5_000_000
+
+
 def test_op_filter_gate(spark, events):
     from transferdb_spark.streaming.incr import OP_WHITELIST, filter_ops
 
