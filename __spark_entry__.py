@@ -1267,6 +1267,209 @@ GROUP BY table_name ORDER BY table_name
 """
 
 
+# --- assess facet breadth (reference assess.go:306-668 + assess_result.go) ---
+
+_WIDTH_AUDIT_COLS: dict[str, list[str]] = {
+    "documents": ["text", "lang", "source"],
+    "events": ["event_type", "props"],
+    "lineitem": ["l_returnflag", "l_linestatus"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+}
+
+
+def assess_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 family — string-width audit per column (the reference flags
+    rows over MySQL's 6M row-length cap, assess.go:372-381; the scan
+    here measures the real data instead of catalog estimates). One
+    narrow agg per table, fused with the scan — no shuffle beyond the
+    final tiny union."""
+    parts = []
+    for tname, cols in sorted(_WIDTH_AUDIT_COLS.items()):
+        df = _t(spark, sf_dir, tname)
+        for c in cols:
+            parts.append(
+                df.agg(
+                    F.lit(tname).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.max(F.length(c)).alias("max_len"),
+                    F.sum(F.length(c)).alias("total_len"),
+                    F.sum(F.when(F.length(c) > 100, 1).otherwise(0)).alias("n_over_100"),
+                )
+            )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return u.orderBy("table_name", "column_name")
+
+
+def _width_audit_sql() -> str:
+    selects = []
+    for tname, cols in sorted(_WIDTH_AUDIT_COLS.items()):
+        for c in cols:
+            selects.append(
+                f"SELECT '{tname}' AS table_name, '{c}' AS column_name, "
+                f"CAST(MAX(length({c})) AS INT) AS max_len, "
+                f"CAST(SUM(length({c})) AS BIGINT) AS total_len, "
+                f"CAST(SUM(CASE WHEN length({c}) > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_100 "
+                f"FROM {tname}"
+            )
+    return " UNION ALL ".join(selects) + " ORDER BY table_name, column_name"
+
+
+WIDTH_AUDIT_SQL = _width_audit_sql()
+
+
+def assess_constraint_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — constraint-kind / index-kind distribution per table
+    (reference counts DBA_CONSTRAINTS / DBA_INDEXES by kind,
+    assess.go:560-668). Spark side derives from the fixture catalog
+    builder; the oracle re-derives from the raw fixture spec — the two
+    derivations must agree."""
+    from transferdb_spark.catalog.fixture import fixture_catalog
+
+    cat = fixture_catalog(spark, sf_dir)
+    rows = []
+    for name, t in sorted(cat.items()):
+        for c in t.constraints:
+            rows.append((name, c.ctype))
+        for _ in t.indexes:
+            rows.append((name, "INDEX"))
+    df = spark.createDataFrame(rows, "table_name string, kind string")
+    return (
+        df.groupBy("table_name", "kind")
+        .agg(F.count(F.lit(1)).alias("n_objects"))
+        .orderBy("table_name", "kind")
+    )
+
+
+def _constraint_kinds_sql() -> str:
+    from transferdb_spark.catalog.fixture import FIXTURE_FKS, FIXTURE_KEYS
+
+    rows = []
+    for t in FIXTURE_TABLES:
+        if t in FIXTURE_KEYS:
+            rows.append((t, "P", 1))
+        n_fk = len(FIXTURE_FKS.get(t, []))
+        if n_fk:
+            rows.append((t, "R", n_fk))
+            rows.append((t, "INDEX", n_fk))  # builder indexes every FK column
+    values = ", ".join(f"('{t}', '{k}', {n})" for t, k, n in sorted(rows))
+    return (
+        f"SELECT table_name, kind, CAST(n AS BIGINT) AS n_objects "
+        f"FROM (VALUES {values}) v(table_name, kind, n) "
+        f"ORDER BY table_name, kind"
+    )
+
+
+def assess_compat_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — per-OBJECT compatibility rollup (reference assess_result.go
+    folds per-object Y/N counters into the report summary; this is the
+    object-level matrix, not just the schema-wide column tally).
+    Verdict: BLOCKED if any column cannot map, PARTIAL if any needs
+    conversion (arrays serialize), CLEAN otherwise. The oracle
+    classifies independently from DuckDB's information_schema."""
+    from transferdb_spark.catalog.fixture import _oracle_column
+    from transferdb_spark.rules.datatypes import map_oracle_type
+
+    rows = []
+    for tname in FIXTURE_TABLES:
+        for f in _t(spark, sf_dir, tname).schema.fields:
+            if isinstance(f.dataType, T.ArrayType):
+                cls = "CONVERTIBLE"
+            else:
+                try:
+                    map_oracle_type(_oracle_column(f))
+                    cls = "COMPATIBLE"
+                except Exception:
+                    cls = "INCOMPATIBLE"
+            rows.append((tname, cls))
+    df = spark.createDataFrame(rows, "table_name string, compat string")
+    return (
+        df.groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cols"),
+            F.sum(F.when(F.col("compat") == "COMPATIBLE", 1).otherwise(0)).alias("n_compatible"),
+            F.sum(F.when(F.col("compat") == "CONVERTIBLE", 1).otherwise(0)).alias("n_convertible"),
+            F.sum(F.when(F.col("compat") == "INCOMPATIBLE", 1).otherwise(0)).alias("n_incompatible"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("n_incompatible") > 0, "BLOCKED")
+            .when(F.col("n_convertible") > 0, "PARTIAL")
+            .otherwise("CLEAN"),
+        )
+        .orderBy("table_name")
+    )
+
+
+COMPAT_ROLLUP_SQL = """
+WITH cls AS (
+  SELECT table_name,
+         CASE WHEN data_type LIKE '%[]' THEN 'CONVERTIBLE'
+              ELSE 'COMPATIBLE' END AS compat
+  FROM information_schema.columns
+  WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                       'orders', 'lineitem', 'events', 'documents', 'embeddings')
+)
+SELECT table_name, COUNT(*) AS n_cols,
+       CAST(SUM(CASE WHEN compat = 'COMPATIBLE' THEN 1 ELSE 0 END) AS BIGINT) AS n_compatible,
+       CAST(SUM(CASE WHEN compat = 'CONVERTIBLE' THEN 1 ELSE 0 END) AS BIGINT) AS n_convertible,
+       CAST(SUM(CASE WHEN compat = 'INCOMPATIBLE' THEN 1 ELSE 0 END) AS BIGINT) AS n_incompatible,
+       CASE WHEN SUM(CASE WHEN compat = 'INCOMPATIBLE' THEN 1 ELSE 0 END) > 0 THEN 'BLOCKED'
+            WHEN SUM(CASE WHEN compat = 'CONVERTIBLE' THEN 1 ELSE 0 END) > 0 THEN 'PARTIAL'
+            ELSE 'CLEAN' END AS verdict
+FROM cls
+GROUP BY table_name ORDER BY table_name
+"""
+
+
+def assess_partition_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 partition facet, forward-looking: the reference counts
+    existing partitions per partitioned table (assess.go:570-614); the
+    fixtures are unpartitioned, so this measures how each fact table
+    WOULD partition on its natural date axis — partition count, largest
+    partition, and skew ratio (largest / average). The planning signal
+    a 100 TB layout decision needs."""
+    specs = [
+        ("events", "events", F.date_trunc("day", F.col("ts"))),
+        ("lineitem", "lineitem", F.date_trunc("month", F.col("l_shipdate"))),
+        ("orders", "orders", F.date_trunc("month", F.col("o_orderdate"))),
+    ]
+    parts = []
+    for name, tname, bucket in specs:
+        per = (
+            _t(spark, sf_dir, tname)
+            .groupBy(bucket.alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        parts.append(
+            per.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_partitions"),
+                F.max("n").alias("max_partition_rows"),
+                F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return u.orderBy("table_name")
+
+
+PARTITION_PLANNING_SQL = """
+WITH e AS (SELECT date_trunc('day', ts) AS p, COUNT(*) AS n FROM events GROUP BY 1),
+     l AS (SELECT date_trunc('month', l_shipdate) AS p, COUNT(*) AS n FROM lineitem GROUP BY 1),
+     o AS (SELECT date_trunc('month', o_orderdate) AS p, COUNT(*) AS n FROM orders GROUP BY 1)
+SELECT 'events' AS table_name, COUNT(*) AS n_partitions, MAX(n) AS max_partition_rows,
+       round(MAX(n) / AVG(n), 4) AS skew_ratio FROM e
+UNION ALL
+SELECT 'lineitem', COUNT(*), MAX(n), round(MAX(n) / AVG(n), 4) FROM l
+UNION ALL
+SELECT 'orders', COUNT(*), MAX(n), round(MAX(n) / AVG(n), 4) FROM o
+ORDER BY table_name
+"""
+
+
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 4 bands of 6 bits generate candidates,
     exact Hamming distance (bit_count of xor) filters to <= 1
@@ -2751,6 +2954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_cube": grouping_cube,
         "text_bpe_tokens": text_bpe_tokens,
         "catalog_columns": catalog_columns,
+        "assess_width_audit": assess_width_audit,
+        "assess_constraint_kinds": assess_constraint_kinds,
+        "assess_compat_rollup": assess_compat_rollup,
+        "assess_partition_planning": assess_partition_planning,
         "simhash_neardup": simhash_neardup,
         "q16_supplier_part_census": q16_supplier_part_census,
         "q11_important_parts": q11_important_parts,
@@ -2821,6 +3028,10 @@ def oracle_sql() -> dict[str, str]:
         "grouping_cube": CUBE_SQL,
         "text_bpe_tokens": _bpe_token_sql(),
         "catalog_columns": CATALOG_COLUMNS_SQL,
+        "assess_width_audit": WIDTH_AUDIT_SQL,
+        "assess_constraint_kinds": _constraint_kinds_sql(),
+        "assess_compat_rollup": COMPAT_ROLLUP_SQL,
+        "assess_partition_planning": PARTITION_PLANNING_SQL,
         "simhash_neardup": _simhash_neardup_sql(),
         "q16_supplier_part_census": Q16_SQL,
         "q11_important_parts": Q11_SQL,

@@ -140,7 +140,27 @@ def test_assess_report(spark, sf_dir, workdir):
     li = next(r for r in report.overview if r["table"] == "LINEITEM")
     assert li["rows"] == 6000
     assert report.compatibility_pct > 90
-    assert "<html>" in open(out).read()
+    html = open(out).read()
+    assert "<html>" in html
+    # facet breadth (reference assess.go:560-668 + assess_result.go)
+    assert report.constraint_kinds.get("P", 0) >= 7  # every keyed fixture table
+    assert report.constraint_kinds.get("R", 0) >= 7  # FK constraints
+    assert report.object_counts["TABLE"] == len(report.overview)
+    assert report.table_types.get("HEAP", 0) == len(report.overview)
+    assert report.index_kinds  # FK-backing indexes counted by kind
+    # per-object rollup: one verdict row per table; embeddings' array
+    # column serializes -> PARTIAL, plain scalar tables are CLEAN
+    verdicts = {r["table"]: r["verdict"] for r in report.per_object}
+    assert verdicts["LINEITEM"] == "CLEAN"
+    assert verdicts["EMBEDDINGS"] == "PARTIAL"
+    for section in (
+        "Object compatibility",
+        "Object counts",
+        "Constraint kinds",
+        "Index kinds",
+        "Table types",
+    ):
+        assert section in html
 
 
 def test_full_migrate_partitioned_layout_prunes(spark, sf_dir, workdir, lineitem):

@@ -71,7 +71,12 @@ def _oracle_column(field: T.StructField) -> OracleColumn:
                 nullable=field.nullable,
             )
     if isinstance(field.dataType, T.ArrayType):
-        return OracleColumn(name=field.name.upper(), data_type="BLOB", nullable=field.nullable)
+        return OracleColumn(
+            name=field.name.upper(),
+            data_type="BLOB",
+            nullable=field.nullable,
+            source_hint=field.dataType.simpleString(),  # serialized array
+        )
     if isinstance(field.dataType, T.DecimalType):
         return OracleColumn(
             name=field.name.upper(),

@@ -34,6 +34,13 @@ class AssessReport:
     compatible_columns: int = 0  # A9
     convertible_columns: int = 0
     incompatible_columns: int = 0
+    # A6 breadth (assess.go:560-668): object/kind distributions
+    object_counts: dict[str, int] = field(default_factory=dict)
+    constraint_kinds: dict[str, int] = field(default_factory=dict)
+    index_kinds: dict[str, int] = field(default_factory=dict)
+    table_types: dict[str, int] = field(default_factory=dict)
+    # A9 per-object rollup (assess_result.go): one verdict row per table
+    per_object: list[dict] = field(default_factory=list)
 
     @property
     def compatibility_pct(self) -> float:
@@ -71,17 +78,53 @@ def assess_schema(
                 "constraints": len(t.constraints),
             }
         )
+        obj_compat = obj_convert = obj_incompat = 0
         for c in t.columns:
             base = c.data_type.upper()
             report.type_distribution[base] = report.type_distribution.get(base, 0) + 1
-            if base in CONVERTIBLE_TYPES or base.startswith("INTERVAL"):
+            if base in CONVERTIBLE_TYPES or base.startswith("INTERVAL") or c.source_hint:
                 report.convertible_columns += 1
+                obj_convert += 1
             else:
                 try:
                     map_oracle_type(c)
                     report.compatible_columns += 1
+                    obj_compat += 1
                 except Exception:
                     report.incompatible_columns += 1
+                    obj_incompat += 1
+
+        # per-object verdict rollup (reference assess_result.go folds
+        # per-object Y/N counters, not just schema-wide tallies)
+        verdict = (
+            "BLOCKED"
+            if obj_incompat or not t.is_compatible
+            else ("PARTIAL" if obj_convert else "CLEAN")
+        )
+        report.per_object.append(
+            {
+                "table": t.name,
+                "table_type": t.table_type,
+                "columns": len(t.columns),
+                "compatible": obj_compat,
+                "convertible": obj_convert,
+                "incompatible": obj_incompat,
+                "verdict": verdict,
+            }
+        )
+
+        # object/kind distributions (assess.go:560-668)
+        report.object_counts["TABLE"] = report.object_counts.get("TABLE", 0) + 1
+        report.object_counts["INDEX"] = report.object_counts.get("INDEX", 0) + len(t.indexes)
+        report.object_counts["CONSTRAINT"] = report.object_counts.get("CONSTRAINT", 0) + len(
+            t.constraints
+        )
+        for c in t.constraints:
+            report.constraint_kinds[c.ctype] = report.constraint_kinds.get(c.ctype, 0) + 1
+        for ix in t.indexes:
+            kind = "UNIQUE" if ix.unique else ix.index_type
+            report.index_kinds[kind] = report.index_kinds.get(kind, 0) + 1
+        report.table_types[t.table_type] = report.table_types.get(t.table_type, 0) + 1
 
         if len(t.columns) > MAX_COLUMNS:
             report.over_limits.append(f"{t.name}: {len(t.columns)} columns > {MAX_COLUMNS}")
@@ -106,6 +149,17 @@ def render_html(report: AssessReport) -> str:
         f"<tr><td>{k}</td><td>{v}</td></tr>" for k, v in sorted(report.type_distribution.items())
     )
     limits = "".join(f"<li>{x}</li>" for x in report.over_limits) or "<li>none</li>"
+
+    def kind_table(d: dict[str, int]) -> str:
+        body = "".join(f"<tr><td>{k}</td><td>{v}</td></tr>" for k, v in sorted(d.items()))
+        return f'<table border="1"><tr><th>kind</th><th>count</th></tr>{body}</table>'
+
+    objects = "".join(
+        f"<tr><td>{r['table']}</td><td>{r['table_type']}</td><td>{r['columns']}</td>"
+        f"<td>{r['compatible']}</td><td>{r['convertible']}</td>"
+        f"<td>{r['incompatible']}</td><td>{r['verdict']}</td></tr>"
+        for r in report.per_object
+    )
     return f"""<!DOCTYPE html><html><head><title>Assess {report.schema_name}</title></head>
 <body><h1>Schema assessment: {report.schema_name}</h1>
 <h2>Compatibility: {report.compatibility_pct}%</h2>
@@ -113,6 +167,13 @@ def render_html(report: AssessReport) -> str:
 {report.incompatible_columns} incompatible columns</p>
 <h2>Tables</h2><table border="1">
 <tr><th>table</th><th>rows</th><th>bytes</th><th>columns</th><th>indexes</th></tr>{rows}</table>
+<h2>Object compatibility</h2><table border="1">
+<tr><th>table</th><th>type</th><th>columns</th><th>compatible</th><th>convertible</th>
+<th>incompatible</th><th>verdict</th></tr>{objects}</table>
+<h2>Object counts</h2>{kind_table(report.object_counts)}
+<h2>Constraint kinds</h2>{kind_table(report.constraint_kinds)}
+<h2>Index kinds</h2>{kind_table(report.index_kinds)}
+<h2>Table types</h2>{kind_table(report.table_types)}
 <h2>Type distribution</h2><table border="1"><tr><th>type</th><th>count</th></tr>{types}</table>
 <h2>Over-limit findings</h2><ul>{limits}</ul>
 </body></html>"""

@@ -74,6 +74,10 @@ class OracleColumn:
     nullable: bool = True
     default: str | None = None
     comment: str = ""
+    # provenance marker for columns whose logical source type had to be
+    # serialized into this one (e.g. array<float> landed as BLOB) —
+    # assess classifies such columns convertible, not 1:1 compatible
+    source_hint: str = ""
 
 
 def _number_to_mysql(p: int | None, s: int | None) -> str:
