@@ -81,6 +81,126 @@ def test_check_clean_on_identical(catalog):
     assert r.is_clean and not r.fix_sql
 
 
+def test_check_detects_fk_drift(catalog):
+    """FK facet (diff.go:336-372): dropped FK -> ADD with referenced
+    table/cols + delete rule; target-only FK -> DROP FOREIGN KEY."""
+    import dataclasses
+
+    from transferdb_spark.catalog.meta import ConstraintMeta
+    from transferdb_spark.modes.check import check_table
+
+    src = catalog["lineitem"]
+    tgt = dataclasses.replace(src)
+    dropped = [c for c in src.constraints if c.name == "FK_LINEITEM_L_PARTKEY"]
+    assert dropped, "fixture must declare the partkey FK"
+    tgt.constraints = [c for c in src.constraints if c not in dropped] + [
+        ConstraintMeta(
+            name="FK_ROGUE",
+            ctype="R",
+            columns=("L_SUPPKEY",),
+            r_table="NATION",
+            r_columns=("N_NATIONKEY",),
+        )
+    ]
+    r = check_table(src, tgt)
+    assert r.missing_fks == ["FK_LINEITEM_L_PARTKEY"]
+    assert r.extra_fks == ["FK_ROGUE"]
+    assert any(
+        "ADD FOREIGN KEY (`l_partkey`) REFERENCES `part` (`p_partkey`) ON DELETE NO ACTION" in s
+        for s in r.fix_sql
+    )
+    assert any("DROP FOREIGN KEY `fk_rogue`" in s for s in r.fix_sql)
+    assert not r.is_clean
+
+
+def test_check_detects_uk_and_ck_drift(catalog):
+    """UK facet (diff.go:292-334) + CK facet (374-414)."""
+    import dataclasses
+
+    from transferdb_spark.catalog.meta import ConstraintMeta
+    from transferdb_spark.modes.check import check_table
+
+    base = catalog["orders"]
+    src = dataclasses.replace(base)
+    src.constraints = list(base.constraints) + [
+        ConstraintMeta(name="UK_ORD", ctype="U", columns=("O_CUSTKEY", "O_ORDERDATE")),
+        ConstraintMeta(
+            name="CK_ORD", ctype="C", search_condition="o_totalprice  >  0"
+        ),
+    ]
+    r = check_table(src, base)
+    assert r.missing_uniques == [("O_CUSTKEY", "O_ORDERDATE")]
+    assert r.missing_checks == ["O_TOTALPRICE > 0"]  # whitespace-normalized
+    assert any("ADD UNIQUE (`o_custkey`, `o_orderdate`)" in s for s in r.fix_sql)
+    assert any("ADD CONSTRAINT `orders_check_key` CHECK (O_TOTALPRICE > 0)" in s for s in r.fix_sql)
+
+
+def test_check_detects_partition_and_comment_drift(catalog):
+    """Partition facet (diff.go:60-85, 521-561) emits a manual-action
+    note, never SQL; comment facet (87-109) emits ALTER COMMENT."""
+    import dataclasses
+
+    from transferdb_spark.modes.check import check_table
+
+    src = dataclasses.replace(catalog["orders"])
+    src.table_type = "PARTITIONED"
+    src.partition_type = "RANGE"
+    src.partition_keys = ("O_ORDERDATE",)
+    src.comment = "order facts"
+    tgt = dataclasses.replace(catalog["orders"])
+    r = check_table(src, tgt)
+    assert "partition type mismatch" in r.partition_mismatch
+    assert r.comment_mismatch == ("order facts", "")
+    assert any(s.startswith("-- partition type mismatch") for s in r.fix_sql)
+    assert any("COMMENT 'order facts'" in s for s in r.fix_sql)
+
+    # same layout on both sides but different partition keys
+    tgt2 = dataclasses.replace(src)
+    tgt2.partition_keys = ("O_CUSTKEY",)
+    r2 = check_table(src, tgt2)
+    assert "partition layout differs" in r2.partition_mismatch
+
+
+def test_check_detects_collation_drift(catalog):
+    """Charset/collation facet (diff.go:111-145): expected target
+    collation derives from the R8 mapping; divergence -> ALTER."""
+    import dataclasses
+
+    from transferdb_spark.modes.check import check_table
+
+    src = dataclasses.replace(catalog["customer"])
+    src.collation = "BINARY_CS"
+    tgt = dataclasses.replace(catalog["customer"])
+    tgt.charset = "UTF8MB4"
+    tgt.collation = "UTF8MB4_GENERAL_CI"
+    r = check_table(src, tgt)
+    assert r.collation_mismatch == ("UTF8MB4_BIN", "UTF8MB4_GENERAL_CI")
+    assert any(
+        "CHARACTER SET utf8mb4 COLLATE utf8mb4_bin" in s for s in r.fix_sql
+    )
+    # matching collation is clean
+    tgt.collation = "UTF8MB4_BIN"
+    assert check_table(src, tgt).collation_mismatch is None
+
+
+def test_check_detects_column_comment_drift(catalog):
+    import dataclasses
+
+    from transferdb_spark.modes.check import check_table
+
+    src = dataclasses.replace(catalog["nation"])
+    src.columns = [
+        dataclasses.replace(c, comment="nation key" if c.name == "N_NATIONKEY" else c.comment)
+        for c in src.columns
+    ]
+    tgt = dataclasses.replace(catalog["nation"])
+    r = check_table(src, tgt)
+    assert r.column_comment_mismatches == [("N_NATIONKEY", "nation key", "")]
+    assert any(
+        "MODIFY COLUMN `n_nationkey`" in s and "COMMENT 'nation key'" in s for s in r.fix_sql
+    )
+
+
 def test_full_migrate_then_compare_zero_diff(spark, sf_dir, workdir, lineitem):
     """The reference's own correctness loop: full then compare == clean."""
     from transferdb_spark.modes.compare_mode import compare_tables

@@ -51,6 +51,15 @@ class TableMeta:
     comment: str = ""
     table_type: str = "HEAP"  # HEAP | PARTITIONED | TEMPORARY | CLUSTERED | IOT
     row_count: int | None = None
+    # charset/collation facets (check diffs them, diff.go:111-234);
+    # source side carries Oracle collation classes (BINARY_CS/CI/AI),
+    # target side carries MySQL charset + collation names
+    charset: str = ""
+    collation: str = ""
+    # PARTITIONED tables: (partition_type, key columns), e.g.
+    # ("RANGE", ("o_orderdate",)) — diffed by check (diff.go:521-561)
+    partition_type: str = ""
+    partition_keys: tuple[str, ...] = ()
 
     @property
     def primary_key(self) -> ConstraintMeta | None:

@@ -1,8 +1,12 @@
 """`check` mode — table-structure diff source vs target → fix-SQL (R6).
 
-The reference compares columns/types/PK/UK/FK/CK/indexes/comments
-between the converted expectation and the actual target and emits
-ALTER fix-SQL (/root/reference/module/check/oracle/o2m/diff.go:60-707).
+The reference compares columns/types/PK/UK/FK/CK/indexes/partitions/
+charset+collation/comments between the converted expectation and the
+actual target and emits ALTER fix-SQL
+(/root/reference/module/check/oracle/o2m/diff.go:60-707): partition
+type 60-85, table comment 87-109, table charset/collation 111-145,
+column charset 147-234, column counts 236-290, PK/UK 292-334,
+FK 336-372, CK 374-414, index 416-519, partitions 521-561.
 
 Diff logic = dictionary full-outer compare on names (J3) plus
 expected-type derivation via the same rule engine (R2 shares R1).
@@ -25,6 +29,15 @@ class CheckResult:
     nullability_mismatches: list[tuple[str, bool, bool]] = field(default_factory=list)
     missing_indexes: list[str] = field(default_factory=list)
     pk_mismatch: tuple[tuple[str, ...], tuple[str, ...]] | None = None
+    # R6 depth facets (diff.go:60-561)
+    missing_uniques: list[tuple[str, ...]] = field(default_factory=list)
+    missing_fks: list[str] = field(default_factory=list)
+    extra_fks: list[str] = field(default_factory=list)
+    missing_checks: list[str] = field(default_factory=list)
+    comment_mismatch: tuple[str, str] | None = None
+    column_comment_mismatches: list[tuple[str, str, str]] = field(default_factory=list)
+    collation_mismatch: tuple[str, str] | None = None  # (expected, actual)
+    partition_mismatch: str = ""
     fix_sql: list[str] = field(default_factory=list)
 
     @property
@@ -36,6 +49,14 @@ class CheckResult:
             or self.nullability_mismatches
             or self.missing_indexes
             or self.pk_mismatch
+            or self.missing_uniques
+            or self.missing_fks
+            or self.extra_fks
+            or self.missing_checks
+            or self.comment_mismatch
+            or self.column_comment_mismatches
+            or self.collation_mismatch
+            or self.partition_mismatch
         )
 
 
@@ -97,6 +118,106 @@ def check_table(
         cols = ", ".join(f"`{c.lower()}`" for c in ix.columns)
         kind = "UNIQUE INDEX" if ix.unique else "INDEX"
         r.fix_sql.append(f"CREATE {kind} `{name.lower()}` ON `{tgt.name.lower()}` ({cols});")
+
+    tname = tgt.name.lower()
+
+    # UK diff by column set, name-independent (diff.go:292-334)
+    def _uniques(t: TableMeta) -> set[tuple[str, ...]]:
+        return {tuple(c.columns) for c in t.constraints if c.ctype == "U"}
+
+    for cols in sorted(_uniques(src) - _uniques(tgt)):
+        r.missing_uniques.append(cols)
+        col_list = ", ".join(f"`{c.lower()}`" for c in cols)
+        r.fix_sql.append(f"ALTER TABLE `{tname}` ADD UNIQUE ({col_list});")
+
+    # FK diff keyed on (columns, referenced table/columns, delete rule)
+    # (diff.go:336-372 — the reference ADDs missing FKs; extras are
+    # recorded for the report, dropped only by name when known)
+    def _fks(t: TableMeta) -> dict[tuple, str]:
+        return {
+            (tuple(c.columns), c.r_table.upper(), tuple(c.r_columns), c.delete_rule): c.name
+            for c in t.constraints
+            if c.ctype == "R"
+        }
+
+    sfk, tfk = _fks(src), _fks(tgt)
+    for key in sorted(sfk.keys() - tfk.keys()):
+        cols, r_table, r_cols, rule = key
+        r.missing_fks.append(sfk[key])
+        col_list = ", ".join(f"`{c.lower()}`" for c in cols)
+        ref_list = ", ".join(f"`{c.lower()}`" for c in r_cols)
+        r.fix_sql.append(
+            f"ALTER TABLE `{tname}` ADD FOREIGN KEY ({col_list}) "
+            f"REFERENCES `{r_table.lower()}` ({ref_list}) ON DELETE {rule};"
+        )
+    for key in sorted(tfk.keys() - sfk.keys()):
+        r.extra_fks.append(tfk[key])
+        r.fix_sql.append(f"ALTER TABLE `{tname}` DROP FOREIGN KEY `{tfk[key].lower()}`;")
+
+    # CK diff on normalized condition text (diff.go:374-414)
+    def _checks(t: TableMeta) -> set[str]:
+        return {
+            " ".join(c.search_condition.split()).upper()
+            for c in t.constraints
+            if c.ctype == "C" and c.search_condition
+        }
+
+    for cond in sorted(_checks(src) - _checks(tgt)):
+        r.missing_checks.append(cond)
+        r.fix_sql.append(
+            f"ALTER TABLE `{tname}` ADD CONSTRAINT `{tname}_check_key` CHECK ({cond});"
+        )
+
+    # partition facet (diff.go:60-85, 521-561): a type/key divergence is
+    # not ALTER-able online — the reference emits a manual-intervention
+    # suggestion, not SQL
+    if (src.table_type == "PARTITIONED") != (tgt.table_type == "PARTITIONED"):
+        r.partition_mismatch = (
+            f"partition type mismatch: source={src.table_type} target={tgt.table_type}"
+            " — manual intervention required"
+        )
+        r.fix_sql.append(f"-- {r.partition_mismatch}")
+    elif src.table_type == "PARTITIONED" and (
+        src.partition_type != tgt.partition_type or src.partition_keys != tgt.partition_keys
+    ):
+        r.partition_mismatch = (
+            f"partition layout differs: source {src.partition_type}{src.partition_keys} "
+            f"vs target {tgt.partition_type}{tgt.partition_keys} — manual intervention required"
+        )
+        r.fix_sql.append(f"-- {r.partition_mismatch}")
+
+    # table comment (diff.go:87-109)
+    if src.comment != tgt.comment:
+        r.comment_mismatch = (src.comment, tgt.comment)
+        esc = src.comment.replace("'", "''")
+        r.fix_sql.append(f"ALTER TABLE `{tname}` COMMENT '{esc}';")
+
+    # column comments (gathered with columns in the reference's catalog
+    # read, DBA_COL_COMMENTS join at database/oracle/reverse.go:548-571)
+    for name in sorted(src_cols.keys() & tgt_cols.keys()):
+        s, t = src_cols[name], tgt_cols[name]
+        if s.comment != t.comment:
+            r.column_comment_mismatches.append((name, s.comment, t.comment))
+            expected = resolve_type(src.schema, src.name, s, rules)
+            esc = s.comment.replace("'", "''")
+            r.fix_sql.append(
+                f"ALTER TABLE `{tname}` MODIFY COLUMN `{name.lower()}` {expected} COMMENT '{esc}';"
+            )
+
+    # charset/collation (diff.go:111-145): expected target collation is
+    # the R8 mapping of the source's Oracle collation class onto the
+    # target charset
+    if src.collation and tgt.charset:
+        from transferdb_spark.rules.collation import oracle_to_mysql_collation
+
+        expected_coll = oracle_to_mysql_collation(src.collation, tgt.charset)
+        actual_coll = (tgt.collation or "").upper()
+        if actual_coll and actual_coll != expected_coll:
+            r.collation_mismatch = (expected_coll, actual_coll)
+            r.fix_sql.append(
+                f"ALTER TABLE `{tname}` CHARACTER SET {tgt.charset.lower()} "
+                f"COLLATE {expected_coll.lower()};"
+            )
 
     return r
 
