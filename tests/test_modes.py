@@ -58,6 +58,69 @@ def test_reverse_quarantines_incompatible(catalog):
     assert len(res.ddl) == 1  # nation still converted, bitmap index skipped
 
 
+def test_reverse_m2o_generates_oracle_ddl():
+    """M2O direction (reference module/reverse/mysql/m2o/rule.go):
+    MySQL-typed catalog → Oracle DDL with constraints, indexes and
+    COMMENT ON statements; ENUM/SET tables quarantined whole."""
+    from transferdb_spark.catalog.meta import ConstraintMeta, IndexMeta, TableMeta
+    from transferdb_spark.modes.reverse import reverse_tables_m2o
+    from transferdb_spark.rules.datatypes import OracleColumn
+
+    users = TableMeta(
+        schema="app",
+        name="users",
+        columns=[
+            OracleColumn("id", "BIGINT", nullable=False),
+            OracleColumn("name", "VARCHAR", data_length=128, nullable=False, comment="login"),
+            OracleColumn("balance", "DECIMAL", data_precision=12, data_scale=2),
+            OracleColumn("created", "DATETIME", default="CURRENT_TIMESTAMP"),
+            OracleColumn("bio", "TEXT"),
+        ],
+        constraints=[
+            ConstraintMeta(name="pk_users", ctype="P", columns=("id",)),
+            ConstraintMeta(name="uk_users_name", ctype="U", columns=("name",)),
+            ConstraintMeta(
+                name="fk_users_org",
+                ctype="R",
+                columns=("org_id",),
+                r_table="orgs",
+                r_columns=("id",),
+                delete_rule="CASCADE",
+            ),
+            ConstraintMeta(name="ck_bal", ctype="C", search_condition="balance >= 0"),
+        ],
+        indexes=[IndexMeta(name="ix_users_created", columns=("created",))],
+        comment="user accounts",
+    )
+    legacy = TableMeta(
+        schema="app",
+        name="legacy",
+        columns=[
+            OracleColumn("id", "INT"),
+            OracleColumn("status", "ENUM"),
+            OracleColumn("flags", "SET"),
+        ],
+    )
+    res = reverse_tables_m2o({"users": users, "legacy": legacy})
+    ddl = "\n".join(res.ddl)
+    assert '"ID" NUMBER(19,0) NOT NULL' in ddl
+    assert '"NAME" VARCHAR2(128) NOT NULL' in ddl
+    assert '"BALANCE" NUMBER(12,2)' in ddl
+    assert '"CREATED" DATE DEFAULT SYSDATE' in ddl
+    assert '"BIO" CLOB' in ddl
+    assert 'CONSTRAINT "PK_USERS" PRIMARY KEY ("ID")' in ddl
+    assert 'CONSTRAINT "UK_USERS_NAME" UNIQUE ("NAME")' in ddl
+    assert 'REFERENCES "APP"."ORGS" ("ID") ON DELETE CASCADE' in ddl
+    assert 'CONSTRAINT "CK_BAL" CHECK (balance >= 0)' in ddl
+    assert 'CREATE INDEX "IX_USERS_CREATED" ON "APP"."USERS" ("CREATED");' in ddl
+    assert "COMMENT ON TABLE \"APP\".\"USERS\" IS 'user accounts';" in ddl
+    assert "COMMENT ON COLUMN \"APP\".\"USERS\".\"NAME\" IS 'login';" in ddl
+    # ENUM/SET table quarantined whole, no DDL emitted for it
+    assert "LEGACY" not in ddl.upper()
+    assert any("ENUM/SET" in c and "STATUS" in c.upper() for c in res.compatibility)
+    assert not res.errors
+
+
 def test_check_detects_struct_drift(catalog):
     import dataclasses
 

@@ -127,6 +127,77 @@ def test_cdc_apply_upsert_and_no_target_rescan(spark, tmp_path, source_dir, even
     assert got["value"] == 123456.789 and got["event_id"] == 5_000_000
 
 
+def test_redo_parser_roundtrip():
+    """T5 — LogMiner redo text → structured stmt → MySQL translation
+    (reference sqlparser.go:34-189 + translate.go:149-334)."""
+    from transferdb_spark.streaming.redo import parse_redo, translate_stmt
+
+    ins = parse_redo(
+        """insert into "MARVIN"."T1"("ID","NAME","TS") values ('1','it''s ok',TO_DATE('2024-01-02 03:04:05', 'YYYY-MM-DD HH24:MI:SS'));"""
+    )
+    assert (ins.operation, ins.schema, ins.table) == ("INSERT", "MARVIN", "T1")
+    assert ins.data == {"ID": "1", "NAME": "it's ok", "TS": "2024-01-02 03:04:05"}
+    assert translate_stmt(ins) == [
+        "REPLACE INTO `marvin`.`t1` (`id`, `name`, `ts`) VALUES (1, 'it''s ok', '2024-01-02 03:04:05');"
+    ]
+
+    upd = parse_redo(
+        """update "MARVIN"."T1" set "NAME" = 'x', "V" = NULL where "ID" = '1' and "NAME" = 'old' and "V" IS NULL;"""
+    )
+    assert upd.operation == "UPDATE"
+    assert upd.data == {"NAME": "x", "V": None}
+    assert upd.before == {"ID": "1", "NAME": "old", "V": None}
+    sqls = translate_stmt(upd)
+    assert sqls[0] == "BEGIN;" and sqls[-1] == "COMMIT;"
+    assert "DELETE FROM `marvin`.`t1` WHERE `id` = 1 AND `name` = 'old' AND `v` IS NULL;" in sqls
+    assert "REPLACE INTO `marvin`.`t1` (`id`, `name`, `v`) VALUES (1, 'x', NULL);" in sqls
+
+    dele = parse_redo("""delete from "MARVIN"."T1" where "ID" = '7';""")
+    assert dele.operation == "DELETE" and dele.before == {"ID": "7"}
+    assert translate_stmt(dele) == ["DELETE FROM `marvin`.`t1` WHERE `id` = 7;"]
+
+    trunc = parse_redo('truncate table "MARVIN"."T1"')
+    assert trunc.operation == "TRUNCATE"
+    assert translate_stmt(trunc) == ["TRUNCATE TABLE `marvin`.`t1`;"]
+    drop = parse_redo('drop table "MARVIN"."T1"')
+    assert translate_stmt(drop) == ["DROP TABLE `marvin`.`t1`;"]
+
+
+def test_redo_stream_to_changes_distributed(spark):
+    """Executor-side parse: change rows come back typed, bad statements
+    are quarantined as ERROR rows, and the apply path can fold the
+    change log into a final state."""
+    from transferdb_spark.streaming.redo import redo_stream_to_changes
+
+    redo = [
+        (100, """insert into "M"."ACC"("ID","BAL") values ('1','10');"""),
+        (101, """insert into "M"."ACC"("ID","BAL") values ('2','20');"""),
+        (102, """update "M"."ACC" set "BAL" = '15' where "ID" = '1' and "BAL" = '10';"""),
+        (103, """delete from "M"."ACC" where "ID" = '2' and "BAL" = '20';"""),
+        (104, "garbage not sql"),
+    ]
+    df = spark.createDataFrame(redo, "scn long, sql_redo string")
+    changes = redo_stream_to_changes(df).collect()
+    by_scn = {r["scn"]: r for r in changes}
+    assert by_scn[100]["operation"] == "INSERT"
+    assert by_scn[102]["operation"] == "UPDATE"
+    assert by_scn[104]["operation"] == "ERROR"  # quarantined, not raised
+
+    # fold the change log into final state (latest-wins apply semantics)
+    import json as j
+
+    state: dict[str, dict] = {}
+    for r in sorted((r for r in changes if r["operation"] != "ERROR"), key=lambda r: r["scn"]):
+        data, before = j.loads(r["data_json"]), j.loads(r["before_json"])
+        if r["operation"] == "INSERT":
+            state[data["ID"]] = data
+        elif r["operation"] == "UPDATE":
+            state[before["ID"]] = {**before, **data}
+        elif r["operation"] == "DELETE":
+            state.pop(before["ID"], None)
+    assert state == {"1": {"ID": "1", "BAL": "15"}}
+
+
 def test_op_filter_gate(spark, events):
     from transferdb_spark.streaming.incr import OP_WHITELIST, filter_ops
 

@@ -112,6 +112,104 @@ def gen_create_table_spark(t: TableMeta, case_policy: int = 1) -> str:
     )
 
 
+def gen_create_table_oracle(
+    t: TableMeta, target_schema: str = ""
+) -> tuple[list[str], list[str]]:
+    """M2O reverse: MySQL-typed catalog → Oracle DDL statements.
+
+    Completes the reverse direction the reference implements in
+    /root/reference/module/reverse/mysql/m2o/rule.go:46-613 (column gen
+    390-550, keys 115-318, comments 365-388/551-588) — Oracle dialect:
+    upper-case double-quoted identifiers, inline CONSTRAINT clauses,
+    separate CREATE INDEX and COMMENT ON statements.
+
+    Returns (statements, compatibility_notes). A table containing
+    ENUM/SET columns is quarantined whole — Oracle has no equivalent
+    (common/reverse.go:362 OracleIsNotSupportDataType) — mirroring the
+    O2M quarantine flow rather than emitting lossy DDL.
+    """
+    from transferdb_spark.rules.datatypes import M2O_UNSUPPORTED, map_mysql_to_oracle_type
+    from transferdb_spark.rules.defaults import rewrite_default_m2o
+
+    schema = (target_schema or t.schema).upper()
+    qtable = f'"{schema}"."{t.name.upper()}"'
+    compat: list[str] = []
+
+    bad = [c.name for c in t.columns if c.data_type.upper() in M2O_UNSUPPORTED]
+    if bad:
+        compat.append(
+            f"-- table {t.name}: columns {', '.join(bad)} use ENUM/SET — "
+            f"oracle has no equivalent (OracleIsNotSupportDataType); manual conversion required"
+        )
+        return [], compat
+
+    lines: list[str] = []
+    comments: list[str] = []
+    for c in t.columns:
+        otype = map_mysql_to_oracle_type(
+            c.data_type,
+            length=c.data_length or c.char_length,
+            precision=c.data_precision if c.data_precision is not None else 10,
+            scale=c.data_scale if c.data_scale is not None else 0,
+        )
+        parts = [f'"{c.name.upper()}"', otype]
+        if c.default is not None:
+            string_typed = any(k in otype for k in ("CHAR", "CLOB"))
+            parts.append(f"DEFAULT {rewrite_default_m2o(c.default, string_typed)}")
+        if not c.nullable:
+            parts.append("NOT NULL")
+        lines.append("  " + " ".join(parts))
+        if c.comment:
+            esc = c.comment.replace("'", "''")
+            comments.append(f"COMMENT ON COLUMN {qtable}.\"{c.name.upper()}\" IS '{esc}';")
+
+    for con in t.constraints:
+        cols = ", ".join(f'"{x.upper()}"' for x in con.columns)
+        cname = f'"{con.name.upper()}"'
+        if con.ctype == "P":
+            lines.append(f"  CONSTRAINT {cname} PRIMARY KEY ({cols})")
+        elif con.ctype == "U":
+            lines.append(f"  CONSTRAINT {cname} UNIQUE ({cols})")
+        elif con.ctype == "R":
+            rcols = ", ".join(f'"{x.upper()}"' for x in con.r_columns)
+            fk = (
+                f"  CONSTRAINT {cname} FOREIGN KEY ({cols}) "
+                f'REFERENCES "{schema}"."{con.r_table.upper()}" ({rcols})'
+            )
+            if con.delete_rule and con.delete_rule != "NO ACTION":
+                fk += f" ON DELETE {con.delete_rule}"
+            lines.append(fk)
+        elif con.ctype == "C" and con.search_condition:
+            if "IS NOT NULL" not in con.search_condition.upper():
+                lines.append(f"  CONSTRAINT {cname} CHECK ({con.search_condition})")
+
+    stmts = [f"CREATE TABLE {qtable} (\n" + ",\n".join(lines) + "\n);"]
+    for ix in t.indexes:
+        cols = ", ".join(f'"{x.upper()}"' for x in ix.columns)
+        kind = "CREATE UNIQUE INDEX" if ix.unique else "CREATE INDEX"
+        stmts.append(f'{kind} "{ix.name.upper()}" ON {qtable} ({cols});')
+    if t.comment:
+        esc = t.comment.replace("'", "''")
+        stmts.append(f"COMMENT ON TABLE {qtable} IS '{esc}';")
+    stmts.extend(comments)
+    return stmts, compat
+
+
+def reverse_tables_m2o(
+    catalog: dict[str, TableMeta], target_schema: str = ""
+) -> ReverseResult:
+    """Convert a MySQL-typed catalog to Oracle DDL; quarantine, never abort."""
+    out = ReverseResult()
+    for name, t in sorted(catalog.items()):
+        try:
+            stmts, compat = gen_create_table_oracle(t, target_schema)
+            out.ddl.extend(stmts)
+            out.compatibility.extend(compat)
+        except Exception as e:  # error_log_detail semantics
+            out.errors.append(f"{t.name}: {e}")
+    return out
+
+
 def reverse_tables(
     catalog: dict[str, TableMeta], rules: RuleSet | None = None, case_policy: int = 1
 ) -> ReverseResult:

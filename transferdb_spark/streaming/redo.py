@@ -1,0 +1,322 @@
+"""T5 — LogMiner redo-SQL text → structured change records.
+
+The reference parses `SQL_REDO` strings with a TiDB-parser AST visitor
+into {operation, schema, table, data, before}
+(/root/reference/module/migrate/sql/oracle/public/sqlparser.go:34-189)
+and translates them to target-dialect statements — INSERT → REPLACE,
+UPDATE → DELETE+REPLACE in one txn, DDL whitelist passthrough
+(/root/reference/module/migrate/sql/oracle/o2m/translate.go:149-334).
+
+This engine's native CDC path carries structured before/after images
+(streaming/incr.py), which is the right Spark shape — but real LogMiner
+output IS SQL text, so this module closes the gap: a dependency-free
+parser for the restricted grammar LogMiner emits (single-table INSERT /
+UPDATE / DELETE with literal values, AND-ed equality WHERE,
+TRUNCATE/DROP), exposed three ways:
+
+- parse_redo(sql)             -> RedoStmt            (driver/unit scale)
+- redo_stream_to_changes(df)  -> DataFrame of change rows (executor-side
+  Arrow batches via mapInPandas — parsing is genuinely non-relational,
+  so this is the sanctioned Pandas-UDF escape hatch; at 100 TB the
+  parse is a narrow map fused with the scan, no shuffle)
+- translate_stmt(stmt)        -> target MySQL statements (fix/apply text)
+
+LogMiner literal forms handled: 'str' with '' escaping, numbers, NULL,
+TO_DATE('v','fmt') / TO_TIMESTAMP('v') / HEXTORAW('v') (first literal
+argument wins), "QUOTED"."IDENTIFIERS", `IS NULL` in WHERE.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+        (?P<string>'(?:[^']|'')*')
+      | (?P<qident>"[^"]*")
+      | (?P<number>-?\d+(?:\.\d+)?)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_$#]*)
+      | (?P<punct>[(),.;=])
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(sql: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            if sql[pos:].strip() == "":
+                break
+            raise ValueError(f"unparseable redo SQL at offset {pos}: {sql[pos:pos+32]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    return out
+
+
+@dataclass
+class RedoStmt:
+    """Mirror of the reference's Stmt (sqlparser.go:50-58)."""
+
+    operation: str = ""
+    schema: str = ""
+    table: str = ""
+    data: dict[str, str | None] = field(default_factory=dict)  # after image
+    before: dict[str, str | None] = field(default_factory=dict)  # key image
+
+
+class _P:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect_word(self, *words: str) -> str:
+        kind, val = self.next()
+        if kind != "word" or val.upper() not in words:
+            raise ValueError(f"expected {words}, got {val!r}")
+        return val.upper()
+
+    def expect_punct(self, p: str) -> None:
+        kind, val = self.next()
+        if kind != "punct" or val != p:
+            raise ValueError(f"expected {p!r}, got {val!r}")
+
+    def ident(self) -> str:
+        kind, val = self.next()
+        if kind == "qident":
+            return val[1:-1].upper()
+        if kind == "word":
+            return val.upper()
+        raise ValueError(f"expected identifier, got {val!r}")
+
+    def table_name(self) -> tuple[str, str]:
+        first = self.ident()
+        if self.peek() == ("punct", "."):
+            self.next()
+            return first, self.ident()
+        return "", first
+
+    def literal(self) -> str | None:
+        """One literal value; function-wrapped literals (TO_DATE,
+        TO_TIMESTAMP, HEXTORAW, ...) yield their first argument."""
+        kind, val = self.next()
+        if kind == "string":
+            return val[1:-1].replace("''", "'")
+        if kind == "number":
+            return val
+        if kind == "word":
+            if val.upper() == "NULL":
+                return None
+            if self.peek() == ("punct", "("):  # FUNC(arg, ...)
+                self.next()
+                depth, first = 1, None
+                while depth:
+                    k, v = self.next()
+                    if k == "punct" and v == "(":
+                        depth += 1
+                    elif k == "punct" and v == ")":
+                        depth -= 1
+                    elif first is None and k in ("string", "number"):
+                        first = v[1:-1].replace("''", "'") if k == "string" else v
+                return first
+            return val  # bare keyword-ish literal
+        raise ValueError(f"expected literal, got {val!r}")
+
+    def where_conjunction(self) -> dict[str, str | None]:
+        """AND-ed predicates: col = literal | col IS NULL
+        (beforeData, sqlparser.go:160-189)."""
+        out: dict[str, str | None] = {}
+        while True:
+            col = self.ident()
+            kind, val = self.next()
+            if kind == "punct" and val == "=":
+                out[col] = self.literal()
+            elif kind == "word" and val.upper() == "IS":
+                self.expect_word("NULL")
+                out[col] = None
+            else:
+                raise ValueError(f"unsupported WHERE operator {val!r}")
+            k, v = self.peek()
+            if k == "word" and v.upper() == "AND":
+                self.next()
+                continue
+            return out
+
+
+def parse_redo(sql: str) -> RedoStmt:
+    """Parse one LogMiner redo statement into its structured form."""
+    p = _P(_lex(sql))
+    stmt = RedoStmt()
+    kind, first = p.peek()
+    op = first.upper() if kind == "word" else ""
+
+    if op == "INSERT":
+        p.next()
+        p.expect_word("INTO")
+        stmt.operation = "INSERT"
+        stmt.schema, stmt.table = p.table_name()
+        cols = []
+        p.expect_punct("(")
+        while True:
+            cols.append(p.ident())
+            k, v = p.next()
+            if (k, v) == ("punct", ")"):
+                break
+        p.expect_word("VALUES")
+        p.expect_punct("(")
+        vals = []
+        while True:
+            vals.append(p.literal())
+            k, v = p.next()
+            if (k, v) == ("punct", ")"):
+                break
+        if len(cols) != len(vals):
+            raise ValueError(f"column/value arity mismatch: {len(cols)} vs {len(vals)}")
+        stmt.data = dict(zip(cols, vals))
+    elif op == "UPDATE":
+        p.next()
+        stmt.operation = "UPDATE"
+        stmt.schema, stmt.table = p.table_name()
+        p.expect_word("SET")
+        while True:
+            col = p.ident()
+            p.expect_punct("=")
+            stmt.data[col] = p.literal()
+            k, v = p.peek()
+            if (k, v) == ("punct", ","):
+                p.next()
+                continue
+            break
+        p.expect_word("WHERE")
+        stmt.before = p.where_conjunction()
+    elif op == "DELETE":
+        p.next()
+        p.expect_word("FROM")
+        stmt.operation = "DELETE"
+        stmt.schema, stmt.table = p.table_name()
+        p.expect_word("WHERE")
+        stmt.before = p.where_conjunction()
+    elif op == "TRUNCATE":
+        p.next()
+        p.expect_word("TABLE")
+        stmt.operation = "TRUNCATE"
+        stmt.schema, stmt.table = p.table_name()
+    elif op == "DROP":
+        p.next()
+        p.expect_word("TABLE")
+        stmt.operation = "DROP"
+        stmt.schema, stmt.table = p.table_name()
+    else:
+        raise ValueError(f"unsupported redo operation: {sql[:40]!r}")
+    return stmt
+
+
+CHANGE_SCHEMA = (
+    "scn long, operation string, schema_name string, table_name string, "
+    "data_json string, before_json string"
+)
+
+
+def redo_stream_to_changes(df: DataFrame, sql_col: str = "sql_redo", scn_col: str = "scn") -> DataFrame:
+    """Executor-side parse of a (scn, sql_redo) relation into structured
+    change rows — the bridge from LogMiner text to the engine's native
+    CDC apply (streaming/incr.py). Unparseable statements surface as
+    operation='ERROR' with the message in data_json (the reference
+    quarantines per-record errors instead of aborting,
+    error_log_detail)."""
+
+    def parse_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for scn, sql in zip(pdf[scn_col], pdf[sql_col]):
+                try:
+                    st = parse_redo(sql)
+                    rows.append(
+                        (
+                            int(scn),
+                            st.operation,
+                            st.schema,
+                            st.table,
+                            json.dumps(st.data),
+                            json.dumps(st.before),
+                        )
+                    )
+                except Exception as e:  # quarantine, don't abort the batch
+                    rows.append((int(scn), "ERROR", "", "", json.dumps({"error": str(e)}), "{}"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "scn",
+                    "operation",
+                    "schema_name",
+                    "table_name",
+                    "data_json",
+                    "before_json",
+                ],
+            )
+
+    return df.mapInPandas(parse_batches, schema=CHANGE_SCHEMA)
+
+
+def _mysql_lit(v: str | None) -> str:
+    if v is None:
+        return "NULL"
+    if re.fullmatch(r"-?\d+(\.\d+)?", v):
+        return v
+    return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def translate_stmt(stmt: RedoStmt, target_schema: str = "") -> list[str]:
+    """RedoStmt → target MySQL statements (translate.go:149-334):
+    INSERT → REPLACE (safe-mode idempotence), UPDATE → DELETE + REPLACE
+    as one transaction, DELETE → DELETE, TRUNCATE/DROP passthrough."""
+    tbl = f"`{(target_schema or stmt.schema).lower()}`.`{stmt.table.lower()}`"
+
+    def where(before: dict[str, str | None]) -> str:
+        return " AND ".join(
+            f"`{c.lower()}` IS NULL" if v is None else f"`{c.lower()}` = {_mysql_lit(v)}"
+            for c, v in before.items()
+        )
+
+    def replace_into(data: dict[str, str | None]) -> str:
+        cols = ", ".join(f"`{c.lower()}`" for c in data)
+        vals = ", ".join(_mysql_lit(v) for v in data.values())
+        return f"REPLACE INTO {tbl} ({cols}) VALUES ({vals});"
+
+    if stmt.operation == "INSERT":
+        return [replace_into(stmt.data)]
+    if stmt.operation == "DELETE":
+        return [f"DELETE FROM {tbl} WHERE {where(stmt.before)};"]
+    if stmt.operation == "UPDATE":
+        # the after image is the before image overlaid with SET values
+        after = {**stmt.before, **stmt.data}
+        return [
+            "BEGIN;",
+            f"DELETE FROM {tbl} WHERE {where(stmt.before)};",
+            replace_into(after),
+            "COMMIT;",
+        ]
+    if stmt.operation == "TRUNCATE":
+        return [f"TRUNCATE TABLE {tbl};"]
+    if stmt.operation == "DROP":
+        return [f"DROP TABLE {tbl};"]
+    raise ValueError(f"untranslatable operation: {stmt.operation}")
