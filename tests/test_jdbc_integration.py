@@ -1,0 +1,97 @@
+"""Embedded-JDBC integration: execute the chunk-predicate read and
+batched-write paths against a real database (Apache Derby, embedded in
+the Spark JVM — the same jars Spark ships for its metastore).
+
+This closes the gap the plan-only unit tests leave: the reference's
+entire hot path is chunked SELECTs against a live DB and batched
+writes back (/root/reference/module/migrate/sql/oracle/o2m/
+table.go:89-216, /root/reference/database/mysql/full.go:22-35); here
+the same JdbcSource/JdbcSink objects drive a real JDBC round-trip.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(DERBY_DRIVER)
+        return True
+    except Exception:
+        return False
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    if not _derby_available(spark):
+        pytest.skip("no embedded Derby driver on the Spark classpath")
+    d = tmp_path_factory.mktemp("derby")
+    return f"jdbc:derby:{d}/testdb;create=true"
+
+
+def test_jdbc_write_then_chunked_read_roundtrip(spark, sf_dir, derby_url):
+    from transferdb_spark.plans.chunker import plan_chunks, quoted_chunks
+    from transferdb_spark.sources.jdbc import JdbcSink, JdbcSource
+    from transferdb_spark.sources.registry import load_table
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+
+    # batched write: one txn per partition, prepared inserts inside the
+    # JVM writer (the reference's multi-row INSERT pipeline)
+    sink = JdbcSink(url=derby_url, table="CUSTOMER", driver=DERBY_DRIVER, batch_size=500)
+    sink.write(src.coalesce(2), mode="overwrite")
+
+    # chunked read: one Spark partition per chunk predicate, range
+    # WHERE pushed into the database (DBMS_PARALLEL_EXECUTE analogue);
+    # Spark's JDBC writer quoted the column names, so quote the key
+    chunks = quoted_chunks(plan_chunks(src, "c_custkey", 4), "c_custkey")
+    jdbc_src = JdbcSource(url=derby_url, table="CUSTOMER", driver=DERBY_DRIVER)
+    back = jdbc_src.load(spark, chunks=chunks)
+
+    assert back.rdd.getNumPartitions() == len(chunks)  # partition-per-chunk
+    assert back.count() == src.count()
+    # full fidelity through the JDBC round-trip (modulo column case)
+    back_n = back.toDF(*[c.lower() for c in back.columns])
+    assert back_n.exceptAll(src).count() == 0
+    assert src.exceptAll(back_n).count() == 0
+
+
+def test_jdbc_migrate_then_compare_over_jdbc(spark, sf_dir, derby_url, tmp_path):
+    """The reference's own correctness loop (full then compare) with the
+    target living behind JDBC: mutate the migrated table in the
+    database via SQL, then compare source vs JDBC-read target and
+    check the damage is found."""
+    from transferdb_spark.modes.compare_mode import compare_tables
+    from transferdb_spark.sources.jdbc import JdbcSink, JdbcSource
+    from transferdb_spark.sources.registry import load_table
+
+    src = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    sink = JdbcSink(url=derby_url, table="NATION", driver=DERBY_DRIVER)
+    sink.write(src.coalesce(1), mode="overwrite")
+
+    # damage the target through plain JDBC (driver-side, tiny)
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.executeUpdate('DELETE FROM NATION WHERE "n_nationkey" = 7')
+    st.executeUpdate('UPDATE NATION SET "n_regionkey" = 99 WHERE "n_nationkey" = 3')
+    st.close()
+    conn.close()
+
+    tgt = JdbcSource(url=derby_url, table="NATION", driver=DERBY_DRIVER).load(spark)
+    tgt = tgt.toDF(*[c.lower() for c in tgt.columns])
+
+    report = compare_tables(
+        spark, src, tgt, "nation_jdbc", str(tmp_path), key="n_nationkey", n_chunks=4
+    )
+    assert not report.is_equal
+    # deleted row 7 and modified row 3 -> 2 inserts, 1 delete
+    assert report.insert_rows == 2
+    assert report.delete_rows == 1
+    text = open(report.fix_sql_path).read()
+    assert "INSERT INTO nation_jdbc" in text and "DELETE FROM nation_jdbc" in text

@@ -75,6 +75,16 @@ def plan_chunks(
     return chunks
 
 
+def quoted_chunks(chunks: list[Chunk], key: str, quote: str = '"') -> list[Chunk]:
+    """Rewrite chunk predicates with quoted key identifiers for
+    case-sensitive JDBC dialects (Spark's JDBC writer quotes column
+    names on CREATE, so a bare lower-case key no longer resolves)."""
+    return [
+        Chunk(c.chunk_id, c.lower, c.upper, c.predicate.replace(key, f"{quote}{key}{quote}"))
+        for c in chunks
+    ]
+
+
 def chunk_id_col(key: str, lo: int, width: int, n_chunks: int) -> Column:
     """chunk_id as a Column — exact *integer* division (`div`), never
     double math: at 64-bit key ranges a double quotient would lose
