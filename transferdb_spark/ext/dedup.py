@@ -318,18 +318,22 @@ def ngram_jaccard_rare_pairs(docs: DataFrame, threshold: float = 0.5, df_cap: in
     carry the least similarity signal. Capping df bounds per-shingle
     join fan-out at df_cap^2 while the per-doc denominator counts only
     rare shingles — semantics the oracle mirrors exactly."""
+    from pyspark.sql.window import Window
+
+    # persist BEFORE the df-count so tokenize+shingle (the expensive
+    # narrow stage) runs once, not once per consumer; df filtering and
+    # the per-doc rare count are windows over the exploded relation —
+    # each is one shuffle, replacing the groupBy+join pairs (two fewer
+    # shuffles and no broadcast of the rare-shingle set)
     arr = _shingled(docs).select(
         "doc_id", F.explode(F.expr(SHINGLE_HASHES)).alias("shingle")
-    )
-    rare = (
-        arr.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    ).persist()
+    kept = (
+        arr.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .filter(F.col("df") <= df_cap)
-        .select("shingle")
+        .drop("df")
     )
-    kept = arr.join(rare, "shingle").persist()
-    n_rare = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh = kept.join(n_rare, "doc_id")
+    sh = kept.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(
