@@ -2032,6 +2032,48 @@ def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh_multiprobe(_t(spark, sf_dir, "embeddings"), 0, 10)
 
 
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup output: surviving doc per exact-dup group."""
+    from transferdb_spark.ext.dedup import exact_dedup_survivors
+
+    return exact_dedup_survivors(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over SimHash near-dup pairs: Spark's
+    iterative min-label propagation vs the oracle's recursive-CTE
+    transitive-closure fixpoint — two independent formulations of the
+    same clustering must agree."""
+    from transferdb_spark.ext.dedup import neardup_clusters
+
+    pairs = simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    return neardup_clusters(pairs).orderBy("doc_id")
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_simhash_neardup_sql()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferdb_spark.ext.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def assess_identifier_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 family — identifier-length audit (the reference flags names
     over the target's 64-char cap, assess.go:422-481). Spark's schema
@@ -2800,10 +2842,12 @@ ORDER BY c_custkey
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
+        EXACT_SURVIVORS_SQL,
         minhash_lsh_sql,
         ngram_jaccard_rare_sql,
         ngram_jaccard_sql,
     )
+    from transferdb_spark.ext.text import tfidf_top_terms_sql
     from transferdb_spark.ext.similarity import (
         EMBEDDING_NORMS_SQL,
         ann_topk_ivf_sql,
@@ -2826,6 +2870,9 @@ def _ext_oracle_sql() -> dict[str, str]:
         "text_lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
         "dedup_exact": EXACT_DEDUP_SUMMARY_SQL,
+        "dedup_keep_first": EXACT_SURVIVORS_SQL,
+        "dedup_clusters": _dedup_clusters_sql(),
+        "text_tfidf_top_terms": tfidf_top_terms_sql(5),
         "dedup_ngram_jaccard": ngram_jaccard_rare_sql(0.5),
         "dedup_ngram_jaccard_exact": ngram_jaccard_sql(0.5),
         "dedup_minhash_lsh": minhash_lsh_sql(),
@@ -2862,6 +2909,9 @@ EXT_QUERIES = {
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
+    "dedup_keep_first": dedup_keep_first,
+    "dedup_clusters": dedup_clusters,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_exact": dedup_ngram_jaccard_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,

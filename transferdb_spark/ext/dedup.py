@@ -94,6 +94,95 @@ HAVING COUNT(*) > 1
 """
 
 
+def exact_dedup_survivors(docs: DataFrame) -> DataFrame:
+    """Keep-first dedup policy: the surviving doc per digest group
+    (min doc_id — deterministic, engine-stable). This is the actual
+    *output* of a dedup pipeline: the cleaned corpus keyed by survivor.
+    Map-side partial min per digest; shuffle carries one row per
+    distinct digest."""
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    digest = portable_hash64(F.trim(F.lower(F.col("text"))))
+    return (
+        docs.select(digest.alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .select("doc_id", "group_size")
+    )
+
+
+EXACT_SURVIVORS_SQL = f"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+FROM documents
+GROUP BY {_h64_duck('trim(lower(text))')}
+"""
+
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair relation → per-doc
+    cluster label (the min doc_id reachable through any chain of
+    near-dup edges). THE canonical dedup decision structure: 'a~b and
+    b~c' must collapse a, b, c together even when a≁c directly.
+
+    Spark-first shape: iterative min-label propagation — each round is
+    one join+groupBy (label(v) ← min over v and its neighbours), and
+    rounds needed = graph diameter. Banded near-dup graphs are dense
+    within clusters (diameter is small); for adversarial long-chain
+    graphs switch to pointer-doubling (log D rounds). Converges ≤
+    max_iter or raises — never silently wrong.
+
+    Non-SQL-expressible iteratively, but the ORACLE can state the same
+    fixpoint as a recursive CTE (min over the transitive closure), so
+    the two independent formulations check each other."""
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("a"), F.col("doc_b").cast("long").alias("b")
+    )
+    # localCheckpoint (eager) on every iteration output: iterative
+    # DataFrames otherwise grow their logical plan geometrically (each
+    # round references the previous labels three times), and plan
+    # processing alone OOMs the driver after ~10 rounds. Checkpointing
+    # truncates lineage to the materialized blocks — the standard
+    # pattern for iterative algorithms on DataFrames (production
+    # clusters would use a reliable checkpoint dir).
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(labels["label"], F.coalesce(neigh["nl"], labels["label"])).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds — "
+            "use pointer-doubling for long-chain graphs"
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def exact_dedup_summary(docs: DataFrame) -> DataFrame:
     """One-row dedup accounting: total docs, distinct digests, dup docs.
 

@@ -162,3 +162,58 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS INT) AS bpe_tokens
 FROM documents
 """
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k terms per language by tf-idf (linear idf: tf · N/df).
+
+    The linear-idf form keeps the score inside exact IEEE multiply/
+    divide of integers, so two engines rank identically — log-idf would
+    hang the correctness gate on libm ulp differences without changing
+    the ordering. tf = corpus term frequency within the language,
+    df = documents containing the term (any language), N = corpus size.
+
+    Scale shape: explode → two partial-agg groupBys (term and
+    lang×term) → broadcast-size join on term → per-lang top-k window.
+    The explode never leaves the stage that scans the doc."""
+    from pyspark.sql.window import Window
+
+    n = docs.count()  # one scalar to the driver (catalog-stat analogue)
+    ex = (
+        docs.select("doc_id", "lang", F.explode(F.expr(TOKENS)).alias("term"))
+        .filter(F.col("term") != "")
+        .persist()
+    )
+    tf = ex.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = ex.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf").cast("double") * F.lit(float(n)) / F.col("df"), 4),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("lang", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 5) -> str:
+    return f"""
+WITH ex AS (
+  SELECT doc_id, lang, unnest({TOKENS_SQL}) AS term FROM documents
+),
+exf AS (SELECT * FROM ex WHERE term <> ''),
+tf AS (SELECT lang, term, COUNT(*) AS tf FROM exf GROUP BY 1, 2),
+dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM exf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+sc AS (
+  SELECT lang, term, tf, df,
+         round(CAST(tf AS DOUBLE) * n.n / df, 4) AS tfidf
+  FROM tf JOIN dfx USING (term), n
+)
+SELECT lang, term, tf, df, tfidf, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS INT) AS rk
+  FROM sc
+) WHERE rk <= {k}
+"""
