@@ -22,7 +22,7 @@ from transferdb_spark.operators.normalize import normalize_projection, normalize
 from transferdb_spark.plans.chunker import with_chunk_id
 from transferdb_spark.functions.canonical import row_string_sql
 from transferdb_spark.functions.hashing import portable_hash64_sql
-from transferdb_spark.sources.registry import load_table
+from transferdb_spark.sources.registry import TABLES, load_table
 
 # ---------------------------------------------------------------------------
 # static schemas (stable driver fixtures — TESTDATA.md)
@@ -112,8 +112,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -148,8 +148,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
@@ -207,7 +207,9 @@ ORDER BY 1
 def compare_chunk_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — commutative per-chunk checksum over canonical row strings."""
     li = _t(spark, sf_dir, "lineitem")
-    return chunk_checksums(li, "l_orderkey", N_CHUNKS).orderBy("chunk_id")
+    # portable=True: the checksum VALUES are compared against the
+    # DuckDB oracle, so both engines must hash bit-identically (md5)
+    return chunk_checksums(li, "l_orderkey", N_CHUNKS, portable=True).orderBy("chunk_id")
 
 
 _ROWHASH_SQL = portable_hash64_sql(row_string_sql(LINEITEM_SCHEMA))
@@ -377,6 +379,86 @@ ORDER BY order_cnt DESC, o_custkey
 """
 
 
+def _est_row_bytes(df: DataFrame):
+    """Per-row logical byte estimate from the schema — the engine-portable
+    DBA_SEGMENTS analogue (fixed widths for numerics/timestamps, octet
+    length for strings, 4B/element for float vectors)."""
+    import pyspark.sql.types as _T
+
+    total = F.lit(0)
+    for f in df.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, (_T.LongType, _T.DoubleType, _T.TimestampType, _T.TimestampNTZType)):
+            total = total + F.lit(8)
+        elif isinstance(dt, (_T.IntegerType, _T.FloatType, _T.DateType)):
+            total = total + F.lit(4)
+        elif isinstance(dt, _T.StringType):
+            total = total + F.coalesce(F.octet_length(F.col(f.name)), F.lit(0))
+        elif isinstance(dt, _T.ArrayType) and isinstance(dt.elementType, _T.FloatType):
+            total = total + F.coalesce(F.size(F.col(f.name)) * 4, F.lit(0))
+        else:  # fallback: stringified octet length
+            total = total + F.coalesce(F.octet_length(F.col(f.name).cast("string")), F.lit(0))
+    return total
+
+
+def assess_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 storage facet — per-table logical bytes + top-10 segments,
+    the SQL-checkable twin of the reference's DBA_SEGMENTS report
+    (/root/reference/database/oracle/assess.go:162-304). Production
+    assess (modes/assess.py) additionally reports physical parquet file
+    bytes; this query derives size from the data so the DuckDB oracle
+    can verify it. Each per-table branch is a single scan with a
+    map-side-combined global agg — no shuffle wider than one row."""
+    parts = []
+    for name in TABLES:
+        df = _t(spark, sf_dir, name)
+        parts.append(
+            df.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("row_cnt"),
+                F.sum(_est_row_bytes(df).cast("long")).alias("est_bytes"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return u.orderBy(F.desc("est_bytes"), "table_name").limit(10)
+
+
+ASSESS_STORAGE_SQL = """
+SELECT table_name, row_cnt, CAST(est_bytes AS BIGINT) AS est_bytes FROM (
+  SELECT 'region' AS table_name, COUNT(*) AS row_cnt,
+         SUM(4 + COALESCE(strlen(r_name), 0)) AS est_bytes FROM region
+  UNION ALL SELECT 'nation', COUNT(*),
+         SUM(4 + COALESCE(strlen(n_name), 0) + 4) FROM nation
+  UNION ALL SELECT 'customer', COUNT(*),
+         SUM(8 + COALESCE(strlen(c_name), 0) + 4 + 8
+             + COALESCE(strlen(c_mktsegment), 0)) FROM customer
+  UNION ALL SELECT 'supplier', COUNT(*),
+         SUM(8 + COALESCE(strlen(s_name), 0) + 4 + 8) FROM supplier
+  UNION ALL SELECT 'part', COUNT(*),
+         SUM(8 + COALESCE(strlen(p_name), 0) + COALESCE(strlen(p_brand), 0)
+             + COALESCE(strlen(p_type), 0) + 4 + 8) FROM part
+  UNION ALL SELECT 'orders', COUNT(*),
+         SUM(8 + 8 + COALESCE(strlen(o_orderstatus), 0) + 8 + 8
+             + COALESCE(strlen(o_orderpriority), 0)) FROM orders
+  UNION ALL SELECT 'lineitem', COUNT(*),
+         SUM(8 + 8 + 8 + 4 + 8 + 8 + 8 + 8
+             + COALESCE(strlen(l_returnflag), 0)
+             + COALESCE(strlen(l_linestatus), 0) + 8) FROM lineitem
+  UNION ALL SELECT 'events', COUNT(*),
+         SUM(8 + 8 + 8 + COALESCE(strlen(event_type), 0) + 8
+             + COALESCE(strlen(props), 0)) FROM events
+  UNION ALL SELECT 'documents', COUNT(*),
+         SUM(8 + COALESCE(strlen(text), 0) + COALESCE(strlen(lang), 0)
+             + COALESCE(strlen(source), 0) + 8) FROM documents
+  UNION ALL SELECT 'embeddings', COUNT(*),
+         SUM(8 + COALESCE(len(embedding) * 4, 0) + 4) FROM embeddings
+)
+ORDER BY est_bytes DESC, table_name LIMIT 10
+"""
+
+
 def listagg_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13 — LISTAGG WITHIN GROUP (ordered, deterministic)."""
     cust = _t(spark, sf_dir, "customer")
@@ -483,7 +565,7 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
     ).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
             F.sum(high).alias("high_line_count"),
@@ -510,7 +592,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
     )
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         (
             F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")
         ).alias("promo_pct")
@@ -537,8 +619,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 250)
     )
     return (
-        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(F.desc("total_qty"), "o_orderkey")
     )
@@ -636,8 +718,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == sn.s_nkey)
         .join(F.broadcast(cn), cust.c_nationkey == cn.c_nkey)
@@ -688,9 +770,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(DEC)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("c_nkey"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == F.col("s_nkey"))
@@ -735,10 +817,10 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(rev).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
@@ -770,8 +852,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -875,8 +957,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(qty_dec).alias("qty_sum"), F.count(F.lit(1)).alias("qty_cnt"))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(stats), li.l_partkey == stats.sp_key)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(stats, li.l_partkey == stats.sp_key)
         .filter(qty_dec * 5 * F.col("qty_cnt") < F.col("qty_sum"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0)).alias(
@@ -917,7 +999,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("cnt"))
     )
@@ -1527,7 +1609,7 @@ def q16_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -1592,7 +1674,7 @@ def q21_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("l_orderkey")
     enriched = li.join(
-        F.broadcast(orders.select("o_orderkey")), li.l_orderkey == F.col("o_orderkey")
+        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
     ).select(
         "l_orderkey",
         "l_suppkey",
@@ -2574,7 +2656,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     offers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(asia_supp), li.l_suppkey == asia_supp.s_suppkey)
         .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
@@ -2623,7 +2705,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
     qty = F.col("l_quantity").cast(DEC)
     shipped = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(qty).alias("supp_qty"))
     )
@@ -2952,7 +3034,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate samples the FIRST 50
+    # entries. The first 50 are a deliberate cross-section — TPC-H core,
+    # every engine family (normalize/chunk/compare/assess/window/setop/
+    # streaming-filter), and the north-star LLM-pipeline operators
+    # (dedup/ANN/text/asof/range/pipeline). Redundant TPC-H variants and
+    # metadata facets live below the fold.
     return {
+        # -- flagship + core engine families (1-30)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
@@ -2962,67 +3051,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_diff_inserts": compare_diff_inserts,
         "compare_diff_deletes": compare_diff_deletes,
         "compare_summary": compare_summary,
+        "compare_keyed_diff": compare_keyed_diff,
         "split_key_candidates": split_key_candidates,
         "assess_schema_overview": assess_schema_overview,
         "assess_topn": assess_topn,
         "assess_distribution": assess_distribution,
         "assess_threshold": assess_threshold,
+        "assess_storage_size": assess_storage_size,
         "listagg_nation_customers": listagg_nation_customers,
         "window_topk_orders": window_topk_orders,
         "setop_customers_without_orders": setop_customers_without_orders,
         "setop_customers_with_orders": setop_customers_with_orders,
         "scn_filter_events": scn_filter_events,
         "events_hourly_rollup": events_hourly_rollup,
+        "sessionize_events": sessionize_events,
+        "moving_avg_user_value": moving_avg_user_value,
+        "lag_lead_deltas": lag_lead_deltas,
         "grouping_rollup": grouping_rollup,
         "semi_join_customers": semi_join_customers,
         "anti_join_parts": anti_join_parts,
         "date_extract": date_extract,
         "above_customer_avg": above_customer_avg,
+        # -- north-star LLM-pipeline operators (31-48)
+        "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q12_priority_shipping": q12_priority_shipping,
-        "q14_promo_effect": q14_promo_effect,
-        "q18_large_orders": q18_large_orders,
-        "stats_rowcounts": stats_rowcounts,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "similarity_topk": similarity_topk,
+        "ann_topk_lsh": ann_topk_lsh_q,
+        "ann_topk_multiprobe": ann_topk_multiprobe,
+        "text_token_stats": text_token_stats,
+        "text_lang_id": text_lang_id,
+        "text_quality": text_quality,
+        "text_bpe_tokens": text_bpe_tokens,
+        "doc_fingerprint": doc_fingerprint,
+        "asof_last_purchase": asof_last_purchase,
+        "range_join_windows": range_join_windows,
+        "multires_rollup": multires_rollup,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "deterministic_sample": deterministic_sample,
+        "stratified_sample": stratified_sample,
+        # -- fill to 50
+        "median_order_value": median_order_value,
+        "json_props_histogram": json_props_histogram,
+        # ---------------- below the driver's 50-query fold ----------------
+        "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q9_profit_by_nation": q9_profit_by_nation,
         "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q12_priority_shipping": q12_priority_shipping,
         "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_effect": q14_promo_effect,
         "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_census": q16_supplier_part_census,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
         "q19_disjunctive_predicates": q19_disjunctive_predicates,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        "q21_last_shippers": q21_last_shippers,
         "q22_idle_customers": q22_idle_customers,
-        "sessionize_events": sessionize_events,
-        "moving_avg_user_value": moving_avg_user_value,
-        "lag_lead_deltas": lag_lead_deltas,
-        "median_order_value": median_order_value,
-        "json_props_histogram": json_props_histogram,
+        "stats_rowcounts": stats_rowcounts,
         "ntile_customer_quartiles": ntile_customer_quartiles,
         "pivot_returnflag": pivot_returnflag,
         "grouping_cube": grouping_cube,
-        "text_bpe_tokens": text_bpe_tokens,
         "catalog_columns": catalog_columns,
         "assess_width_audit": assess_width_audit,
         "assess_constraint_kinds": assess_constraint_kinds,
         "assess_compat_rollup": assess_compat_rollup,
         "assess_partition_planning": assess_partition_planning,
         "simhash_neardup": simhash_neardup,
-        "q16_supplier_part_census": q16_supplier_part_census,
-        "q11_important_parts": q11_important_parts,
-        "q21_last_shippers": q21_last_shippers,
-        "deterministic_sample": deterministic_sample,
-        "stratified_sample": stratified_sample,
         "vocab_topn": vocab_topn,
-        "compare_keyed_diff": compare_keyed_diff,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q20_dominant_suppliers": q20_dominant_suppliers,
         "union_all_activity": union_all_activity,
         "rolling_30d_revenue": rolling_30d_revenue,
         "rank_family": rank_family,
-        **EXT_QUERIES,
+        **{k: v for k, v in EXT_QUERIES.items() if k not in _EXT_PROMOTED},
     }
+
+
+# ext operators promoted into the first-50 driver window above
+_EXT_PROMOTED = frozenset(
+    {
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "similarity_topk",
+        "ann_topk_lsh",
+        "ann_topk_multiprobe",
+        "text_token_stats",
+        "text_lang_id",
+        "text_quality",
+        "doc_fingerprint",
+        "asof_last_purchase",
+        "range_join_windows",
+        "multires_rollup",
+        "pipeline_clean_corpus",
+    }
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3041,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "assess_topn": ASSESS_TOPN_SQL,
         "assess_distribution": ASSESS_DIST_SQL,
         "assess_threshold": ASSESS_THRESHOLD_SQL,
+        "assess_storage_size": ASSESS_STORAGE_SQL,
         "listagg_nation_customers": LISTAGG_SQL,
         "window_topk_orders": WINDOW_TOPK_SQL,
         "setop_customers_without_orders": SETOP_EXCEPT_SQL,

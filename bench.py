@@ -56,34 +56,50 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # warmup: JVM + parquet footer caches, so timings measure the plans
-    qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    try:
+        qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warmup failure must not kill the run
+        pass
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     total = 0.0
+    errors: dict[str, str] = {}
+    spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        # best of 2: the second run reuses JVM/codegen/file-listing
-        # caches, so this measures the plan, not warmup jitter
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        total += best
+        # median of N runs (first run also pays codegen/file-listing, so
+        # one extra warmup execution precedes timing); a query that
+        # throws is recorded and skipped — one bad query must never
+        # zero the whole artifact.
+        try:
+            samples: list[float] = []
+            for i in range(runs + 1):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                if i > 0:  # drop the warmup sample
+                    samples.append(dt)
+            samples.sort()
+            med = samples[len(samples) // 2]
+            timings[name] = round(med, 3)
+            spreads[name] = round(samples[-1] - samples[0], 3)
+            total += med
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": runs,
+        "spread": spreads,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

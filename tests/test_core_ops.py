@@ -54,6 +54,21 @@ def test_compare_identical_matches(lineitem):
     assert all(r["is_match"] for r in rows)
 
 
+def test_hash_interface_split(lineitem):
+    """Production compare hashes with JVM xxhash64; md5 appears only in
+    the portable (oracle-facing) variant."""
+    from transferdb_spark.operators.checksum import chunk_checksums
+
+    fast_plan = chunk_checksums(lineitem, "l_orderkey", 8)._jdf.queryExecution().toString()
+    assert "xxhash64" in fast_plan and "md5" not in fast_plan
+    portable_plan = (
+        chunk_checksums(lineitem, "l_orderkey", 8, portable=True)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "md5" in portable_plan
+
+
 def test_compare_detects_corruption(lineitem):
     from transferdb_spark.operators.checksum import compare_chunks
     from transferdb_spark.operators.compare_fixture import mutated_target

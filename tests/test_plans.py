@@ -29,12 +29,24 @@ def n_nodes(plan: str, name: str) -> int:
     return tree_of(plan).count(name)
 
 
+class _LazyQueries:
+    """Build each query DataFrame on first access — one broken query
+    must only fail its own test, not poison the whole module."""
+
+    def __init__(self, spark, sf_dir):
+        import __spark_entry__ as e
+
+        self._qs = e.queries()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getitem__(self, name):
+        return self._qs[name](self._spark, self._sf_dir)
+
+
 @pytest.fixture(scope="module")
 def queries(spark, sf_dir):
-    import __spark_entry__ as e
-
-    qs = e.queries()
-    return {name: fn(spark, sf_dir) for name, fn in qs.items()}
+    return _LazyQueries(spark, sf_dir)
 
 
 def test_q1_prunes_and_partially_aggregates(queries):
@@ -50,10 +62,31 @@ def test_q1_prunes_and_partially_aggregates(queries):
 
 def test_q3_broadcasts_dimensions(queries):
     p = plan_of(queries["q3_shipping_priority"])
+    # no FORCED broadcast of fact tables: at test scale the size-based
+    # planner still broadcasts (both sides are tiny), but the decision
+    # belongs to the planner/AQE so a 100× scale-up can fall back to SMJ
     assert n_nodes(p, "BroadcastHashJoin") == 2
-    assert n_nodes(p, "SortMergeJoin") == 0
     # segment filter pushed into the customer scan
     assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_no_forced_broadcast_of_fact_tables():
+    """Fact-scaled tables (orders/customer/part) and sf-scaled aggregates
+    must not carry an unconditional broadcast hint — at 100 TB a forced
+    broadcast of a fact side OOMs every executor. Dims bounded by schema
+    (region/nation/supplier) may keep hints."""
+    import inspect
+
+    import __spark_entry__ as e
+
+    src = inspect.getsource(e)
+    for bad in (
+        "F.broadcast(orders)",
+        "F.broadcast(cust)",
+        "F.broadcast(part)",
+        "F.broadcast(stats)",
+    ):
+        assert bad not in src, f"forced fact-table broadcast: {bad}"
 
 
 def test_q6_pushes_all_predicates(queries):

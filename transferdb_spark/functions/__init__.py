@@ -17,6 +17,7 @@ from transferdb_spark.functions.canonical import (  # noqa: F401
     row_string_sql,
 )
 from transferdb_spark.functions.hashing import (  # noqa: F401
+    fast_hash64,
     portable_hash64,
     portable_hash64_sql,
     row_hash,

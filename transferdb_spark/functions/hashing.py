@@ -22,7 +22,12 @@ HEX_DIGITS = 10  # 40 bits
 
 
 def portable_hash64(col: Column | str) -> Column:
-    """Spark: first 10 hex digits of md5 as BIGINT (matches DuckDB)."""
+    """Spark: first 10 hex digits of md5 as BIGINT (matches DuckDB).
+
+    Use ONLY where the hash VALUE crosses the engine boundary (oracle
+    checksums, hash-gated sampling, digests exposed in output). md5 is
+    ~3-5× the CPU of xxhash64 — production compare paths where the hash
+    stays internal (match flags, diff classification) use fast_hash64."""
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c), 1, HEX_DIGITS), 16, 10).cast("bigint")
 
@@ -32,11 +37,23 @@ def portable_hash64_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {HEX_DIGITS})) AS BIGINT)"
 
 
-def row_hash(schema, cols=None) -> Column:
+def fast_hash64(col: Column | str) -> Column:
+    """Production row hash: Spark's JVM-side xxhash64 (whole-stage
+    codegen, no hex round-trip). NOT portable to the DuckDB oracle —
+    use for hashes that never leave the engine (diff classification,
+    internal checksums compared Spark-vs-Spark). Kept to the top 40
+    bits (same width as the portable variant) so a commutative SUM()
+    over a chunk cannot overflow BIGINT under ANSI mode."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.shiftrightunsigned(F.xxhash64(c), 64 - HEX_DIGITS * 4)
+
+
+def row_hash(schema, cols=None, portable: bool = True) -> Column:
     """Hash of the canonical row string (Spark side)."""
     from transferdb_spark.functions.canonical import row_string
 
-    return portable_hash64(row_string(schema, cols))
+    s = row_string(schema, cols)
+    return portable_hash64(s) if portable else fast_hash64(s)
 
 
 def row_hash_sql(schema, cols=None) -> str:

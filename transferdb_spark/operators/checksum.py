@@ -19,9 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from transferdb_spark.functions.hashing import portable_hash64
+from transferdb_spark.functions.hashing import fast_hash64, portable_hash64
 from transferdb_spark.functions.canonical import row_string
 from transferdb_spark.plans.chunker import with_chunk_id
+
+
+def _row_hash(schema, cols, portable: bool):
+    s = row_string(schema, cols)
+    return portable_hash64(s) if portable else fast_hash64(s)
 
 
 def chunk_checksums(
@@ -30,13 +35,18 @@ def chunk_checksums(
     n_chunks: int,
     cols: list[str] | None = None,
     bounds: tuple[int, int] | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-chunk (cnt, checksum) — columns: chunk_id, cnt, checksum.
 
     `bounds` pins the chunk grid (lo, hi) externally so two tables can
-    be aggregated over the SAME key ranges (see shared_chunk_bounds)."""
+    be aggregated over the SAME key ranges (see shared_chunk_bounds).
+    `portable=True` switches the row hash to the md5-based
+    engine-portable variant — needed only when the checksum VALUE is
+    compared against another engine (the DuckDB oracle); Spark-vs-Spark
+    compare uses xxhash64 (~3-5× cheaper)."""
     tagged, _, _ = with_chunk_id(df, key, n_chunks, bounds=bounds)
-    h = portable_hash64(row_string(df.schema, cols))
+    h = _row_hash(df.schema, cols, portable)
     return (
         tagged.select("chunk_id", h.alias("h"))
         .groupBy("chunk_id")
@@ -66,9 +76,11 @@ def shared_chunk_bounds(src: DataFrame, tgt: DataFrame, key: str) -> tuple[int, 
     return None
 
 
-def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def table_checksum(
+    df: DataFrame, cols: list[str] | None = None, portable: bool = False
+) -> DataFrame:
     """Whole-table (cnt, checksum) — one row."""
-    h = portable_hash64(row_string(df.schema, cols))
+    h = _row_hash(df.schema, cols, portable)
     return df.select(h.alias("h")).agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("h").alias("checksum")
     )

@@ -170,7 +170,9 @@ def keyed_diff(
         schema = T.StructType(
             [T.StructField(f"{p}{f.name}", f.dataType) for f in df.schema.fields]
         )
-        return renamed.withColumn(f"{p}h", row_hash(schema))
+        # hash values never leave the engine (only the classification
+        # does), so the fast xxhash64 variant is safe here
+        return renamed.withColumn(f"{p}h", row_hash(schema, portable=False))
 
     s = hashed(src, "s_")
     t = hashed(tgt, "t_").select(*[f"t_{k}" for k in keys], "t_h")

@@ -35,20 +35,36 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
-    `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read it as raw int64 nanos (legacy conf) and convert
-    to a µs timestamp with exact integer division — the same 6-digit cap
-    the reference applies to TIMESTAMP(9) (mapping_mysql.go:463-479).
+    `events.ts` has shipped as parquet TIMESTAMP(NANOS) (Spark rejects
+    it vectorized — read as raw int64 nanos and integer-divide to µs,
+    the same 6-digit cap the reference applies to TIMESTAMP(9),
+    mapping_mysql.go:463-479) and as TIMESTAMP(MICROS) without
+    isAdjustedToUTC (Spark loads TIMESTAMP_NTZ, which refuses numeric
+    casts and streaming watermarks). Normalize both at this boundary to
+    a plain session-tz TIMESTAMP. The NTZ→TIMESTAMP cast is
+    epoch-preserving only because session.py pins
+    spark.sql.session.timeZone=UTC — keep the two in sync.
     """
-    if name == "events":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") in ("bigint", "long"):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_ntz(df)
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _normalize_ntz(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session-tz TIMESTAMP."""
+    from pyspark.sql import functions as F
+
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def load_tables(
@@ -71,4 +87,4 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     for t in names or TABLES:
         p = table_path(sf_dir, t)
         if os.path.exists(p):
-            spark.read.parquet(p).createOrReplaceTempView(t)
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
