@@ -405,3 +405,108 @@ def test_incremental_compare_skips_unchanged_chunks(spark, sf_dir, tmp_path, lin
     )
     assert len(r3.rescan_chunks) == 1
     assert set(r3.mismatched_chunks) >= set(r3.rescan_chunks)
+
+
+def test_keyless_rowid_chunk_plan(tmp_path, spark):
+    """ROWID-analogue planning: contiguous, size-balanced file groups
+    covering every part-file exactly once (full.go:42-93 semantics)."""
+    from transferdb_spark.plans.chunker import plan_chunks_rowid
+
+    src = str(tmp_path / "keyless_src")
+    df = spark.range(0, 5000).selectExpr(
+        "concat('name-', id) AS name", "concat('city-', id % 7) AS city"
+    )
+    df.repartition(10).write.parquet(src)
+
+    chunks = plan_chunks_rowid(src, 4)
+    assert len(chunks) == 4
+    all_files = [f for c in chunks for f in c.files]
+    assert len(all_files) == len(set(all_files)) == 10
+    # contiguity: file index ranges tile [0, n_files)
+    spans = sorted((c.lower, c.upper) for c in chunks)
+    assert spans[0][0] == 0 and spans[-1][1] == 9
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert lo == hi + 1
+    # balance: no chunk holds more than half the bytes
+    total = sum(c.n_bytes for c in chunks)
+    assert max(c.n_bytes for c in chunks) <= total / 2
+
+
+def test_keyless_full_migrate_then_compare(tmp_path, spark):
+    """End-to-end keyless path: a table with no numeric column migrates
+    via file-group chunks and compares clean (whole-table checksum —
+    compare without a split key)."""
+    from transferdb_spark.modes.full import full_migrate_keyless
+    from transferdb_spark.operators.checksum import table_checksum
+    from transferdb_spark.plans.chunker import elect_split_key
+
+    src = str(tmp_path / "keyless_src")
+    wd = str(tmp_path / "wd")
+    df = spark.range(0, 3000).selectExpr(
+        "concat('u-', id) AS username", "concat('t-', id % 13) AS tag"
+    )
+    df.repartition(6).write.parquet(src)
+    src_df = spark.read.parquet(src)
+    with pytest.raises(ValueError):
+        elect_split_key(src_df)
+
+    target = full_migrate_keyless(spark, src, "keyless", wd, n_chunks=3)
+    tgt_df = spark.read.parquet(target)
+    assert tgt_df.count() == 3000
+    s = table_checksum(src_df).first()
+    t = table_checksum(tgt_df).first()
+    assert (s["cnt"], s["checksum"]) == (t["cnt"], t["checksum"])
+
+
+def test_keyless_resume_rereads_only_failed_groups(tmp_path, spark):
+    """Resume touches only the failed file groups (O(live chunk) reads)."""
+    from transferdb_spark.modes.full import full_migrate_keyless
+    from transferdb_spark.plans.chunker import plan_chunks_rowid
+    from transferdb_spark.state.store import FAILED, SUCCESS, StateStore
+
+    src = str(tmp_path / "keyless_src")
+    wd = str(tmp_path / "wd")
+    spark.range(0, 2000).selectExpr("concat('x-', id) AS v").repartition(4).write.parquet(src)
+
+    # seed the store as if chunk 1 failed mid-run
+    store = StateStore(wd, "full")
+    chunks = plan_chunks_rowid(src, 4)
+    store.init_table("keyless", chunks)
+    for c in chunks:
+        store.mark("keyless", c.chunk_id, FAILED if c.chunk_id == 1 else SUCCESS)
+
+    target = full_migrate_keyless(spark, src, "keyless", wd, n_chunks=4, store=store)
+    got = spark.read.parquet(target)
+    # only chunk 1's files were written on this run
+    expected = spark.read.parquet(*chunks[1].files)
+    assert got.count() == expected.count()
+    assert all(c.status == SUCCESS for c in StateStore(wd, "full").pending("keyless")) or (
+        StateStore(wd, "full").pending("keyless") == []
+    )
+
+
+def test_full_migrate_converts_charset_in_flight(tmp_path, spark):
+    """GBK-bytes source → UTF8MB4 target through full_migrate_table,
+    mirroring the reference's in-flight value conversion
+    (full.go:126-135). The binary column holding GBK bytes arrives as a
+    proper UTF-8 string at the target."""
+    from transferdb_spark.modes.full import full_migrate_table
+
+    wd = str(tmp_path / "wd")
+    vals = ["数据迁移", "校验和", "增量同步", None, "plain-ascii"]
+    rows = [(i, v.encode("gbk") if v is not None else None, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, payload binary, expected string")
+
+    target = full_migrate_table(
+        spark,
+        df,
+        "gbk_table",
+        wd,
+        n_chunks=2,
+        key="id",
+        source_charset="ZHS16GBK",
+        target_charset="UTF8MB4",
+    )
+    got = spark.read.parquet(target).orderBy("id").collect()
+    assert [r["payload"] for r in got] == vals
+    assert all((r["payload"] == r["expected"]) or r["payload"] is None for r in got)

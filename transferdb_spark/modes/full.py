@@ -22,6 +22,41 @@ from transferdb_spark.plans.chunker import elect_split_key, plan_chunks, plan_ch
 from transferdb_spark.state.store import FAILED, SUCCESS, StateStore
 
 
+def charset_projection(df: DataFrame, source_charset: str, target_charset: str) -> DataFrame:
+    """In-flight value charset conversion (F9 wired into migrate).
+
+    The reference converts every extracted value source-charset →
+    UTF8MB4 → target-charset before the INSERT
+    (/root/reference/database/oracle/full.go:126-135,
+    /root/reference/common/strings.go:383-451). Spark strings are UTF-8
+    internally, so the conversion lands on the byte boundaries:
+    BINARY columns carrying source-charset bytes are decoded to proper
+    strings; when the target charset is itself non-UTF-8 (byte-oriented
+    landing, e.g. a GBK CSV drop), string columns are encoded to
+    target-charset bytes. A narrow projection — no shuffle, and the
+    CJK charsets route through Arrow-batched pandas UDFs
+    (functions/charset.py), never row-at-a-time Python."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType, StringType
+
+    from transferdb_spark.functions.charset import canonical_charset, decode_from, encode_as
+
+    src = canonical_charset(source_charset)
+    dst = canonical_charset(target_charset)
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, BinaryType) and src != "UTF-8":
+            c = decode_from(f.name, source_charset)
+            if dst != "UTF-8":
+                c = encode_as(c, target_charset)
+            cols.append(c.alias(f.name))
+        elif isinstance(f.dataType, StringType) and dst != "UTF-8":
+            cols.append(encode_as(f.name, target_charset).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(cols)
+
+
 def full_migrate_table(
     spark: SparkSession,
     df: DataFrame,
@@ -34,6 +69,8 @@ def full_migrate_table(
     user_range: str | None = None,
     partition_cols: list[str] | None = None,
     chunk_strategy: str = "width",
+    source_charset: str | None = None,
+    target_charset: str | None = None,
 ) -> str:
     """Migrate one table to the parquet target; returns target path.
 
@@ -60,7 +97,13 @@ def full_migrate_table(
     pending = store.pending(table)
     target = os.path.join(workdir, "target", table)
 
-    out = normalize_projection(df) if normalize else df
+    # charset decode first (binary-in-source-charset → UTF-8 strings),
+    # then the canonical normalize projection sees real strings
+    out = df
+    if source_charset and target_charset and source_charset != target_charset:
+        out = charset_projection(out, source_charset, target_charset)
+    if normalize:
+        out = normalize_projection(out)
 
     def _writer(d):
         w = d.write.option("maxRecordsPerFile", 5_000_000)
@@ -97,6 +140,63 @@ def full_migrate_table(
     return target
 
 
+def full_migrate_keyless(
+    spark: SparkSession,
+    src_path: str,
+    table: str,
+    workdir: str,
+    n_chunks: int = 32,
+    normalize: bool = False,
+    store: StateStore | None = None,
+) -> str:
+    """Migrate a table with NO numeric split key — the ROWID path.
+
+    The reference falls back to
+    DBMS_PARALLEL_EXECUTE.CREATE_CHUNKS_BY_ROWID for heap tables
+    without a usable key (/root/reference/database/oracle/full.go:42-93):
+    chunks are physical extent ranges, planned from storage metadata.
+    Here the physical unit is the parquet part-file: plan_chunks_rowid
+    packs name-sorted files into size-balanced contiguous groups from a
+    driver-side listing (no data scan), and resume re-reads only the
+    failed groups. The chunk plan goes through the same StateStore, so
+    keyless tables get identical checkpoint/resume semantics to keyed
+    ones.
+    """
+    from transferdb_spark.plans.chunker import plan_chunks_rowid
+
+    store = store or StateStore(workdir, "full")
+    chunks = plan_chunks_rowid(src_path, n_chunks)
+    by_id = {c.chunk_id: c for c in chunks}
+    states = store.init_table(table, chunks)
+    pending = store.pending(table)
+    target = os.path.join(workdir, "target", table)
+
+    def _out(df):
+        return normalize_projection(df) if normalize else df
+
+    if len(pending) == len(states):
+        try:
+            df = spark.read.parquet(src_path)
+            _out(df).write.mode("overwrite").parquet(target)
+            for c in states:
+                store.mark(table, c.chunk_id, SUCCESS)
+        except Exception as e:
+            for c in states:
+                store.mark(table, c.chunk_id, FAILED, str(e)[:500])
+            raise
+    else:
+        for c in pending:
+            files = by_id[c.chunk_id].files
+            try:
+                if files:
+                    _out(spark.read.parquet(*files)).write.mode("append").parquet(target)
+                store.mark(table, c.chunk_id, SUCCESS)
+            except Exception as e:
+                store.mark(table, c.chunk_id, FAILED, str(e)[:500])
+                raise
+    return target
+
+
 def full_migrate(
     spark: SparkSession,
     sf_dir: str,
@@ -106,7 +206,7 @@ def full_migrate(
 ) -> dict[str, str]:
     """Migrate a set of tables; returns table -> target path."""
     from transferdb_spark.plans.chunker import elect_split_key
-    from transferdb_spark.sources.registry import load_tables
+    from transferdb_spark.sources.registry import load_tables, table_path
 
     out = {}
     store = StateStore(workdir, "full")
@@ -116,9 +216,10 @@ def full_migrate(
         except ValueError:
             key = None
         if key is None:
-            target = os.path.join(workdir, "target", name)
-            df.write.mode("overwrite").parquet(target)
-            out[name] = target
+            # ROWID fallback: chunk by physical file groups
+            out[name] = full_migrate_keyless(
+                spark, table_path(sf_dir, name), name, workdir, n_chunks=n_chunks, store=store
+            )
             continue
         out[name] = full_migrate_table(
             spark, df, name, workdir, n_chunks=n_chunks, key=key, store=store

@@ -169,3 +169,79 @@ def elect_split_key(df: DataFrame, candidates: list[str] | None = None, approx: 
     agg = F.approx_count_distinct if approx else F.count_distinct
     row = df.select([agg(c).alias(c) for c in numeric]).first()
     return max(numeric, key=lambda c: (row[c], -numeric.index(c)))
+
+
+@dataclass(frozen=True)
+class RowidChunk:
+    """One keyless chunk: a contiguous group of data files.
+
+    The Spark analogue of DBMS_PARALLEL_EXECUTE.CREATE_CHUNKS_BY_ROWID
+    (/root/reference/database/oracle/full.go:42-93): Oracle splits a
+    heap table by physical extent ranges; here the physical unit is the
+    parquet part-file. Planning is a driver-side metadata listing — no
+    data scan — exactly like reading DBA_EXTENTS."""
+
+    chunk_id: int
+    lower: int  # first file index (inclusive, name-sorted)
+    upper: int  # last file index (inclusive)
+    predicate: str  # "files:" + ";".join(relative names) — resume identity
+    files: tuple[str, ...]  # absolute paths
+    n_bytes: int
+
+
+def plan_chunks_rowid(path: str, n_chunks: int) -> list[RowidChunk]:
+    """Plan keyless chunks by packing name-sorted part-files into
+    ~size-balanced contiguous groups.
+
+    Used when a table has no numeric split key (elect_split_key raises)
+    — the reference's first fallback for heap tables without a usable
+    PK. Size-balanced contiguous packing keeps chunks ~equal work and
+    resume identity stable as long as the file set is unchanged; any
+    file-set change invalidates the persisted plan (the predicate
+    encodes the file list), matching the reference's refuse-to-resume
+    on plan drift (full.go:315-331).
+    """
+    import os as _os
+
+    if _os.path.isdir(path):
+        names = sorted(
+            f
+            for f in _os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        files = [(_os.path.join(path, f), _os.path.getsize(_os.path.join(path, f))) for f in names]
+    else:
+        files = [(path, _os.path.getsize(path))]
+    if not files:
+        return [RowidChunk(0, 0, 0, "files:", (), 0)]
+    total = sum(sz for _, sz in files)
+    n_chunks = max(1, min(n_chunks, len(files)))
+    target = total / n_chunks
+    chunks: list[RowidChunk] = []
+    group: list[tuple[str, int]] = []
+    group_lo = 0
+    acc = 0
+    for i, (fp, sz) in enumerate(files):
+        group.append((fp, sz))
+        acc += sz
+        remaining_files = len(files) - i - 1
+        remaining_chunks = n_chunks - len(chunks) - 1
+        # close the group once it reaches the size target, but never
+        # leave fewer files than chunks still to emit
+        if (acc >= target and remaining_chunks > 0 and remaining_files >= remaining_chunks) or (
+            remaining_files == remaining_chunks and remaining_chunks > 0
+        ):
+            chunks.append(_rowid_chunk(len(chunks), group_lo, i, group))
+            group, group_lo, acc = [], i + 1, 0
+    if group:
+        chunks.append(_rowid_chunk(len(chunks), group_lo, len(files) - 1, group))
+    return chunks
+
+
+def _rowid_chunk(cid: int, lo: int, hi: int, group: list[tuple[str, int]]) -> RowidChunk:
+    import os as _os
+
+    rel = ";".join(_os.path.basename(fp) for fp, _ in group)
+    return RowidChunk(
+        cid, lo, hi, f"files:{rel}", tuple(fp for fp, _ in group), sum(sz for _, sz in group)
+    )
