@@ -328,3 +328,59 @@ def test_attribution_join_matches_batch(spark, tmp_path, events):
     assert expected.count() > 0
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_cdc_log_compaction(spark, tmp_path, source_dir, events):
+    """Compaction keeps the current state bit-identical while cutting
+    the log to one snapshot dir — read cost tracks live keys, not
+    history — and later batches still apply on top."""
+    from transferdb_spark.streaming.incr import (
+        apply_cdc_stream,
+        cdc_current_state,
+        compact_cdc_log,
+        stream_events,
+    )
+
+    target = str(tmp_path / "target_c")
+    ckpt = str(tmp_path / "ckpt_c")
+    q = apply_cdc_stream(stream_events(spark, source_dir), target, ckpt, key="user_id")
+    q.awaitTermination(120)
+
+    # second log drop -> second batch dir (history grows)
+    upd = events.limit(20).withColumn("event_id", F.col("event_id") + 2_000_000)
+    upd.coalesce(1).write.mode("append").parquet(source_dir)
+    q2 = apply_cdc_stream(stream_events(spark, source_dir), target, ckpt, key="user_id")
+    q2.awaitTermination(120)
+
+    before = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in cdc_current_state(spark, target, key="user_id").collect()
+    }
+    n_dirs_before = len([d for d in os.listdir(target) if d.startswith("batch_id=")])
+    assert n_dirs_before >= 2
+
+    stats = compact_cdc_log(spark, target, key="user_id")
+    assert stats["dirs_removed"] == n_dirs_before
+    assert stats["live_rows"] == len(before)
+
+    dirs_after = [d for d in os.listdir(target) if d.startswith("batch_id=")]
+    assert len(dirs_after) == 1  # O(live keys) layout
+    after = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in cdc_current_state(spark, target, key="user_id").collect()
+    }
+    assert after == before
+
+    # post-compaction: a newer change still wins over the snapshot
+    u0 = sorted(before)[0]
+    newer = (
+        events.filter(F.col("user_id") == u0)
+        .limit(1)
+        .withColumn("event_id", F.lit(9_000_000).cast(events.schema["event_id"].dataType))
+        .withColumn("value", F.lit(42.0))
+    )
+    newer.coalesce(1).write.mode("append").parquet(source_dir)
+    q3 = apply_cdc_stream(stream_events(spark, source_dir), target, ckpt, key="user_id")
+    q3.awaitTermination(120)
+    got = cdc_current_state(spark, target, key="user_id").filter(F.col("user_id") == u0).first()
+    assert got["event_id"] == 9_000_000 and got["value"] == 42.0

@@ -160,6 +160,61 @@ def cdc_current_state(
     return out.drop("batch_id")
 
 
+def compact_cdc_log(
+    spark: SparkSession,
+    target_dir: str,
+    key: str = "event_id",
+    scn_col: str = "event_id",
+) -> dict:
+    """Compact the landed CDC change log to its current state.
+
+    The change log appends one `batch_id=N` directory per micro-batch,
+    so `cdc_current_state` read cost grows with HISTORY. Compaction
+    rewrites the log so read cost tracks LIVE KEYS: resolve the newest
+    image per key (same latest-wins rule as the read path), land it as
+    one snapshot batch directory, and drop the historical ones. SCN
+    ordering stays correct because snapshot rows keep their original
+    `scn_col` values — a later change always outranks the snapshot.
+    The streaming writer keeps appending new batch dirs afterward
+    (its epoch ids come from the checkpoint, not from dir names).
+
+    Crash safety on a plain filesystem: the snapshot is first written
+    to an underscore-prefixed dir (ignored by Spark's partition
+    discovery), old dirs are renamed aside before the snapshot is
+    renamed in, and the aside dirs are removed last. A crash mid-swap
+    leaves `_old_*` dirs to restore from; production deployments on a
+    table format (Delta/Iceberg) get this swap as one atomic commit —
+    the reference's meta-DB transaction analogue
+    (/root/reference/database/meta/meta.go:100-117).
+
+    Returns {"live_rows", "dirs_removed"}.
+    """
+    import shutil
+
+    old_dirs = sorted(
+        d for d in os.listdir(target_dir) if d.startswith("batch_id=")
+    )
+    if len(old_dirs) <= 1:
+        return {"live_rows": None, "dirs_removed": 0}
+    max_bid = max(int(d.split("=", 1)[1]) for d in old_dirs)
+
+    snap = cdc_current_state(spark, target_dir, key=key, scn_col=scn_col)
+    tmp = os.path.join(target_dir, "_compact_tmp")
+    snap.write.mode("overwrite").parquet(tmp)
+    live_rows = spark.read.parquet(tmp).count()
+
+    aside = []
+    for d in old_dirs:
+        src = os.path.join(target_dir, d)
+        dst = os.path.join(target_dir, f"_old_{d}")
+        os.rename(src, dst)
+        aside.append(dst)
+    os.rename(tmp, os.path.join(target_dir, f"batch_id={max_bid}"))
+    for d in aside:
+        shutil.rmtree(d)
+    return {"live_rows": live_rows, "dirs_removed": len(old_dirs)}
+
+
 def hourly_rollup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """T-family windowed aggregation with late-data watermark.
 
