@@ -384,3 +384,52 @@ def test_cdc_log_compaction(spark, tmp_path, source_dir, events):
     q3.awaitTermination(120)
     got = cdc_current_state(spark, target, key="user_id").filter(F.col("user_id") == u0).first()
     assert got["event_id"] == 9_000_000 and got["value"] == 42.0
+
+
+def test_redo_grammar_breadth():
+    """CHR()/UNISTR()/EMPTY_CLOB()/|| concatenation and ALTER TABLE —
+    the LogMiner literal forms beyond the plain restricted grammar."""
+    from transferdb_spark.streaming.redo import parse_redo, translate_stmt
+
+    st = parse_redo(
+        """insert into "S"."T"("ID","TXT","NC","LOB") values """
+        """('7', 'a' || CHR(10) || 'b', UNISTR('\\4E2D\\6587'), EMPTY_CLOB());"""
+    )
+    assert st.data == {"ID": "7", "TXT": "a\nb", "NC": "中文", "LOB": ""}
+
+    upd = parse_redo(
+        """update "S"."T" set "TXT" = 'x' || CHR(9) || 'y' where "ID" = '7' and "NC" IS NULL;"""
+    )
+    assert upd.data["TXT"] == "x\ty"
+    assert upd.before == {"ID": "7", "NC": None}
+
+    alt = parse_redo("""alter table "S"."T" add ("C2" number(10));""")
+    assert (alt.operation, alt.schema, alt.table) == ("ALTER", "S", "T")
+    out = translate_stmt(alt, target_schema="tgt")
+    assert out == ['ALTER TABLE `tgt`.`t` add ("C2" number(10));']
+
+    sci = parse_redo("""insert into "S"."T"("V") values (1.5E-3);""")
+    assert sci.data == {"V": "1.5E-3"}
+
+
+def test_redo_log_election_by_scn():
+    """Archived-vs-online election (incr.go:507-548): logs whose SCN
+    range extends past the checkpoint are mined; a checkpoint older
+    than the oldest retained log is a hard error."""
+    import pytest as _pytest
+
+    from transferdb_spark.streaming.redo import LogFile, elect_logs
+
+    arch1 = LogFile("arch1.log", 100, 200)
+    arch2 = LogFile("arch2.log", 200, 300)
+    online = LogFile("online.log", 300, None)
+
+    # checkpoint mid-arch2: skip arch1, mine arch2 + online
+    assert elect_logs([online, arch1, arch2], 250) == [arch2, online]
+    # checkpoint at the online log: mine only it
+    assert elect_logs([arch1, arch2, online], 350) == [online]
+    # checkpoint exactly at a boundary: next_scn is exclusive
+    assert elect_logs([arch1, arch2, online], 200) == [arch2, online]
+    # checkpoint predating retention: hard error, not silent skip
+    with _pytest.raises(ValueError, match="aged out"):
+        elect_logs([arch2, online], 50)

@@ -40,8 +40,9 @@ _TOKEN_RE = re.compile(
     \s*(?:
         (?P<string>'(?:[^']|'')*')
       | (?P<qident>"[^"]*")
-      | (?P<number>-?\d+(?:\.\d+)?)
+      | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<word>[A-Za-z_][A-Za-z0-9_$#]*)
+      | (?P<concat>\|\|)
       | (?P<punct>[(),.;=])
     )
     """,
@@ -114,15 +115,31 @@ class _P:
         return "", first
 
     def literal(self) -> str | None:
-        """One literal value; function-wrapped literals (TO_DATE,
-        TO_TIMESTAMP, HEXTORAW, ...) yield their first argument."""
+        """One literal value, including `||` concatenation chains.
+
+        LogMiner emits strings containing control characters as
+        concatenations — 'a' || CHR(10) || 'b' — and NCHAR data as
+        UNISTR('\\XXXX…'); empty LOBs as EMPTY_CLOB()/EMPTY_BLOB()
+        (the reference's TiDB parser evaluates these the same way,
+        sqlparser.go:34-189). Other function-wrapped literals
+        (TO_DATE, TO_TIMESTAMP, HEXTORAW, ...) yield their first
+        argument."""
+        out = self._literal_unit()
+        while self.peek() == ("concat", "||"):
+            self.next()
+            nxt = self._literal_unit()
+            out = ("" if out is None else out) + ("" if nxt is None else nxt)
+        return out
+
+    def _literal_unit(self) -> str | None:
         kind, val = self.next()
         if kind == "string":
             return val[1:-1].replace("''", "'")
         if kind == "number":
             return val
         if kind == "word":
-            if val.upper() == "NULL":
+            word = val.upper()
+            if word == "NULL":
                 return None
             if self.peek() == ("punct", "("):  # FUNC(arg, ...)
                 self.next()
@@ -135,6 +152,15 @@ class _P:
                         depth -= 1
                     elif first is None and k in ("string", "number"):
                         first = v[1:-1].replace("''", "'") if k == "string" else v
+                if word == "CHR":
+                    return chr(int(first))
+                if word == "UNISTR":
+                    # \XXXX escapes are UTF-16 code units
+                    return re.sub(
+                        r"\\([0-9A-Fa-f]{4})", lambda m: chr(int(m.group(1), 16)), first or ""
+                    )
+                if word in ("EMPTY_CLOB", "EMPTY_BLOB"):
+                    return ""
                 return first
             return val  # bare keyword-ish literal
         raise ValueError(f"expected literal, got {val!r}")
@@ -223,6 +249,14 @@ def parse_redo(sql: str) -> RedoStmt:
         p.expect_word("TABLE")
         stmt.operation = "DROP"
         stmt.schema, stmt.table = p.table_name()
+    elif op == "ALTER":
+        # DDL whitelist passthrough (translate.go DDL branch): parse the
+        # target table, carry the raw statement for the apply side
+        p.next()
+        p.expect_word("TABLE")
+        stmt.operation = "ALTER"
+        stmt.schema, stmt.table = p.table_name()
+        stmt.data = {"ddl": sql.strip().rstrip(";")}
     else:
         raise ValueError(f"unsupported redo operation: {sql[:40]!r}")
     return stmt
@@ -319,4 +353,54 @@ def translate_stmt(stmt: RedoStmt, target_schema: str = "") -> list[str]:
         return [f"TRUNCATE TABLE {tbl};"]
     if stmt.operation == "DROP":
         return [f"DROP TABLE {tbl};"]
+    if stmt.operation == "ALTER":
+        # DDL passthrough with the table reference mapped to the target
+        raw = stmt.data.get("ddl", "")
+        body = re.sub(
+            r'(?is)^\s*alter\s+table\s+("[^"]*"|[\w$#]+)(\s*\.\s*("[^"]*"|[\w$#]+))?',
+            "",
+            raw,
+        )
+        return [f"ALTER TABLE {tbl}{body};"]
     raise ValueError(f"untranslatable operation: {stmt.operation}")
+
+
+# ---------------------------------------------------------------------------
+# T1 — redo log election by SCN
+
+
+@dataclass(frozen=True)
+class LogFile:
+    """One redo log: a file plus its SCN coverage.
+
+    Mirrors the reference's V$ARCHIVED_LOG / V$LOG row — FIRST_CHANGE#
+    is the log's opening SCN; NEXT_CHANGE# is exclusive, and the
+    still-open online log has no NEXT_CHANGE# yet
+    (/root/reference/module/migrate/sql/oracle/o2m/incr.go:507-548)."""
+
+    path: str
+    first_scn: int
+    next_scn: int | None = None  # None = still-open online log
+
+
+def elect_logs(logs: list[LogFile], resume_scn: int) -> list[LogFile]:
+    """Pick the logs to mine for changes AFTER `resume_scn`.
+
+    The reference elects archived-vs-online redo by comparing the
+    checkpoint SCN against each log's [FIRST_CHANGE#, NEXT_CHANGE#)
+    range (incr.go:507-548): every archived log whose range extends past
+    the checkpoint is mined, plus the open online log once the
+    checkpoint reaches it. Raises when the checkpoint predates all
+    retained logs — the archived log that held it has been aged out and
+    resuming would silently skip changes (the reference's hard error).
+    """
+    if not logs:
+        raise ValueError("no redo logs available")
+    ordered = sorted(logs, key=lambda l: l.first_scn)
+    oldest = ordered[0]
+    if resume_scn + 1 < oldest.first_scn:
+        raise ValueError(
+            f"resume SCN {resume_scn} predates the oldest retained log "
+            f"(first_change#={oldest.first_scn}): archived redo aged out"
+        )
+    return [l for l in ordered if l.next_scn is None or l.next_scn > resume_scn]
