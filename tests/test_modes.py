@@ -510,3 +510,42 @@ def test_full_migrate_converts_charset_in_flight(tmp_path, spark):
     got = spark.read.parquet(target).orderBy("id").collect()
     assert [r["payload"] for r in got] == vals
     assert all((r["payload"] == r["expected"]) or r["payload"] is None for r in got)
+
+
+def test_error_quarantine_and_retry_failed(tmp_path, spark, lineitem):
+    """Failures append to the error log (every occurrence kept, with
+    attempt numbers and the chunk predicate); retry_failed re-runs only
+    the FAILED chunks and heals the state."""
+    from transferdb_spark.modes.full import retry_failed
+    from transferdb_spark.plans.chunker import plan_chunks
+    from transferdb_spark.state.store import FAILED, SUCCESS, StateStore
+
+    wd = str(tmp_path / "wd")
+    store = StateStore(wd, "full")
+    chunks = plan_chunks(lineitem, "l_orderkey", 4)
+    store.init_table("lineitem", chunks)
+
+    # simulate a run where chunks 1 and 3 failed (twice for chunk 1)
+    for c in chunks:
+        store.mark("lineitem", c.chunk_id, SUCCESS)
+    store.mark("lineitem", 1, FAILED, "ORA-01555 snapshot too old")
+    store.mark("lineitem", 1, FAILED, "ORA-01555 snapshot too old")
+    store.mark("lineitem", 3, FAILED, "connection reset")
+
+    log = store.error_log("lineitem")
+    assert len(log) == 3
+    assert [e["attempt"] for e in log if e["chunk_id"] == 1] == [1, 2]
+    assert all(e["predicate"] for e in log)
+    assert [c.chunk_id for c in store.failed("lineitem")] == [1, 3]
+
+    stats = retry_failed(spark, lineitem, "lineitem", wd, store=store)
+    assert stats == {"retried": 2, "succeeded": 2, "failed": 0}
+    assert store.failed("lineitem") == []
+    # history survives the successful retry
+    assert len(store.error_log("lineitem")) == 3
+    # and exactly the two failed chunks' rows were (re)written
+    got = spark.read.parquet(os.path.join(wd, "target", "lineitem")).count()
+    expected = lineitem.filter(chunks[1].predicate).count() + lineitem.filter(
+        chunks[3].predicate
+    ).count()
+    assert got == expected

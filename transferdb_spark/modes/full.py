@@ -197,6 +197,42 @@ def full_migrate_keyless(
     return target
 
 
+def retry_failed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    workdir: str,
+    store: StateStore | None = None,
+    normalize: bool = False,
+) -> dict:
+    """Re-run ONLY the chunks currently in FAILED state.
+
+    The reference's `--mode full` resume reruns failed chunks from the
+    persisted meta rows and keeps their error history in
+    error_log_detail (/root/reference/database/meta/meta.go:100-117).
+    This is the narrow surface: WAITING chunks are left to the normal
+    resume path; each failed chunk re-runs independently (one bad chunk
+    doesn't block the others), and every new failure appends another
+    error_log occurrence. Keyless (file-group) tables retry through
+    full_migrate_keyless resume instead — their predicates name files,
+    not key ranges. Returns {"retried", "succeeded", "failed"}.
+    """
+    store = store or StateStore(workdir, "full")
+    failed = store.failed(table)
+    target = os.path.join(workdir, "target", table)
+    out = normalize_projection(df) if normalize else df
+    ok = bad = 0
+    for c in failed:
+        try:
+            out.filter(c.predicate).write.mode("append").parquet(target)
+            store.mark(table, c.chunk_id, SUCCESS)
+            ok += 1
+        except Exception as e:  # quarantine and move on to the next chunk
+            store.mark(table, c.chunk_id, FAILED, str(e)[:500])
+            bad += 1
+    return {"retried": len(failed), "succeeded": ok, "failed": bad}
+
+
 def full_migrate(
     spark: SparkSession,
     sf_dir: str,

@@ -35,6 +35,7 @@ class StateStore:
     def __init__(self, workdir: str, task: str):
         os.makedirs(workdir, exist_ok=True)
         self.path = os.path.join(workdir, f"{task}_sync_meta.json")
+        self.error_log_path = os.path.join(workdir, f"{task}_error_log.jsonl")
         self._chunks: dict[tuple[str, int], ChunkState] = {}
         if os.path.exists(self.path):
             with open(self.path) as f:
@@ -89,6 +90,55 @@ class StateStore:
         cs = self._chunks[(table, chunk_id)]
         cs.status, cs.error = status, error
         self._flush()
+        if status == FAILED:
+            self._append_error(cs, error)
+
+    def _append_error(self, cs: ChunkState, error: str) -> None:
+        """error_log_detail analogue: every failure OCCURRENCE is kept
+        (the chunk row only holds the latest), so post-mortems can see
+        flapping chunks and whether a retry hit the same error
+        (/root/reference/database/meta/meta.go:100-117 — the reference
+        persists chunk_error_detail + error_log_detail as separate,
+        append-only meta tables)."""
+        import time
+
+        entry = {
+            "table": cs.table,
+            "chunk_id": cs.chunk_id,
+            "predicate": cs.predicate,
+            "error": error,
+            "ts": time.time(),
+            "attempt": sum(
+                1
+                for e in self.error_log(cs.table)
+                if e["chunk_id"] == cs.chunk_id
+            )
+            + 1,
+        }
+        with open(self.error_log_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def error_log(self, table: str | None = None) -> list[dict]:
+        """All failure occurrences (optionally for one table), oldest
+        first — the queryable error-table surface."""
+        if not os.path.exists(self.error_log_path):
+            return []
+        with open(self.error_log_path) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+        return [r for r in rows if table is None or r["table"] == table]
+
+    def failed(self, table: str | None = None) -> list[ChunkState]:
+        """Chunks currently in FAILED state — the retry-only-failed
+        work list (narrower than pending(), which also includes
+        never-run WAITING chunks)."""
+        return sorted(
+            (
+                c
+                for (t, _), c in self._chunks.items()
+                if c.status == FAILED and (table is None or t == table)
+            ),
+            key=lambda c: (c.table, c.chunk_id),
+        )
 
     def summary(self) -> dict[str, dict[str, int]]:
         """A10 — per-table success/failed rollup (full.go:548-619)."""
