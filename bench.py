@@ -65,6 +65,7 @@ def main() -> None:
     total = 0.0
     errors: dict[str, str] = {}
     spreads: dict[str, float] = {}
+    bests: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
@@ -84,6 +85,7 @@ def main() -> None:
             med = samples[len(samples) // 2]
             timings[name] = round(med, 3)
             spreads[name] = round(samples[-1] - samples[0], 3)
+            bests[name] = round(samples[0], 3)
             total += med
         except Exception as exc:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -96,6 +98,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": runs,
         "spread": spreads,
+        "best": bests,
+        "best_total": round(sum(bests.values()), 3),
     }
     if errors:
         out["errors"] = errors

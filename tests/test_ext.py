@@ -147,3 +147,31 @@ def test_multimodal_feature_extraction_shapes(spark):
     # deterministic: same input bytes -> same features
     again = extract_features(synthetic_media(spark, n=32), fake=True).collect()
     assert [r["features"] for r in out] == [r["features"] for r in again]
+
+
+def test_recommended_planes_bounds_bucket_occupancy():
+    """Data-driven LSH sizing: expected occupancy n/2^p stays ~target,
+    clamped to [4, 24] — the 100 TB guard over the fixed test default."""
+    from transferdb_spark.ext.similarity import recommended_planes
+
+    assert recommended_planes(1_000) == 4  # tiny: keep test default
+    assert recommended_planes(4096 * 16) == 4
+    assert recommended_planes(4096 * 1024) == 10
+    p = recommended_planes(10_000_000_000)
+    assert p == 22 and 10_000_000_000 / 2**p < 4096 * 2
+    assert recommended_planes(10**15) == 24  # clamp
+
+
+def test_lsh_buckets_parameterized_planes(spark, sf_dir):
+    """More planes → finer buckets, every vector still assigned."""
+    from transferdb_spark.ext.similarity import lsh_buckets
+    from transferdb_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    b4 = lsh_buckets(emb)
+    b6 = lsh_buckets(emb, n_planes=6)
+    assert b4.count() == n and b6.count() == n
+    n4 = b4.select("bucket").distinct().count()
+    n6 = b6.select("bucket").distinct().count()
+    assert n4 <= 16 and n6 <= 64 and n6 > n4

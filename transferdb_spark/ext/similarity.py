@@ -152,17 +152,48 @@ def _signed_dot(i: int, elem: str) -> str:
     return " ".join(parts)
 
 
-_SIGNS = None
+_SIGNS_CACHE: dict[int, np.ndarray] = {}
 
 
-def _signs() -> np.ndarray:
-    global _SIGNS
-    if _SIGNS is None:
-        _SIGNS = np.array(
-            [[_plane_sign(i, j) for j in range(DIM)] for i in range(N_PLANES)],
+def _signs(n_planes: int = N_PLANES) -> np.ndarray:
+    if n_planes not in _SIGNS_CACHE:
+        _SIGNS_CACHE[n_planes] = np.array(
+            [[_plane_sign(i, j) for j in range(DIM)] for i in range(n_planes)],
             dtype=np.float64,
         )
-    return _SIGNS
+    return _SIGNS_CACHE[n_planes]
+
+
+def recommended_planes(n_rows: int, target_bucket_rows: int = 4096) -> int:
+    """Data-driven hyperplane count: enough planes that the EXPECTED
+    bucket occupancy n/2^p lands at ~target_bucket_rows, clamped to
+    [N_PLANES, 24]. This is the 100 TB guard the fixed test-scale
+    N_PLANES=4 lacks: at 10^10 vectors, 4 planes = 16 buckets of ~6×10^8
+    candidates each (an unbounded straggler bucket); 21-24 planes keep
+    the per-bucket exact-cosine work bounded. More planes trade recall
+    for cost — recover recall with multi-probe (ann_topk_multiprobe
+    probes the 1-bit-flip neighbourhood, cost ×(1+p))."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return N_PLANES
+    return max(N_PLANES, min(24, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
+def make_bucket_udf(n_planes: int):
+    """bucket_udf for an explicit plane count (production path —
+    the module-level bucket_udf pins N_PLANES for the oracle twin)."""
+
+    @pandas_udf(IntegerType())
+    def _bucket(emb: pd.Series) -> pd.Series:
+        M = _mat(emb)
+        out = np.zeros(len(M), dtype=np.int32)
+        for i in range(n_planes):
+            dots = _ltr_sum(M * _signs(n_planes)[i])
+            out += np.where(dots >= 0, 1 << i, 0).astype(np.int32)
+        return pd.Series(out)
+
+    return _bucket
 
 
 @pandas_udf(IntegerType())
@@ -187,9 +218,13 @@ def _bucket_sql() -> str:
     return " + ".join(bits)
 
 
-def lsh_buckets(emb: DataFrame) -> DataFrame:
-    """vec_id, bucket — one narrow pass, no shuffle."""
-    return emb.select("vec_id", bucket_udf(F.col("embedding")).alias("bucket"))
+def lsh_buckets(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
+    """vec_id, bucket — one narrow pass, no shuffle.
+
+    n_planes=None keeps the oracle-pinned test-scale default; production
+    passes recommended_planes(count) to bound bucket occupancy."""
+    udf = bucket_udf if n_planes is None else make_bucket_udf(n_planes)
+    return emb.select("vec_id", udf(F.col("embedding")).alias("bucket"))
 
 
 def lsh_bucket_histogram(emb: DataFrame) -> DataFrame:
