@@ -69,17 +69,19 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        # median of N runs (first run also pays codegen/file-listing, so
-        # one extra warmup execution precedes timing); a query that
-        # throws is recorded and skipped — one bad query must never
-        # zero the whole artifact.
+        # median of N runs after warmup executions (whole-stage codegen
+        # compiles on the first run and JIT settles on the second — one
+        # warmup still leaked 3-6× outliers into the first timed
+        # sample); a query that throws is recorded and skipped — one
+        # bad query must never zero the whole artifact.
+        warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
         try:
             samples: list[float] = []
-            for i in range(runs + 1):
+            for i in range(runs + warmups):
                 t0 = time.time()
                 qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
-                if i > 0:  # drop the warmup sample
+                if i >= warmups:
                     samples.append(dt)
             samples.sort()
             med = samples[len(samples) // 2]
