@@ -281,15 +281,24 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
 
     Norms are computed once per vector before the pair join — the
     per-pair work is a single dot product (the pair count, not the
-    vector count, dominates at scale)."""
+    vector count, dominates at scale).
+
+    Two plan details matter: (1) the dot UDF is marked
+    nondeterministic so Catalyst cannot push the threshold filter
+    below the projection and evaluate the Arrow kernel TWICE per pair
+    (once in the filter, once in the output); (2) the probe side is
+    round-robin repartitioned — the dim side is broadcast, so the
+    probe needs no co-partitioning, and without this a single-file
+    local read would funnel every pair evaluation through one task."""
     with_b = emb.select(
         "vec_id",
         "embedding",
         bucket_udf(F.col("embedding")).alias("bucket"),
         norm_udf(F.col("embedding")).alias("nrm"),
     )
-    a, c = with_b.alias("a"), with_b.alias("b")
-    dot = dot_udf(F.col("a.embedding"), F.col("b.embedding"))
+    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    a, c = with_b.repartition(n_parts).alias("a"), with_b.alias("b")
+    dot = dot_udf.asNondeterministic()(F.col("a.embedding"), F.col("b.embedding"))
     cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND)
     return (
         a.join(
