@@ -2081,6 +2081,22 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score (perplexity-filter
+    analogue) — see ext/text.py bigram_lm_score."""
+    from transferdb_spark.ext.text import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def decontam_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing shingles with
+    the deterministic eval slice — see ext/dedup.py decontam_overlap."""
+    from transferdb_spark.ext.dedup import decontam_overlap
+
+    return decontam_overlap(_t(spark, sf_dir, "documents"))
+
+
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction (rows-only check: the fake
     byte-fold extractor is deliberately non-SQL — it stands in for a
@@ -2946,7 +2962,12 @@ def _ext_oracle_sql() -> dict[str, str]:
         TOKEN_STATS_SQL,
     )
 
+    from transferdb_spark.ext.dedup import decontam_overlap_sql
+    from transferdb_spark.ext.text import BIGRAM_LM_SQL
+
     return {
+        "text_bigram_lm": BIGRAM_LM_SQL,
+        "decontam_against_eval": decontam_overlap_sql(),
         "text_token_stats": TOKEN_STATS_SQL,
         "text_quality": QUALITY_SQL,
         "text_lang_id": LANG_ID_SQL,
@@ -3020,6 +3041,8 @@ EXT_QUERIES = {
     "date_functions": date_functions,
     "conditional_functions": conditional_functions,
     "embedding_neardup": embedding_neardup,
+    "text_bigram_lm": text_bigram_lm,
+    "decontam_against_eval": decontam_against_eval,
     "multimodal_features": multimodal_features_q,
 }
 

@@ -270,3 +270,41 @@ def test_raw_video_frame_sampling(spark):
     # frame k is filled with byte value k; 500ms @ 10fps -> frame 5
     assert set(by_off[0]) == {0} and set(by_off[500]) == {5}
     assert set(by_off[1500]) == {15} and len(by_off[1000]) == 8 * 6 * 3
+
+
+def test_bigram_lm_score_semantics(spark):
+    """A repeated phrase scores higher (more predictable) than unique
+    word salad; smoothing keeps unseen-prefix docs finite."""
+    from transferdb_spark.ext.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en", "s", 22),
+            (2, "the cat sat on the mat", "en", "s", 22),
+            (3, "zq wv xk jm pl qn", "en", "s", 17),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["lm_score"] == out[2]["lm_score"]
+    assert out[1]["lm_score"] > out[3]["lm_score"]
+
+
+def test_decontam_flags_eval_overlap(spark):
+    """Docs sharing shingles with the eval slice are flagged with
+    evidence counts; clean docs are not."""
+    from transferdb_spark.ext.dedup import decontam_overlap
+
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (20, eval_text, "en", "s", 36),                      # eval (20 % 20 == 0)
+            (1, "prefix words then alpha beta gamma delta", "en", "s", 40),  # contaminated
+            (2, "completely unrelated text about pyspark engines", "en", "s", 48),  # clean
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in decontam_overlap(docs).collect()}
+    assert 1 in rows and 2 not in rows and 20 not in rows
+    assert rows[1]["n_shared_shingles"] >= 2 and rows[1]["n_eval_docs"] == 1

@@ -464,3 +464,60 @@ SELECT doc_a, doc_b,
 FROM pairs
 WHERE round(common / CAST(n_a + n_b - common AS DOUBLE), 5) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+
+
+def decontam_overlap(
+    docs: DataFrame, eval_mod: int = 20, min_shared: int = 1
+) -> DataFrame:
+    """Training-data decontamination: flag training documents sharing
+    k-gram shingles with a benchmark/eval set — the standard
+    pre-training hygiene pass (remove eval contamination before
+    training). The fixture has no separate benchmark table, so the
+    eval set is the deterministic slice doc_id % eval_mod == 0; in
+    production it is the real benchmark corpus.
+
+    Shape at 100 TB: both sides explode to (doc, shingle-hash) rows;
+    the eval side is tiny relative to the corpus, so the planner
+    broadcasts it and the pass stays a narrow scan + broadcast-hash
+    join + one groupBy on the training doc id. Output: one row per
+    contaminated training doc with the evidence counts.
+    """
+    sh = _shingled(docs).select("doc_id", F.explode(F.expr(SHINGLE_HASHES)).alias("h"))
+    train = sh.filter(F.col("doc_id") % eval_mod != 0)
+    ev = (
+        sh.filter(F.col("doc_id") % eval_mod == 0)
+        .withColumnRenamed("doc_id", "eval_id")
+        .withColumnRenamed("h", "eh")
+    )
+    return (
+        train.join(ev, train.h == ev.eh)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("h").alias("n_shared_shingles"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_shared)
+        .orderBy("doc_id")
+    )
+
+
+def decontam_overlap_sql(eval_mod: int = 20, min_shared: int = 1) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_transform(list_distinct({SHINGLES_SQL}), s -> {_h64_duck('s')})) AS h
+  FROM documents
+),
+train AS (SELECT * FROM sh WHERE doc_id % {eval_mod} <> 0),
+ev AS (SELECT doc_id AS eval_id, h AS eh FROM sh WHERE doc_id % {eval_mod} = 0)
+SELECT doc_id,
+       COUNT(DISTINCT h) AS n_shared_shingles,
+       COUNT(DISTINCT eval_id) AS n_eval_docs
+FROM train JOIN ev ON train.h = ev.eh
+GROUP BY doc_id
+HAVING COUNT(DISTINCT h) >= {min_shared}
+ORDER BY doc_id
+"""

@@ -217,3 +217,72 @@ SELECT lang, term, tf, df, tfidf, rk FROM (
   FROM sc
 ) WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained bigram LM quality score
+
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Per-document language-model score from a bigram model trained on
+    the corpus itself — the expression-only analogue of the
+    perplexity-based quality filters training-data pipelines run
+    (KenLM-style): score = mean add-one-smoothed conditional
+    probability (C(w1,w2)+1)/(C(w1)+V) over the doc's bigrams. Low
+    scores flag unpredictable/garbled text.
+
+    Plan shape at 100 TB: tokenize+bigram is a narrow map; the model is
+    two groupBy counts (map-side combined) on the exploded bigram
+    relation; scoring joins each doc bigram to its counts (shuffle on
+    the bigram/prefix keys — the canonical LM-scoring topology).
+    Determinism for the oracle: the smoothed probability is one IEEE
+    division (correctly rounded, bit-identical across engines), rounded
+    to 6dp and summed as DECIMAL — order-independent, so the
+    value hash matches DuckDB exactly. No float sums.
+    """
+    toks = docs.withColumn("toks", F.expr(TOKENS))
+    bigram_expr = (
+        "case when size(toks) < 2 then array() "
+        "else transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2)) end"
+    )
+    bg = toks.select("doc_id", F.explode(F.expr(bigram_expr)).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bg.select(F.count_distinct("w1").alias("v"))
+    p = F.round((F.col("c12") + 1) / (F.col("c1") + F.col("v")), 6).cast("decimal(18,6)")
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(v)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # sum is exact DECIMAL; the AVERAGE goes through double BEFORE
+            # rounding — decimal division can land exactly on a .5e-6
+            # tie that the two engines round differently, while the
+            # double quotient (IEEE, correctly rounded, bit-identical
+            # in both) never sits exactly on the boundary
+            F.round(F.sum(p).cast("double") / F.count(F.lit(1)), 6).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2
+  FROM toks, UNNEST(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS u(b)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w1) AS v FROM bg)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(CAST(SUM(CAST(round((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY doc_id
+ORDER BY doc_id
+"""
