@@ -308,3 +308,11 @@ def test_decontam_flags_eval_overlap(spark):
     rows = {r["doc_id"]: r for r in decontam_overlap(docs).collect()}
     assert 1 in rows and 2 not in rows and 20 not in rows
     assert rows[1]["n_shared_shingles"] >= 2 and rows[1]["n_eval_docs"] == 1
+
+
+def test_recommended_cells_bounds_candidate_work():
+    from transferdb_spark.ext.similarity import recommended_cells
+
+    assert recommended_cells(1_000) == 16
+    assert recommended_cells(4096 * 100) == 100
+    assert recommended_cells(10**10) == 65536  # clamp

@@ -340,9 +340,24 @@ N_CELLS = 16
 N_PROBE = 4
 
 
-def _pivot_matrix(emb: DataFrame) -> np.ndarray:
+def recommended_cells(n_rows: int, target_cell_rows: int = 4096, n_probe: int = N_PROBE) -> int:
+    """Data-driven IVF cell count: candidate work per query is
+    ~n·n_probe/cells, so size cells to keep the probed candidate set
+    near n_probe·target_cell_rows. Same 100 TB guard as
+    recommended_planes — a fixed 16 cells means ~6×10⁸ candidates per
+    cell at 10^10 vectors. Clamped to [N_CELLS, 65536]; production
+    would also switch pivots from the first-k rows to sampled k-means
+    centroids (the first-k choice here keeps the oracle deterministic)."""
+    import math
+
+    if n_rows <= target_cell_rows:
+        return N_CELLS
+    return max(N_CELLS, min(65536, math.ceil(n_rows / target_cell_rows)))
+
+
+def _pivot_matrix(emb: DataFrame, n_cells: int = N_CELLS) -> np.ndarray:
     rows = (
-        emb.filter(F.col("vec_id") < N_CELLS)
+        emb.filter(F.col("vec_id") < n_cells)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
@@ -376,10 +391,17 @@ def ivf_assign(emb: DataFrame, pivots: np.ndarray) -> DataFrame:
 
 
 def ann_topk_ivf(
-    emb: DataFrame, query_vec_id: int = 0, k: int = 10, n_probe: int = N_PROBE
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = N_PROBE,
+    n_cells: int = N_CELLS,
 ) -> DataFrame:
-    """IVF ANN top-k: exact cosine within the probed cells only."""
-    pivots = _pivot_matrix(emb)
+    """IVF ANN top-k: exact cosine within the probed cells only.
+
+    n_cells defaults to the oracle-pinned test scale; production passes
+    recommended_cells(count) to bound per-cell candidate work."""
+    pivots = _pivot_matrix(emb, n_cells)
     q_row = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
     qvec = np.array([q_row[0]["embedding"]], dtype=np.float64)
     qdots = [( _ltr_sum(qvec * pivots[pid])[0], pid) for pid in range(len(pivots))]
