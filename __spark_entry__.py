@@ -2677,9 +2677,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    best = offers.groupBy("p_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    # min-per-group as a window over the offers relation: one extra
+    # narrow shuffle to p_partkey instead of recomputing the offers
+    # subtree for the aggregate side of a self-join (the join-back
+    # shape executes the scan+join+agg twice unless AQE happens to
+    # reuse the exchange)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("p_partkey")
     return (
-        offers.join(best, "p_partkey")
+        offers.withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
