@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from transferdb_spark.ext.text import TOKENS, TOKENS_SQL
+from transferdb_spark.functions.canonical import stable_round, stable_round_sql
 
 SHINGLE_K = 3
 NUM_HASHES = 12
@@ -230,7 +231,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    jac = F.round(
+    jac = stable_round(
         F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 5
     )
     return (
@@ -253,9 +254,9 @@ pairs AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b,
-       CAST(round(common / CAST(n_a + n_b - common AS DOUBLE), 5) AS DOUBLE) AS jaccard
+       CAST({stable_round_sql("common / CAST(n_a + n_b - common AS DOUBLE)", 5)} AS DOUBLE) AS jaccard
 FROM pairs
-WHERE round(common / CAST(n_a + n_b - common AS DOUBLE), 5) >= {threshold}
+WHERE {stable_round_sql("common / CAST(n_a + n_b - common AS DOUBLE)", 5)} >= {threshold}
 """
 
 
@@ -438,7 +439,7 @@ def ngram_jaccard_rare_pairs(docs: DataFrame, threshold: float = 0.5, df_cap: in
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    jac = F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 5)
+    jac = stable_round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 5)
     return common.select(
         "doc_a", "doc_b", jac.cast("double").alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
@@ -460,9 +461,9 @@ pairs AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b,
-       CAST(round(common / CAST(n_a + n_b - common AS DOUBLE), 5) AS DOUBLE) AS jaccard
+       CAST({stable_round_sql("common / CAST(n_a + n_b - common AS DOUBLE)", 5)} AS DOUBLE) AS jaccard
 FROM pairs
-WHERE round(common / CAST(n_a + n_b - common AS DOUBLE), 5) >= {threshold}
+WHERE {stable_round_sql("common / CAST(n_a + n_b - common AS DOUBLE)", 5)} >= {threshold}
 """
 
 

@@ -6,13 +6,24 @@ pseudo-random planes derived from the portable hash so buckets (and the
 DuckDB oracle) are reproducible; candidate generation is a bucket-equi
 join instead of an O(n²) cross.
 
-Vector math runs in Arrow-vectorized pandas UDFs (numpy, float64).
+Vector math runs in Arrow-vectorized pandas UDFs (numpy).
 This is the one hot path where built-in expressions lose: higher-order
 functions (zip_with/aggregate) evaluate interpreted per element, and
 expanded 64-term arithmetic pays seconds of Janino codegen compile per
-stage. Summation uses np.cumsum — strict left-to-right accumulation —
-so doubles are bit-equal with the DuckDB oracle's expanded `x1*y1 +
-x2*y2 + ...` chain and rounded scores hash-match across engines.
+stage.
+
+Numeric contract (engine-exact by construction): elements are
+quantized to integers qi = floor(x·2^20 + 0.5) — the multiply by a
+power of two is EXACT on the float32-widened double, so quantization
+is deterministic — and dots / squared norms are then pure int64
+arithmetic, which is order-independent and identical everywhere. The
+only float ops left (int→double below 2^53, sqrt, one multiply, one
+divide) are IEEE correctly-rounded and bit-identical across engines.
+Float SUM CHAINS are deliberately banned from the verification
+contract: DuckDB was observed evaluating the same 64-term chain
+differently when it feeds a division (FMA contraction) than as a
+standalone projection, so left-to-right float parity cannot be relied
+on across expression contexts.
 """
 
 from __future__ import annotations
@@ -32,20 +43,29 @@ DIM = 64
 # to keep per-bucket candidate counts bounded.
 N_PLANES = 4
 ROUND = 5
+QSCALE = 1 << 20  # element quantization scale (power of 2: exact multiply)
 
-# --- DuckDB dialect: expanded left-to-right chains ---
+# --- DuckDB dialect: exact integer chains over quantized elements ---
+
+
+def _q_sql(elem: str) -> str:
+    return f"CAST(floor(CAST({elem} AS DOUBLE) * {QSCALE}.0 + 0.5) AS BIGINT)"
+
 
 DOT_SQL = " + ".join(
-    f"CAST({{a}}[{j + 1}] AS DOUBLE) * CAST({{b}}[{j + 1}] AS DOUBLE)" for j in range(DIM)
+    f"{_q_sql('{a}[%d]' % (j + 1))} * {_q_sql('{b}[%d]' % (j + 1))}" for j in range(DIM)
 )
-NORM_SQL = "sqrt(" + " + ".join(
-    f"CAST({{a}}[{j + 1}] AS DOUBLE) * CAST({{a}}[{j + 1}] AS DOUBLE)" for j in range(DIM)
-) + ")"
+NORM_SQL = "sqrt(CAST(" + " + ".join(
+    f"{_q_sql('{a}[%d]' % (j + 1))} * {_q_sql('{a}[%d]' % (j + 1))}" for j in range(DIM)
+) + " AS DOUBLE))"
 
 
 def cosine_sql(a: str, b: str) -> str:
-    return (
-        f"round({DOT_SQL.format(a=a, b=b)} / ({NORM_SQL.format(a=a)} * {NORM_SQL.format(a=b)}), {ROUND})"
+    from transferdb_spark.functions.canonical import stable_round_sql
+
+    return stable_round_sql(
+        f"CAST({DOT_SQL.format(a=a, b=b)} AS DOUBLE) / ({NORM_SQL.format(a=a)} * {NORM_SQL.format(a=b)})",
+        ROUND,
     )
 
 
@@ -59,39 +79,44 @@ def _mat(s: pd.Series) -> np.ndarray:
     return np.stack(s.to_numpy()).astype(np.float64)
 
 
-def _ltr_sum(prod: np.ndarray) -> np.ndarray:
-    """Row-wise strict left-to-right float64 sum (parity with SQL chains)."""
-    return np.cumsum(prod, axis=1)[:, -1]
+def _qmat(s: pd.Series) -> np.ndarray:
+    """(n, DIM) int64 quantized matrix — exact, order-independent math."""
+    return np.floor(_mat(s) * QSCALE + 0.5).astype(np.int64)
 
 
 @pandas_udf(DoubleType())
 def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    A, B = _mat(a), _mat(b)
-    return pd.Series(_ltr_sum(A * B))
+    QA, QB = _qmat(a), _qmat(b)
+    return pd.Series((QA * QB).sum(axis=1).astype(np.float64))
 
 
 @pandas_udf(DoubleType())
 def norm_udf(a: pd.Series) -> pd.Series:
-    A = _mat(a)
-    return pd.Series(np.sqrt(_ltr_sum(A * A)))
+    Q = _qmat(a)
+    return pd.Series(np.sqrt((Q * Q).sum(axis=1).astype(np.float64)))
 
 
 def cosine_expr(a: str, b: str):
-    return F.round(
-        dot_udf(F.col(a), F.col(b)) / (norm_udf(F.col(a)) * norm_udf(F.col(b))),
-        ROUND,
+    from transferdb_spark.functions.canonical import stable_round
+
+    return stable_round(
+        dot_udf(F.col(a), F.col(b)) / (norm_udf(F.col(a)) * norm_udf(F.col(b))), ROUND
     )
 
 
 def embedding_norms(emb: DataFrame) -> DataFrame:
     """vec_id, l2_norm — cheap sanity operator over the vector column."""
+    from transferdb_spark.functions.canonical import stable_round
+
     return emb.select(
-        "vec_id", F.round(norm_udf(F.col("embedding")), ROUND).alias("l2_norm")
+        "vec_id", stable_round(norm_udf(F.col("embedding")), ROUND).alias("l2_norm")
     )
 
 
+from transferdb_spark.functions.canonical import stable_round_sql as _sr_sql  # noqa: E402
+
 EMBEDDING_NORMS_SQL = f"""
-SELECT vec_id, CAST(round({NORM_SQL.format(a='embedding')}, {ROUND}) AS DOUBLE) AS l2_norm
+SELECT vec_id, CAST({_sr_sql(NORM_SQL.format(a='embedding'), ROUND)} AS DOUBLE) AS l2_norm
 FROM embeddings
 """
 
@@ -141,10 +166,11 @@ def _plane_sign(i: int, j: int) -> int:
 
 
 def _signed_dot(i: int, elem: str) -> str:
-    """±element add chain for plane i; elem holds '{j}' (1-based)."""
+    """±quantized-element add chain for plane i (exact BIGINT sum);
+    elem holds '{j}' (1-based)."""
     parts = []
     for j in range(DIM):
-        t = elem.format(j=j + 1)
+        t = _q_sql(elem.format(j=j + 1))
         if j == 0:
             parts.append(t if _plane_sign(i, 0) > 0 else f"-{t}")
         else:
@@ -186,10 +212,11 @@ def make_bucket_udf(n_planes: int):
 
     @pandas_udf(IntegerType())
     def _bucket(emb: pd.Series) -> pd.Series:
-        M = _mat(emb)
-        out = np.zeros(len(M), dtype=np.int32)
+        Q = _qmat(emb)
+        signs = _signs(n_planes).astype(np.int64)
+        out = np.zeros(len(Q), dtype=np.int32)
         for i in range(n_planes):
-            dots = _ltr_sum(M * _signs(n_planes)[i])
+            dots = (Q * signs[i]).sum(axis=1)
             out += np.where(dots >= 0, 1 << i, 0).astype(np.int32)
         return pd.Series(out)
 
@@ -200,12 +227,14 @@ def make_bucket_udf(n_planes: int):
 def bucket_udf(emb: pd.Series) -> pd.Series:
     """LSH bucket id = Σ bit_i · 2^i over N_PLANES sign bits.
 
-    Signed-product cumsum ≡ the SQL ±x_j add chain (x - y == x + (-y)
-    in IEEE double), so bucket ids match the oracle exactly."""
-    M = _mat(emb)
-    out = np.zeros(len(M), dtype=np.int32)
+    Signed integer sums over quantized elements ≡ the SQL ±q_j BIGINT
+    chain exactly (integer math is order-independent), so bucket ids
+    match the oracle by construction."""
+    Q = _qmat(emb)
+    signs = _signs().astype(np.int64)
+    out = np.zeros(len(Q), dtype=np.int32)
     for i in range(N_PLANES):
-        dots = _ltr_sum(M * _signs()[i])
+        dots = (Q * signs[i]).sum(axis=1)
         out += np.where(dots >= 0, 1 << i, 0).astype(np.int32)
     return pd.Series(out)
 
@@ -298,8 +327,10 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
     )
     n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a, c = with_b.repartition(n_parts).alias("a"), with_b.alias("b")
+    from transferdb_spark.functions.canonical import stable_round
+
     dot = dot_udf.asNondeterministic()(F.col("a.embedding"), F.col("b.embedding"))
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND)
+    cos = stable_round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND)
     return (
         a.join(
             c,
@@ -321,9 +352,9 @@ WITH bk AS (SELECT vec_id, embedding, CAST(({_bucket_sql()}) AS INT) AS bucket,
                    {NORM_SQL.format(a='embedding')} AS nrm
             FROM embeddings)
 SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-       CAST(round({dot} / (x.nrm * y.nrm), {ROUND}) AS DOUBLE) AS cosine
+       CAST({_sr_sql(f"CAST(({dot}) AS DOUBLE) / (x.nrm * y.nrm)", ROUND)} AS DOUBLE) AS cosine
 FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-WHERE round({dot} / (x.nrm * y.nrm), {ROUND}) >= {threshold}
+WHERE {_sr_sql(f"CAST(({dot}) AS DOUBLE) / (x.nrm * y.nrm)", ROUND)} >= {threshold}
 """
 
 
@@ -365,27 +396,26 @@ def _pivot_matrix(emb: DataFrame, n_cells: int = N_CELLS) -> np.ndarray:
     return np.array([r["embedding"] for r in rows], dtype=np.float64)
 
 
-def _cell_ids(M: np.ndarray, pivots: np.ndarray) -> np.ndarray:
+def _cell_ids(Q: np.ndarray, qpivots: np.ndarray) -> np.ndarray:
     """argmax-dot cell per row; ties -> lowest pivot id (oracle order).
 
-    Dots via cumsum per pivot: bit-equal with the SQL add chains."""
-    n = len(M)
-    best_dot = np.full(n, -np.inf)
-    best_pid = np.zeros(n, dtype=np.int32)
-    for pid in range(len(pivots)):
-        d = _ltr_sum(M * pivots[pid])
-        take = d > best_dot  # strict: earlier pid wins ties
-        best_dot = np.where(take, d, best_dot)
-        best_pid = np.where(take, pid, best_pid)
-    return best_pid
+    Integer dot products over quantized rows/pivots: exact, so tie
+    handling and ordering match the SQL BIGINT chains by construction."""
+    D = Q @ qpivots.T  # (n, n_cells) int64, exact
+    return np.argmax(D, axis=1).astype(np.int32)  # first max = lowest pid
+
+
+def _quantize(M: np.ndarray) -> np.ndarray:
+    return np.floor(M * QSCALE + 0.5).astype(np.int64)
 
 
 def ivf_assign(emb: DataFrame, pivots: np.ndarray) -> DataFrame:
     """vec_id, embedding, cell — one narrow Arrow pass."""
+    qpivots = _quantize(pivots)
 
     @pandas_udf(IntegerType())
     def cell_udf(e: pd.Series) -> pd.Series:
-        return pd.Series(_cell_ids(_mat(e), pivots))
+        return pd.Series(_cell_ids(_qmat(e), qpivots))
 
     return emb.select("vec_id", "embedding", cell_udf(F.col("embedding")).alias("cell"))
 
@@ -404,7 +434,8 @@ def ann_topk_ivf(
     pivots = _pivot_matrix(emb, n_cells)
     q_row = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
     qvec = np.array([q_row[0]["embedding"]], dtype=np.float64)
-    qdots = [( _ltr_sum(qvec * pivots[pid])[0], pid) for pid in range(len(pivots))]
+    qq, qp = _quantize(qvec)[0], _quantize(pivots)
+    qdots = [(int((qq * qp[pid]).sum()), pid) for pid in range(len(qp))]
     probe = [pid for _, pid in sorted(qdots, key=lambda t: (-t[0], t[1]))[:n_probe]]
 
     cells = ivf_assign(emb, pivots).filter(F.col("cell").isin(probe))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from transferdb_spark.functions.canonical import stable_round, stable_round_sql
+
 # whitespace tokenization of lowercased text — the shared contract
 TOKENS = "split(trim(lower(text)), '\\\\s+')"
 TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -27,7 +29,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(t).alias("n_tokens"),
         F.length("text").alias("n_chars"),
-        F.round(
+        stable_round(
             F.length(F.array_join(t, "")) / F.size(t), 4
         ).alias("avg_token_len"),
     )
@@ -37,7 +39,7 @@ TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        CAST(len({TOKENS_SQL}) AS INT) AS n_tokens,
        CAST(length(text) AS INT) AS n_chars,
-       CAST(round(length(array_to_string({TOKENS_SQL}, '')) / CAST(len({TOKENS_SQL}) AS DOUBLE), 4) AS DOUBLE) AS avg_token_len
+       CAST({stable_round_sql(f"length(array_to_string({TOKENS_SQL}, '')) / CAST(len({TOKENS_SQL}) AS DOUBLE)", 4)} AS DOUBLE) AS avg_token_len
 FROM documents
 """
 
@@ -52,18 +54,22 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     spaces = F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
     return docs.select(
         "doc_id",
-        F.round(non_alnum / n, 5).alias("punct_ratio"),
-        F.round(digits / n, 5).alias("digit_ratio"),
-        F.round(spaces / n, 5).alias("space_ratio"),
+        stable_round(non_alnum / n, 5).alias("punct_ratio"),
+        stable_round(digits / n, 5).alias("digit_ratio"),
+        stable_round(spaces / n, 5).alias("space_ratio"),
         (F.length("text") >= 100).cast("int").alias("len_ok"),
     )
 
 
-QUALITY_SQL = """
+_PUNCT_EXPR = (
+    "length(regexp_replace(text, '[a-zA-Z0-9" + "\\s" + "]', '', 'g'))"
+    " / CAST(length(text) AS DOUBLE)"
+)
+QUALITY_SQL = f"""
 SELECT doc_id,
-       CAST(round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE), 5) AS DOUBLE) AS punct_ratio,
-       CAST(round(length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE), 5) AS DOUBLE) AS digit_ratio,
-       CAST(round(length(regexp_replace(text, '[^ ]', '', 'g')) / CAST(length(text) AS DOUBLE), 5) AS DOUBLE) AS space_ratio,
+       CAST({stable_round_sql(_PUNCT_EXPR, 5)} AS DOUBLE) AS punct_ratio,
+       CAST({stable_round_sql("length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE)", 5)} AS DOUBLE) AS digit_ratio,
+       CAST({stable_round_sql("length(regexp_replace(text, '[^ ]', '', 'g')) / CAST(length(text) AS DOUBLE)", 5)} AS DOUBLE) AS space_ratio,
        CAST(length(text) >= 100 AS INT) AS len_ok
 FROM documents
 """
@@ -188,7 +194,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     df_ = ex.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     scored = tf.join(df_, "term").withColumn(
         "tfidf",
-        F.round(F.col("tf").cast("double") * F.lit(float(n)) / F.col("df"), 4),
+        stable_round(F.col("tf").cast("double") * F.lit(float(n)) / F.col("df"), 4),
     )
     w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -209,7 +215,7 @@ dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM exf GROUP BY 1),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
 sc AS (
   SELECT lang, term, tf, df,
-         round(CAST(tf AS DOUBLE) * n.n / df, 4) AS tfidf
+         {stable_round_sql("CAST(tf AS DOUBLE) * n.n / df", 4)} AS tfidf
   FROM tf JOIN dfx USING (term), n
 )
 SELECT lang, term, tf, df, tfidf, rk FROM (
@@ -252,7 +258,7 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = bg.select(F.count_distinct("w1").alias("v"))
-    p = F.round((F.col("c12") + 1) / (F.col("c1") + F.col("v")), 6).cast("decimal(18,6)")
+    p = stable_round((F.col("c12") + 1) / (F.col("c1") + F.col("v")), 6).cast("decimal(18,6)")
     return (
         bg.join(c12, ["w1", "w2"])
         .join(c1, ["w1"])
@@ -265,7 +271,7 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
             # tie that the two engines round differently, while the
             # double quotient (IEEE, correctly rounded, bit-identical
             # in both) never sits exactly on the boundary
-            F.round(F.sum(p).cast("double") / F.count(F.lit(1)), 6).alias("lm_score"),
+            stable_round(F.sum(p).cast("double") / F.count(F.lit(1)), 6).alias("lm_score"),
         )
         .orderBy("doc_id")
     )
@@ -281,7 +287,7 @@ c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
 c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
 v AS (SELECT COUNT(DISTINCT w1) AS v FROM bg)
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       round(CAST(SUM(CAST(round((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+       {stable_round_sql(f"CAST(SUM(CAST({stable_round_sql('(c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE)', 6)} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)", 6)} AS lm_score
 FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
 GROUP BY doc_id
 ORDER BY doc_id

@@ -92,3 +92,25 @@ def row_string_sql(schema: T.StructType, cols: list[str] | None = None) -> str:
     by_name = {f.name: f.dataType for f in schema.fields}
     parts = [f"COALESCE({canon_sql(n, by_name[n])}, '\\N')" for n in names]
     return "concat_ws(chr(31), " + ", ".join(parts) + ")"
+
+
+def stable_round(col: Column | str, digits: int) -> Column:
+    """Half-up decimal rounding of a DOUBLE as floor(x·10^d + 0.5)/10^d.
+
+    Each engine's native round() disagrees on EXACT decimal ties, which
+    IEEE quotients do hit: a dyadic rational like 5/128 = 0.0390625
+    terminates precisely at the tie digit, and Spark (BigDecimal
+    HALF_UP) and DuckDB then round it differently — a real
+    value-hash mismatch observed at sf0.1. Multiply, add, floor and
+    divide are all correctly-rounded IEEE ops, bit-identical across
+    engines, so this formula is deterministic and portable. Ties round
+    toward +infinity."""
+    p = float(10**digits)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * p + F.lit(0.5)) / F.lit(p)
+
+
+def stable_round_sql(expr: str, digits: int) -> str:
+    """DuckDB twin of stable_round."""
+    p = 10**digits
+    return f"(floor(({expr}) * {p}.0 + 0.5) / {p}.0)"
