@@ -402,3 +402,34 @@ def test_diff_summary_null_columns_not_aliased(spark):
     d = spark.createDataFrame([("a", "b")], "x string, y string")
     r2 = diff_summary(c, d).first()
     assert (r2["insert_rows"], r2["delete_rows"]) == (1, 0)
+
+
+def test_source_boundary_normalizes_ntz(spark, sf_dir):
+    """The round-3 regression guard: whatever physical timestamp type
+    the fixture ships (int64 nanos, TIMESTAMP(MICROS)/NTZ), load_table
+    must deliver plain session-tz TIMESTAMP — NTZ refuses numeric casts
+    and streaming watermarks."""
+    from pyspark.sql import types as T
+
+    from transferdb_spark.sources.registry import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+        assert not ntz, f"{t}: NTZ columns leaked through the boundary: {ntz}"
+    ev = load_table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    # the operation NTZ rejects must work
+    ev.selectExpr("cast(ts as long)").first()
+
+
+def test_charset_projection_encodes_for_byte_oriented_target(spark):
+    """Reverse direction of F9: when the TARGET charset is non-UTF-8
+    (byte-oriented landing, e.g. a GBK CSV drop), string columns encode
+    to target-charset bytes in flight."""
+    from transferdb_spark.modes.full import charset_projection
+
+    df = spark.createDataFrame([(1, "数据校验"), (2, None)], "id long, s string")
+    out = charset_projection(df, "UTF8", "ZHS16GBK").orderBy("id").collect()
+    assert bytes(out[0]["s"]) == "数据校验".encode("gbk")
+    assert out[1]["s"] is None
