@@ -128,3 +128,39 @@ def test_canonical_decimal_rendering_parity(spark):
     sql = canon_sql("?::DOUBLE", T.DoubleType())
     expected = [con.execute("SELECT " + sql, [v]).fetchone()[0] for v in vals]
     assert got == expected
+
+
+def test_stable_round_cross_engine_parity_on_dyadic_ties(spark):
+    """stable_round must agree with its DuckDB twin on every value,
+    ESPECIALLY dyadic rationals (k/2^n) whose decimal expansion
+    terminates exactly at the tie digit — the class where each engine's
+    native round() was observed to disagree (e.g. 5/128 = 0.0390625
+    at 6 digits)."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.functions.canonical import stable_round, stable_round_sql
+
+    rng = random.Random(7)
+    vals = [k / (1 << n) for n in range(1, 22) for k in (1, 3, 5, rng.randint(1, 1 << n))]
+    vals += [rng.uniform(-2, 2) for _ in range(300)]
+    vals += [0.0390625, 0.109375, -0.0390625, 0.3017650317503954]
+
+    for digits in (4, 5, 6):
+        sdf = spark.createDataFrame([(v,) for v in vals], ["x"])
+        got = [
+            r["r"]
+            for r in sdf.select(stable_round(F.col("x"), digits).alias("r"))
+            .collect()
+        ]
+        con = duckdb.connect()
+        expected = [
+            con.execute(
+                "SELECT " + stable_round_sql("?::DOUBLE", digits), [v]
+            ).fetchone()[0]
+            for v in vals
+        ]
+        assert got == expected, f"digits={digits}"
