@@ -200,3 +200,34 @@ def test_cli_all_mode_runs_full_plus_incremental(tmp_path, capsys, spark):
     assert out["mode"] == "all"
     assert out["targets"]  # full phase landed tables
     assert out["incr_rows"] > 0  # incremental phase consumed the stream
+
+
+def test_cli_retry_mode(tmp_path, spark, lineitem):
+    """--mode retry re-runs exactly the FAILED chunks and reports the
+    error-log size (the reference's resume-failed operational surface)."""
+    import json
+
+    from transferdb_spark.__main__ import main
+    from transferdb_spark.plans.chunker import plan_chunks
+    from transferdb_spark.state.store import FAILED, SUCCESS, StateStore
+
+    wd = str(tmp_path / "wd")
+    store = StateStore(wd, "full")
+    chunks = plan_chunks(lineitem, "l_orderkey", 4)
+    store.init_table("lineitem", chunks)
+    for c in chunks:
+        store.mark("lineitem", c.chunk_id, SUCCESS)
+    store.mark("lineitem", 2, FAILED, "simulated")
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--mode", "retry", "--workdir", wd, "--tables", "lineitem"])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["retried"]["lineitem"]["retried"] == 1
+    assert out["retried"]["lineitem"]["succeeded"] == 1
+    assert out["still_failed"] == []
+    assert out["error_log_entries"] == 1

@@ -2,7 +2,9 @@
 
     python -m transferdb_spark --mode <mode> [--source-dir D] [--workdir W]
 
-Modes: prepare | assess | reverse | check | compare | csv | full | all.
+Modes: prepare | assess | reverse | check | compare | csv | full | all
+| retry (re-run only FAILED chunks from the persisted plan)
+| compact (rewrite the CDC change log to its live-key snapshot).
 Fixture-backed (parquet source dirs); JDBC endpoints plug in through
 transferdb_spark.sources.jdbc when drivers are present.
 """
@@ -20,7 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--mode",
         required=True,
-        choices=["prepare", "assess", "reverse", "check", "compare", "csv", "full", "all"],
+        choices=[
+            "prepare", "assess", "reverse", "check", "compare",
+            "csv", "full", "all", "retry", "compact",
+        ],
     )
     p.add_argument("--source-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     p.add_argument("--workdir", default="./transferdb_work")
@@ -107,6 +112,29 @@ def main(argv: list[str] | None = None) -> int:
         from transferdb_spark.modes.full import full_migrate
 
         out["targets"] = full_migrate(spark, args.source_dir, args.workdir, tables=tables, n_chunks=args.chunks)
+
+    elif args.mode == "retry":
+        from transferdb_spark.modes.full import retry_failed
+        from transferdb_spark.sources.registry import load_tables
+        from transferdb_spark.state.store import StateStore
+
+        store = StateStore(args.workdir, "full")
+        failed_tables = sorted({c.table for c in store.failed()})
+        results = {}
+        for name, df in load_tables(spark, args.source_dir, include=tables).items():
+            if name in failed_tables:
+                results[name] = retry_failed(spark, df, name, args.workdir, store=store)
+        out.update(
+            retried=results,
+            error_log_entries=len(store.error_log()),
+            still_failed=[c.table + ":" + str(c.chunk_id) for c in store.failed()],
+        )
+
+    elif args.mode == "compact":
+        from transferdb_spark.streaming.incr import compact_cdc_log
+
+        target = os.path.join(args.workdir, "target", "events_incr")
+        out.update(compact_cdc_log(spark, target, key="user_id"))
 
     elif args.mode == "all":
         from transferdb_spark.modes.full import full_migrate
