@@ -95,3 +95,35 @@ def test_jdbc_migrate_then_compare_over_jdbc(spark, sf_dir, derby_url, tmp_path)
     assert report.delete_rows == 1
     text = open(report.fix_sql_path).read()
     assert "INSERT INTO nation_jdbc" in text and "DELETE FROM nation_jdbc" in text
+
+
+def test_write_with_retry_backoff(spark, monkeypatch):
+    """Transient failures are retried with exponential backoff; the
+    exception surfaces only after max_retries is exhausted."""
+    import pytest as _pytest
+
+    from transferdb_spark.sources.jdbc import JdbcSink
+
+    sink = JdbcSink(url="jdbc:derby:memory:retrydb;create=true", table="t")
+    df = spark.range(3)
+    calls = {"n": 0}
+
+    def flaky(d, mode="append"):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("connection reset")
+
+    monkeypatch.setattr(sink, "write", flaky)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    assert sink.write_with_retry(df, max_retries=3, backoff_s=0) == 3
+
+    calls["n"] = 0
+
+    def always_down(d, mode="append"):
+        calls["n"] += 1
+        raise RuntimeError("endpoint down")
+
+    monkeypatch.setattr(sink, "write", always_down)
+    with _pytest.raises(RuntimeError, match="endpoint down"):
+        sink.write_with_retry(df, max_retries=2, backoff_s=0)
+    assert calls["n"] == 3  # initial + 2 retries

@@ -116,6 +116,41 @@ class JdbcSink:
             .save()
         )
 
+    def write_with_retry(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+    ) -> int:
+        """Driver-level retry with exponential backoff for transient
+        connection-class failures (the reference retries failed applies
+        and records each attempt, meta.go error tables). Returns the
+        attempt count that succeeded.
+
+        Scope note: WITHIN a healthy connection, per-partition task
+        retries are Spark-native (spark.task.maxFailures) — this wraps
+        the whole write for failures the task scheduler can't absorb
+        (endpoint down, auth churn). Retrying mode="append" is safe
+        only when the statement is idempotent (REPLACE / ON DUPLICATE
+        KEY upsert) — a partially-applied plain append would duplicate
+        rows; for plain inserts retry per-chunk with the chunk's
+        predicate and a delete-before-write, as full-mode resume does.
+        """
+        import time
+
+        last: Exception | None = None
+        for attempt in range(1, max_retries + 2):
+            try:
+                self.write(df, mode=mode)
+                return attempt
+            except Exception as e:  # noqa: BLE001 — backoff and retry
+                last = e
+                if attempt > max_retries:
+                    break
+                time.sleep(backoff_s * (2 ** (attempt - 1)))
+        raise last  # type: ignore[misc]
+
     def upsert_batch(self, df: DataFrame, key_cols: list[str]) -> str:
         """REPLACE-safe-mode statement text for a MERGE-style apply.
 
