@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "similarity_topk",
     "ann_topk_lsh",
     "embedding_neardup",
+    "text_bigram_lm",
+    "decontam_against_eval",
+    "assess_storage_size",
 ]
 
 
