@@ -226,15 +226,26 @@ ORDER BY 1
 
 
 def compare_diff_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/U3 — source-minus-target rows (INSERT repairs)."""
+    """J1/U3 — source-minus-target rows (INSERT repairs).
+
+    Production fast path: hash-weighted diff shuffles 16-byte row
+    hashes instead of the full payload, then recovers the (damage-
+    bounded) excess rows by joining back — see operators/diff.py
+    hashed_diff. Output multiset identical to exceptAll."""
+    from transferdb_spark.operators.diff import hashed_diff
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.exceptAll(mutated_target(li))
+    ins, _ = hashed_diff(li, mutated_target(li))
+    return ins
 
 
 def compare_diff_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/U3 — target-minus-source rows (DELETE repairs)."""
+    from transferdb_spark.operators.diff import hashed_diff
+
     li = _t(spark, sf_dir, "lineitem")
-    return mutated_target(li).exceptAll(li)
+    _, dels = hashed_diff(li, mutated_target(li))
+    return dels
 
 
 DIFF_INS_SQL = f"""

@@ -157,6 +157,32 @@ def test_diff_roundtrip_repair(lineitem):
     assert lineitem.exceptAll(repaired).count() == 0
 
 
+def test_hashed_diff_matches_exceptall(lineitem):
+    """hashed_diff (16-byte-shuffle fast path) emits the exact multiset
+    exceptAll produces — both directions, multiplicity included."""
+    from transferdb_spark.operators.compare_fixture import mutated_target
+    from transferdb_spark.operators.diff import dataset_diff, hashed_diff
+
+    tgt = mutated_target(lineitem)
+    e_ins, e_del = dataset_diff(lineitem, tgt)
+    h_ins, h_del = hashed_diff(lineitem, tgt)
+    assert h_ins.exceptAll(e_ins).count() == 0
+    assert e_ins.exceptAll(h_ins).count() == 0
+    assert h_del.exceptAll(e_del).count() == 0
+    assert e_del.exceptAll(h_del).count() == 0
+
+
+def test_hashed_diff_preserves_multiplicity(spark):
+    """A row appearing 3x in src and 1x in tgt yields exactly 2 copies."""
+    from transferdb_spark.operators.diff import hashed_diff
+
+    src = spark.createDataFrame([("a", 1)] * 3 + [("b", 2)], ["k", "v"])
+    tgt = spark.createDataFrame([("a", 1), ("c", 3), ("c", 3)], ["k", "v"])
+    ins, dels = hashed_diff(src, tgt)
+    assert sorted(tuple(r) for r in ins.collect()) == [("a", 1), ("a", 1), ("b", 2)]
+    assert sorted(tuple(r) for r in dels.collect()) == [("c", 3), ("c", 3)]
+
+
 def test_diff_zero_on_identical(lineitem):
     from transferdb_spark.operators.diff import diff_summary
 

@@ -237,10 +237,17 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     probability (C(w1,w2)+1)/(C(w1)+V) over the doc's bigrams. Low
     scores flag unpredictable/garbled text.
 
-    Plan shape at 100 TB: tokenize+bigram is a narrow map; the model is
-    two groupBy counts (map-side combined) on the exploded bigram
-    relation; scoring joins each doc bigram to its counts (shuffle on
-    the bigram/prefix keys — the canonical LM-scoring topology).
+    Plan shape at 100 TB: tokenize+bigram is a narrow map that runs
+    exactly TWICE (model pass + scoring pass — recomputing the narrow
+    map beats materializing the exploded relation at corpus scale).
+    The model is ONE groupBy count on the bigram relation; the prefix
+    counts C(w1) and vocabulary size V are derived from the (orders of
+    magnitude smaller) bigram-count relation itself:
+    C(w1) = sum over w2 of C(w1,w2), V = |distinct w1 in the model|.
+    The per-bigram probability is attached to the model small-side, so
+    the big bigram relation is shuffled once for the scoring join (on
+    (w1,w2)) and once for the per-doc aggregate — the minimum the
+    LM-scoring topology admits.
     Determinism for the oracle: the smoothed probability is one IEEE
     division (correctly rounded, bit-identical across engines), rounded
     to 6dp and summed as DECIMAL — order-independent, so the
@@ -256,13 +263,17 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = bg.select(F.count_distinct("w1").alias("v"))
+    # prefix counts and vocab size derive from the model relation — no
+    # extra pass over the corpus, and the joins that build the scored
+    # model run on the small side only
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c1.select(F.count(F.lit(1)).alias("v"))
     p = stable_round((F.col("c12") + 1) / (F.col("c1") + F.col("v")), 6).cast("decimal(18,6)")
+    model = (
+        c12.join(c1, ["w1"]).crossJoin(v).select("w1", "w2", p.alias("p"))
+    )
     return (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
-        .crossJoin(v)
+        bg.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -271,7 +282,7 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
             # tie that the two engines round differently, while the
             # double quotient (IEEE, correctly rounded, bit-identical
             # in both) never sits exactly on the boundary
-            stable_round(F.sum(p).cast("double") / F.count(F.lit(1)), 6).alias("lm_score"),
+            stable_round(F.sum("p").cast("double") / F.count(F.lit(1)), 6).alias("lm_score"),
         )
         .orderBy("doc_id")
     )

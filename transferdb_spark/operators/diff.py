@@ -61,6 +61,73 @@ def diff_summary(src: DataFrame, tgt: DataFrame) -> DataFrame:
     )
 
 
+def _row_hash_args(cols: list[str]) -> list:
+    # null flags interleaved — xxhash64 skips NULL inputs, so without
+    # flags ('a', NULL) and (NULL, 'a') would alias structurally
+    return [x for c in cols for x in (F.col(c), F.col(c).isNull())]
+
+
+def hashed_diff(
+    src: DataFrame, tgt: DataFrame, broadcast_excess: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(source_minus_target, target_minus_source) — the production fast
+    path for dataset_diff.
+
+    exceptAll shuffles the FULL row payload; at 100 TB that is the
+    whole table through the wire to find a damaged fraction of rows.
+    This formulation shuffles 16 bytes/row instead:
+
+      1. tag src +1 / tgt -1 on xxhash64(row), one wide aggregation —
+         identical topology to diff_summary;
+      2. rows with weight > 0 are src-excess, < 0 tgt-excess — a
+         relation bounded by the DAMAGED fraction, not the table;
+      3. re-scan each side and join it to its excess-hash set to
+         recover the payloads. With broadcast_excess=True (default)
+         the excess set is broadcast, so the re-scan has NO exchange
+         at all — the right plan for the compare use case, where
+         divergence is a damaged fraction (AQE alone still pays the
+         map-side shuffle write of the full payload before it can
+         demote the join). Pass broadcast_excess=False when the two
+         inputs may diverge wholesale (excess ~ table size) and let
+         AQE decide from runtime stats.
+      4. multiset multiplicity is preserved exactly: each excess hash
+         carries its weight w, and a row_number over the (small)
+         matched relation emits exactly w copies — the same output
+         multiset exceptAll produces.
+
+    Trust model: a wrong row requires an exact 64-bit collision
+    between a src-only and tgt-only row (~n²/2⁶⁵) — the regime the
+    reference already accepts for its in-memory string sets
+    (report.go:236-302). `dataset_diff` remains the collision-free
+    exact form; equivalence is pinned by pytest.
+    """
+    from pyspark.sql.window import Window
+
+    cols = src.columns
+    h = F.xxhash64(*_row_hash_args(cols))
+    tagged = src.select(h.alias("_h"), F.lit(1).alias("_w")).unionAll(
+        tgt.select(h.alias("_h"), F.lit(-1).alias("_w"))
+    )
+    weights = tagged.groupBy("_h").agg(F.sum("_w").alias("_w"))
+
+    def _recover(side: DataFrame, excess: DataFrame) -> DataFrame:
+        if broadcast_excess:
+            excess = F.broadcast(excess)
+        matched = side.withColumn("_h", h).join(excess, "_h")
+        rn = F.row_number().over(Window.partitionBy("_h").orderBy(F.lit(1)))
+        return (
+            matched.withColumn("_rn", rn)
+            .filter(F.col("_rn") <= F.col("_w"))
+            .select(*cols)
+        )
+
+    src_excess = weights.filter(F.col("_w") > 0)
+    tgt_excess = weights.filter(F.col("_w") < 0).select(
+        "_h", (-F.col("_w")).alias("_w")
+    )
+    return _recover(src, src_excess), _recover(tgt, tgt_excess)
+
+
 def repair_sql(
     insert_rows: list, delete_rows: list, schema_cols: list[str], table: str
 ) -> list[str]:
