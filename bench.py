@@ -69,6 +69,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     spreads: dict[str, float] = {}
     bests: dict[str, float] = {}
+    colds: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
@@ -84,6 +85,12 @@ def main() -> None:
                 t0 = time.time()
                 qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
+                if i == 0:
+                    # cold = first execution (plan + codegen compile +
+                    # uncached scan) — regressions in planning/compile
+                    # cost are visible here and invisible in the warm
+                    # medians
+                    colds[name] = round(dt, 3)
                 if i >= warmups:
                     samples.append(dt)
             samples.sort()
@@ -105,6 +112,8 @@ def main() -> None:
         "spread": spreads,
         "best": bests,
         "best_total": round(sum(bests.values()), 3),
+        "cold": colds,
+        "cold_total": round(sum(colds.values()), 3),
     }
     if errors:
         out["errors"] = errors
