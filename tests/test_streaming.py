@@ -433,3 +433,113 @@ def test_redo_log_election_by_scn():
     # checkpoint predating retention: hard error, not silent skip
     with _pytest.raises(ValueError, match="aged out"):
         elect_logs([arch2, online], 50)
+
+
+def test_redo_insert_all_expands_per_into_clause():
+    """Multi-table INSERT ALL yields one INSERT per INTO clause; the
+    trailing SELECT row-source is consumed, not parsed as data."""
+    from transferdb_spark.streaming.redo import parse_redo_multi, translate_stmt
+
+    stmts = parse_redo_multi(
+        """insert all
+             into "S"."T1"("ID","V") values (1, 'a')
+             into "S"."T2"("ID") values (2)
+           select * from dual;"""
+    )
+    assert [(s.operation, s.table) for s in stmts] == [("INSERT", "T1"), ("INSERT", "T2")]
+    assert stmts[0].data == {"ID": "1", "V": "a"}
+    assert stmts[1].data == {"ID": "2"}
+    assert translate_stmt(stmts[1]) == ["REPLACE INTO `s`.`t2` (`id`) VALUES (2);"]
+
+
+def test_redo_lob_write_piecing_roundtrip():
+    """DBMS_LOB.WRITE blocks parse into LOB_WRITE changes; replaying an
+    SCN-ordered piece sequence reconstructs the value; TRIM truncates;
+    the MySQL translation splices at the same offset."""
+    from transferdb_spark.streaming.redo import (
+        assemble_lob_pieces,
+        parse_redo,
+        translate_stmt,
+    )
+
+    block1 = (
+        'declare loc_c clob; buf_c varchar2(32767);\n'
+        'begin\n'
+        '  select "DOC" into loc_c from "S"."T" where "ID" = 7 for update;\n'
+        "  buf_c := 'hello ';\n"
+        '  dbms_lob.write(loc_c, 6, 1, buf_c);\n'
+        'end;'
+    )
+    block2 = (
+        'declare loc_c clob; buf_c varchar2(32767);\n'
+        'begin\n'
+        '  select "DOC" into loc_c from "S"."T" where "ID" = 7 for update;\n'
+        "  buf_c := 'wor' || CHR(108) || 'd';\n"
+        '  dbms_lob.write(loc_c, 5, 7, buf_c);\n'
+        'end;'
+    )
+    trim = (
+        'declare loc_c clob;\n'
+        'begin\n'
+        '  select "DOC" into loc_c from "S"."T" where "ID" = 7 for update;\n'
+        '  dbms_lob.trim(loc_c, 8);\n'
+        'end;'
+    )
+    p1, p2, p3 = parse_redo(block1), parse_redo(block2), parse_redo(trim)
+    assert p1.operation == "LOB_WRITE" and p1.before == {"ID": "7"}
+    assert p1.data["piece"] == "hello " and p1.data["offset"] == "1"
+    assert p2.data["piece"] == "world" and p2.data["offset"] == "7"
+    assert p3.operation == "LOB_TRIM" and p3.data["new_len"] == "8"
+    # out-of-order delivery: (scn, stmt) pairs are sorted before replay
+    assert assemble_lob_pieces([(30, p3), (10, p1), (20, p2)]) == "hello wo"
+    assert translate_stmt(p2) == [
+        "UPDATE `s`.`t` SET `doc` = INSERT(COALESCE(`doc`, ''), 7, 5, 'world') "
+        "WHERE `id` = 7;"
+    ]
+
+
+def test_redo_lob_assembly_distributed(spark):
+    """assemble_lob_stream reassembles per-LOB groups in SCN order."""
+    from transferdb_spark.streaming.redo import assemble_lob_stream, redo_stream_to_changes
+
+    def block(key, piece, off):
+        return (
+            'declare loc_c clob; buf_c varchar2(32767); begin '
+            f'select "DOC" into loc_c from "S"."T" where "ID" = {key} for update; '
+            f"buf_c := '{piece}'; "
+            f"dbms_lob.write(loc_c, {len(piece)}, {off}, buf_c); end;"
+        )
+
+    rows = [
+        (3, block(1, "ba", 3)),
+        (1, block(1, "ab", 1)),
+        (2, block(2, "xy", 1)),
+    ]
+    df = spark.createDataFrame(rows, "scn long, sql_redo string")
+    out = assemble_lob_stream(redo_stream_to_changes(df))
+    got = {r["key_json"]: (r["lob_value"], r["last_scn"]) for r in out.collect()}
+    assert got == {'{"ID": "1"}': ("abba", 3), '{"ID": "2"}': ("xy", 2)}
+
+
+def test_redo_transaction_grouping(spark):
+    """Changes group into commit-SCN-ordered transactions with
+    SCN-sorted change arrays."""
+    from transferdb_spark.streaming.redo import group_transactions, redo_stream_to_changes
+
+    rows = [
+        (5, "tx2", 'insert into "S"."T"("ID") values (3);'),
+        (2, "tx1", 'insert into "S"."T"("ID") values (1);'),
+        (4, "tx1", 'update "S"."T" set "V" = 9 where "ID" = 1;'),
+        (3, "tx2", 'insert into "S"."T"("ID") values (2);'),
+    ]
+    df = spark.createDataFrame(rows, "scn long, xid string, sql_redo string")
+    changes = redo_stream_to_changes(df.select("scn", "sql_redo")).join(
+        df.select("scn", "xid"), "scn"
+    )
+    txns = group_transactions(changes).collect()
+    assert [(t["xid"], t["first_scn"], t["commit_scn"], t["n_changes"]) for t in txns] == [
+        ("tx1", 2, 4, 2),
+        ("tx2", 3, 5, 2),
+    ]
+    assert [c["scn"] for c in txns[0]["changes"]] == [2, 4]
+    assert [c["operation"] for c in txns[0]["changes"]] == ["INSERT", "UPDATE"]

@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(
       | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<word>[A-Za-z_][A-Za-z0-9_$#]*)
       | (?P<concat>\|\|)
-      | (?P<punct>[(),.;=])
+      | (?P<punct>[(),.;=*])
     )
     """,
     re.VERBOSE,
@@ -186,8 +186,51 @@ class _P:
             return out
 
 
+def _parse_into_clause(p: "_P", stmt: RedoStmt) -> None:
+    """INTO tbl (cols) VALUES (vals) — shared by INSERT and INSERT ALL."""
+    stmt.operation = "INSERT"
+    stmt.schema, stmt.table = p.table_name()
+    cols = []
+    p.expect_punct("(")
+    while True:
+        cols.append(p.ident())
+        k, v = p.next()
+        if (k, v) == ("punct", ")"):
+            break
+    p.expect_word("VALUES")
+    p.expect_punct("(")
+    vals = []
+    while True:
+        vals.append(p.literal())
+        k, v = p.next()
+        if (k, v) == ("punct", ")"):
+            break
+    if len(cols) != len(vals):
+        raise ValueError(f"column/value arity mismatch: {len(cols)} vs {len(vals)}")
+    stmt.data = dict(zip(cols, vals))
+
+
 def parse_redo(sql: str) -> RedoStmt:
-    """Parse one LogMiner redo statement into its structured form."""
+    """Parse one LogMiner redo statement into its structured form.
+
+    Multi-statement forms (INSERT ALL) return their FIRST statement here;
+    use parse_redo_multi for the full expansion."""
+    return parse_redo_multi(sql)[0]
+
+
+def parse_redo_multi(sql: str) -> list[RedoStmt]:
+    """Parse one redo entry into its statement list.
+
+    Single-table DML yields one statement. Oracle's multi-table
+    `INSERT ALL INTO t1 (...) VALUES (...) INTO t2 (...) VALUES (...)
+    SELECT ... FROM ...` (which the reference's TiDB parser walks as a
+    statement list, sqlparser.go:34-189) yields one INSERT per INTO
+    clause — the trailing SELECT is the row source and carries no
+    literal data in redo form, so it is consumed and dropped.
+    PL/SQL LOB-piecing blocks (DBMS_LOB.WRITE redo) are dispatched to
+    parse_lob_block."""
+    if _LOB_BLOCK_RE.search(sql):
+        return [parse_lob_block(sql)]
     p = _P(_lex(sql))
     stmt = RedoStmt()
     kind, first = p.peek()
@@ -195,27 +238,24 @@ def parse_redo(sql: str) -> RedoStmt:
 
     if op == "INSERT":
         p.next()
+        k, v = p.peek()
+        if k == "word" and v.upper() == "ALL":
+            p.next()
+            out: list[RedoStmt] = []
+            while True:
+                k, v = p.peek()
+                if k == "word" and v.upper() == "INTO":
+                    p.next()
+                    st = RedoStmt()
+                    _parse_into_clause(p, st)
+                    out.append(st)
+                    continue
+                break  # trailing SELECT row-source (or eof) — done
+            if not out:
+                raise ValueError("INSERT ALL with no INTO clause")
+            return out
         p.expect_word("INTO")
-        stmt.operation = "INSERT"
-        stmt.schema, stmt.table = p.table_name()
-        cols = []
-        p.expect_punct("(")
-        while True:
-            cols.append(p.ident())
-            k, v = p.next()
-            if (k, v) == ("punct", ")"):
-                break
-        p.expect_word("VALUES")
-        p.expect_punct("(")
-        vals = []
-        while True:
-            vals.append(p.literal())
-            k, v = p.next()
-            if (k, v) == ("punct", ")"):
-                break
-        if len(cols) != len(vals):
-            raise ValueError(f"column/value arity mismatch: {len(cols)} vs {len(vals)}")
-        stmt.data = dict(zip(cols, vals))
+        _parse_into_clause(p, stmt)
     elif op == "UPDATE":
         p.next()
         stmt.operation = "UPDATE"
@@ -259,7 +299,198 @@ def parse_redo(sql: str) -> RedoStmt:
         stmt.data = {"ddl": sql.strip().rstrip(";")}
     else:
         raise ValueError(f"unsupported redo operation: {sql[:40]!r}")
-    return stmt
+    return [stmt]
+
+
+# ---------------------------------------------------------------------------
+# LOB write piecing — LogMiner emits piecewise LOB mutations as PL/SQL
+# blocks (one DBMS_LOB.WRITE per piece); the reference's incr path
+# replays them against the target LOB column. Structured form here:
+# operation='LOB_WRITE', before = row key image, data = {column, offset,
+# piece_len, piece}. Offsets are Oracle's 1-based character offsets.
+
+_LOB_BLOCK_RE = re.compile(r"(?is)\bdbms_lob\s*\.\s*(write|trim|erase)\s*\(")
+
+_LOB_SELECT_RE = re.compile(
+    r"""(?isx)
+    select \s+ ("[^"]+"|[\w$#]+) \s+ into \s+ [\w$#]+ \s+ from \s+
+    ("[^"]+"|[\w$#]+) (?: \s* \. \s* ("[^"]+"|[\w$#]+) )? \s+
+    where \s+ (.*?) \s+ for \s+ update
+    """
+)
+
+_LOB_ASSIGN_RE = re.compile(r"(?is)([\w$#]+)\s*:=\s*(.*?);")
+
+_LOB_WRITE_RE = re.compile(
+    r"(?is)dbms_lob\s*\.\s*write\s*\(\s*[\w$#]+\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(.*?)\)\s*;"
+)
+
+_LOB_TRIM_RE = re.compile(
+    r"(?is)dbms_lob\s*\.\s*trim\s*\(\s*[\w$#]+\s*,\s*(\d+)\s*\)\s*;"
+)
+
+
+def _ident_str(raw: str) -> str:
+    return raw[1:-1].upper() if raw.startswith('"') else raw.upper()
+
+
+def _parse_literal_expr(expr: str) -> str | None:
+    """Evaluate a literal expression ('a' || CHR(10) || UNISTR(...))
+    with the statement parser's literal rules."""
+    return _P(_lex(expr)).literal()
+
+
+def parse_lob_block(sql: str) -> RedoStmt:
+    """PL/SQL LOB-piecing block → one LOB_WRITE / LOB_TRIM change.
+
+    Canonical LogMiner shape:
+
+        declare loc_c clob; buf_c varchar2(...);
+        begin
+          select "C" into loc_c from "S"."T" where "ID" = 1 for update;
+          buf_c := 'piece';
+          dbms_lob.write(loc_c, <len>, <offset>, buf_c);
+        end;
+
+    The buffer assignment may be a ||/CHR/UNISTR literal chain; the
+    write's data argument may also be an inline literal. TRIM maps to
+    operation='LOB_TRIM' with the new length."""
+    m = _LOB_SELECT_RE.search(sql)
+    if not m:
+        raise ValueError("LOB block without SELECT ... FOR UPDATE row anchor")
+    col_raw, t1, t2, where_raw = m.group(1), m.group(2), m.group(3), m.group(4)
+    stmt = RedoStmt()
+    stmt.schema = _ident_str(t1) if t2 else ""
+    stmt.table = _ident_str(t2 or t1)
+    stmt.before = _P(_lex(where_raw)).where_conjunction()
+    lob_col = _ident_str(col_raw)
+
+    buffers: dict[str, str | None] = {}
+    for var, expr in _LOB_ASSIGN_RE.findall(sql):
+        try:
+            buffers[var.upper()] = _parse_literal_expr(expr)
+        except ValueError:
+            continue  # non-literal assignment (e.g. the declare defaults)
+
+    w = _LOB_WRITE_RE.search(sql)
+    if w:
+        length, offset, data_arg = int(w.group(1)), int(w.group(2)), w.group(3).strip()
+        piece = (
+            buffers.get(data_arg.upper())
+            if re.fullmatch(r"[\w$#]+", data_arg) and data_arg.upper() in buffers
+            else _parse_literal_expr(data_arg)
+        )
+        stmt.operation = "LOB_WRITE"
+        stmt.data = {
+            "column": lob_col,
+            "offset": str(offset),
+            "piece_len": str(length),
+            "piece": piece,
+        }
+        return stmt
+    t = _LOB_TRIM_RE.search(sql)
+    if t:
+        stmt.operation = "LOB_TRIM"
+        stmt.data = {"column": lob_col, "new_len": t.group(1)}
+        return stmt
+    raise ValueError("LOB block without a supported DBMS_LOB call")
+
+
+def assemble_lob_pieces(pieces: list[RedoStmt | tuple[int, RedoStmt]]) -> str:
+    """Replay an SCN-ordered LOB piece sequence into the final value.
+
+    Accepts RedoStmts (already ordered) or (scn, stmt) pairs (sorted
+    here). Each WRITE splices its piece at the 1-based offset, padding
+    with spaces when a write lands past the current end (Oracle
+    semantics); TRIM truncates."""
+    seq: list[RedoStmt] = []
+    if pieces and isinstance(pieces[0], tuple):
+        seq = [s for _, s in sorted(pieces, key=lambda t: t[0])]
+    else:
+        seq = list(pieces)  # type: ignore[arg-type]
+    buf: list[str] = []
+    for st in seq:
+        if st.operation == "LOB_WRITE":
+            off = int(st.data["offset"]) - 1
+            piece = st.data["piece"] or ""
+            if len(buf) < off:
+                buf.extend(" " * (off - len(buf)))
+            buf[off : off + len(piece)] = list(piece)
+        elif st.operation == "LOB_TRIM":
+            del buf[int(st.data["new_len"]) :]
+    return "".join(buf)
+
+
+LOB_VALUE_SCHEMA = (
+    "schema_name string, table_name string, lob_column string, "
+    "key_json string, lob_value string, last_scn long"
+)
+
+
+def assemble_lob_stream(changes: DataFrame) -> DataFrame:
+    """Distributed LOB reassembly over redo_stream_to_changes output.
+
+    Groups LOB_WRITE/LOB_TRIM rows by (schema, table, column, row key)
+    and replays each group's pieces in SCN order — applyInPandas is the
+    sanctioned escape hatch because splice-at-offset is imperative
+    per-group state. At 100 TB the shuffle is keyed on the LOB identity
+    (one group per mutated LOB value, bounded by the damaged-row count,
+    not the corpus) and each group is a handful of pieces."""
+    import pandas as pd
+
+    lob = changes.filter(
+        changes.operation.isin("LOB_WRITE", "LOB_TRIM")
+    ).select("scn", "operation", "schema_name", "table_name", "data_json", "before_json")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("scn")
+        stmts = []
+        for _, r in pdf.iterrows():
+            st = RedoStmt(
+                operation=r["operation"],
+                schema=r["schema_name"],
+                table=r["table_name"],
+                data=json.loads(r["data_json"]),
+                before=json.loads(r["before_json"]),
+            )
+            stmts.append(st)
+        first = stmts[0]
+        return pd.DataFrame(
+            [
+                (
+                    first.schema,
+                    first.table,
+                    first.data["column"],
+                    json.dumps(first.before, sort_keys=True),
+                    assemble_lob_pieces(stmts),
+                    int(pdf["scn"].max()),
+                )
+            ],
+            columns=[
+                "schema_name",
+                "table_name",
+                "lob_column",
+                "key_json",
+                "lob_value",
+                "last_scn",
+            ],
+        )
+
+    from pyspark.sql import functions as F
+
+    keyed = lob.withColumn(
+        "_lob_key",
+        F.concat_ws(
+            "",
+            "schema_name",
+            "table_name",
+            F.get_json_object("data_json", "$.column"),
+            "before_json",
+        ),
+    )
+    return keyed.groupBy("_lob_key").applyInPandas(
+        lambda pdf: assemble(pdf.drop(columns=["_lob_key"])), schema=LOB_VALUE_SCHEMA
+    )
 
 
 CHANGE_SCHEMA = (
@@ -283,17 +514,20 @@ def redo_stream_to_changes(df: DataFrame, sql_col: str = "sql_redo", scn_col: st
             rows = []
             for scn, sql in zip(pdf[scn_col], pdf[sql_col]):
                 try:
-                    st = parse_redo(sql)
-                    rows.append(
-                        (
-                            int(scn),
-                            st.operation,
-                            st.schema,
-                            st.table,
-                            json.dumps(st.data),
-                            json.dumps(st.before),
+                    # one redo entry may expand to several statements
+                    # (INSERT ALL) — each becomes its own change row at
+                    # the same SCN, preserving in-entry order
+                    for st in parse_redo_multi(sql):
+                        rows.append(
+                            (
+                                int(scn),
+                                st.operation,
+                                st.schema,
+                                st.table,
+                                json.dumps(st.data),
+                                json.dumps(st.before),
+                            )
                         )
-                    )
                 except Exception as e:  # quarantine, don't abort the batch
                     rows.append((int(scn), "ERROR", "", "", json.dumps({"error": str(e)}), "{}"))
             yield pd.DataFrame(
@@ -349,6 +583,21 @@ def translate_stmt(stmt: RedoStmt, target_schema: str = "") -> list[str]:
             replace_into(after),
             "COMMIT;",
         ]
+    if stmt.operation == "LOB_WRITE":
+        # piecewise splice → MySQL INSERT() string function at the same
+        # 1-based offset; COALESCE seeds the first piece of a NULL LOB
+        col = f"`{stmt.data['column'].lower()}`"
+        return [
+            f"UPDATE {tbl} SET {col} = INSERT(COALESCE({col}, ''), "
+            f"{int(stmt.data['offset'])}, {int(stmt.data['piece_len'])}, "
+            f"{_mysql_lit(stmt.data['piece'])}) WHERE {where(stmt.before)};"
+        ]
+    if stmt.operation == "LOB_TRIM":
+        col = f"`{stmt.data['column'].lower()}`"
+        return [
+            f"UPDATE {tbl} SET {col} = LEFT({col}, {int(stmt.data['new_len'])}) "
+            f"WHERE {where(stmt.before)};"
+        ]
     if stmt.operation == "TRUNCATE":
         return [f"TRUNCATE TABLE {tbl};"]
     if stmt.operation == "DROP":
@@ -363,6 +612,41 @@ def translate_stmt(stmt: RedoStmt, target_schema: str = "") -> list[str]:
         )
         return [f"ALTER TABLE {tbl}{body};"]
     raise ValueError(f"untranslatable operation: {stmt.operation}")
+
+
+# ---------------------------------------------------------------------------
+# transaction grouping — GTID-style ordered apply units
+
+
+def group_transactions(changes: DataFrame, xid_col: str = "xid") -> DataFrame:
+    """Group change rows into commit-ordered transactions.
+
+    LogMiner rows carry a transaction id (XID); the reference applies
+    changes transactionally in commit-SCN order (translate.go wraps
+    UPDATE as BEGIN/COMMIT units). This produces one row per
+    transaction: the SCN span, the change count, and the changes as an
+    SCN-sorted struct array — the unit a target applier replays
+    atomically, in commit_scn order across transactions.
+
+    Expression-only (groupBy + collect_list + array_sort): at scale the
+    shuffle is keyed on XID and carries each change once; per-txn
+    arrays are bounded by transaction size, which is the same bound any
+    transactional applier must hold in memory."""
+    from pyspark.sql import functions as F
+
+    change_struct = F.struct(
+        "scn", "operation", "schema_name", "table_name", "data_json", "before_json"
+    )
+    return (
+        changes.groupBy(F.col(xid_col).alias("xid"))
+        .agg(
+            F.min("scn").alias("first_scn"),
+            F.max("scn").alias("commit_scn"),
+            F.count(F.lit(1)).alias("n_changes"),
+            F.array_sort(F.collect_list(change_struct)).alias("changes"),
+        )
+        .orderBy("commit_scn", "xid")
+    )
 
 
 # ---------------------------------------------------------------------------
