@@ -316,3 +316,63 @@ def test_recommended_cells_bounds_candidate_work():
     assert recommended_cells(1_000) == 16
     assert recommended_cells(4096 * 100) == 100
     assert recommended_cells(10**10) == 65536  # clamp
+
+
+def test_ann_index_autotune_spec():
+    """Index builders size themselves from the corpus: planes/cells
+    grow with n, probe count buys recall back when buckets shrink."""
+    from transferdb_spark.ext.ann_index import recommended_probes
+    from transferdb_spark.ext.similarity import recommended_planes
+
+    # 10^10 vectors: planes land in the documented 21-24 band, and the
+    # probe count stays within the Hamming-1 neighbourhood
+    p = recommended_planes(10**10)
+    assert 21 <= p <= 24
+    assert 1 <= recommended_probes(10**10, p) <= 1 + p
+    # roomy buckets: one probe already oversamples the pool
+    assert recommended_probes(10_000, 4, k=10, oversample=1) == 1
+    # shrinking buckets (more planes at same n) needs more probes
+    assert recommended_probes(10_000, 10, k=10) >= recommended_probes(10_000, 4, k=10)
+
+
+def test_ann_index_lsh_single_probe_matches_plain_bucket(spark, emb):
+    """n_probe=1 over a built index is exactly the pinned-bucket ANN."""
+    from transferdb_spark.ext.ann_index import AnnIndexSpec, ann_topk_indexed
+    from transferdb_spark.ext.similarity import N_PLANES, ann_topk_lsh, make_bucket_udf
+    from pyspark.sql import functions as F
+
+    indexed = emb.select(
+        "vec_id", "embedding", make_bucket_udf(N_PLANES)(F.col("embedding")).alias("bucket")
+    )
+    spec = AnnIndexSpec("lsh", n_rows=0, n_planes=N_PLANES, n_probe=1)
+    got = [(r["vec_id"], r["cosine"]) for r in ann_topk_indexed(indexed, spec, 0, 5).collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in ann_topk_lsh(emb, 0, 5).collect()]
+    assert got == want
+
+
+def test_lsh_probe_sweep_recall_monotone(spark, emb):
+    """More probes never shrink the candidate pool, and full multi-probe
+    recall is at least the single-bucket recall."""
+    from transferdb_spark.ext.ann_index import lsh_probe_sweep
+
+    rows = lsh_probe_sweep(emb, query_vec_id=0, k=5).orderBy("n_probe").collect()
+    cands = [r["candidates"] for r in rows]
+    assert cands == sorted(cands)
+    assert rows[-1]["recall"] >= rows[0]["recall"]
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+
+
+def test_ann_index_ivf_build_and_query(spark, emb):
+    """The IVF build+query path agrees with the raw ann_topk_ivf at the
+    same pinned scale."""
+    from transferdb_spark.ext.ann_index import build_ivf_index, ann_topk_indexed
+    from transferdb_spark.ext.similarity import N_CELLS, N_PROBE, ann_topk_ivf
+
+    indexed, spec = build_ivf_index(emb)
+    assert spec.kind == "ivf" and spec.n_cells == N_CELLS and spec.n_rows > 0
+    got = [(r["vec_id"], r["cosine"]) for r in ann_topk_indexed(indexed, spec, 0, 5).collect()]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in ann_topk_ivf(emb, 0, 5, n_probe=N_PROBE, n_cells=N_CELLS).collect()
+    ]
+    assert got == want
