@@ -1266,6 +1266,126 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_t(spark, sf_dir, "documents"))
 
 
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (training-data release gate): per-doc counts of
+    email/phone/IP matches plus the redacted text.
+
+    The synthetic corpus carries no PII, so the query INJECTS
+    deterministic doc_id-derived PII first (emails into every 2nd doc,
+    phones every 3rd, IPs every 5th) — both engines perform the same
+    injection, making the redaction a real cross-engine regex-semantics
+    check rather than a vacuous zero-count pass. Patterns restricted to
+    syntax Java regex and RE2 interpret identically (ext/text.py)."""
+    from transferdb_spark.ext.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(injected).orderBy("doc_id")
+
+
+def _pii_redaction_sql() -> str:
+    from transferdb_spark.ext.text import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS INT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), '{PII_PHONE_RE}', '<PHONE>', 'g'), '{PII_IP_RE}', '<IP>', 'g') AS redacted
+FROM injected
+ORDER BY doc_id
+"""
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition / boilerplate signal (Gopher-style
+    repetition filters): duplicate-token fraction + top-token share."""
+    from transferdb_spark.ext.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _repetition_sql() -> str:
+    from transferdb_spark.ext.text import REPETITION_SQL
+
+    return REPETITION_SQL
+
+
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted mixture sampling (training-mix construction):
+    per-source keep rates applied through the deterministic hash gate,
+    so the mixture is reproducible across runs, engines, and
+    incremental batches. src0 oversampled at 80%, src1/src2 at 40%,
+    the long tail at 10%; output is the per-source sample accounting."""
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    rate = (
+        F.when(F.col("source") == "src0", 80)
+        .when(F.col("source").isin("src1", "src2"), 40)
+        .otherwise(10)
+    )
+    return (
+        docs.filter(h < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sampled"))
+        .orderBy("source")
+    )
+
+
+def _domain_mix_sql() -> str:
+    from transferdb_spark.functions.hashing import portable_hash64_sql
+
+    gate = portable_hash64_sql("'mix:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT source, COUNT(*) AS sampled
+FROM documents
+WHERE {gate} % 100 < CASE WHEN source = 'src0' THEN 80
+                          WHEN source IN ('src1', 'src2') THEN 40
+                          ELSE 10 END
+GROUP BY source
+ORDER BY source
+"""
+
+
 def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT — per-linestatus quantity totals spread across returnflag
     columns (Spark pivot == conditional aggregation in the oracle)."""
@@ -3130,12 +3250,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": range_join_windows,
         "multires_rollup": multires_rollup,
         "pipeline_clean_corpus": pipeline_clean_corpus,
+        "pii_redaction": pii_redaction,
+        "repetition_ratio": repetition_ratio,
+        "domain_mix_sample": domain_mix_sample,
+        # -- fill to 50
         "deterministic_sample": deterministic_sample,
         "stratified_sample": stratified_sample,
-        # -- fill to 50
+        # ---------------- below the driver's 50-query fold ----------------
         "median_order_value": median_order_value,
         "json_props_histogram": json_props_histogram,
-        # ---------------- below the driver's 50-query fold ----------------
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -3267,6 +3390,9 @@ def oracle_sql() -> dict[str, str]:
         "union_all_activity": UNION_ALL_SQL,
         "rolling_30d_revenue": ROLLING_30D_SQL,
         "rank_family": RANK_FAMILY_SQL,
+        "pii_redaction": _pii_redaction_sql(),
+        "repetition_ratio": _repetition_sql(),
+        "domain_mix_sample": _domain_mix_sql(),
         **_ext_oracle_sql(),
     }
 

@@ -376,3 +376,35 @@ def test_ann_index_ivf_build_and_query(spark, emb):
         for r in ann_topk_ivf(emb, 0, 5, n_probe=N_PROBE, n_cells=N_CELLS).collect()
     ]
     assert got == want
+
+
+def test_pii_scrub_kernel(spark):
+    """Counts and redaction on real PII shapes; untouched text passes
+    through byte-identical."""
+    from transferdb_spark.ext.text import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith@corp.io or +1-555-0199, server 10.0.0.1 ok"),
+        (2, "no pii here, not even 300.5 or a@b"),
+        (3, "a@b.co then c.d-e@f.org twice"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 1, 1)
+    assert out[1]["redacted"] == "mail <EMAIL> or <PHONE>, server <IP> ok"
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ips"]) == (0, 0, 0)
+    assert out[2]["redacted"] == rows[1][1]
+    assert out[3]["n_emails"] == 2 and out[3]["redacted"] == "<EMAIL> then <EMAIL> twice"
+
+
+def test_repetition_stats_semantics(spark):
+    """dup_ratio and top_token_frac on a hand-computable doc."""
+    from transferdb_spark.ext.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["distinct_tokens"] == 2
+    assert out[1]["dup_ratio"] == 0.5 and out[1]["top_token_frac"] == 0.75
+    assert out[2]["dup_ratio"] == 0.0 and out[2]["top_token_frac"] == 0.25

@@ -303,3 +303,104 @@ FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub pass every training-data pipeline runs
+# before release. Patterns are deliberately restricted to syntax both
+# regex engines (Java util.regex / RE2) interpret identically: no
+# lookaround, no backrefs.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, match counts per PII class, and the redacted text.
+
+    Counts run against the ORIGINAL text; redaction is sequential
+    email → phone → IP (the classes cannot overlap, so order only
+    matters for determinism of the output string). Pure regexp
+    expressions — a narrow codegen'd map at any scale, no Python in
+    the row path."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("int").alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+def pii_scrub_sql(text_expr: str = "text") -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all({text_expr}, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all({text_expr}, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all({text_expr}, '{PII_IP_RE}')) AS INT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace({text_expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), '{PII_PHONE_RE}', '<PHONE>', 'g'), '{PII_IP_RE}', '<IP>', 'g') AS redacted
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition — the boilerplate / low-diversity signal
+# (Gopher-style repetition filters): duplicate-token fraction and the
+# share of the single most frequent token.
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """doc_id, n_tokens, distinct_tokens, dup_ratio, top_token_frac.
+
+    Relational form (explode → count per (doc, token) → per-doc agg)
+    rather than higher-order array lambdas — interpreted lambda
+    evaluation loses to the codegen'd two-level aggregate, and the
+    first groupBy map-side-combines so the shuffle carries one row per
+    (doc, distinct token)."""
+    toks = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
+    per = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_tokens",
+            stable_round(
+                1 - F.col("distinct_tokens") / F.col("n_tokens").cast("double"), 5
+            ).alias("dup_ratio"),
+            stable_round(F.col("top_cnt") / F.col("n_tokens").cast("double"), 5).alias(
+                "top_token_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
+),
+per AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       COUNT(*) AS distinct_tokens,
+       CAST({stable_round_sql("1 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE)", 5)} AS DOUBLE) AS dup_ratio,
+       CAST({stable_round_sql("MAX(cnt) / CAST(SUM(cnt) AS DOUBLE)", 5)} AS DOUBLE) AS top_token_frac
+FROM per
+GROUP BY doc_id
+ORDER BY doc_id
+"""
