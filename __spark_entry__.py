@@ -3075,6 +3075,42 @@ ORDER BY c_custkey
 """
 
 
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing plan (doc → token bin) via a
+    distributed prefix sum — no single-partition global window."""
+    from transferdb_spark.ext.packing import pack_plan
+
+    return pack_plan(_t(spark, sf_dir, "documents"))
+
+
+def pack_bin_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin fill accounting of the packing plan."""
+    from transferdb_spark.ext.packing import pack_bin_stats
+
+    return pack_bin_stats(_t(spark, sf_dir, "documents"))
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 hash split, stratification check by lang."""
+    from transferdb_spark.ext.packing import split_summary
+
+    return split_summary(_t(spark, sf_dir, "documents"))
+
+
+def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of LSH bucket search vs brute force, 8 sample queries."""
+    from transferdb_spark.ext.similarity import ann_recall_eval
+
+    return ann_recall_eval(_t(spark, sf_dir, "embeddings"), n_queries=8, k=10)
+
+
+def minhash_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator error vs exact Jaccard on LSH candidates."""
+    from transferdb_spark.ext.dedup import minhash_calibration
+
+    return minhash_calibration(_t(spark, sf_dir, "documents"))
+
+
 def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
@@ -3140,8 +3176,35 @@ def _ext_oracle_sql() -> dict[str, str]:
         "date_functions": DATE_FUNCS_SQL,
         "conditional_functions": COND_FUNCS_SQL,
         "embedding_neardup": embedding_neardup_sql(0.3),
+        "pack_sequences": _packing_sql()[0],
+        "pack_bin_summary": _packing_sql()[1],
+        "split_train_val_test": _packing_sql()[2],
+        "ann_recall_eval": _ann_recall_sql(),
+        "minhash_calibration": _minhash_calibration_sql(),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
+
+
+def _packing_sql() -> tuple[str, str, str]:
+    from transferdb_spark.ext.packing import (
+        SPLIT_SUMMARY_SQL,
+        pack_bin_stats_sql,
+        pack_plan_sql,
+    )
+
+    return pack_plan_sql(), pack_bin_stats_sql(), SPLIT_SUMMARY_SQL
+
+
+def _ann_recall_sql() -> str:
+    from transferdb_spark.ext.similarity import ann_recall_eval_sql
+
+    return ann_recall_eval_sql(8, 10)
+
+
+def _minhash_calibration_sql() -> str:
+    from transferdb_spark.ext.dedup import minhash_calibration_sql
+
+    return minhash_calibration_sql()
 
 
 EXT_QUERIES = {
@@ -3181,6 +3244,11 @@ EXT_QUERIES = {
     "embedding_neardup": embedding_neardup,
     "text_bigram_lm": text_bigram_lm,
     "decontam_against_eval": decontam_against_eval,
+    "pack_sequences": pack_sequences,
+    "pack_bin_summary": pack_bin_summary,
+    "split_train_val_test": split_train_val_test,
+    "ann_recall_eval": ann_recall_eval_q,
+    "minhash_calibration": minhash_calibration_q,
     "multimodal_features": multimodal_features_q,
 }
 

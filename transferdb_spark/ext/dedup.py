@@ -397,6 +397,91 @@ FROM bands a JOIN bands b
 """
 
 
+def minhash_calibration(docs: DataFrame) -> DataFrame:
+    """Sketch-quality evaluation: MinHash-estimated vs exact Jaccard
+    on the LSH candidate pairs, with absolute error.
+
+    est = (matching signature slots) / NUM_HASHES — the unbiased
+    MinHash estimator; exact = |A∩B| / |A∪B| over distinct shingle
+    hashes. This is the operator that answers "are NUM_HASHES/BANDS
+    tuned right?" before a corpus-wide dedup run commits to them:
+    a high mean error says widen the signature, candidates with low
+    exact Jaccard say the banding is too permissive.
+
+    Plan shape: signatures and shingle-hash arrays are computed once
+    per doc in a narrow stage and joined twice (candidate pairs are
+    O(docs × bands) from the band groupBy, never O(n²)); per-pair work
+    is two bounded array ops (12-slot compare, |shingles| intersect).
+    """
+    per_doc = (
+        _shingled(docs)
+        .select("doc_id", F.expr(SHINGLE_HASHES).alias("shh"))
+        .withColumn("sig", F.expr(MINHASH_SIG))
+        .persist()
+    )
+    pairs = minhash_lsh_candidates(docs)
+    a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("shh").alias("shh_a"), F.col("sig").alias("sig_a")
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("shh").alias("shh_b"), F.col("sig").alias("sig_b")
+    )
+    match_slots = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> case when x = y then 1 else 0 end),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    common = F.size(F.array_intersect("shh_a", "shh_b"))
+    union = F.size("shh_a") + F.size("shh_b") - common
+    est = stable_round(match_slots / F.lit(NUM_HASHES), 5)
+    exact = stable_round(common / union, 5)
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.cast("double").alias("est_jaccard"),
+            exact.cast("double").alias("exact_jaccard"),
+            stable_round(F.abs(est - exact), 5).cast("double").alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_calibration_sql() -> str:
+    r = NUM_HASHES // BANDS
+    band_hash = _h64_duck(f"array_to_string(sig[b * {r} + 1: b * {r} + {r}], ',')")
+    est = f"list_sum(list_transform(range({NUM_HASHES}), i -> CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END)) / {NUM_HASHES}.0"
+    common = "CAST(len(list_intersect(a.shh, b.shh)) AS BIGINT)"
+    union = f"(len(a.shh) + len(b.shh) - {common})"
+    est_r = stable_round_sql(est, 5)
+    exact_r = stable_round_sql(f"{common} / CAST({union} AS DOUBLE)", 5)
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, shh, {MINHASH_SIG_SQL} AS sig
+  FROM (SELECT doc_id, {SHINGLE_HASHES_SQL} AS shh
+        FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM documents))
+),
+bands AS (
+  SELECT doc_id, b, {band_hash} AS band_hash
+  FROM per_doc, (SELECT unnest(range({BANDS})) AS b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST({est_r} AS DOUBLE) AS est_jaccard,
+       CAST({exact_r} AS DOUBLE) AS exact_jaccard,
+       CAST({stable_round_sql(f"abs({est_r} - {exact_r})", 5)} AS DOUBLE) AS abs_err
+FROM pairs p
+JOIN per_doc a ON a.doc_id = p.doc_a
+JOIN per_doc b ON b.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 DF_CAP = 20
 
 

@@ -304,6 +304,111 @@ LIMIT {k}
 """
 
 
+def ann_recall_eval(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
+    """Index-quality evaluation: recall@k of the LSH bucket search
+    against brute-force cosine for the first `n_queries` stored
+    vectors. This is the operator that answers "is N_PLANES right for
+    this corpus?" — run it on a sample before committing an index
+    configuration at scale.
+
+    Plan shape: the query set is broadcast to both arms; the exact arm
+    is one narrow scan × n_queries (row_number windows partitioned by
+    query), the ANN arm prunes to the query's bucket first. The final
+    recall join touches n_queries×k rows. At 100 TB the exact arm is
+    the expensive one by design — that's why it runs on a query SAMPLE
+    while the index serves the full corpus.
+
+    Determinism: cosines are engine-exact (quantized int64 contract)
+    and ties break on vec_id, so both engines rank identically.
+    """
+    from pyspark.sql import Window
+
+    with_b = emb.select(
+        "vec_id", "embedding", bucket_udf(F.col("embedding")).alias("bucket")
+    )
+    q = with_b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", cosine_expr("embedding", "qvec").cast("double").alias("cosine")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    ann = (
+        with_b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid", "vec_id", cosine_expr("embedding", "qvec").cast("double").alias("cosine")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    from transferdb_spark.functions.canonical import stable_round
+
+    hits = (
+        exact.join(ann, ["qid", "vec_id"], "inner")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            stable_round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 5)
+            .cast("double")
+            .alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
+def ann_recall_eval_sql(n_queries: int = 8, k: int = 10) -> str:
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST(({_bucket_sql()}) AS INT) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id < {n_queries}),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY CAST({cosine_sql('e.embedding', 'q.qvec')} AS DOUBLE) DESC, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.qid
+  ) WHERE rn <= {k}
+),
+ann AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, b.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY CAST({cosine_sql('b.embedding', 'q.qvec')} AS DOUBLE) DESC, b.vec_id) AS rn
+    FROM b CROSS JOIN q
+    WHERE b.bucket = q.qbucket AND b.vec_id <> q.qid
+  ) WHERE rn <= {k}
+),
+hits AS (
+  SELECT exact.qid, COUNT(*) AS n_hits
+  FROM exact JOIN ann ON exact.qid = ann.qid AND exact.vec_id = ann.vec_id
+  GROUP BY exact.qid
+)
+SELECT q.qid, CAST(COALESCE(hits.n_hits, 0) AS INT) AS n_hits,
+       CAST({_sr_sql(f"COALESCE(hits.n_hits, 0) / {k}.0", 5)} AS DOUBLE) AS recall_at_k
+FROM q LEFT JOIN hits ON q.qid = hits.qid
+ORDER BY q.qid
+"""
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH prefilter:
     pairs sharing a bucket, kept when exact cosine ≥ threshold.
