@@ -212,6 +212,18 @@ def compare_chunk_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_checksums(li, "l_orderkey", N_CHUNKS, portable=True).orderBy("chunk_id")
 
 
+def compare_checksum_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 production path — native-value xxhash64 chunk checksums (the
+    plan compare mode actually runs: no canonical rendering, no md5).
+    Checksum values are engine-internal, so there is deliberately no
+    DuckDB oracle entry; verdict equivalence with the portable variant
+    is pinned by pytest (test_core_ops)."""
+    from transferdb_spark.operators.checksum import chunk_checksums_native
+
+    li = _t(spark, sf_dir, "lineitem")
+    return chunk_checksums_native(li, "l_orderkey", N_CHUNKS).orderBy("chunk_id")
+
+
 _ROWHASH_SQL = portable_hash64_sql(row_string_sql(LINEITEM_SCHEMA))
 
 CHECKSUM_SQL = f"""
@@ -3244,6 +3256,7 @@ EXT_QUERIES = {
     "embedding_neardup": embedding_neardup,
     "text_bigram_lm": text_bigram_lm,
     "decontam_against_eval": decontam_against_eval,
+    "compare_checksum_fast": compare_checksum_fast,
     "pack_sequences": pack_sequences,
     "pack_bin_summary": pack_bin_summary,
     "split_train_val_test": split_train_val_test,

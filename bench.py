@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "normalize_lineitem",
     "chunk_counts",
     "compare_chunk_checksum",
+    "compare_checksum_fast",
     "compare_diff_inserts",
     "compare_summary",
     "split_key_candidates",

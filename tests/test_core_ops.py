@@ -69,6 +69,31 @@ def test_hash_interface_split(lineitem):
     assert "md5" in portable_plan
 
 
+def test_native_checksum_verdicts_match_portable(lineitem):
+    """chunk_checksums_native (production: typed values, no canonical
+    rendering) must reach the SAME per-chunk match/mismatch verdicts as
+    the portable md5 path on both a clean and a corrupted target."""
+    from transferdb_spark.operators.checksum import (
+        chunk_checksums,
+        chunk_checksums_native,
+        shared_chunk_bounds,
+    )
+    from transferdb_spark.operators.compare_fixture import mutated_target
+
+    tgt = mutated_target(lineitem)
+    bounds = shared_chunk_bounds(lineitem, tgt, "l_orderkey")
+
+    def verdicts(fn, **kw):
+        s = {r["chunk_id"]: (r["cnt"], r["checksum"]) for r in fn(lineitem, "l_orderkey", 8, bounds=bounds, **kw).collect()}
+        t = {r["chunk_id"]: (r["cnt"], r["checksum"]) for r in fn(tgt, "l_orderkey", 8, bounds=bounds, **kw).collect()}
+        return {cid: s.get(cid) == t.get(cid) for cid in set(s) | set(t)}
+
+    assert verdicts(chunk_checksums_native) == verdicts(chunk_checksums, portable=True)
+    # native plan stays free of rendering and md5
+    plan = chunk_checksums_native(lineitem, "l_orderkey", 8)._jdf.queryExecution().toString()
+    assert "xxhash64" in plan and "md5" not in plan and "date_format" not in plan
+
+
 def test_compare_detects_corruption(lineitem):
     from transferdb_spark.operators.checksum import compare_chunks
     from transferdb_spark.operators.compare_fixture import mutated_target
