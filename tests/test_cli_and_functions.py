@@ -202,6 +202,17 @@ def test_cli_all_mode_runs_full_plus_incremental(tmp_path, capsys, spark):
     assert out["incr_rows"] > 0  # incremental phase consumed the stream
 
 
+def test_cli_export_mode(tmp_path, capsys, spark):
+    wd = str(tmp_path / "wd")
+    out = run_cli(["--mode", "export", "--workdir", wd], capsys)
+    assert out["n_docs"] > 0
+    assert set(out["splits"]) == {"train", "val", "test"}
+    assert sum(v["n_docs"] for v in out["splits"].values()) == out["n_docs"]
+    back = spark.read.parquet(out["path"])
+    assert back.count() == out["n_docs"]
+    assert {"split", "bin_id", "start_offset", "n_tokens"} <= set(back.columns)
+
+
 def test_cli_retry_mode(tmp_path, spark, lineitem):
     """--mode retry re-runs exactly the FAILED chunks and reports the
     error-log size (the reference's resume-failed operational surface)."""

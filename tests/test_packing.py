@@ -98,6 +98,60 @@ def test_ann_recall_bounds_and_bruteforce_self_recall(spark, emb):
         assert r["recall_at_k"] == pytest.approx(r["n_hits"] / 5)
 
 
+def test_export_corpus_roundtrip(spark, docs, tmp_path):
+    """Export writes every doc exactly once with split+packing tags,
+    the manifest reconciles with the data, and each split's files are
+    readable back in training order."""
+    from transferdb_spark.ext.packing import pack_plan, split_assign
+    from transferdb_spark.modes.export import export_corpus, read_manifest
+
+    outdir = str(tmp_path / "corpus")
+    manifest = export_corpus(spark, docs, outdir, budget=256)
+
+    out = spark.read.parquet(manifest.path)
+    n = docs.count()
+    assert out.count() == n == manifest.n_docs
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+    # tags match the operators that defined them
+    plan = {r["doc_id"]: (r["bin_id"], r["start_offset"]) for r in pack_plan(docs, 256).collect()}
+    splits = {r["doc_id"]: r["split"] for r in split_assign(docs).select("doc_id", "split").collect()}
+    for r in out.collect():
+        assert plan[r["doc_id"]] == (r["bin_id"], r["start_offset"])
+        assert splits[r["doc_id"]] == r["split"]
+    # manifest on disk reconciles
+    disk = read_manifest(outdir)
+    assert disk["n_docs"] == n
+    assert sum(v["n_docs"] for v in disk["splits"].values()) == n
+    assert disk["budget"] == 256
+
+
+def test_export_files_cover_contiguous_bin_ranges(spark, docs, tmp_path):
+    """Training-order contract: within a split, the per-file bin_id
+    ranges must not interleave — a trainer reading files in order
+    streams bins in order."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.modes.export import export_corpus
+
+    manifest = export_corpus(spark, docs, str(tmp_path / "c2"), budget=256)
+    out = spark.read.parquet(manifest.path).withColumn("file", F.input_file_name())
+    per_file = (
+        out.groupBy("split", "file")
+        .agg(F.min("bin_id").alias("lo"), F.max("bin_id").alias("hi"))
+        .collect()
+    )
+    by_split: dict[str, list] = {}
+    for r in per_file:
+        by_split.setdefault(r["split"], []).append((r["lo"], r["hi"]))
+    for ranges in by_split.values():
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            # a bin may straddle two files, but ranges must not interleave
+            assert hi1 <= lo2 or (hi1 == lo2 and lo1 <= lo2)
+
+
 def test_minhash_calibration_error_is_bounded(spark, docs):
     """Estimator and exact Jaccard both land in [0,1]; planted exact
     duplicates must show est == exact == 1.0 (all slots agree, full

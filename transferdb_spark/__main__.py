@@ -24,7 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
         required=True,
         choices=[
             "prepare", "assess", "reverse", "check", "compare",
-            "csv", "full", "all", "retry", "compact",
+            "csv", "full", "all", "retry", "compact", "export",
         ],
     )
     p.add_argument("--source-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
@@ -135,6 +135,14 @@ def main(argv: list[str] | None = None) -> int:
 
         target = os.path.join(args.workdir, "target", "events_incr")
         out.update(compact_cdc_log(spark, target, key="user_id"))
+
+    elif args.mode == "export":
+        from transferdb_spark.modes.export import export_corpus
+        from transferdb_spark.sources.registry import load_table
+
+        docs = load_table(spark, args.source_dir, "documents")
+        manifest = export_corpus(spark, docs, os.path.join(args.workdir, "corpus"))
+        out.update(json.loads(manifest.to_json()))
 
     elif args.mode == "all":
         from transferdb_spark.modes.full import full_migrate
