@@ -1,0 +1,127 @@
+"""Streaming corpus ingestion (incremental dedup) tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from transferdb_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _drop(df, d, name):
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "_stage_" + name))
+    # move the part file in as a single new drop file
+    stage = os.path.join(d, "_stage_" + name)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(stage, part), os.path.join(d, name + ".parquet"))
+
+
+def _run_ingest(spark, src, target, ckpt):
+    from transferdb_spark.streaming.corpus import ingest_documents_stream, stream_documents
+
+    q = ingest_documents_stream(
+        stream_documents(spark, src, max_files_per_trigger=1), target, ckpt
+    )
+    q.awaitTermination(120)
+
+
+def test_incremental_ingest_dedupes_across_batches(spark, tmp_path, docs):
+    """Batch 2 redelivers half of batch 1's docs under NEW doc_ids plus
+    genuinely new docs; current state must keep exactly one copy per
+    distinct text, surviving copy = the earliest ingested."""
+    from transferdb_spark.streaming.corpus import corpus_current_state
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    first = docs.filter(F.col("doc_id") < 300)
+    _drop(first, src, "drop1")
+
+    target, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    _run_ingest(spark, src, target, ckpt)
+
+    # second drop: 100 redelivered texts (new ids) + 200 new docs
+    redelivered = (
+        docs.filter(F.col("doc_id") < 100)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    fresh = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 500))
+    _drop(redelivered.unionByName(fresh), src, "drop2")
+    _run_ingest(spark, src, target, ckpt)
+
+    state = corpus_current_state(spark, target)
+    texts_in = docs.filter(F.col("doc_id") < 500).select(
+        F.trim(F.lower("text")).alias("t")
+    ).distinct().count()
+    assert state.count() == texts_in
+    # first-wins: no redelivered (+100000) id may survive when its
+    # original was ingested in batch 1
+    surviving_ids = {r["doc_id"] for r in state.select("doc_id").collect()}
+    originals = {r["doc_id"] for r in docs.filter(F.col("doc_id") < 100).collect()}
+    assert originals <= surviving_ids
+    assert not {i + 100000 for i in originals} & surviving_ids
+
+
+def test_ingest_collapses_within_batch_dups(spark, tmp_path, docs):
+    from transferdb_spark.streaming.corpus import corpus_current_state
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = docs.filter(F.col("doc_id") < 50)
+    doubled = base.unionByName(base.withColumn("doc_id", F.col("doc_id") + 1000))
+    _drop(doubled, src, "drop1")
+    target, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    _run_ingest(spark, src, target, ckpt)
+
+    landed = spark.read.parquet(target)
+    distinct_texts = base.select(F.trim(F.lower("text"))).distinct().count()
+    # within-batch dedup happened at WRITE time, not just read time
+    assert landed.count() == distinct_texts
+    assert corpus_current_state(spark, target).count() == distinct_texts
+
+
+def test_compact_corpus_preserves_state_and_prunes_history(spark, tmp_path, docs):
+    from transferdb_spark.streaming.corpus import compact_corpus, corpus_current_state
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _drop(docs.filter(F.col("doc_id") < 200), src, "drop1")
+    target, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    _run_ingest(spark, src, target, ckpt)
+    _drop(
+        docs.filter(F.col("doc_id") < 400).withColumn(
+            "doc_id", F.col("doc_id") + 500000
+        ),
+        src,
+        "drop2",
+    )
+    _run_ingest(spark, src, target, ckpt)
+
+    before = {r["doc_id"] for r in corpus_current_state(spark, target).select("doc_id").collect()}
+    n_dirs_before = len([d for d in os.listdir(target) if d.startswith("batch_id=")])
+    assert n_dirs_before >= 2
+
+    res = compact_corpus(spark, target)
+    assert res["live_rows"] == len(before)
+    after = {r["doc_id"] for r in corpus_current_state(spark, target).select("doc_id").collect()}
+    assert after == before
+    n_dirs_after = len([d for d in os.listdir(target) if d.startswith("batch_id=")])
+    assert n_dirs_after == 1
+
+    # ingest keeps working after compaction, and first-wins still holds
+    _drop(
+        docs.filter(F.col("doc_id") < 100).withColumn(
+            "doc_id", F.col("doc_id") + 900000
+        ),
+        src,
+        "drop3",
+    )
+    _run_ingest(spark, src, target, ckpt)
+    final = {r["doc_id"] for r in corpus_current_state(spark, target).select("doc_id").collect()}
+    assert final == before  # every drop3 text already lives in the corpus

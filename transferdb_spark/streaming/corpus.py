@@ -1,0 +1,152 @@
+"""Streaming corpus ingestion — incremental dedup for a growing
+document corpus.
+
+The batch dedup operators (ext/dedup.py) answer "what is duplicated in
+THIS corpus"; a training pipeline also needs the incremental question:
+new document drops arrive continuously, and each drop must be folded
+in without re-deduplicating history. Same architecture as the CDC
+apply (streaming/incr.py): per-batch IO is O(batch), the target is
+never read during ingest, and dedup resolves at read time with
+first-wins-per-digest (for dedup the EARLIEST copy is canonical — the
+mirror image of CDC's latest-wins).
+
+- `ingest_documents_stream`: foreachBatch lands each micro-batch in
+  its own `batch_id=N` directory (overwrite → replay-safe), tagged
+  with the content digest computed in-flight. Within-batch exact dups
+  collapse immediately (cheap map-side win); cross-batch dups land and
+  are resolved at read.
+- `corpus_current_state`: one groupBy/window per read — the surviving
+  (earliest) doc per digest.
+- `compact_corpus`: rewrites the landing to its survivor snapshot so
+  read cost tracks LIVE documents, not ingest history (on a table
+  format this swap is one atomic commit).
+
+At 100 TB: the read-time resolution shuffles on digest — the same
+single wide op batch exact-dedup pays — and compaction amortizes it;
+ingest itself stays narrow. Digests use xxhash64 over the normalized
+text (engine-internal, production path).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from transferdb_spark.functions.hashing import fast_hash64
+
+DIGEST_COL = "_digest"
+
+
+def with_digest(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the content digest (normalized text → xxhash64 top-40)."""
+    return docs.withColumn(DIGEST_COL, fast_hash64(F.trim(F.lower(F.col(text_col)))))
+
+
+def stream_documents(
+    spark: SparkSession,
+    source_dir: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source over document parquet drops — each
+    new file is one crawl/delivery batch."""
+    if schema is None:
+        files = [f for f in os.listdir(source_dir) if f.endswith(".parquet")]
+        if not files:
+            raise ValueError(f"no parquet seed in {source_dir} to infer schema")
+        schema = spark.read.parquet(os.path.join(source_dir, files[0])).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def ingest_documents_stream(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """foreachBatch idempotent corpus ingest.
+
+    Each micro-batch: digest in-flight, collapse within-batch exact
+    dups (keep min doc_id — deterministic), land in `batch_id=N` with
+    overwrite so a replayed batch rewrites the same files instead of
+    duplicating. No target reads — cross-batch dups are resolved by
+    `corpus_current_state` at read time."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        digested = with_digest(batch, text_col)
+        survivors = (
+            digested.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(DIGEST_COL).orderBy("doc_id")
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(target_dir, f"batch_id={batch_id}")
+        )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(apply_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="300 milliseconds")
+    return writer.start()
+
+
+def corpus_current_state(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Surviving docs: FIRST-wins per digest — earliest ingest batch
+    (the partition-discovered `batch_id`), then lowest doc_id
+    (deterministic, engine-stable). The dedup mirror of
+    cdc_current_state's latest-wins; like it, `batch_id` is dropped so
+    a compaction snapshot stores no physical copy of the partition
+    column."""
+    log = spark.read.parquet(target_dir)
+    rn = F.row_number().over(
+        Window.partitionBy(DIGEST_COL).orderBy("batch_id", "doc_id")
+    )
+    return log.withColumn("_rn", rn).filter("_rn = 1").drop("_rn").drop("batch_id")
+
+
+def compact_corpus(spark: SparkSession, target_dir: str) -> dict:
+    """Rewrite the ingest log to its survivor snapshot (same
+    underscore-tmp + rename-aside swap as compact_cdc_log; a table
+    format would make this one atomic commit). Survivors keep their
+    place at the EARLIEST batch id, so first-wins ordering against
+    future (higher-id) batches is preserved. Returns {"live_rows", "dirs_removed"}."""
+    old_dirs = sorted(d for d in os.listdir(target_dir) if d.startswith("batch_id="))
+    if len(old_dirs) <= 1:
+        return {"live_rows": None, "dirs_removed": 0}
+    min_bid = min(int(d.split("=", 1)[1]) for d in old_dirs)
+
+    snap = corpus_current_state(spark, target_dir)
+    tmp = os.path.join(target_dir, "_compact_tmp")
+    snap.write.mode("overwrite").parquet(tmp)
+    live_rows = spark.read.parquet(tmp).count()
+
+    aside = []
+    for d in old_dirs:
+        src = os.path.join(target_dir, d)
+        dst = os.path.join(target_dir, f"_old_{d}")
+        os.rename(src, dst)
+        aside.append(dst)
+    # snapshot lands as the EARLIEST batch id: future ingest batches
+    # have higher ids, so snapshot rows keep winning first-wins ties
+    os.rename(tmp, os.path.join(target_dir, f"batch_id={min_bid}"))
+    for d in aside:
+        shutil.rmtree(d)
+    return {"live_rows": live_rows, "dirs_removed": len(old_dirs)}
