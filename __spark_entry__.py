@@ -204,6 +204,50 @@ ORDER BY 1
 """
 
 
+def zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey).
+
+    The layout operator `plans/layout.py:zorder_layout` range-
+    partitions on this value so every output file covers a small
+    rectangle of the key space — min/max file skipping then works for
+    filters on EITHER column. The code itself is pure integer
+    arithmetic (stretch-or-divide bucketing + mask-spread interleave),
+    reproduced bit-for-bit by the DuckDB oracle.
+    """
+    from transferdb_spark.plans.layout import column_ranges, morton_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_partkey", "l_suppkey"]
+    ranges = column_ranges(li, cols)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(morton_expr(cols, ranges, idiv="div")).alias("zval"),
+    )
+
+
+def _zorder_code_sql() -> str:
+    from transferdb_spark.plans.layout import morton2_sql_dynamic
+
+    z = morton2_sql_dynamic(
+        ["l_partkey", "l_suppkey"],
+        {"l_partkey": ("r.plo", "r.phi"), "l_suppkey": ("r.slo", "r.shi")},
+        idiv="//",
+    )
+    return f"""
+WITH r AS (SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+                  min(l_suppkey) AS slo, max(l_suppkey) AS shi FROM lineitem)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({z} AS BIGINT) AS zval
+FROM lineitem, r
+"""
+
+
+ZORDER_CODE_SQL = _zorder_code_sql()
+
+
 def compare_chunk_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — commutative per-chunk checksum over canonical row strings."""
     li = _t(spark, sf_dir, "lineitem")
@@ -3289,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": q5_local_supplier,
         "normalize_lineitem": normalize_lineitem,
         "chunk_counts": chunk_counts,
+        "zorder_code": zorder_code,
         "compare_chunk_checksum": compare_chunk_checksum,
         "compare_diff_inserts": compare_diff_inserts,
         "compare_diff_deletes": compare_diff_deletes,
@@ -3405,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier": Q5_SQL,
         "normalize_lineitem": NORMALIZE_SQL,
         "chunk_counts": CHUNK_COUNTS_SQL,
+        "zorder_code": ZORDER_CODE_SQL,
         "compare_chunk_checksum": CHECKSUM_SQL,
         "compare_diff_inserts": DIFF_INS_SQL,
         "compare_diff_deletes": DIFF_DEL_SQL,

@@ -1,0 +1,125 @@
+"""Z-order layout: code correctness, clustering benefit, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from transferdb_spark.plans.layout import (
+    column_ranges,
+    file_span_stats,
+    morton_expr,
+    zorder_layout,
+)
+
+
+def _py_bucket(v: int, lo: int, hi: int, bits: int) -> int:
+    rng = hi - lo
+    if rng < (1 << bits):
+        return (v - lo) * ((1 << bits) - 1) // max(1, rng)
+    return (v - lo) // (rng // (1 << bits) + 1)
+
+
+def _py_spread2(x: int) -> int:
+    for shift, mask in [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]:
+        x = (x | (x << shift)) & mask
+    return x
+
+
+def _py_morton2(x: int, y: int) -> int:
+    return _py_spread2(x) | (_py_spread2(y) << 1)
+
+
+def test_zorder_code_matches_python_reference(spark, lineitem):
+    from pyspark.sql import functions as F
+
+    cols = ["l_partkey", "l_suppkey"]
+    ranges = column_ranges(lineitem, cols)
+    expr = morton_expr(cols, ranges, idiv="div")
+    rows = (
+        lineitem.select("l_partkey", "l_suppkey", F.expr(expr).alias("z"))
+        .limit(500)
+        .collect()
+    )
+    for r in rows:
+        bx = _py_bucket(r["l_partkey"], *ranges["l_partkey"], 16)
+        by = _py_bucket(r["l_suppkey"], *ranges["l_suppkey"], 16)
+        assert r["z"] == _py_morton2(bx, by)
+
+
+def test_zorder_code_matches_duckdb(spark, lineitem, sf_dir):
+    """The '//'-idiv rendering of the SAME expression is bit-equal on DuckDB."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cols = ["l_partkey", "l_suppkey"]
+    ranges = column_ranges(lineitem, cols)
+    spark_rows = {
+        (r["l_partkey"], r["l_suppkey"]): r["z"]
+        for r in lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(morton_expr(cols, ranges, idiv="div")).alias("z"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT l_partkey, l_suppkey, {morton_expr(cols, ranges, idiv='//')} AS z "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    assert len(duck) == len(spark_rows) or len(duck) >= 1
+    for pk, sk, z in duck:
+        assert spark_rows[(pk, sk)] == z
+
+
+def test_morton_multidim_within_int64(spark, lineitem):
+    from pyspark.sql import functions as F
+
+    cols = ["l_partkey", "l_suppkey", "l_orderkey"]
+    ranges = column_ranges(lineitem, cols)
+    expr = morton_expr(cols, ranges, idiv="div")
+    row = (
+        lineitem.select(F.expr(expr).alias("z"))
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .first()
+    )
+    assert 0 <= row["lo"] <= row["hi"] < 1 << 48
+
+
+def test_zorder_layout_improves_span_locality(spark, lineitem, tmp_path):
+    """Every output file covers a small rectangle of (partkey, suppkey).
+
+    Natural lineitem order is ~sorted by orderkey, so each file spans
+    nearly the FULL partkey/suppkey range (span fraction ~1, no file
+    ever skipped). The Z-ordered layout must cut the mean span on BOTH
+    dimensions — that fraction is exactly the share of files a point
+    filter has to read.
+    """
+    cols = ["l_partkey", "l_suppkey"]
+    nat = str(tmp_path / "natural")
+    zed = str(tmp_path / "zorder")
+    lineitem.repartition(16).write.mode("overwrite").parquet(nat)
+    zorder_layout(lineitem, cols, n_files=16).write.mode("overwrite").parquet(zed)
+
+    nat_score = file_span_stats(nat, cols)
+    z_score = file_span_stats(zed, cols)
+    assert nat_score.n_files >= 8 and z_score.n_files >= 8
+    for c in cols:
+        assert nat_score.span_fraction[c] > 0.8  # unclustered: scan everything
+        assert z_score.span_fraction[c] < 0.5 * nat_score.span_fraction[c]
+
+
+def test_zorder_layout_single_exchange(spark, lineitem):
+    plan = zorder_layout(lineitem, ["l_partkey", "l_suppkey"])._jdf.queryExecution().toString()
+    assert plan.lower().count("exchange") <= 2  # range partitioner (+AQE read)
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_zorder_layout_preserves_rows(spark, lineitem):
+    out = zorder_layout(lineitem.limit(1000), ["l_partkey", "l_suppkey"], n_files=4)
+    assert out.count() == 1000
+    assert out.columns == lineitem.columns
+
+
+def test_zorder_requires_two_columns():
+    with pytest.raises(ValueError):
+        morton_expr(["only_one"], {"only_one": (0, 10)})
