@@ -2200,6 +2200,22 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window chunking: overlapping token windows per doc
+    (window=32, stride=24 → 8-token overlap). Narrow map chain, no
+    shuffle; the op every retrieval/training pipeline runs before
+    embedding or packing long documents."""
+    from transferdb_spark.ext.text import doc_chunks
+
+    return doc_chunks(_t(spark, sf_dir, "documents"), window=32, stride=24)
+
+
+def _doc_chunks_sql_cached() -> str:
+    from transferdb_spark.ext.text import doc_chunks_sql
+
+    return doc_chunks_sql(window=32, stride=24)
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.dedup import exact_dedup_summary
 
@@ -3202,6 +3218,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "text_quality": QUALITY_SQL,
         "text_lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
+        "doc_chunk_windows": _doc_chunks_sql_cached(),
         "dedup_exact": EXACT_DEDUP_SUMMARY_SQL,
         "dedup_keep_first": EXACT_SURVIVORS_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
@@ -3372,6 +3389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_bpe_tokens": text_bpe_tokens,
         "doc_fingerprint": doc_fingerprint,
+        "doc_chunk_windows": doc_chunk_windows,
         "asof_last_purchase": asof_last_purchase,
         "range_join_windows": range_join_windows,
         "multires_rollup": multires_rollup,

@@ -408,3 +408,49 @@ def test_repetition_stats_semantics(spark):
     assert out[1]["n_tokens"] == 4 and out[1]["distinct_tokens"] == 2
     assert out[1]["dup_ratio"] == 0.5 and out[1]["top_token_frac"] == 0.75
     assert out[2]["dup_ratio"] == 0.0 and out[2]["top_token_frac"] == 0.25
+
+
+def test_doc_chunks_cover_and_overlap(spark, docs):
+    """Chunk windows tile every document: starts advance by stride,
+    every token index falls in >=1 chunk, short docs yield exactly one
+    chunk, and chunk text is the corresponding token slice."""
+    from transferdb_spark.ext.text import doc_chunks
+
+    W, S = 32, 24
+    sample = docs.limit(50)
+    out = doc_chunks(sample, window=W, stride=S).collect()
+    texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for did, chunks in by_doc.items():
+        toks = texts[did].strip().lower().split()
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = len(toks)
+        for j, c in enumerate(chunks):
+            assert c["chunk_idx"] == j
+            assert c["start_tok"] == j * S
+            assert c["n_chunk_tokens"] == min(W, n - j * S)
+            assert c["chunk_text"] == " ".join(toks[j * S : j * S + W])
+        # coverage: last chunk reaches the end of the doc
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_chunk_tokens"] == n
+        if n <= W:
+            assert len(chunks) == 1
+
+
+def test_doc_chunks_no_shuffle(spark, docs):
+    from transferdb_spark.ext.text import doc_chunks
+
+    plan = doc_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_doc_chunks_rejects_bad_params(docs):
+    from transferdb_spark.ext.text import doc_chunks
+
+    with pytest.raises(ValueError):
+        doc_chunks(docs, window=0)
+    with pytest.raises(ValueError):
+        doc_chunks(docs, stride=0)

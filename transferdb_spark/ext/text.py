@@ -404,3 +404,60 @@ FROM per
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def doc_chunks(
+    docs: DataFrame, window: int = 32, stride: int = 24
+) -> DataFrame:
+    """RAG/training window chunking: overlapping token windows per doc.
+
+    Every retrieval or context-window pipeline slices long documents
+    into fixed-size token windows with overlap (stride < window) so no
+    boundary-spanning passage is lost. Starts are 0, stride, 2·stride,
+    …, ceil(max(0, n-window)/stride)·stride — a short document yields
+    exactly one chunk, and the last chunk may be shorter than window.
+
+    Scale: tokenize → sequence → explode → slice is a pure narrow map
+    chain (no shuffle at all); output rows ≈ docs × n/stride. The token
+    array is persisted before the Generate so the split() is not
+    re-evaluated per chunk row (projection-above-Generate pitfall).
+    """
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+    base = docs.select(
+        "doc_id", F.expr(TOKENS).alias("toks")
+    ).withColumn("n", F.size("toks")).persist()
+    k = F.expr(f"(greatest(0, n - {window}) + {stride} - 1) div {stride}")
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), k.cast("int"))).alias("i"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        (F.col("i") * stride).cast("int").alias("start_tok"),
+        F.least(F.lit(window), F.col("n") - F.col("i") * stride)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice("toks", F.col("i") * stride + 1, window), " "
+        ).alias("chunk_text"),
+    )
+
+
+def doc_chunks_sql(window: int = 32, stride: int = 24) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+g AS (SELECT doc_id, toks, n,
+             unnest(generate_series(0, (GREATEST(0, n - {window}) + {stride} - 1) // {stride})) AS i
+      FROM s)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * {stride} AS INT) AS start_tok,
+       CAST(LEAST({window}, n - i * {stride}) AS INT) AS n_chunk_tokens,
+       array_to_string(toks[i * {stride} + 1 : i * {stride} + {window}], ' ') AS chunk_text
+FROM g
+"""
