@@ -526,6 +526,62 @@ ORDER BY est_bytes DESC, table_name LIMIT 10
 """
 
 
+_NDV_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_shipdate",
+    "l_returnflag",
+]
+
+
+def assess_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-adjacent profiling facet: HLL++ NDV sketch with a verified
+    error bound per column.
+
+    The reference reads NUM_DISTINCT from optimizer stats
+    (/root/reference/database/oracle/compare.go:84-103); at 100 TB the
+    scale path IS the sketch — approx_count_distinct is a fixed-size
+    HLL++ that combines map-side, while exact countDistinct shuffles
+    every distinct value. This query runs BOTH arms in one pass (the
+    exact arm is the verification harness, same pattern as
+    ann_recall_eval) and emits whether the sketch landed within 5×rsd
+    of truth — the oracle pins the exact NDVs and asserts the bound
+    held. Production assess runs the sketch alone.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rsd = 0.02
+    aggs = []
+    for c in _NDV_COLS:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"e_{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"a_{c}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', e_{c}, a_{c}" for c in _NDV_COLS)
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(_NDV_COLS)}, {stack_args}) AS (col_name, exact_ndv, approx_ndv)"
+            )
+        )
+        .select(
+            "col_name",
+            F.col("exact_ndv").cast("long").alias("exact_ndv"),
+            (
+                F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
+                <= F.greatest(F.lit(1.0), 5 * rsd * F.col("exact_ndv"))
+            ).alias("within_bound"),
+        )
+        .orderBy("col_name")
+    )
+
+
+ASSESS_NDV_SQL = "\nUNION ALL ".join(
+    f"SELECT '{c}' AS col_name, COUNT(DISTINCT {c}) AS exact_ndv, TRUE AS within_bound FROM lineitem"
+    for c in _NDV_COLS
+) + "\nORDER BY col_name"
+
+
 def listagg_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13 — LISTAGG WITHIN GROUP (ordered, deterministic)."""
     cust = _t(spark, sf_dir, "customer")
@@ -3362,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assess_distribution": assess_distribution,
         "assess_threshold": assess_threshold,
         "assess_storage_size": assess_storage_size,
+        "assess_ndv_sketch": assess_ndv_sketch,
         "listagg_nation_customers": listagg_nation_customers,
         "window_topk_orders": window_topk_orders,
         "setop_customers_without_orders": setop_customers_without_orders,
@@ -3479,6 +3536,7 @@ def oracle_sql() -> dict[str, str]:
         "assess_distribution": ASSESS_DIST_SQL,
         "assess_threshold": ASSESS_THRESHOLD_SQL,
         "assess_storage_size": ASSESS_STORAGE_SQL,
+        "assess_ndv_sketch": ASSESS_NDV_SQL,
         "listagg_nation_customers": LISTAGG_SQL,
         "window_topk_orders": WINDOW_TOPK_SQL,
         "setop_customers_without_orders": SETOP_EXCEPT_SQL,
