@@ -127,3 +127,48 @@ def test_write_with_retry_backoff(spark, monkeypatch):
     with _pytest.raises(RuntimeError, match="endpoint down"):
         sink.write_with_retry(df, max_retries=2, backoff_s=0)
     assert calls["n"] == 3  # initial + 2 retries
+
+
+def test_jdbc_session_init_statement_pins_snapshot_per_connection(spark, derby_url):
+    """sessionInitStatement runs on EVERY JDBC connection before its
+    chunk SELECT — the mechanism the reference uses to pin one
+    consistent image per chunk connection (SET TRANSACTION ... AS OF
+    SCN, /root/reference/database/oracle/full.go:95-124). Derby
+    analogue: two schemas hold same-named tables with different rows;
+    `SET SCHEMA SNAP` as the init statement must redirect every
+    chunked connection to the pinned schema, while the same reader
+    without the init statement sees the default schema."""
+    from transferdb_spark.plans.chunker import Chunk
+    from transferdb_spark.sources.jdbc import JdbcSource
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    for sql in [
+        "CREATE SCHEMA SNAP",
+        'CREATE TABLE APP.ACCT ("ID" INT, "VAL" INT)',
+        'CREATE TABLE SNAP.ACCT ("ID" INT, "VAL" INT)',
+        "INSERT INTO APP.ACCT VALUES (1, 100), (2, 200), (3, 300), (4, 400)",
+        "INSERT INTO SNAP.ACCT VALUES (1, 1), (2, 2), (3, 3), (4, 4)",
+    ]:
+        st.execute(sql)
+    st.close()
+    conn.close()
+
+    chunks = [
+        Chunk(0, 1, 2, '"ID" <= 2'),
+        Chunk(1, 3, 4, '"ID" >= 3'),
+    ]
+    pinned = JdbcSource(
+        url=derby_url,
+        table="ACCT",
+        driver=DERBY_DRIVER,
+        session_init="SET SCHEMA SNAP",
+    ).load(spark, chunks=chunks)
+    assert pinned.rdd.getNumPartitions() == 2  # two connections, both pinned
+    assert sorted(r["VAL"] for r in pinned.collect()) == [1, 2, 3, 4]
+
+    unpinned = JdbcSource(url=derby_url, table="ACCT", driver=DERBY_DRIVER).load(
+        spark, chunks=chunks
+    )
+    assert sorted(r["VAL"] for r in unpinned.collect()) == [100, 200, 300, 400]

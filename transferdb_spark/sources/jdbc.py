@@ -65,6 +65,10 @@ class JdbcSource:
     def load(self, spark: SparkSession, chunks: list[Chunk] | None = None) -> DataFrame:
         """Terminal load — requires a JDBC driver on the classpath."""
         if chunks:
+            # sessionInitStatement MUST ride along here: the chunked
+            # path opens one connection per chunk partition, and the
+            # init statement (snapshot/SCN pinning, schema selection)
+            # has to run on every one of them before its SELECT.
             props = {
                 k: v
                 for k, v in {
@@ -72,6 +76,8 @@ class JdbcSource:
                     "password": self.password,
                     "driver": self.driver,
                     "fetchsize": str(self.fetch_size),
+                    "sessionInitStatement": self.session_init,
+                    **self.options,
                 }.items()
                 if v
             }
