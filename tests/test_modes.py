@@ -549,3 +549,32 @@ def test_error_quarantine_and_retry_failed(tmp_path, spark, lineitem):
         chunks[3].predicate
     ).count()
     assert got == expected
+
+
+def test_full_migrate_zorder_layout_clusters_target(spark, sf_dir, workdir, lineitem):
+    """layout_cols: the migrated target is Z-order clustered — full
+    fidelity (compare == clean) AND every file covers a small
+    rectangle of the layout columns, so min/max skipping serves
+    filters on either column."""
+    from transferdb_spark.modes.compare_mode import compare_tables
+    from transferdb_spark.modes.full import full_migrate_table
+    from transferdb_spark.plans.layout import file_span_stats
+
+    cols = ["l_partkey", "l_suppkey"]
+    target = full_migrate_table(
+        spark,
+        lineitem,
+        "lineitem_z",
+        workdir,
+        n_chunks=16,
+        key="l_orderkey",
+        layout_cols=cols,
+    )
+    migrated = spark.read.parquet(target)
+    report = compare_tables(spark, lineitem, migrated, "lineitem_z", workdir, n_chunks=8)
+    assert report.is_equal
+
+    score = file_span_stats(target, cols)
+    assert score.n_files >= 8
+    for c in cols:
+        assert score.span_fraction[c] < 0.5

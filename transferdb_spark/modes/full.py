@@ -71,6 +71,7 @@ def full_migrate_table(
     chunk_strategy: str = "width",
     source_charset: str | None = None,
     target_charset: str | None = None,
+    layout_cols: list[str] | None = None,
 ) -> str:
     """Migrate one table to the parquet target; returns target path.
 
@@ -86,6 +87,12 @@ def full_migrate_table(
     chunk_strategy="quantile" plans equi-depth chunks from approximate
     key quantiles — use on skewed keys, where fixed-width ranges put
     most of the table in one straggler chunk.
+    layout_cols Z-orders the written files on those columns
+    (plans/layout.py) instead of range-partitioning on the split key —
+    pick the 2-3 dominant FILTER columns of downstream queries so
+    min/max file skipping serves all of them. Same job shape (one
+    range exchange); chunk bookkeeping and resume are unchanged
+    (resume appends per-chunk predicates without re-clustering).
     """
     store = store or StateStore(workdir, "full")
     if user_range:
@@ -116,11 +123,14 @@ def full_migrate_table(
     if len(pending) == len(states):
         # fresh run: one job, chunk-aligned range partitioning
         try:
-            shaped = (
-                out.repartition(n_chunks, *partition_cols)
-                if partition_cols
-                else out.repartitionByRange(n_chunks, key)
-            )
+            if layout_cols:
+                from transferdb_spark.plans.layout import zorder_layout
+
+                shaped = zorder_layout(out, layout_cols, n_files=n_chunks)
+            elif partition_cols:
+                shaped = out.repartition(n_chunks, *partition_cols)
+            else:
+                shaped = out.repartitionByRange(n_chunks, key)
             _writer(shaped).mode("overwrite").parquet(target)
             for c in states:
                 store.mark(table, c.chunk_id, SUCCESS)
