@@ -584,6 +584,54 @@ ASSESS_NDV_SQL = "\nUNION ALL ".join(
 ) + "\nORDER BY col_name"
 
 
+def quantile_chunk_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 equi-depth calibration — the Greenwald-Khanna bound, verified
+    on real data.
+
+    plan_chunks_quantile trusts approxQuantile(err) to carve chunks of
+    ~n/k rows on skewed keys; this query plans k=8 chunks on
+    orders.o_custkey, counts the actual depth of every chunk in one
+    scan, and asserts each is within n/k ± 5%·n (GK guarantees
+    ±2·err·n = 2% plus tie-block discretization). The oracle pins that
+    the bound held for every chunk — the property equi-depth chunking
+    (and its straggler-free task sizing at 100 TB) depends on.
+    """
+    from pyspark.sql.window import Window
+
+    from transferdb_spark.plans.chunker import plan_chunks_quantile
+
+    k = 8
+    orders = _t(spark, sf_dir, "orders")
+    chunks = plan_chunks_quantile(orders, "o_custkey", k, error=0.01)
+    cid = F.lit(None)
+    expr = None
+    for c in reversed(chunks):
+        branch = F.lit(c.chunk_id)
+        expr = branch if expr is None else F.when(F.expr(c.predicate), branch).otherwise(expr)
+    per = (
+        orders.select(expr.cast("int").alias("chunk_id"))
+        .groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy()
+    return (
+        per.withColumn("n", F.sum("cnt").over(w))
+        .select(
+            "chunk_id",
+            (
+                F.abs(F.col("cnt") - F.col("n") / F.lit(len(chunks)))
+                <= 0.05 * F.col("n")
+            ).alias("depth_ok"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+QUANTILE_BALANCE_SQL = "\nUNION ALL ".join(
+    f"SELECT {i} AS chunk_id, TRUE AS depth_ok" for i in range(8)
+) + "\nORDER BY chunk_id"
+
+
 def listagg_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13 — LISTAGG WITHIN GROUP (ordered, deterministic)."""
     cust = _t(spark, sf_dir, "customer")
@@ -3428,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_summary": compare_summary,
         "compare_keyed_diff": compare_keyed_diff,
         "split_key_candidates": split_key_candidates,
+        "quantile_chunk_balance": quantile_chunk_balance,
         "assess_schema_overview": assess_schema_overview,
         "assess_topn": assess_topn,
         "assess_distribution": assess_distribution,
@@ -3546,6 +3595,7 @@ def oracle_sql() -> dict[str, str]:
         "compare_diff_deletes": DIFF_DEL_SQL,
         "compare_summary": COMPARE_SUMMARY_SQL,
         "split_key_candidates": SPLIT_KEY_SQL,
+        "quantile_chunk_balance": QUANTILE_BALANCE_SQL,
         "assess_schema_overview": ASSESS_OVERVIEW_SQL,
         "assess_topn": ASSESS_TOPN_SQL,
         "assess_distribution": ASSESS_DIST_SQL,
