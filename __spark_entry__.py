@@ -2266,6 +2266,45 @@ WHERE event_id > 500 AND event_type IN ('click', 'purchase', 'signup')
 """
 
 
+def events_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day via a MERGEABLE Datasketches HLL sketch
+    — the 100 TB (and streaming) cardinality path.
+
+    countDistinct shuffles every distinct (day, user) pair; the HLL
+    sketch is fixed-size per group, combines map-side, and the same
+    binary sketches union across days/late batches (hll_union_agg) —
+    which is what makes incremental rollup maintenance possible. The
+    exact arm rides in the same aggregate as verification (lgK=14 →
+    rsd ≈0.8%; bound = 5×rsd with an absolute floor of 2); the oracle
+    pins the exact counts and that the sketch bound held.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("approx"),
+        )
+        .select(
+            "day",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= F.greatest(F.lit(2.0), 0.04 * F.col("exact_users"))
+            ).alias("within_bound"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_DAILY_UNIQUE_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-family batch equivalent — tumbling 1h window aggregation."""
     ev = _t(spark, sf_dir, "events")
@@ -3489,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_customers_with_orders": setop_customers_with_orders,
         "scn_filter_events": scn_filter_events,
         "events_hourly_rollup": events_hourly_rollup,
+        "events_daily_unique_users": events_daily_unique_users,
         "sessionize_events": sessionize_events,
         "moving_avg_user_value": moving_avg_user_value,
         "lag_lead_deltas": lag_lead_deltas,
@@ -3608,6 +3648,7 @@ def oracle_sql() -> dict[str, str]:
         "setop_customers_with_orders": SETOP_INTERSECT_SQL,
         "scn_filter_events": SCN_FILTER_SQL,
         "events_hourly_rollup": EVENTS_ROLLUP_SQL,
+        "events_daily_unique_users": EVENTS_DAILY_UNIQUE_SQL,
         "grouping_rollup": GROUPING_ROLLUP_SQL,
         "semi_join_customers": SEMI_JOIN_SQL,
         "anti_join_parts": ANTI_JOIN_SQL,
