@@ -484,3 +484,34 @@ def test_charset_projection_encodes_for_byte_oriented_target(spark):
     out = charset_projection(df, "UTF8", "ZHS16GBK").orderBy("id").collect()
     assert bytes(out[0]["s"]) == "数据校验".encode("gbk")
     assert out[1]["s"] is None
+
+
+def test_hll_sketch_union_equals_full_recompute(spark, sf_dir):
+    """Incremental rollup maintenance: per-batch HLL sketches unioned
+    with hll_union_agg give BIT-IDENTICAL estimates to one sketch over
+    all data — so a 100 TB daily rollup can merge yesterday's stored
+    sketches with today's batch instead of rescanning history."""
+    from pyspark.sql import functions as F
+    from transferdb_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    def day_sketch(df):
+        return df.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+        )
+
+    merged = (
+        day_sketch(half1)
+        .unionAll(day_sketch(half2))
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("est"))
+    )
+    full = day_sketch(ev).select(
+        "day", F.expr("hll_sketch_estimate(sk)").alias("est")
+    )
+    m = {r["day"]: r["est"] for r in merged.collect()}
+    f = {r["day"]: r["est"] for r in full.collect()}
+    assert m == f and len(f) > 0
