@@ -23,6 +23,7 @@ BENCH_QUERIES = [
     "q13_customer_distribution",
     "q18_large_orders",
     "normalize_lineitem",
+    "zorder_code",
     "chunk_counts",
     "compare_chunk_checksum",
     "compare_checksum_fast",
@@ -32,6 +33,7 @@ BENCH_QUERIES = [
     "window_topk_orders",
     "listagg_nation_customers",
     "events_hourly_rollup",
+    "events_daily_unique_users",
     "sessionize_events",
     "asof_last_purchase",
     "multires_rollup",

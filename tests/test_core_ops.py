@@ -515,3 +515,38 @@ def test_hll_sketch_union_equals_full_recompute(spark, sf_dir):
     m = {r["day"]: r["est"] for r in merged.collect()}
     f = {r["day"]: r["est"] for r in full.collect()}
     assert m == f and len(f) > 0
+
+
+def test_schema_epoch_pins_cross_table_consistency(spark, sf_dir, tmp_path):
+    """Schema-wide AS-OF: after pinning an epoch, a commit to ANY
+    table is invisible to epoch readers — cross-table FK invariants
+    (orders <-> lineitem) hold exactly as of the pin, the reference's
+    single-SCN-for-the-whole-migration semantics."""
+    from pyspark.sql import functions as F
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import (
+        pin_schema_epoch,
+        read_schema_epoch,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "schema")
+    orders = load_table(spark, sf_dir, "orders").limit(100)
+    lineitem = load_table(spark, sf_dir, "lineitem").limit(300)
+    write_snapshot(orders, f"{root}/orders")
+    write_snapshot(lineitem, f"{root}/lineitem")
+
+    epoch = pin_schema_epoch(root, ["orders", "lineitem"])
+
+    # post-pin commits to BOTH tables (the torn-read hazard)
+    write_snapshot(orders.limit(5), f"{root}/orders")
+    write_snapshot(lineitem.filter(F.lit(False)), f"{root}/lineitem")
+
+    image = read_schema_epoch(spark, root, epoch)
+    assert image["orders"].count() == 100
+    assert image["lineitem"].count() == 300
+    # latest (unpinned) epoch would see the new images
+    e2 = pin_schema_epoch(root, ["orders", "lineitem"])
+    latest = read_schema_epoch(spark, root, e2)
+    assert latest["orders"].count() == 5
+    assert latest["lineitem"].count() == 0

@@ -100,3 +100,60 @@ def read_snapshot(
         raise ValueError(f"version {v} not in {versions}")
     files = _manifest(base, v)["files"]
     return spark.read.parquet(*files)
+
+
+def pin_schema_epoch(root: str, tables: list[str]) -> int:
+    """Pin ONE consistent epoch across every table of a schema.
+
+    The reference takes a single SCN for the WHOLE migration — every
+    table's chunked read is `AS OF` the same point
+    (/root/reference/database/oracle/full.go:28-40), so cross-table
+    invariants (orders ↔ lineitem FKs) hold in the target. The
+    per-table manifests above give per-table consistency only; this
+    epoch manifest records {table: latest version} atomically, and
+    `read_schema_epoch` resolves every table through it.
+
+        root/
+          _epochs/000000.json   {"epoch": 0, "tables": {"orders": 3, ...}}
+          <table>/_versions/... (per-table stores, unchanged)
+    """
+    ed = os.path.join(root, "_epochs")
+    os.makedirs(ed, exist_ok=True)
+    pinned: dict[str, int] = {}
+    for t in tables:
+        versions = list_versions(os.path.join(root, t))
+        if not versions:
+            raise FileNotFoundError(f"table {t} has no snapshot versions under {root}")
+        pinned[t] = versions[-1]
+    epochs = sorted(
+        int(f[:-5]) for f in os.listdir(ed) if f.endswith(".json") and f[:-5].isdigit()
+    )
+    epoch = (epochs[-1] + 1) if epochs else 0
+    tmp = os.path.join(ed, f"{epoch:06d}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"epoch": epoch, "tables": pinned}, fh)
+    os.rename(tmp, os.path.join(ed, f"{epoch:06d}.json"))
+    return epoch
+
+
+def read_schema_epoch(
+    spark: SparkSession, root: str, epoch: int | None = None
+) -> dict[str, DataFrame]:
+    """Load every table of a pinned epoch as one consistent image set.
+
+    A write committed to any table AFTER the pin is invisible — the
+    engine's schema-wide `AS OF SCN`."""
+    ed = os.path.join(root, "_epochs")
+    epochs = sorted(
+        int(f[:-5]) for f in os.listdir(ed) if f.endswith(".json") and f[:-5].isdigit()
+    ) if os.path.isdir(ed) else []
+    if not epochs:
+        raise FileNotFoundError(f"no pinned epochs under {root}")
+    e = epochs[-1] if epoch is None else epoch
+    if e not in epochs:
+        raise ValueError(f"epoch {e} not in {epochs}")
+    with open(os.path.join(ed, f"{e:06d}.json")) as fh:
+        pinned = json.load(fh)["tables"]
+    return {
+        t: read_snapshot(spark, os.path.join(root, t), v) for t, v in pinned.items()
+    }
