@@ -584,6 +584,66 @@ ASSESS_NDV_SQL = "\nUNION ALL ".join(
 ) + "\nORDER BY col_name"
 
 
+def assess_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew census — the input to the salted/hybrid join
+    decision (operators/skew.py) and AQE skew thresholds.
+
+    For each candidate join key, the 3 hottest key values with their
+    frequency and skew ratio (count / mean count per distinct key).
+    One scan: stack() fans the key columns out (Catalyst Expand), one
+    groupBy shuffles (col, key) pairs with map-side combine, and the
+    per-column mean comes from a tiny window over the aggregated rows
+    — never a second scan.
+    """
+    from pyspark.sql.window import Window
+
+    from transferdb_spark.functions.canonical import stable_round
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    args = ", ".join(f"'{c}', {c}" for c in cols)
+    u = li.select(F.expr(f"stack({len(cols)}, {args}) AS (col_name, key)"))
+    per = u.groupBy("col_name", "key").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("col_name")
+    wr = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        per.withColumn("mean_cnt", F.avg("cnt").over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "col_name",
+            F.col("key").cast("long").alias("hot_key"),
+            F.col("cnt").cast("long").alias("cnt"),
+            stable_round(F.col("cnt") / F.col("mean_cnt"), 4).alias("skew_ratio"),
+            F.col("rn").alias("rank"),
+        )
+        .orderBy("col_name", "rank")
+    )
+
+
+def _assess_join_skew_sql() -> str:
+    from transferdb_spark.functions.canonical import stable_round_sql
+
+    branches = "\nUNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {c} AS key FROM lineitem"
+        for c in ["l_orderkey", "l_partkey", "l_suppkey"]
+    )
+    return f"""
+WITH u AS ({branches}),
+per AS (SELECT col_name, key, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+rk AS (
+  SELECT col_name, key, cnt,
+         AVG(cnt) OVER (PARTITION BY col_name) AS mean_cnt,
+         row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, key ASC) AS rn
+  FROM per
+)
+SELECT col_name, CAST(key AS BIGINT) AS hot_key, CAST(cnt AS BIGINT) AS cnt,
+       CAST({stable_round_sql('cnt / mean_cnt', 4)} AS DOUBLE) AS skew_ratio,
+       CAST(rn AS INT) AS rank
+FROM rk WHERE rn <= 3 ORDER BY col_name, rank
+"""
+
+
 def quantile_chunk_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 equi-depth calibration — the Greenwald-Khanna bound, verified
     on real data.
@@ -3516,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_keyed_diff": compare_keyed_diff,
         "split_key_candidates": split_key_candidates,
         "quantile_chunk_balance": quantile_chunk_balance,
+        "assess_join_skew": assess_join_skew,
         "assess_schema_overview": assess_schema_overview,
         "assess_topn": assess_topn,
         "assess_distribution": assess_distribution,
@@ -3636,6 +3697,7 @@ def oracle_sql() -> dict[str, str]:
         "compare_summary": COMPARE_SUMMARY_SQL,
         "split_key_candidates": SPLIT_KEY_SQL,
         "quantile_chunk_balance": QUANTILE_BALANCE_SQL,
+        "assess_join_skew": _assess_join_skew_sql(),
         "assess_schema_overview": ASSESS_OVERVIEW_SQL,
         "assess_topn": ASSESS_TOPN_SQL,
         "assess_distribution": ASSESS_DIST_SQL,

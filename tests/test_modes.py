@@ -578,3 +578,38 @@ def test_full_migrate_zorder_layout_clusters_target(spark, sf_dir, workdir, line
     assert score.n_files >= 8
     for c in cols:
         assert score.span_fraction[c] < 0.5
+
+
+def test_compact_files_merges_fragments(spark, sf_dir, lineitem, tmp_path):
+    """64-file fragmentation compacts shuffle-free to a handful of
+    files with identical content; with layout_cols the rewrite also
+    Z-order clusters."""
+    from transferdb_spark.modes.optimize import compact_files
+    from transferdb_spark.plans.layout import file_span_stats
+
+    frag = str(tmp_path / "frag")
+    lineitem.repartition(64).write.mode("overwrite").parquet(frag)
+
+    stats = compact_files(spark, frag, target_mb=8)
+    assert stats.files_before == 64
+    assert stats.files_after < 16
+    after = spark.read.parquet(frag)
+    assert after.count() == lineitem.count()
+    assert after.exceptAll(lineitem).count() == 0
+
+    # recluster while compacting
+    stats2 = compact_files(spark, frag, n_files=8, layout_cols=["l_partkey", "l_suppkey"])
+    assert stats2.files_after >= 2
+    score = file_span_stats(frag, ["l_partkey", "l_suppkey"])
+    assert score.span_fraction["l_partkey"] < 0.7
+
+
+def test_compact_files_plain_path_is_shuffle_free(spark, lineitem, tmp_path):
+    from transferdb_spark.modes.optimize import _parquet_files
+
+    frag = str(tmp_path / "frag2")
+    lineitem.limit(1000).repartition(8).write.mode("overwrite").parquet(frag)
+    df = spark.read.parquet(frag).coalesce(1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert len(_parquet_files(frag)) == 8

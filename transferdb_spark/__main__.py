@@ -25,8 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "prepare", "assess", "reverse", "check", "compare",
             "csv", "full", "all", "retry", "compact", "export",
+            "optimize",
         ],
     )
+    p.add_argument("--path", default="", help="optimize: parquet dir to compact")
+    p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument("--layout-cols", default="", help="optimize: comma-separated Z-order columns")
     p.add_argument("--source-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     p.add_argument("--workdir", default="./transferdb_work")
     p.add_argument("--tables", default="", help="comma-separated include globs")
@@ -135,6 +139,17 @@ def main(argv: list[str] | None = None) -> int:
 
         target = os.path.join(args.workdir, "target", "events_incr")
         out.update(compact_cdc_log(spark, target, key="user_id"))
+
+    elif args.mode == "optimize":
+        from dataclasses import asdict
+
+        from transferdb_spark.modes.optimize import compact_files
+
+        cols = [c for c in args.layout_cols.split(",") if c]
+        stats = compact_files(
+            spark, args.path, target_mb=args.target_mb, layout_cols=cols or None
+        )
+        out.update(asdict(stats))
 
     elif args.mode == "export":
         from transferdb_spark.modes.export import export_corpus

@@ -1,0 +1,100 @@
+"""`optimize` mode — small-file compaction (+ optional re-clustering).
+
+Long-running ingestion (streaming corpus batches, chunked appends,
+CDC landing) fragments a parquet directory into thousands of tiny
+files; at 100 TB the scan cost becomes footer-bound (one open + one
+footer parse per file) and the scheduler drowns in splits. The
+reference never needs this (it writes into a database); a lakehouse
+engine does.
+
+Design:
+- Target file count = ceil(total_bytes / target_mb) from a driver-side
+  listing (O(files) metadata, no data scan to plan).
+- Plain compaction uses ``coalesce`` — merges input splits WITHOUT a
+  shuffle (the whole job is read → concat → write). With
+  ``layout_cols`` the rewrite instead Z-orders via plans/layout.py —
+  one range exchange, same price as any clustering rewrite.
+- The swap is write-to-staging → verify row count → rename. On plain
+  directories the rename window is the non-atomic residue a table
+  format (Delta/Iceberg) would close with one metadata commit — the
+  staging/verify structure maps 1:1 onto that commit.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CompactStats:
+    files_before: int
+    files_after: int
+    bytes_total: int
+    rows: int
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    layout_cols: list[str] | None = None,
+    verify: bool = True,
+    n_files: int | None = None,
+) -> CompactStats:
+    """Rewrite ``path`` into ~target_mb files; returns before/after stats.
+
+    verify=True counts staging rows against source rows before the
+    swap and refuses on mismatch — the compaction never replaces data
+    it could not faithfully rewrite.
+    """
+    files = _parquet_files(path)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = n_files or max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    if layout_cols:
+        from transferdb_spark.plans.layout import zorder_layout
+
+        shaped = zorder_layout(df, layout_cols, n_files=n_out)
+    else:
+        shaped = df.coalesce(n_out)
+
+    staging = path.rstrip("/") + ".__compact_tmp"
+    backup = path.rstrip("/") + ".__compact_old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shaped.write.mode("overwrite").parquet(staging)
+
+    rows = -1
+    if verify:
+        rows = spark.read.parquet(staging).count()
+        src_rows = df.count()
+        if rows != src_rows:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction verify failed: {rows} staged vs {src_rows} source rows"
+            )
+
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+    return CompactStats(
+        files_before=len(files),
+        files_after=len(_parquet_files(path)),
+        bytes_total=total,
+        rows=rows,
+    )
