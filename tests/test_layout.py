@@ -123,3 +123,43 @@ def test_zorder_layout_preserves_rows(spark, lineitem):
 def test_zorder_requires_two_columns():
     with pytest.raises(ValueError):
         morton_expr(["only_one"], {"only_one": (0, 10)})
+
+
+def test_morton_bucket_fuzz_python_vs_duckdb():
+    """Property fuzz: for random (lo, hi, v, bits), the '//' rendering
+    of bucket/morton expressions evaluates on DuckDB to exactly the
+    Python reference — the cross-engine contract zorder_code rests on."""
+    import random
+
+    import duckdb
+
+    from transferdb_spark.plans.layout import bucket_expr, morton_expr
+
+    rng = random.Random(20260814)
+    con = duckdb.connect()
+    for _ in range(200):
+        bits = rng.choice([4, 8, 12, 16])
+        lo = rng.randint(-(10**9), 10**9)
+        hi = lo + rng.randint(0, 2 ** rng.randint(0, 40))
+        v = rng.randint(lo, hi)
+        got = con.execute(
+            f"SELECT {bucket_expr(str(v), lo, hi, bits, '//')}"
+        ).fetchone()[0]
+        assert got == _py_bucket(v, lo, hi, bits), (v, lo, hi, bits)
+        assert 0 <= got < (1 << bits)
+
+    for _ in range(50):
+        lo1, lo2 = rng.randint(-(10**6), 10**6), rng.randint(-(10**6), 10**6)
+        hi1 = lo1 + rng.randint(1, 10**7)
+        hi2 = lo2 + rng.randint(1, 10**7)
+        v1, v2 = rng.randint(lo1, hi1), rng.randint(lo2, hi2)
+        expr = morton_expr(
+            ["x", "y"], {"x": (lo1, hi1), "y": (lo2, hi2)}, idiv="//"
+        )
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT {v1} AS x, {v2} AS y)"
+        ).fetchone()[0]
+        want = _py_morton2(
+            _py_bucket(v1, lo1, hi1, 16), _py_bucket(v2, lo2, hi2, 16)
+        )
+        assert got == want, (v1, v2, lo1, hi1, lo2, hi2)

@@ -63,10 +63,14 @@ def bucket_expr(col: str, lo: int, hi: int, bits: int, idiv: str) -> str:
     """
     lo, hi = int(lo), int(hi)
     rng = hi - lo
+    # CAST to BIGINT up front: a 32-bit column (or literal — DuckDB
+    # types bare integer literals INT32) would overflow the stretch
+    # multiply; both engines accept the same CAST syntax.
+    base = f"(CAST(({col}) - ({lo}) AS BIGINT))"
     if rng < (1 << bits):
-        return f"((({col}) - ({lo})) * {(1 << bits) - 1} {idiv} {max(1, rng)})"
+        return f"(({base} * {(1 << bits) - 1}) {idiv} {max(1, rng)})"
     width = rng // (1 << bits) + 1
-    return f"((({col}) - ({lo})) {idiv} {width})"
+    return f"({base} {idiv} {width})"
 
 
 def _spread2_expr(e: str) -> str:
@@ -118,9 +122,10 @@ def _bucket_dyn_sql(c: str, lo: str, hi: str, bits: int, idiv: str) -> str:
     value-identical to the literal rendering the Spark side runs.
     """
     n = 1 << bits
-    rng = f"(({hi}) - ({lo}))"
-    up = f"((({c}) - ({lo})) * {n - 1} {idiv} (CASE WHEN {rng} > 0 THEN {rng} ELSE 1 END))"
-    down = f"((({c}) - ({lo})) {idiv} ({rng} {idiv} {n} + 1))"
+    rng = f"(CAST(({hi}) - ({lo}) AS BIGINT))"
+    base = f"(CAST(({c}) - ({lo}) AS BIGINT))"
+    up = f"(({base} * {n - 1}) {idiv} (CASE WHEN {rng} > 0 THEN {rng} ELSE 1 END))"
+    down = f"({base} {idiv} ({rng} {idiv} {n} + 1))"
     return f"(CASE WHEN {rng} < {n} THEN {up} ELSE {down} END)"
 
 
