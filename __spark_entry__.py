@@ -2428,6 +2428,18 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_chunks(_t(spark, sf_dir, "documents"), window=32, stride=24)
 
 
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (ext/bpe.py) — corpus collapses
+    to a word-frequency table (one shuffle), then each merge iteration
+    is a map-side-combined pair count + a single argmax row to the
+    driver. Iterative/driver-coordinated, so no SQL oracle (rows-only
+    check); the differential pytest pins it against a pure-Python
+    Sennrich reference."""
+    from transferdb_spark.ext.bpe import merges_frame
+
+    return merges_frame(_t(spark, sf_dir, "documents"), n_merges=5)
+
+
 def _doc_chunks_sql_cached() -> str:
     from transferdb_spark.ext.text import doc_chunks_sql
 
@@ -3612,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text_bpe_tokens,
         "doc_fingerprint": doc_fingerprint,
         "doc_chunk_windows": doc_chunk_windows,
+        "bpe_train_merges": bpe_train_merges,
         "asof_last_purchase": asof_last_purchase,
         "range_join_windows": range_join_windows,
         "multires_rollup": multires_rollup,

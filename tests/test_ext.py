@@ -454,3 +454,58 @@ def test_doc_chunks_rejects_bad_params(docs):
         doc_chunks(docs, window=0)
     with pytest.raises(ValueError):
         doc_chunks(docs, stride=0)
+
+
+def test_bpe_train_matches_python_reference(spark, docs):
+    """Differential: distributed BPE merges == pure-Python Sennrich
+    reference on the same word counts (deterministic lexicographic
+    tie-break)."""
+    from collections import Counter
+
+    from transferdb_spark.ext.bpe import train_merges
+
+    sample = docs.limit(60)
+    got = train_merges(sample, n_merges=8)
+
+    wc = Counter()
+    for r in sample.collect():
+        for w in r["text"].strip().lower().split():
+            if w:
+                wc[w] += 1
+
+    words = {w: list(w) for w in wc}
+    want = []
+    for _ in range(8):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), freq = best
+        if freq < 2:
+            break
+        want.append((l, r, freq))
+        merged = l + r
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert got == want
+    assert len(got) >= 3
+
+
+def test_bpe_merges_frame_shape(spark, docs):
+    from transferdb_spark.ext.bpe import merges_frame
+
+    out = merges_frame(docs.limit(40), n_merges=4)
+    rows = out.collect()
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+    assert all(r["freq"] >= 2 for r in rows)
