@@ -3598,7 +3598,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listagg_nation_customers": listagg_nation_customers,
         "window_topk_orders": window_topk_orders,
         "setop_customers_without_orders": setop_customers_without_orders,
-        "setop_customers_with_orders": setop_customers_with_orders,
         "scn_filter_events": scn_filter_events,
         "events_hourly_rollup": events_hourly_rollup,
         "events_daily_unique_users": events_daily_unique_users,
@@ -3622,13 +3621,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_quality": text_quality,
         "text_bpe_tokens": text_bpe_tokens,
-        "doc_fingerprint": doc_fingerprint,
         "doc_chunk_windows": doc_chunk_windows,
-        "bpe_train_merges": bpe_train_merges,
         "asof_last_purchase": asof_last_purchase,
         "range_join_windows": range_join_windows,
         "multires_rollup": multires_rollup,
         "pipeline_clean_corpus": pipeline_clean_corpus,
+        "setop_customers_with_orders": setop_customers_with_orders,
+        "doc_fingerprint": doc_fingerprint,
+        "bpe_train_merges": bpe_train_merges,
         "pii_redaction": pii_redaction,
         "repetition_ratio": repetition_ratio,
         "domain_mix_sample": domain_mix_sample,
