@@ -2428,6 +2428,16 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_chunks(_t(spark, sf_dir, "documents"), window=32, stride=24)
 
 
+def text_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus boilerplate cleaning: strip tags, decode entities,
+    collapse whitespace — verified as a round-trip (wrap each doc in
+    markup, clean, recover the normalized original). Pure JVM regexp
+    chain fused with the scan."""
+    from transferdb_spark.ext.text import html_clean_roundtrip
+
+    return html_clean_roundtrip(_t(spark, sf_dir, "documents"))
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (ext/bpe.py) — corpus collapses
     to a word-frequency table (one shuffle), then each merge iteration
@@ -2438,6 +2448,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.bpe import merges_frame
 
     return merges_frame(_t(spark, sf_dir, "documents"), n_merges=5)
+
+
+def _text_html_clean_sql() -> str:
+    from transferdb_spark.ext.text import html_clean_roundtrip_sql
+
+    return html_clean_roundtrip_sql()
 
 
 def _doc_chunks_sql_cached() -> str:
@@ -3448,6 +3464,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "text_quality": QUALITY_SQL,
         "text_lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
+        "text_html_clean": _text_html_clean_sql(),
         "doc_chunk_windows": _doc_chunks_sql_cached(),
         "dedup_exact": EXACT_DEDUP_SUMMARY_SQL,
         "dedup_keep_first": EXACT_SURVIVORS_SQL,
@@ -3628,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "setop_customers_with_orders": setop_customers_with_orders,
         "doc_fingerprint": doc_fingerprint,
+        "text_html_clean": text_html_clean,
         "bpe_train_merges": bpe_train_merges,
         "pii_redaction": pii_redaction,
         "repetition_ratio": repetition_ratio,

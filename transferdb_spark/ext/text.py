@@ -461,3 +461,60 @@ SELECT doc_id,
        array_to_string(toks[i * {stride} + 1 : i * {stride} + {window}], ' ') AS chunk_text
 FROM g
 """
+
+
+# HTML boilerplate cleaning — the first stage of every web-corpus
+# pipeline. Pure JVM regexp chain (narrow map, fused with the scan);
+# the same three regexes render in DuckDB for the oracle. Entity
+# decoding covers the five XML predefined entities; real corpora add
+# a table-driven pass, same shape.
+_TAG_RE = "<[^>]*>"
+_WS_RE = "\\s+"
+
+
+def clean_html(col: Column) -> Column:
+    """Strip tags, decode &amp;/&lt;/&gt;/&quot;/&apos;, collapse
+    whitespace, trim."""
+    c = F.regexp_replace(col, _TAG_RE, " ")
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")]:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, _WS_RE, " "))
+
+
+def clean_html_sql(expr: str) -> str:
+    c = f"regexp_replace({expr}, '{_TAG_RE}', ' ', 'g')"
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "''"), ("&amp;", "&")]:
+        c = f"replace({c}, '{ent}', '{ch}')"
+    return f"trim(regexp_replace({c}, '{_WS_RE}', ' ', 'g'))"
+
+
+def html_clean_roundtrip(docs: DataFrame) -> DataFrame:
+    """Wrap each doc in markup + entities, clean it, and verify the
+    round-trip recovers the whitespace-normalized original — the
+    cleaning-stage contract, oracle-checked end to end."""
+    wrapped = F.concat(
+        F.lit('<html><body class="x"><p>'),
+        F.col("text"),
+        F.lit("</p><br/>&amp;footer</body></html>"),
+    )
+    cleaned = clean_html(wrapped)
+    want = F.concat(F.trim(F.regexp_replace(F.col("text"), _WS_RE, " ")), F.lit(" &footer"))
+    return docs.select(
+        "doc_id",
+        F.length(cleaned).alias("clean_len"),
+        (cleaned == want).alias("roundtrip_ok"),
+    ).orderBy("doc_id")
+
+
+def html_clean_roundtrip_sql() -> str:
+    wrapped = (
+        "'<html><body class=\"x\"><p>' || text || '</p><br/>&amp;footer</body></html>'"
+    )
+    cleaned = clean_html_sql(wrapped)
+    want = f"trim(regexp_replace(text, '{_WS_RE}', ' ', 'g')) || ' &footer'"
+    return f"""
+SELECT doc_id,
+       CAST(length({cleaned}) AS INT) AS clean_len,
+       ({cleaned} = {want}) AS roundtrip_ok
+FROM documents ORDER BY doc_id
+"""
