@@ -613,3 +613,33 @@ def test_compact_files_plain_path_is_shuffle_free(spark, lineitem, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert len(_parquet_files(frag)) == 8
+
+
+def test_csv_import_quarantines_corrupt_rows(spark, tmp_path):
+    """Malformed CSV lines land in the quarantine frame whole; clean
+    rows import untouched; nothing aborts."""
+    import pyspark.sql.types as T
+    from transferdb_spark.modes.csv_mode import csv_import_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,10\n"
+        "2,beta,not_a_number\n"
+        "3,gamma,30\n"
+        "4,delta,extra,field,here\n"
+        "5,eps,50\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.IntegerType()),
+        ]
+    )
+    clean, bad = csv_import_quarantine(spark, str(p), schema)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 3, 5]
+    bad_lines = sorted(r["raw_line"] for r in bad.collect())
+    assert len(bad_lines) == 2
+    assert any("not_a_number" in b for b in bad_lines)
+    assert any("extra,field" in b for b in bad_lines)

@@ -67,3 +67,49 @@ def csv_import(spark: SparkSession, path: str, schema, delimiter: str = ",", hea
         .option("escape", "\\")
         .csv(path)
     )
+
+
+def csv_import_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    delimiter: str = ",",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE import: (clean_rows, quarantined_rows).
+
+    The reference quarantines failed rows into error-log meta tables
+    instead of aborting the chunk (/root/reference/database/meta/
+    meta.go:100-117); the CSV ingest analogue is Spark's PERMISSIVE
+    mode with a _corrupt_record column: malformed lines land, whole
+    and unparsed, in the quarantine frame (ready for an error sink),
+    while every well-formed row proceeds. All executor-side — no
+    driver row loop, no job abort on bad data.
+
+    Note Spark only materializes _corrupt_record on rows it actually
+    had to reparse, so the quarantine split must run from a cached
+    frame (the documented requirement for corrupt-record queries).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("sep", delimiter)
+        .option("header", str(header).lower())
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .option("escape", "\\")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    clean = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return clean, bad
