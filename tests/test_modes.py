@@ -643,3 +643,28 @@ def test_csv_import_quarantines_corrupt_rows(spark, tmp_path):
     assert len(bad_lines) == 2
     assert any("not_a_number" in b for b in bad_lines)
     assert any("extra,field" in b for b in bad_lines)
+
+
+def test_schema_evolution_append_reads_merged(spark, sf_dir, tmp_path, lineitem):
+    """Target gains a column between append runs: merged read unions
+    the schemas, pre-evolution rows are NULL in the new column, and
+    keyed_diff still classifies rows correctly across the evolution."""
+    from pyspark.sql import functions as F
+    from transferdb_spark.sources.registry import load_evolved
+
+    tgt = str(tmp_path / "evolving")
+    v1 = lineitem.select("l_orderkey", "l_linenumber", "l_quantity").limit(100)
+    v1.write.mode("overwrite").parquet(tgt)
+    v2 = (
+        lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(150)
+        .exceptAll(v1)
+        .withColumn("load_batch", F.lit(2))
+    )
+    v2.write.mode("append").parquet(tgt)
+
+    merged = load_evolved(spark, tgt)
+    assert set(merged.columns) == {"l_orderkey", "l_linenumber", "l_quantity", "load_batch"}
+    assert merged.count() == 150
+    assert merged.filter(F.col("load_batch").isNull()).count() == 100
+    assert merged.filter(F.col("load_batch") == 2).count() == 50

@@ -88,3 +88,18 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
         p = table_path(sf_dir, t)
         if os.path.exists(p):
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def load_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet target whose schema EVOLVED across appends.
+
+    A long-lived migration target gains columns over time (the source
+    ran ALTER TABLE ADD between runs — exactly what `check` mode
+    detects and fixes). mergeSchema unions every file's schema;
+    rows written before the column existed read as NULL, which is the
+    reference's NULL-for-missing semantics on the target side. Footer
+    merging is O(files) driver-side metadata, so keep it an explicit
+    opt-in (this helper), not a default read path."""
+    return _normalize_ntz(
+        spark.read.option("mergeSchema", "true").parquet(path)
+    )
