@@ -142,3 +142,49 @@ def test_normalize_is_a_pure_narrow_projection(queries):
 def test_range_join_is_hash_not_nested_loop(queries):
     p = plan_of(queries["range_join_windows"])
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_split_key_candidates_single_scan(queries):
+    """The multi-distinct rewrite must keep ONE lineitem scan (Expand
+    fans out in-plan) — a Union of per-column scans is the regression."""
+    p = plan_of(queries["split_key_candidates"])
+    assert n_nodes(p, "Scan parquet") == 1
+    assert n_nodes(p, "Union") == 0
+    assert n_nodes(p, "Expand") >= 1
+
+
+def test_assess_join_skew_one_scan_one_wide_shuffle(queries):
+    p = plan_of(queries["assess_join_skew"])
+    assert n_nodes(p, "Scan parquet") == 1
+    # stack() fans out in-plan (Generate or Expand), never a Union of scans
+    assert n_nodes(p, "Generate") + n_nodes(p, "Expand") >= 1
+    assert n_nodes(p, "Union") == 0
+    # groupBy(col,key) partial-aggregates before its exchange
+    assert n_nodes(p, "HashAggregate") >= 2
+
+
+def test_ndv_sketch_single_scan_no_union(queries):
+    p = plan_of(queries["assess_ndv_sketch"])
+    assert n_nodes(p, "Scan parquet") == 1
+    assert n_nodes(p, "Union") == 0
+
+
+def test_daily_unique_users_partial_hll(queries):
+    """HLL sketch must combine map-side: a partial aggregate carries
+    the sketch buffer, the exchange ships one sketch per (day,
+    partition), never raw user ids."""
+    p = plan_of(queries["events_daily_unique_users"])
+    assert "hll_sketch_agg" in p
+    assert n_nodes(p, "HashAggregate") >= 2  # partial + final around the exchange
+
+
+def test_zorder_code_is_narrow_projection(queries):
+    p = plan_of(queries["zorder_code"])
+    assert n_nodes(p, "Exchange") == 0
+    assert n_nodes(p, "Scan parquet") == 1
+
+
+def test_doc_chunk_windows_no_exchange(queries):
+    p = plan_of(queries["doc_chunk_windows"])
+    assert n_nodes(p, "Exchange") == 0
+    assert n_nodes(p, "Generate") >= 1
