@@ -644,6 +644,59 @@ FROM rk WHERE rn <= 3 ORDER BY col_name, rank
 """
 
 
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+
+
+def assess_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4-adjacent column profile — null count, min, max per
+    numeric column, the optimizer-stats census the reference reads
+    from DBA_TAB_COLUMNS, measured from real data in ONE scan
+    (multi-column agg + stack; integers are exact in double far below
+    2^53, so one uniform stack type is lossless)."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    args = ", ".join(f"'{c}', n_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS)
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {args}) AS (col_name, null_cnt, min_v, max_v)"
+            )
+        )
+        .select(
+            "col_name",
+            F.col("null_cnt").cast("long").alias("null_cnt"),
+            F.col("min_v").cast("double").alias("min_v"),
+            F.col("max_v").cast("double").alias("max_v"),
+        )
+        .orderBy("col_name")
+    )
+
+
+ASSESS_PROFILE_SQL = "\nUNION ALL ".join(
+    f"SELECT '{c}' AS col_name,"
+    f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,"
+    f" CAST(MIN(CAST({c} AS DOUBLE)) AS DOUBLE) AS min_v,"
+    f" CAST(MAX(CAST({c} AS DOUBLE)) AS DOUBLE) AS max_v FROM lineitem"
+    for c in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
 def quantile_chunk_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 equi-depth calibration — the Greenwald-Khanna bound, verified
     on real data.
@@ -3465,6 +3518,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "text_lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
         "text_html_clean": _text_html_clean_sql(),
+        "assess_column_profile": ASSESS_PROFILE_SQL,
         "doc_chunk_windows": _doc_chunks_sql_cached(),
         "dedup_exact": EXACT_DEDUP_SUMMARY_SQL,
         "dedup_keep_first": EXACT_SURVIVORS_SQL,
@@ -3646,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_customers_with_orders": setop_customers_with_orders,
         "doc_fingerprint": doc_fingerprint,
         "text_html_clean": text_html_clean,
+        "assess_column_profile": assess_column_profile,
         "bpe_train_merges": bpe_train_merges,
         "pii_redaction": pii_redaction,
         "repetition_ratio": repetition_ratio,
