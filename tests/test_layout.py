@@ -163,3 +163,20 @@ def test_morton_bucket_fuzz_python_vs_duckdb():
             _py_bucket(v1, lo1, hi1, 16), _py_bucket(v2, lo2, hi2, 16)
         )
         assert got == want, (v1, v2, lo1, hi1, lo2, hi2)
+
+
+def test_recommend_layout_prefers_frequent_selective_columns(spark, lineitem):
+    from transferdb_spark.plans.layout import recommend_layout
+
+    workload = [
+        (["l_partkey"], 10.0),          # frequent + high NDV
+        (["l_suppkey"], 8.0),           # frequent + decent NDV
+        (["l_returnflag"], 12.0),       # frequent but only 3 distinct values
+        (["l_orderkey"], 0.5),          # rare
+        (["not_a_column"], 99.0),       # ignored
+    ]
+    rec = recommend_layout(lineitem, workload, max_cols=2)
+    assert rec == ["l_partkey", "l_suppkey"]
+    assert recommend_layout(lineitem, [], max_cols=2) == []
+    # single-earner workloads recommend a single (plain-sort) column
+    assert recommend_layout(lineitem, [(["l_partkey"], 1.0)]) == ["l_partkey"]

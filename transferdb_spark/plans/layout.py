@@ -236,3 +236,42 @@ def file_span_stats(path: str, cols: list[str]) -> LayoutScore:
         fs = [(s[c][1] - s[c][0]) / width for s in per_file if c in s]
         frac[c] = sum(fs) / len(fs) if fs else 1.0
     return LayoutScore(n_files=len(per_file), span_fraction=frac)
+
+
+def recommend_layout(
+    df: DataFrame,
+    workload: list[tuple[list[str], float]],
+    max_cols: int = 2,
+) -> list[str]:
+    """Pick Z-order columns from a workload log.
+
+    ``workload`` = [(filter_columns, weight)] per query shape (weight ~
+    query frequency). A column earns its place by (a) how much scan
+    weight filters on it and (b) how selectively min/max stats can cut
+    on it — low-NDV columns (a handful of flag values) span every file
+    whatever the layout, so benefit scales with log2(NDV). One
+    approx_count_distinct pass supplies the NDVs (the same cheap
+    single-scan census split-key election uses); ties break on column
+    name so the recommendation is deterministic.
+
+    Returns 1 column when only one earns weight — callers should then
+    plain-sort instead of Z-ordering (morton_expr refuses k=1 by
+    design)."""
+    import math
+
+    weights: dict[str, float] = {}
+    for cols, w in workload:
+        for c in cols:
+            if c in df.columns:
+                weights[c] = weights.get(c, 0.0) + float(w)
+    if not weights:
+        return []
+    cand = sorted(weights)
+    row = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cand]
+    ).first()
+    scored = sorted(
+        cand,
+        key=lambda c: (-(weights[c] * math.log2(max(2, row[c]))), c),
+    )
+    return scored[:max_cols]
