@@ -2643,16 +2643,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over SimHash near-dup pairs: Spark's
     iterative min-label propagation vs the oracle's recursive-CTE
     transitive-closure fixpoint — two independent formulations of the
-    same clustering must agree."""
+    same clustering must agree.
+
+    The cross-check universe is capped at doc_id < 2000 in BOTH
+    engines: the recursive-CTE closure is quadratic in component size
+    and turns minutes-slow at sf0.1, while the capped check is
+    identical at sf0.01 (500 docs) and still exercises multi-node
+    components at every scale. The production operator
+    (ext/dedup.neardup_clusters) runs the full corpus."""
     from transferdb_spark.ext.dedup import neardup_clusters
 
     pairs = simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.filter((F.col("doc_a") < _CLUSTER_CAP) & (F.col("doc_b") < _CLUSTER_CAP))
     return neardup_clusters(pairs).orderBy("doc_id")
+
+
+_CLUSTER_CAP = 2000
 
 
 def _dedup_clusters_sql() -> str:
     return f"""
-WITH RECURSIVE pairs AS ({_simhash_neardup_sql()}),
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_simhash_neardup_sql()})
+  WHERE doc_a < {_CLUSTER_CAP} AND doc_b < {_CLUSTER_CAP}
+),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
