@@ -509,3 +509,56 @@ def test_bpe_merges_frame_shape(spark, docs):
     rows = out.collect()
     assert [r["rank"] for r in rows] == list(range(len(rows)))
     assert all(r["freq"] >= 2 for r in rows)
+
+
+def test_png_roundtrip_all_filter_types(spark):
+    """Real PNG decode (stdlib zlib + un-filtering): encode with every
+    scanline filter type (None/Sub/Up/Average/Paeth cycling by row)
+    and recover the exact pixels."""
+    import numpy as np
+    from transferdb_spark.ext.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(23, 17, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        buf = encode_png(px, filters=filters)
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+        out = decode_image(buf)
+        assert out.shape == (23, 17, 3)
+        assert (out == px).all(), f"filters={filters}"
+
+
+def test_png_unsupported_variants_raise(spark):
+    import struct as _s
+
+    import pytest as _pt
+
+    from transferdb_spark.ext.multimodal import decode_image
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)  # palette
+    chunk = _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+    with _pt.raises(NotImplementedError):
+        decode_image(sig + chunk)
+
+
+def test_png_flows_through_spark_resize(spark):
+    """PNG media rides the same mapInPandas resize path as PPM/BMP."""
+    import numpy as np
+    from transferdb_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    buf = encode_png(px, filters=[0, 4])
+    media = spark.createDataFrame(
+        [(9, "image", buf, ("image/png", 16, 12, None))], MEDIA_SCHEMA
+    )
+    out = resize_images(media, width=8, height=6).first()
+    rpx = decode_image(bytes(out["content"]))
+    assert rpx.shape == (6, 8, 3)
+    assert np.array_equal(rpx[0, 0], px[0, 0])

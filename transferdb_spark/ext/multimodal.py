@@ -81,8 +81,130 @@ def decode_image(content: bytes) -> np.ndarray:
     if content[:2] == b"\xff\xd8":
         raise NotImplementedError("JPEG decode requires an imaging library (e.g. Pillow)")
     if content[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("PNG decode requires an imaging library (e.g. Pillow)")
+        return _decode_png(content)
     raise NotImplementedError(f"unrecognized image format: {content[:4]!r}")
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
+    """Real PNG decode with the stdlib only (zlib inflate + scanline
+    un-filtering): 8-bit truecolor (type 2) and truecolor+alpha
+    (type 6, alpha dropped), non-interlaced. Palette/16-bit/Adam7
+    raise NotImplementedError — swap in Pillow for those (and for
+    throughput: Sub/Paeth un-filtering has a per-pixel left
+    dependency, fine for fixtures, vectorized C in production)."""
+    import zlib
+
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos < len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise NotImplementedError("malformed PNG (no IHDR/IDAT)")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant depth={depth} color={color} interlace={interlace}"
+        )
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up — vectorized
+            cur = (row + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — left-dependent
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pred = _paeth(int(a), int(b), int(c))
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return np.ascontiguousarray(out.reshape(h, w, ch)[:, :, :3])
+
+
+def encode_png(px: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder (truecolor 8-bit, non-interlaced) — the
+    test-side twin of _decode_png. ``filters`` selects the per-row
+    filter type (default all 0) so every un-filter path is
+    exercisable."""
+    import zlib
+
+    px = px.astype(np.uint8)
+    h, w = px.shape[:2]
+    ch = 3
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)] if filters else 0
+        row = flat[y]
+        enc = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = {
+                0: 0,
+                1: a,
+                2: b,
+                3: (a + b) >> 1,
+                4: _paeth(int(a), int(b), int(c)),
+            }[f]
+            enc[x] = (row[x] - pred) & 0xFF
+        lines.append(f)
+        lines.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _decode_ppm(buf: bytes) -> np.ndarray:
