@@ -562,3 +562,29 @@ def test_png_flows_through_spark_resize(spark):
     rpx = decode_image(bytes(out["content"]))
     assert rpx.shape == (6, 8, 3)
     assert np.array_equal(rpx[0, 0], px[0, 0])
+
+
+def test_mulaw_wav_decode(spark):
+    """G.711 mu-law WAV: compress a sine, wrap in RIFF fmt-tag-7,
+    decode, and recover the waveform within mu-law quantization error."""
+    import struct as _s
+
+    import numpy as np
+
+    from transferdb_spark.ext.multimodal import decode_wav, mulaw_compress
+
+    rate = 8000
+    t = np.arange(rate // 4) / rate
+    wave = (0.6 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    payload = mulaw_compress(wave)
+    fmt = _s.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+    wav = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload)) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(payload)) + payload
+    )
+    out, got_rate = decode_wav(wav)
+    assert got_rate == rate and len(out) == len(wave)
+    err = np.abs(out - wave)
+    assert float(err.max()) < 0.03  # mu-law SNR bound at 0.6 amplitude
+    assert float(np.corrcoef(out, wave)[0, 1]) > 0.999

@@ -267,6 +267,11 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt == 7:  # G.711 mu-law (telephony corpora ship this)
+        wave = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+        if n_ch > 1:
+            wave = wave[: len(wave) - len(wave) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        return wave, rate
     if audio_fmt != 1:
         raise NotImplementedError(f"non-PCM WAV (format tag {audio_fmt})")
     if bits == 16:
@@ -278,6 +283,27 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     if n_ch > 1:
         wave = wave[: len(wave) - len(wave) % n_ch].reshape(-1, n_ch).mean(axis=1)
     return wave, rate
+
+
+def _mulaw_expand(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte → float32 in [-1, 1] (vectorized ITU decode:
+    complement, split sign/exponent/mantissa, rebias by 33)."""
+    u = (~u) & 0xFF
+    sign = np.where(u & 0x80, -1.0, 1.0)
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant.astype(np.int32) << 3) + 0x84 << exp) - 0x84
+    return (sign * mag / 32635.0).astype(np.float32)
+
+
+def mulaw_compress(wave: np.ndarray) -> bytes:
+    """Encoder twin for tests (float [-1,1] → mu-law bytes)."""
+    x = np.clip(wave, -1.0, 1.0)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum((np.abs(x) * 32635.0).astype(np.int32) + 0x84, 0x7FFF)
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (((sign | (exp << 4) | mant) ^ 0xFF) & 0xFF).astype(np.uint8).tobytes()
 
 
 # ---------------------------------------------------------------------------
