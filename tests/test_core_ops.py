@@ -550,3 +550,40 @@ def test_schema_epoch_pins_cross_table_consistency(spark, sf_dir, tmp_path):
     latest = read_schema_epoch(spark, root, e2)
     assert latest["orders"].count() == 5
     assert latest["lineitem"].count() == 0
+
+
+def test_snapshot_manifest_stats_prune_files(spark, sf_dir, tmp_path):
+    """Manifest-level scan planning: commit a Z-ordered table with
+    stat_cols, then a narrow predicate read must touch a strict subset
+    of files (pruned from the manifest, no footer reads) and return
+    exactly the rows a full-scan filter returns."""
+    from pyspark.sql import functions as F
+    from transferdb_spark.plans.layout import zorder_layout
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import (
+        pruned_file_count,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = str(tmp_path / "snap")
+    v = write_snapshot(
+        zorder_layout(li, ["l_partkey", "l_suppkey"], n_files=16),
+        base,
+        stat_cols=["l_partkey", "l_suppkey"],
+    )
+
+    pred = ("l_partkey", 100, 160)
+    kept, total = pruned_file_count(base, v, pred)
+    assert total >= 8
+    assert kept < total  # manifest stats actually cut the file list
+
+    got = read_snapshot(spark, base, v, predicate=pred)
+    want = li.filter(F.col("l_partkey").between(100, 160))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+    # files without stats for the column are never pruned
+    kept2, total2 = pruned_file_count(base, v, ("no_such_col", 0, 1))
+    assert kept2 == total2

@@ -48,13 +48,50 @@ def list_versions(base: str) -> list[int]:
     )
 
 
-def write_snapshot(df: DataFrame, base: str, mode: str = "overwrite") -> int:
+def _file_stats(path: str, cols: list[str]) -> dict:
+    """Per-file min/max of ``cols`` from the parquet footer — written
+    into the manifest so readers can prune files from metadata alone
+    (the Iceberg manifest-stats idea on plain parquet)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out[c] = [lo, hi]
+    return out
+
+
+def write_snapshot(
+    df: DataFrame,
+    base: str,
+    mode: str = "overwrite",
+    stat_cols: list[str] | None = None,
+) -> int:
     """Commit df as the next version; returns the version number.
 
     mode='overwrite': the new version's image is exactly df.
     mode='append': the new version = previous image + df's files.
     Data files are immutable; only the manifest advances — failed
-    writes leave orphan files, never a torn version."""
+    writes leave orphan files, never a torn version.
+
+    stat_cols embeds per-file min/max for those columns in the
+    manifest (footer read at commit time, O(new files) driver-side);
+    read_snapshot(predicate=...) then prunes files WITHOUT opening
+    any footer — manifest-level scan planning, which is what keeps
+    10^6-file tables plannable. Pair with a Z-ordered or sorted
+    layout so the stats are actually tight."""
     os.makedirs(_versions_dir(base), exist_ok=True)
     staging = os.path.join(_data_dir(base), uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(staging)
@@ -67,11 +104,13 @@ def write_snapshot(df: DataFrame, base: str, mode: str = "overwrite") -> int:
     versions = list_versions(base)
     version = (versions[-1] + 1) if versions else 0
     files = new_files
+    stats = {f: _file_stats(f, stat_cols) for f in new_files} if stat_cols else {}
     if mode == "append" and versions:
         prev = _manifest(base, versions[-1])
         files = prev["files"] + new_files
+        stats = {**prev.get("stats", {}), **stats}
 
-    manifest = {"version": version, "files": sorted(files)}
+    manifest = {"version": version, "files": sorted(files), "stats": stats}
     tmp = os.path.join(_versions_dir(base), f"{version:06d}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -85,21 +124,63 @@ def _manifest(base: str, version: int) -> dict:
 
 
 def read_snapshot(
-    spark: SparkSession, base: str, version: int | None = None
+    spark: SparkSession,
+    base: str,
+    version: int | None = None,
+    predicate: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Load one committed image; latest when version is None.
 
     The file list is pinned by the manifest, so a concurrent
     write_snapshot can never change what this reader sees — the
-    multi-stage compare/migrate job gets one consistent image."""
+    multi-stage compare/migrate job gets one consistent image.
+
+    predicate=(col, lo, hi) prunes the file list from MANIFEST stats
+    before Spark sees a path: only files whose [min, max] overlaps
+    [lo, hi] are read (files without stats for col are kept — pruning
+    must never drop data it cannot rule out), and the residual filter
+    is still applied row-level. Planning cost is O(manifest), zero
+    footer reads."""
+    from pyspark.sql import functions as F
+
     versions = list_versions(base)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {base}")
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
-    files = _manifest(base, v)["files"]
+    m = _manifest(base, v)
+    files = m["files"]
+    if predicate is not None:
+        col, lo, hi = predicate
+        stats = m.get("stats", {})
+        kept = []
+        for f in files:
+            s = stats.get(f, {}).get(col)
+            if s is None or not (s[1] < lo or s[0] > hi):
+                kept.append(f)
+        if not kept:
+            return (
+                spark.read.parquet(*files)
+                .filter(F.lit(False))
+            )
+        return spark.read.parquet(*kept).filter(F.col(col).between(lo, hi))
     return spark.read.parquet(*files)
+
+
+def pruned_file_count(
+    base: str, version: int, predicate: tuple[str, object, object]
+) -> tuple[int, int]:
+    """(files kept, files total) for a predicate — planning introspection."""
+    m = _manifest(base, version)
+    col, lo, hi = predicate
+    stats = m.get("stats", {})
+    kept = sum(
+        1
+        for f in m["files"]
+        if (s := stats.get(f, {}).get(col)) is None or not (s[1] < lo or s[0] > hi)
+    )
+    return kept, len(m["files"])
 
 
 def pin_schema_epoch(root: str, tables: list[str]) -> int:
