@@ -587,3 +587,41 @@ def test_snapshot_manifest_stats_prune_files(spark, sf_dir, tmp_path):
     # files without stats for the column are never pruned
     kept2, total2 = pruned_file_count(base, v, ("no_such_col", 0, 1))
     assert kept2 == total2
+
+
+def test_vacuum_keeps_pinned_epochs_and_latest(spark, sf_dir, tmp_path):
+    """Retention: vacuum drops old versions and their files, but every
+    epoch-pinned version and the latest stay fully readable."""
+    import os
+
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import (
+        list_versions,
+        pin_schema_epoch,
+        read_schema_epoch,
+        read_snapshot,
+        vacuum_schema,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "schema")
+    orders = load_table(spark, sf_dir, "orders")
+    for n in (10, 20, 30, 40):
+        write_snapshot(orders.limit(n).coalesce(1), f"{root}/orders")
+    epoch = pin_schema_epoch(root, ["orders"])  # pins v3 (latest now)
+    write_snapshot(orders.limit(50).coalesce(1), f"{root}/orders")  # v4
+
+    stats = vacuum_schema(root, ["orders"], keep_last=1)
+    assert stats["orders"]["kept_versions"] == [3, 4]
+    assert stats["orders"]["deleted_versions"] == 3
+    assert stats["orders"]["deleted_files"] >= 3
+    assert list_versions(f"{root}/orders") == [3, 4]
+
+    # both survivors read clean
+    assert read_snapshot(spark, f"{root}/orders", 4).count() == 50
+    assert read_schema_epoch(spark, root, epoch)["orders"].count() == 40
+
+    # orphan staging dirs are gone: every remaining file is referenced
+    data = f"{root}/orders/data"
+    remaining = [d for d in os.listdir(data) if os.path.isdir(os.path.join(data, d))]
+    assert len(remaining) == 2

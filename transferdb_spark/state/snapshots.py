@@ -238,3 +238,79 @@ def read_schema_epoch(
     return {
         t: read_snapshot(spark, os.path.join(root, t), v) for t, v in pinned.items()
     }
+
+
+def vacuum_snapshots(
+    base: str, keep_last: int = 2, pinned: set[int] | None = None
+) -> dict:
+    """Retention: drop old version manifests and unreferenced data files.
+
+    Keeps the newest ``keep_last`` versions plus everything in
+    ``pinned`` (e.g. versions referenced by schema epochs — see
+    vacuum_schema). A data file is deleted only when NO surviving
+    manifest references it, so every retained version stays fully
+    readable; orphans from failed writes (files referenced by no
+    manifest at all) are swept too. Manifests are removed before the
+    files they referenced, so a crash mid-vacuum leaves data to sweep,
+    never a readable version with missing files.
+    """
+    versions = list_versions(base)
+    if not versions:
+        return {"kept_versions": [], "deleted_versions": 0, "deleted_files": 0}
+    keep = set(versions[-keep_last:]) | {v for v in (pinned or set()) if v in versions}
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_manifest(base, v)["files"])
+
+    dropped_versions = 0
+    for v in versions:
+        if v not in keep:
+            os.remove(os.path.join(_versions_dir(base), f"{v:06d}.json"))
+            dropped_versions += 1
+
+    import shutil
+
+    deleted_files = 0
+    dd = _data_dir(base)
+    if os.path.isdir(dd):
+        for staging in os.listdir(dd):
+            sdir = os.path.join(dd, staging)
+            if not os.path.isdir(sdir):
+                continue
+            parquets = [
+                os.path.join(sdir, f)
+                for f in os.listdir(sdir)
+                if f.endswith(".parquet")
+            ]
+            if not any(p in referenced for p in parquets):
+                # whole write unreferenced (old version or failed-write
+                # orphan): drop the dir with its _SUCCESS/.crc sidecars
+                shutil.rmtree(sdir)
+                deleted_files += len(parquets)
+            else:
+                for p in parquets:
+                    if p not in referenced:
+                        os.remove(p)
+                        deleted_files += 1
+    return {
+        "kept_versions": sorted(keep),
+        "deleted_versions": dropped_versions,
+        "deleted_files": deleted_files,
+    }
+
+
+def vacuum_schema(root: str, tables: list[str], keep_last: int = 2) -> dict:
+    """Vacuum every table store under ``root``, automatically pinning
+    the versions referenced by ANY committed epoch — an epoch reader
+    must never lose a table image out from under it."""
+    import glob as _glob
+
+    pinned: dict[str, set[int]] = {t: set() for t in tables}
+    for ef in sorted(_glob.glob(os.path.join(root, "_epochs", "*.json"))):
+        with open(ef) as fh:
+            for t, v in json.load(fh)["tables"].items():
+                pinned.setdefault(t, set()).add(int(v))
+    return {
+        t: vacuum_snapshots(os.path.join(root, t), keep_last, pinned.get(t))
+        for t in tables
+    }
