@@ -588,3 +588,40 @@ def test_mulaw_wav_decode(spark):
     err = np.abs(out - wave)
     assert float(err.max()) < 0.03  # mu-law SNR bound at 0.6 amplitude
     assert float(np.corrcoef(out, wave)[0, 1]) > 0.999
+
+
+def test_gif_lzw_roundtrip(spark):
+    """Hand-rolled GIF LZW: compressing encoder -> decoder recovers
+    exact pixels across palette sizes, incl. a 256-color image large
+    enough to force code-width growth (the classic encoder/decoder
+    off-by-one)."""
+    import numpy as np
+    from transferdb_spark.ext.multimodal import decode_image, encode_gif
+
+    rng = np.random.default_rng(5)
+    cases = [
+        np.repeat(np.repeat(rng.integers(0, 4, (9, 7, 3), dtype=np.uint8) * 80, 3, 0), 2, 1),
+        rng.integers(0, 6, size=(33, 29, 3), dtype=np.uint8) * 40,
+        rng.integers(0, 256, size=(64, 60, 1), dtype=np.uint8).repeat(3, axis=2),
+    ]
+    for px in cases:
+        out = decode_image(encode_gif(px))
+        assert out.shape == px.shape
+        assert (out == px).all()
+
+
+def test_gif_decodes_real_world_files(spark):
+    """Spec fidelity check against GIFs we didn't encode ourselves."""
+    import os
+
+    import pytest as _pt
+
+    from transferdb_spark.ext.multimodal import decode_image
+
+    icons = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/idlelib/Icons"
+    if not os.path.isdir(icons):
+        _pt.skip("no sample GIFs on this machine")
+    px = decode_image(open(f"{icons}/idle_32.gif", "rb").read())
+    assert px.shape == (32, 32, 3)
+    with _pt.raises(NotImplementedError):
+        decode_image(open(f"{icons}/openfolder.gif", "rb").read())  # interlaced

@@ -82,7 +82,183 @@ def decode_image(content: bytes) -> np.ndarray:
         raise NotImplementedError("JPEG decode requires an imaging library (e.g. Pillow)")
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(content)
     raise NotImplementedError(f"unrecognized image format: {content[:4]!r}")
+
+
+def _decode_gif(buf: bytes) -> np.ndarray:
+    """First frame of a GIF (87a/89a) with a hand-rolled LZW decoder —
+    global or local palette, no interlace. Stdlib-only like the PNG
+    path; animated GIFs yield frame 0 (frame iteration belongs to the
+    video sampler)."""
+    w, h = struct.unpack_from("<HH", buf, 6)
+    flags = buf[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x21:  # extension block: skip sub-blocks
+            pos += 2
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            iw, ih = struct.unpack_from("<HH", buf, pos + 5)
+            iflags = buf[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if iflags & 0x80:  # local palette overrides
+                n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if palette is None:
+                raise NotImplementedError("GIF without a palette")
+            min_code = buf[pos]
+            pos += 1
+            data = bytearray()
+            while buf[pos] != 0:
+                ln = buf[pos]
+                data += buf[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            return np.ascontiguousarray(
+                palette[np.asarray(idx, dtype=np.int32)].reshape(ih, iw, 3)
+            )
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise NotImplementedError(f"unexpected GIF block 0x{b0:02x}")
+    raise NotImplementedError("GIF contained no image data")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW: variable code width, CLEAR/EOI codes, MSB-last
+    bit packing within little-endian byte stream."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [[i] for i in range(1 << min_code)] + [[], []]
+        width = min_code + 1
+        next_code = eoi + 1
+
+    width = next_code = 0
+    reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out[:n_pixels]
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                if next_code < 4096:
+                    table.append(prev + [entry[0]])
+                    next_code += 1
+            else:  # KwKwK case
+                entry = prev + [prev[0]]
+                if next_code < 4096:
+                    table.append(entry)
+                    next_code += 1
+            out.extend(entry)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels]
+
+
+def encode_gif(px: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder (single frame, global 256-entry palette
+    built from the image's distinct colors, real compressing LZW) —
+    the test-side twin of _decode_gif. Images with >256 distinct
+    colors raise ValueError (that's GIF's format limit, not ours)."""
+    px = px.astype(np.uint8)
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("GIF palette limit: more than 256 distinct colors")
+    pal_bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    n_pal = 1 << pal_bits
+    palette = np.zeros((n_pal, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+
+    min_code = max(2, pal_bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes: list[tuple[int, int]] = []  # (code, width at emission)
+    width = min_code + 1
+    next_code = eoi + 1
+    dic: dict[tuple[int, ...], int] = {(i,): i for i in range(1 << min_code)}
+    codes.append((clear, width))
+    prefix: tuple[int, ...] = ()
+    for s in inverse.astype(int).tolist():
+        cand = prefix + (s,)
+        if cand in dic:
+            prefix = cand
+            continue
+        codes.append((dic[prefix], width))
+        if next_code < 4096:
+            dic[cand] = next_code
+            next_code += 1
+            # decoder's table lags one entry (it builds e_k while
+            # reading c_{k+1}), so the encoder widens one code LATER
+            # than the decoder's next_code==2^width rule
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            width = min_code + 1
+            next_code = eoi + 1
+            dic = {(i,): i for i in range(1 << min_code)}
+        prefix = (s,)
+    if prefix:
+        codes.append((dic[prefix], width))
+    codes.append((eoi, width))
+
+    acc = nbits = 0
+    payload = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        payload.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(payload), 255):
+        block = payload[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
