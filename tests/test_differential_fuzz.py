@@ -15,7 +15,7 @@ import random
 import duckdb
 import pytest
 
-N_QUERIES = 60
+N_QUERIES = 90
 SEED = 20260813
 
 # column -> (kind, sample constants)
@@ -88,7 +88,44 @@ def gen_query(rng: random.Random) -> str:
     ]
     where = " AND ".join(preds)
 
-    shape = rng.choice(["agg", "agg", "agg", "having", "limit", "window"])
+    shape = rng.choice(
+        ["agg", "agg", "agg", "having", "limit", "window", "setop", "winframe", "casekey"]
+    )
+
+    if shape == "setop":
+        # set semantics (dedup) are engine-identical; two predicates over
+        # the same key projection
+        other = " AND ".join(
+            _pred(rng, c, *info)
+            for c, info in rng.sample(sorted(cols.items()), rng.randint(1, 2))
+        )
+        op = rng.choice(["EXCEPT", "INTERSECT"])
+        return (
+            f"SELECT l_orderkey, l_linenumber FROM {table} WHERE {where} "
+            f"{op} SELECT l_orderkey, l_linenumber FROM {table} WHERE {other}"
+        )
+
+    if shape == "winframe":
+        # running integer sum — RANGE frame, not ROWS: the synthetic
+        # fixture has duplicate (l_orderkey, l_linenumber) pairs, so a
+        # ROWS frame would be tie-order-dependent (engine-defined);
+        # RANGE aggregates all peers together, deterministic in int64
+        grp = rng.choice(["l_returnflag", "l_suppkey"])
+        return (
+            f"SELECT l_orderkey, l_linenumber, "
+            f"CAST(SUM(l_partkey) OVER (PARTITION BY {grp} "
+            f"ORDER BY l_orderkey, l_linenumber "
+            f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum "
+            f"FROM {table} WHERE {where}"
+        )
+
+    if shape == "casekey":
+        thresh = rng.choice([10, 25, 40])
+        return (
+            f"SELECT CASE WHEN l_quantity < {thresh} THEN 'lo' ELSE 'hi' END AS bucket, "
+            f"COUNT(*) AS cnt, MIN(l_orderkey) AS min_ok "
+            f"FROM {table} WHERE {where} GROUP BY 1"
+        )
 
     if shape == "limit":
         # deterministic total order -> deterministic LIMIT selection
