@@ -2491,6 +2491,17 @@ def text_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_clean_roundtrip(_t(spark, sf_dir, "documents"))
 
 
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup (ext/text.py dedup_lines_global):
+    every repeated line corpus-wide keeps only its first occurrence;
+    docs are reassembled in original line order with kept/dropped
+    accounting. Two corpus-sized shuffles (line election, doc
+    reassembly) — the honest floor for a global first-wins contract."""
+    from transferdb_spark.ext.text import dedup_lines_global
+
+    return dedup_lines_global(_t(spark, sf_dir, "documents"))
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (ext/bpe.py) — corpus collapses
     to a word-frequency table (one shuffle), then each merge iteration
@@ -2507,6 +2518,12 @@ def _text_html_clean_sql() -> str:
     from transferdb_spark.ext.text import html_clean_roundtrip_sql
 
     return html_clean_roundtrip_sql()
+
+
+def _text_line_dedup_sql() -> str:
+    from transferdb_spark.ext.text import DEDUP_LINES_SQL
+
+    return DEDUP_LINES_SQL
 
 
 def _doc_chunks_sql_cached() -> str:
@@ -3532,6 +3549,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "text_lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
         "text_html_clean": _text_html_clean_sql(),
+        "text_line_dedup": _text_line_dedup_sql(),
         "assess_column_profile": ASSESS_PROFILE_SQL,
         "doc_chunk_windows": _doc_chunks_sql_cached(),
         "dedup_exact": EXACT_DEDUP_SUMMARY_SQL,
@@ -3714,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_customers_with_orders": setop_customers_with_orders,
         "doc_fingerprint": doc_fingerprint,
         "text_html_clean": text_html_clean,
+        "text_line_dedup": text_line_dedup,
         "assess_column_profile": assess_column_profile,
         "bpe_train_merges": bpe_train_merges,
         "pii_redaction": pii_redaction,

@@ -625,3 +625,25 @@ def test_gif_decodes_real_world_files(spark):
     assert px.shape == (32, 32, 3)
     with _pt.raises(NotImplementedError):
         decode_image(open(f"{icons}/openfolder.gif", "rb").read())  # interlaced
+
+
+def test_line_dedup_first_wins_and_reassembly(spark):
+    """Global line dedup: repeated lines keep only the first
+    occurrence (by doc, then position); docs reassemble in order;
+    fully-deduped docs remain with empty text."""
+    from transferdb_spark.ext.text import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nfooter\nbeta"),
+            (2, "footer\ngamma"),
+            (3, "footer"),
+            (4, "alpha\ndelta\nfooter"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_global(docs).collect()}
+    assert out[1]["clean_text"] == "alpha\nfooter\nbeta"
+    assert out[2]["clean_text"] == "gamma" and out[2]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "delta" and out[4]["n_dropped"] == 2

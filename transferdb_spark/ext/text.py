@@ -518,3 +518,79 @@ SELECT doc_id,
        ({cleaned} = {want}) AS roundtrip_ok
 FROM documents ORDER BY doc_id
 """
+
+
+def dedup_lines_global(docs: DataFrame) -> DataFrame:
+    """C4-style global line deduplication (boilerplate removal).
+
+    Web corpora repeat navigation/footer/license lines across millions
+    of pages; C4 removes every repeated occurrence of a line corpus-
+    wide, keeping only its FIRST occurrence (by doc_id, then position).
+    Returns doc_id, clean_text (kept lines re-joined in original
+    order), n_kept, n_dropped — documents reduced to nothing stay in
+    the output with an empty clean_text, so accounting survives.
+
+    Scale: explode lines (narrow) → one shuffle on the line value for
+    first-wins election (window, map-side partial ordering) → one
+    shuffle back on doc_id for reassembly. Both shuffles carry the
+    corpus once; that is the honest floor for a global first-wins
+    contract (same shape as exact dedup + repacking).
+    """
+    from pyspark.sql.window import Window
+
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_LINES_SQL = """
+WITH lines AS (
+  SELECT doc_id, g.i - 1 AS pos, l[g.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+       UNNEST(generate_series(1, len(l))) AS g(i)
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept,
+       CAST(t.n_total - COALESCE(r.n_kept, 0) AS INT) AS n_dropped
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+"""
