@@ -2502,6 +2502,16 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_global(_t(spark, sf_dir, "documents"))
 
 
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-dedup URL canonicalization (ext/text.py canonical_url):
+    scheme/host lowering, www/default-port/fragment/tracking-param
+    stripping, verified as a round-trip invariance on constructed
+    messy URLs. Pure JVM regexp chain fused with the scan."""
+    from transferdb_spark.ext.text import url_canonical_roundtrip
+
+    return url_canonical_roundtrip(_t(spark, sf_dir, "documents"))
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (ext/bpe.py) — corpus collapses
     to a word-frequency table (one shuffle), then each merge iteration
@@ -2524,6 +2534,12 @@ def _text_line_dedup_sql() -> str:
     from transferdb_spark.ext.text import DEDUP_LINES_SQL
 
     return DEDUP_LINES_SQL
+
+
+def _url_canonicalize_sql() -> str:
+    from transferdb_spark.ext.text import url_canonical_roundtrip_sql
+
+    return url_canonical_roundtrip_sql()
 
 
 def _doc_chunks_sql_cached() -> str:
@@ -3550,6 +3566,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "doc_fingerprint": FINGERPRINT_SQL,
         "text_html_clean": _text_html_clean_sql(),
         "text_line_dedup": _text_line_dedup_sql(),
+        "url_canonicalize": _url_canonicalize_sql(),
         "assess_column_profile": ASSESS_PROFILE_SQL,
         "doc_chunk_windows": _doc_chunks_sql_cached(),
         "dedup_exact": EXACT_DEDUP_SUMMARY_SQL,
@@ -3733,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "text_html_clean": text_html_clean,
         "text_line_dedup": text_line_dedup,
+        "url_canonicalize": url_canonicalize,
         "assess_column_profile": assess_column_profile,
         "bpe_train_merges": bpe_train_merges,
         "pii_redaction": pii_redaction,

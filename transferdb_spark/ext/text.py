@@ -594,3 +594,69 @@ SELECT t.doc_id,
 FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 ORDER BY t.doc_id
 """
+
+
+# URL canonicalization — crawl dedup's first line of defense: the same
+# page arrives as http/https, with/without www, fragments, tracking
+# params, default ports, and trailing slashes. Pure JVM regexp chain;
+# identical regexes render in DuckDB for the oracle.
+_TRACK_RE = "(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?"
+
+
+def canonical_url(col: Column) -> Column:
+    """Lowercase scheme/host, https→http, strip www., default ports,
+    fragments, tracking params, dangling ?/&, trailing slash."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "^https://", "http://")
+    c = F.regexp_replace(c, "^(http://)www\\.", "$1")
+    c = F.regexp_replace(c, "^(http://[^/:?#]+):(80|443)([/?#].*)?$", "$1$3")
+    c = F.regexp_replace(c, "#.*$", "")
+    c = F.regexp_replace(c, _TRACK_RE, "")
+    c = F.regexp_replace(c, "[?&]$", "")
+    return F.regexp_replace(c, "/$", "")
+
+
+def canonical_url_sql(expr: str) -> str:
+    c = f"lower({expr})"
+    c = f"regexp_replace({c}, '^https://', 'http://')"
+    c = f"regexp_replace({c}, '^(http://)www\\.', '\\1')"
+    c = f"regexp_replace({c}, '^(http://[^/:?#]+):(80|443)([/?#].*)?$', '\\1\\3')"
+    c = f"regexp_replace({c}, '#.*$', '')"
+    c = f"regexp_replace({c}, '{_TRACK_RE}', '', 'g')"
+    c = f"regexp_replace({c}, '[?&]$', '')"
+    return f"regexp_replace({c}, '/$', '')"
+
+
+def url_canonical_roundtrip(docs: DataFrame) -> DataFrame:
+    """Build a messy URL from each doc's source (https + www + default
+    port + tracking params + fragment), canonicalize it, and verify it
+    collapses to the clean form — the invariance crawl dedup needs."""
+    messy = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".example.com:443/path/?utm_source=x&utm_medium=y&id=7&gclid=z#frag"),
+    )
+    want = F.concat(
+        F.lit("http://"), F.lower(F.col("source")), F.lit(".example.com/path/?id=7")
+    )
+    canon = canonical_url(messy)
+    return docs.select(
+        "doc_id",
+        canon.alias("canonical_url"),
+        (canon == want).alias("canonical_ok"),
+    ).orderBy("doc_id")
+
+
+def url_canonical_roundtrip_sql() -> str:
+    messy = (
+        "'https://WWW.' || source || "
+        "'.example.com:443/path/?utm_source=x&utm_medium=y&id=7&gclid=z#frag'"
+    )
+    want = "'http://' || lower(source) || '.example.com/path/?id=7'"
+    canon = canonical_url_sql(messy)
+    return f"""
+SELECT doc_id,
+       {canon} AS canonical_url,
+       ({canon} = {want}) AS canonical_ok
+FROM documents ORDER BY doc_id
+"""
