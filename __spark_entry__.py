@@ -1646,6 +1646,59 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_C = 8.0  # inverse-sqrt scale: domains under C^2 docs keep everything
+_TEMP_M = 1 << 20  # hash-gate modulus (power of two: exact threshold scaling)
+
+
+def domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (inverse-sqrt) domain rebalancing — the multilingual
+    sampling trick: keep rate min(1, C/sqrt(n_domain)) flattens the
+    domain distribution toward uniform, deriving every rate FROM the
+    data (unlike domain_mix_sample's fixed table). Cross-engine exact
+    by construction: sqrt and one division are correctly-rounded IEEE
+    ops, the threshold scales by a power of two (exact), floor is
+    integer, and the keep decision is an integer hash compare — no
+    float summation ever crosses the engine boundary."""
+    from pyspark.sql.window import Window
+
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    h = portable_hash64(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))) % _TEMP_M
+    with_n = docs.withColumn("n_docs", F.count(F.lit(1)).over(w))
+    thresh = F.floor(
+        F.least(F.lit(1.0), F.lit(_TEMP_C) / F.sqrt(F.col("n_docs"))) * _TEMP_M
+    )
+    return (
+        with_n.withColumn("keep", (h < thresh).cast("int"))
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("sampled"),
+            F.max(thresh).cast("long").alias("gate_threshold"),
+        )
+        .orderBy("source")
+    )
+
+
+def _domain_temperature_sql() -> str:
+    from transferdb_spark.functions.hashing import portable_hash64_sql
+
+    gate = portable_hash64_sql("'temp:' || CAST(doc_id AS VARCHAR)")
+    thresh = f"CAST(FLOOR(LEAST(1.0, {_TEMP_C} / sqrt(n_docs)) * {_TEMP_M}) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, COUNT(*) OVER (PARTITION BY source) AS n_docs FROM documents
+)
+SELECT source,
+       CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {gate} % {_TEMP_M} < {thresh} THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+       MAX({thresh}) AS gate_threshold
+FROM d GROUP BY source ORDER BY source
+"""
+
+
 def _domain_mix_sql() -> str:
     from transferdb_spark.functions.hashing import portable_hash64_sql
 
@@ -3567,6 +3620,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "text_html_clean": _text_html_clean_sql(),
         "text_line_dedup": _text_line_dedup_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
+        "domain_temperature_sample": _domain_temperature_sql(),
         "assess_column_profile": ASSESS_PROFILE_SQL,
         "doc_chunk_windows": _doc_chunks_sql_cached(),
         "dedup_exact": EXACT_DEDUP_SUMMARY_SQL,
@@ -3751,6 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_html_clean": text_html_clean,
         "text_line_dedup": text_line_dedup,
         "url_canonicalize": url_canonicalize,
+        "domain_temperature_sample": domain_temperature_sample,
         "assess_column_profile": assess_column_profile,
         "bpe_train_merges": bpe_train_merges,
         "pii_redaction": pii_redaction,
