@@ -25,9 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "prepare", "assess", "reverse", "check", "compare",
             "csv", "full", "all", "retry", "compact", "export",
-            "optimize",
+            "optimize", "explain",
         ],
     )
+    p.add_argument("--query", default="", help="explain: queries() entry name (empty = list)")
     p.add_argument("--path", default="", help="optimize: parquet dir to compact")
     p.add_argument("--target-mb", type=int, default=128)
     p.add_argument("--layout-cols", default="", help="optimize: comma-separated Z-order columns")
@@ -139,6 +140,17 @@ def main(argv: list[str] | None = None) -> int:
 
         target = os.path.join(args.workdir, "target", "events_incr")
         out.update(compact_cdc_log(spark, target, key="user_id"))
+
+    elif args.mode == "explain":
+        import __spark_entry__ as entry_mod
+
+        qs = entry_mod.queries()
+        if not args.query:
+            out["queries"] = sorted(qs)
+        else:
+            df = qs[args.query](spark, args.source_dir)
+            df.explain("formatted")
+            out["query"] = args.query
 
     elif args.mode == "optimize":
         from dataclasses import asdict
