@@ -242,3 +242,19 @@ def test_cli_retry_mode(tmp_path, spark, lineitem):
     assert out["retried"]["lineitem"]["succeeded"] == 1
     assert out["still_failed"] == []
     assert out["error_log_entries"] == 1
+
+
+def test_cli_optimize_mode(tmp_path, capsys, spark, lineitem):
+    frag = str(tmp_path / "frag")
+    lineitem.repartition(12).write.mode("overwrite").parquet(frag)
+    out = run_cli(["--mode", "optimize", "--path", frag, "--target-mb", "64"], capsys)
+    assert out["files_before"] == 12
+    assert out["files_after"] <= 4
+    assert out["rows"] == lineitem.count()
+
+
+def test_cli_explain_mode(capsys, spark):
+    out = run_cli(["--mode", "explain"], capsys)
+    assert "q1_pricing_summary" in out["queries"]
+    out2 = run_cli(["--mode", "explain", "--query", "q1_pricing_summary"], capsys)
+    assert out2["query"] == "q1_pricing_summary"
