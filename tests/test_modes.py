@@ -668,3 +668,16 @@ def test_schema_evolution_append_reads_merged(spark, sf_dir, tmp_path, lineitem)
     assert merged.count() == 150
     assert merged.filter(F.col("load_batch").isNull()).count() == 100
     assert merged.filter(F.col("load_batch") == 2).count() == 50
+
+
+def test_compact_refuses_partitioned_layout(spark, lineitem, tmp_path):
+    """A hive-partitioned table has no root-level part files; blind
+    compaction would collapse the partition structure — refuse."""
+    import pytest as _pt
+
+    from transferdb_spark.modes.optimize import compact_files
+
+    part = str(tmp_path / "part")
+    lineitem.limit(500).write.mode("overwrite").partitionBy("l_returnflag").parquet(part)
+    with _pt.raises(ValueError, match="partition"):
+        compact_files(spark, part)

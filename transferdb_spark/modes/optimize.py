@@ -61,6 +61,14 @@ def compact_files(
     it could not faithfully rewrite.
     """
     files = _parquet_files(path)
+    if not files:
+        # hive-partitioned layouts have no root-level part files; a
+        # blind coalesce would collapse the partition structure into
+        # one file — compact each partition directory instead
+        raise ValueError(
+            f"no parquet files directly under {path} — for a partitioned "
+            "table, compact each partition directory"
+        )
     total = sum(os.path.getsize(f) for f in files)
     n_out = n_files or max(1, math.ceil(total / (target_mb * 1024 * 1024)))
 
