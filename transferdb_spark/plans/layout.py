@@ -229,7 +229,13 @@ def file_span_stats(path: str, cols: list[str]) -> LayoutScore:
         if spans:
             per_file.append(spans)
     frac: dict[str, float] = {}
+    if not per_file:
+        return LayoutScore(n_files=0, span_fraction={c: 1.0 for c in cols})
     for c in cols:
+        stats = [s[c] for s in per_file if c in s]
+        if not stats:
+            frac[c] = 1.0
+            continue
         glo = min(s[c][0] for s in per_file if c in s)
         ghi = max(s[c][1] for s in per_file if c in s)
         width = max(1, ghi - glo)
