@@ -164,3 +164,25 @@ def test_stable_round_cross_engine_parity_on_dyadic_ties(spark):
             for v in vals
         ]
         assert got == expected, f"digits={digits}"
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — a canonicalizer that
+    keeps changing its output corrupts crawl-dedup keys across passes."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.ext.text import canonical_url
+
+    urls = [
+        "https://WWW.Example.com:443/a/b/?utm_source=x&id=1#frag",
+        "http://example.com:80/",
+        "HTTP://EXAMPLE.COM/path?gclid=abc&q=2",
+        "https://www.sub.domain.org/x/?ref=z",
+        "http://plain.net/keep?me=1",
+        "https://example.com",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonical_url(F.col("u")).alias("c1"))
+    twice = once.select("c1", canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r["c1"] == r["c2"], r
