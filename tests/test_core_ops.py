@@ -625,3 +625,35 @@ def test_vacuum_keeps_pinned_epochs_and_latest(spark, sf_dir, tmp_path):
     data = f"{root}/orders/data"
     remaining = [d for d in os.listdir(data) if os.path.isdir(os.path.join(data, d))]
     assert len(remaining) == 2
+
+
+def test_snapshot_version_diff_reads_only_changed_files(spark, sf_dir, tmp_path):
+    """Version-to-version diff: an append's diff is exactly the
+    appended rows with only the new files read (immutable common files
+    cancel); a pure rewrite of the same data diffs empty."""
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import (
+        _exclusive_files,
+        snapshot_version_diff,
+        write_snapshot,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    base = str(tmp_path / "snap")
+    v0 = write_snapshot(li.limit(2000).coalesce(4), base)
+    batch = li.limit(2300).exceptAll(li.limit(2000)).coalesce(1)
+    v1 = write_snapshot(batch, base, mode="append")
+
+    only_old, only_new = _exclusive_files(base, v0, v1)
+    assert only_old == [] and len(only_new) == 1  # append reads 1 new file
+
+    removed, added = snapshot_version_diff(spark, base, v0, v1)
+    assert removed.count() == 0
+    assert added.count() == 300
+
+    # rewrite with identical data: all files differ, diff proves empty
+    v2 = write_snapshot(li.limit(2300).coalesce(2), base)
+    removed2, added2 = snapshot_version_diff(spark, base, v1, v2)
+    assert removed2.count() == 0 and added2.count() == 0

@@ -314,3 +314,45 @@ def vacuum_schema(root: str, tables: list[str], keep_last: int = 2) -> dict:
         t: vacuum_snapshots(os.path.join(root, t), keep_last, pinned.get(t))
         for t in tables
     }
+
+
+def _exclusive_files(base: str, v_old: int, v_new: int) -> tuple[list[str], list[str]]:
+    """Files only in v_old / only in v_new. Data files are immutable,
+    so every file the two manifests SHARE holds byte-identical rows."""
+    old = set(_manifest(base, v_old)["files"])
+    new = set(_manifest(base, v_new)["files"])
+    return sorted(old - new), sorted(new - old)
+
+
+def snapshot_version_diff(
+    spark: SparkSession, base: str, v_old: int, v_new: int
+) -> tuple[DataFrame, DataFrame]:
+    """(rows removed, rows added) between two committed versions,
+    reading ONLY manifest-differing files.
+
+    Because data files are immutable, files common to both manifests
+    cancel exactly in the multiset difference — the diff over the
+    exclusive file sets IS the diff over the full images, and IO
+    scales with the changed fraction, not the table. An append reads
+    just the appended files; a full rewrite (compaction) degrades to
+    the full diff — which then proves the rewrite preserved the data.
+    Built on operators/diff.hashed_diff (16-byte hash shuffle)."""
+    from transferdb_spark.operators.diff import hashed_diff
+
+    only_old, only_new = _exclusive_files(base, v_old, v_new)
+    schema_src = _manifest(base, v_new)["files"] or _manifest(base, v_old)["files"]
+    if not only_old and not only_new:
+        empty = spark.read.parquet(*schema_src).filter("1=0")
+        return empty, empty
+    old_df = (
+        spark.read.parquet(*only_old)
+        if only_old
+        else spark.read.parquet(*schema_src).filter("1=0")
+    )
+    new_df = (
+        spark.read.parquet(*only_new)
+        if only_new
+        else spark.read.parquet(*schema_src).filter("1=0")
+    )
+    removed, added = hashed_diff(old_df, new_df)
+    return removed, added
