@@ -2555,6 +2555,15 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_global(_t(spark, sf_dir, "documents"))
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (ext/dedup.containment_pairs):
+    catches subset/quote documents Jaccard misses — same df-capped
+    inverted index, both directions scored per pair."""
+    from transferdb_spark.ext.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
 def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-dedup URL canonicalization (ext/text.py canonical_url):
     scheme/host lowering, www/default-port/fragment/tracking-param
@@ -2587,6 +2596,12 @@ def _text_line_dedup_sql() -> str:
     from transferdb_spark.ext.text import DEDUP_LINES_SQL
 
     return DEDUP_LINES_SQL
+
+
+def _dedup_containment_sql() -> str:
+    from transferdb_spark.ext.dedup import containment_sql
+
+    return containment_sql(0.8)
 
 
 def _url_canonicalize_sql() -> str:
@@ -3619,6 +3634,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "doc_fingerprint": FINGERPRINT_SQL,
         "text_html_clean": _text_html_clean_sql(),
         "text_line_dedup": _text_line_dedup_sql(),
+        "dedup_containment": _dedup_containment_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
         "domain_temperature_sample": _domain_temperature_sql(),
         "assess_column_profile": ASSESS_PROFILE_SQL,
@@ -3804,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "text_html_clean": text_html_clean,
         "text_line_dedup": text_line_dedup,
+        "dedup_containment": dedup_containment,
         "url_canonicalize": url_canonicalize,
         "domain_temperature_sample": domain_temperature_sample,
         "assess_column_profile": assess_column_profile,

@@ -647,3 +647,23 @@ def test_line_dedup_first_wins_and_reassembly(spark):
     assert out[2]["clean_text"] == "gamma" and out[2]["n_dropped"] == 1
     assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
     assert out[4]["clean_text"] == "delta" and out[4]["n_dropped"] == 2
+
+
+def test_containment_catches_subset_docs(spark):
+    """A short doc fully contained in a long one: Jaccard is low but
+    containment(A in B) = 1.0 — exactly the quote/subset case the
+    asymmetric score exists for."""
+    from transferdb_spark.ext.dedup import containment_pairs, ngram_jaccard_rare_pairs
+
+    long_text = " ".join(f"tok{i}" for i in range(40))
+    short_text = " ".join(f"tok{i}" for i in range(10, 18))  # strict subset span
+    docs = spark.createDataFrame(
+        [(1, short_text), (2, long_text), (3, "совсем other words entirely unrelated")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(docs, 0.8).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["containment_a_in_b"] == 1.0
+    assert pairs[(1, 2)]["containment_b_in_a"] < 0.5
+    jac = ngram_jaccard_rare_pairs(docs, threshold=0.5).collect()
+    assert not any(r["doc_a"] == 1 and r["doc_b"] == 2 for r in jac)  # jaccard misses it

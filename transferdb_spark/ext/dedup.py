@@ -607,3 +607,85 @@ GROUP BY doc_id
 HAVING COUNT(DISTINCT h) >= {min_shared}
 ORDER BY doc_id
 """
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.8, df_cap: int = DF_CAP) -> DataFrame:
+    """Asymmetric containment dedup: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+
+    Jaccard misses subset documents — a short doc fully quoted inside
+    a long one scores |A|/|B| ≈ 0 on Jaccard but 1.0 on containment,
+    and subset/quote pairs are exactly what clean-corpus passes need
+    to collapse. Reuses the df-capped rare-shingle inverted index
+    (same skew bound as ngram_jaccard_rare_pairs); emits BOTH
+    directions' scores per candidate pair and keeps pairs where
+    either direction crosses the threshold. Denominators count RARE
+    shingles only — mirrored exactly by the oracle.
+    """
+    from pyspark.sql.window import Window
+
+    arr = _shingled(docs).select(
+        "doc_id", F.explode(F.expr(SHINGLE_HASHES)).alias("shingle")
+    ).persist()
+    kept = (
+        arr.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+    )
+    sh = kept.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    c_ab = stable_round(F.col("common") / F.col("n_a"), 5)
+    c_ba = stable_round(F.col("common") / F.col("n_b"), 5)
+    return (
+        common.select(
+            "doc_a",
+            "doc_b",
+            c_ab.cast("double").alias("containment_a_in_b"),
+            c_ba.cast("double").alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def containment_sql(threshold: float = 0.8, df_cap: int = DF_CAP) -> str:
+    c_ab = stable_round_sql("common / CAST(n_a AS DOUBLE)", 5)
+    c_ba = stable_round_sql("common / CAST(n_b AS DOUBLE)", 5)
+    return f"""
+WITH arr AS (
+  SELECT doc_id, unnest(list_transform(list_distinct({SHINGLES_SQL}), s -> {_h64_duck('s')})) AS shingle
+  FROM documents
+),
+rare AS (SELECT shingle FROM arr GROUP BY 1 HAVING COUNT(*) <= {df_cap}),
+kept AS (SELECT arr.doc_id, arr.shingle FROM arr JOIN rare USING (shingle)),
+n_rare AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+sh AS (SELECT kept.doc_id, kept.shingle, n_rare.n_sh FROM kept JOIN n_rare USING (doc_id)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST({c_ab} AS DOUBLE) AS containment_a_in_b,
+       CAST({c_ba} AS DOUBLE) AS containment_b_in_a
+FROM pairs
+WHERE {c_ab} >= {threshold} OR {c_ba} >= {threshold}
+ORDER BY doc_a, doc_b
+"""
