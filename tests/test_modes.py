@@ -681,3 +681,15 @@ def test_compact_refuses_partitioned_layout(spark, lineitem, tmp_path):
     lineitem.limit(500).write.mode("overwrite").partitionBy("l_returnflag").parquet(part)
     with _pt.raises(ValueError, match="partition"):
         compact_files(spark, part)
+
+
+def test_compact_is_idempotent(spark, lineitem, tmp_path):
+    from transferdb_spark.modes.optimize import compact_files
+
+    frag = str(tmp_path / "frag3")
+    lineitem.repartition(16).write.mode("overwrite").parquet(frag)
+    s1 = compact_files(spark, frag, target_mb=8)
+    s2 = compact_files(spark, frag, target_mb=8)
+    assert s2.files_before == s1.files_after
+    assert s2.files_after == s1.files_after
+    assert s2.rows == s1.rows == lineitem.count()
