@@ -2555,6 +2555,16 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_global(_t(spark, sf_dir, "documents"))
 
 
+def text_bigram_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM scoring (ext/text.py bigram_lm_heldout): bigram
+    model trained on the 80% train split, val docs scored with
+    add-one backoff for unseen bigrams/prefixes — the honest
+    perplexity-filter calibration."""
+    from transferdb_spark.ext.text import bigram_lm_heldout
+
+    return bigram_lm_heldout(_t(spark, sf_dir, "documents"))
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (ext/dedup.containment_pairs):
     catches subset/quote documents Jaccard misses — same df-capped
@@ -2596,6 +2606,12 @@ def _text_line_dedup_sql() -> str:
     from transferdb_spark.ext.text import DEDUP_LINES_SQL
 
     return DEDUP_LINES_SQL
+
+
+def _text_bigram_heldout_sql() -> str:
+    from transferdb_spark.ext.text import bigram_lm_heldout_sql
+
+    return bigram_lm_heldout_sql()
 
 
 def _dedup_containment_sql() -> str:
@@ -3634,6 +3650,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "doc_fingerprint": FINGERPRINT_SQL,
         "text_html_clean": _text_html_clean_sql(),
         "text_line_dedup": _text_line_dedup_sql(),
+        "text_bigram_heldout": _text_bigram_heldout_sql(),
         "dedup_containment": _dedup_containment_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
         "domain_temperature_sample": _domain_temperature_sql(),
@@ -3820,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "text_html_clean": text_html_clean,
         "text_line_dedup": text_line_dedup,
+        "text_bigram_heldout": text_bigram_heldout,
         "dedup_containment": dedup_containment,
         "url_canonicalize": url_canonicalize,
         "domain_temperature_sample": domain_temperature_sample,

@@ -660,3 +660,91 @@ SELECT doc_id,
        ({canon} = {want}) AS canonical_ok
 FROM documents ORDER BY doc_id
 """
+
+
+def bigram_lm_heldout(docs: DataFrame) -> DataFrame:
+    """Held-out LM scoring: train the bigram model on the TRAIN split
+    (hash-gated 80%), score only VAL docs — the discipline that makes
+    perplexity filters honest (a model scoring its own training text
+    reports optimistic quality; decontam + held-out scoring is how
+    production pipelines calibrate the cut).
+
+    Unseen-bigram backoff: a val bigram absent from the model scores
+    (0+1)/(C(w1)+V); an unseen prefix scores 1/(0+V). All smoothed
+    probabilities are single IEEE divisions rounded to 6dp and summed
+    as DECIMAL — engine-exact, no float accumulation.
+    """
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    gate = portable_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 10
+    toks = docs.withColumn("toks", F.expr(TOKENS)).withColumn("g", gate)
+    bigram_expr = (
+        "case when size(toks) < 2 then array() "
+        "else transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2)) end"
+    )
+    bg = toks.select("doc_id", "g", F.explode(F.expr(bigram_expr)).alias("b")).select(
+        "doc_id", "g", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    train = bg.filter(F.col("g") < 8)
+    val = bg.filter(F.col("g") >= 8)
+    c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c1.select(F.count(F.lit(1)).alias("v"))
+    scored = (
+        val.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(v)
+    )
+    p = stable_round(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        scored.withColumn("p", p)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c12").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unseen"),
+            stable_round(F.sum("p").cast("double") / F.count(F.lit(1)), 6).alias(
+                "lm_score"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_lm_heldout_sql() -> str:
+    from transferdb_spark.functions.hashing import portable_hash64_sql
+
+    gate = portable_hash64_sql("'split:' || CAST(doc_id AS VARCHAR)")
+    p_raw = "(COALESCE(c12.c12, 0) + 1) / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)"
+    p6 = stable_round_sql(p_raw, 6)
+    avg6 = stable_round_sql(
+        f"CAST(SUM(CAST({p6} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)", 6
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {gate} % 10 AS g, {TOKENS_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id, g, u.b.w1 AS w1, u.b.w2 AS w2
+  FROM toks, UNNEST(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS u(b)
+),
+train AS (SELECT * FROM bg WHERE g < 8),
+val AS (SELECT * FROM bg WHERE g >= 8),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM train GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT COUNT(*) AS v FROM c1)
+SELECT val.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       CAST({avg6} AS DOUBLE) AS lm_score
+FROM val
+LEFT JOIN c12 ON val.w1 = c12.w1 AND val.w2 = c12.w2
+LEFT JOIN c1 ON val.w1 = c1.w1
+CROSS JOIN v
+GROUP BY val.doc_id
+ORDER BY val.doc_id
+"""
