@@ -693,3 +693,38 @@ def test_compact_is_idempotent(spark, lineitem, tmp_path):
     assert s2.files_before == s1.files_after
     assert s2.files_after == s1.files_after
     assert s2.rows == s1.rows == lineitem.count()
+
+
+def test_full_migrate_partitioned_plus_zorder(spark, sf_dir, workdir, lineitem, tmp_path):
+    """partition_cols + layout_cols: hive dirs with WITHIN-partition
+    z-clustering and no small-files explosion (one writer task per
+    partition slice, not tasks x dirs)."""
+    import os
+
+    from transferdb_spark.modes.full import full_migrate_table
+    from transferdb_spark.plans.layout import file_span_stats
+
+    target = full_migrate_table(
+        spark,
+        lineitem,
+        "lineitem_pz",
+        workdir,
+        n_chunks=8,
+        key="l_orderkey",
+        partition_cols=["l_returnflag"],
+        layout_cols=["l_partkey", "l_suppkey"],
+    )
+    migrated = spark.read.parquet(target)
+    assert migrated.count() == lineitem.count()
+    dirs = [d for d in os.listdir(target) if d.startswith("l_returnflag=")]
+    assert len(dirs) == 3
+    for d in dirs:
+        files = [
+            f for f in os.listdir(os.path.join(target, d)) if f.endswith(".parquet")
+        ]
+        # no explosion: at most n_chunks files per partition dir
+        assert 1 <= len(files) <= 8
+    # within-partition clustering: partkey spans shrink vs full range
+    score = file_span_stats(os.path.join(target, dirs[0]), ["l_partkey"])
+    if score.n_files >= 4:
+        assert score.span_fraction["l_partkey"] < 0.6

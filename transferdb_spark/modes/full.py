@@ -123,7 +123,25 @@ def full_migrate_table(
     if len(pending) == len(states):
         # fresh run: one job, chunk-aligned range partitioning
         try:
-            if layout_cols:
+            if layout_cols and partition_cols:
+                # cluster WITHIN each hive partition: shuffling on the
+                # partition columns then sorting (partition, z) keeps
+                # one writer task per partition slice — a global
+                # z-range shuffle followed by partitionBy would write
+                # (tasks × dirs) small files
+                from pyspark.sql import functions as F
+
+                from transferdb_spark.plans.layout import column_ranges, morton_expr
+
+                ranges = column_ranges(out, layout_cols)
+                z = F.expr(morton_expr(layout_cols, ranges, idiv="div"))
+                shaped = (
+                    out.withColumn("__z", z)
+                    .repartition(n_chunks, *partition_cols)
+                    .sortWithinPartitions(*partition_cols, "__z")
+                    .drop("__z")
+                )
+            elif layout_cols:
                 from transferdb_spark.plans.layout import zorder_layout
 
                 shaped = zorder_layout(out, layout_cols, n_files=n_chunks)
