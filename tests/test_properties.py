@@ -186,3 +186,26 @@ def test_canonical_url_idempotent(spark):
     twice = once.select("c1", canonical_url(F.col("c1")).alias("c2"))
     for r in twice.collect():
         assert r["c1"] == r["c2"], r
+
+
+def test_mulaw_codec_bounds_error_everywhere():
+    """mu-law expand(compress(x)) stays within the ITU quantization
+    envelope across the full amplitude range, including the extremes
+    and near-zero — not just a mid-amplitude sine."""
+    import numpy as np
+
+    from transferdb_spark.ext.multimodal import _mulaw_expand, mulaw_compress
+
+    rng = np.random.default_rng(99)
+    for wave in [
+        rng.uniform(-1, 1, 4096).astype(np.float32),
+        np.linspace(-1, 1, 4096, dtype=np.float32),
+        (rng.uniform(-1, 1, 4096) ** 5).astype(np.float32),  # near-zero heavy
+        np.array([-1.0, -0.5, -1e-4, 0.0, 1e-4, 0.5, 1.0], dtype=np.float32),
+    ]:
+        out = _mulaw_expand(np.frombuffer(mulaw_compress(wave), dtype=np.uint8))
+        err = np.abs(out - wave)
+        # mu-law's 4-bit mantissa = 16 levels per octave -> half-step
+        # relative error ~1/32 (3.1% measured), plus a small absolute
+        # floor in the lowest segment
+        assert float(np.max(err - (np.abs(wave) / 24 + 0.004))) <= 0.0, float(err.max())
