@@ -1,0 +1,480 @@
+"""Baseline JPEG codec — stdlib + numpy, no imaging library.
+
+Decoder: baseline sequential DCT (SOF0), Huffman entropy coding, 8-bit
+samples, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling,
+restart markers. Progressive (SOF2), arithmetic coding, and 12-bit
+precision route to NotImplementedError — the one dispatch point an
+imaging library replaces in production.
+
+Encoder: the test-side twin (4:4:4, ITU T.81 Annex K quantization and
+Huffman tables) so round-trips exercise the full marker → Huffman →
+DCT pipeline without trusting a matched pair of mistakes: the decoder
+is additionally validated against real-world JPEGs produced by other
+encoders.
+
+The 2-D DCT/IDCT run as two 8×8 matrix products against the
+orthonormal DCT-II basis (exact float, vectorized over all blocks at
+once) — no per-pixel Python in the transform.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# ITU T.81 Annex K.1 — luminance / chrominance quantization tables
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+)
+
+# Annex K.3 — standard Huffman tables: (bits[1..16], values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis matrix A: X = A @ x @ A.T."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return a
+
+
+_A = _dct_basis()
+
+
+def _build_huffman(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """{(code_length, code): value} — canonical JPEG code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; stops at markers (restart handling is external)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker: consumed by caller
+                raise _RestartMarker(nxt)
+            else:
+                raise _EndOfScan()
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_after_restart(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.pos += 2  # the 0xFFDn marker
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+class _EndOfScan(Exception):
+    pass
+
+
+def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND: map t-bit magnitude to signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """bytes → (h, w, 3) uint8 RGB (grayscale replicated)."""
+    if buf[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", buf, pos + 2)[0]
+        seg = buf[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                prec, tid = seg[s] >> 4, seg[s] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                qt[tid] = np.frombuffer(seg, np.uint8, 64, s + 1).astype(np.int32)
+                s += 65
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                cls, tid = seg[s] >> 4, seg[s] & 0x0F
+                bits = list(seg[s + 1 : s + 17])
+                n = sum(bits)
+                vals = list(seg[s + 17 : s + 17 + n])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _build_huffman(bits, vals)
+                s += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_sel = []
+            for i in range(ns):
+                cid, tids = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_sel.append({"id": cid, "dc": tids >> 4, "ac": tids & 0x0F})
+            data_pos = pos + 2 + seg_len
+            return _decode_scan(
+                buf, data_pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
+            )
+        pos += 2 + seg_len
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(buf, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    sel = {s["id"]: s for s in scan_sel}
+
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+
+    reader = _BitReader(buf, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-align and consume the RSTn marker
+                try:
+                    while True:
+                        reader.read_bit()
+                except _RestartMarker:
+                    reader.align_after_restart()
+                    pred = [0] * len(comps)
+            try:
+                for ci, c in enumerate(comps):
+                    s = sel[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block = _decode_block(
+                                reader, huff_dc[s["dc"]], huff_ac[s["ac"]]
+                            )
+                            block[0] += pred[ci]
+                            pred[ci] = block[0]
+                            deq = np.zeros(64, dtype=np.float64)
+                            deq[_ZIGZAG] = block * qt[c["q"]]
+                            px = _A.T @ deq.reshape(8, 8) @ _A + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            except _RestartMarker:
+                reader.align_after_restart()
+                pred = [0] * len(comps)
+            except _EndOfScan:
+                pass
+            mcu_count += 1
+
+    # upsample to full resolution and crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
+    out = np.zeros(64, dtype=np.int32)
+    t = _decode_huff(reader, dc_table)
+    out[0] = _extend(reader.read_bits(t), t) if t else 0
+    k = 1
+    while k < 64:
+        rs = _decode_huff(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            break
+        out[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encoder (test-side twin): 4:4:4, Annex K tables
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _encode_codes(bits, values) -> dict[int, tuple[int, int]]:
+    """{value: (code, length)} from the canonical table."""
+    inv = {}
+    for (length, code), v in _build_huffman(bits, values).items():
+        inv[v] = (code, length)
+    return inv
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category t, t-bit code) for EXTEND-compatible encoding."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    code = v if v > 0 else v + (1 << t) - 1
+    return t, code
+
+
+def encode_jpeg(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → baseline JPEG bytes (4:4:4, Annex K tables)."""
+    px = px.astype(np.float64)
+    h, w = px.shape[:2]
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT carries the natural-order table serialized in zigzag order
+    for tid, qtab in ((0, _QT_LUMA), (1, _QT_CHROMA)):
+        zz = qtab.reshape(8, 8).flatten()[_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(v) for v in zz
+        )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, qid])  # 4:4:4
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA),
+        (0, 1, _DC_CHROMA),
+        (1, 0, _AC_LUMA),
+        (1, 1, _AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tids in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tids])
+    out += b"\x00\x3f\x00"
+
+    dc_enc = [_encode_codes(*_DC_LUMA), _encode_codes(*_DC_CHROMA)]
+    ac_enc = [_encode_codes(*_AC_LUMA), _encode_codes(*_AC_CHROMA)]
+    qts = [_QT_LUMA.reshape(8, 8), _QT_CHROMA.reshape(8, 8)]
+
+    wtr = _BitWriter()
+    pred = [0, 0, 0]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for plane in (y, cb, cr):
+        p = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        padded.append(p)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(padded):
+                tsel = 0 if ci == 0 else 1
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _A @ blk @ _A.T
+                q = np.round(coef / qts[tsel]).astype(np.int32)
+                # zz[k] = coefficient at zigzag position k (natural
+                # index _ZIGZAG[k]) — the inverse of the decoder's
+                # deq[_ZIGZAG] = block scatter
+                zz = q.flatten()[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                t, code = _magnitude(diff)
+                hc, hl = dc_enc[tsel][t]
+                wtr.write(hc, hl)
+                if t:
+                    wtr.write(code, t)
+                k = 1
+                run = 0
+                last_nz = max([i for i in range(1, 64) if zz[i]] or [0])
+                while k <= last_nz:
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        k += 1
+                        continue
+                    while run > 15:
+                        hc, hl = ac_enc[tsel][0xF0]
+                        wtr.write(hc, hl)
+                        run -= 16
+                    t, code = _magnitude(v)
+                    hc, hl = ac_enc[tsel][(run << 4) | t]
+                    wtr.write(hc, hl)
+                    wtr.write(code, t)
+                    run = 0
+                    k += 1
+                if last_nz < 63:
+                    hc, hl = ac_enc[tsel][0x00]  # EOB
+                    wtr.write(hc, hl)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -79,7 +79,9 @@ def decode_image(content: bytes) -> np.ndarray:
     if content[:2] == b"BM":
         return _decode_bmp(content)
     if content[:2] == b"\xff\xd8":
-        raise NotImplementedError("JPEG decode requires an imaging library (e.g. Pillow)")
+        from transferdb_spark.ext.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
