@@ -712,3 +712,31 @@ def test_jpeg_decodes_real_world_files(spark):
         px2 = decode_image(open(photo, "rb").read())
         assert px2.shape[2] == 3 and px2.shape[0] > 100
         assert 10 < float(px2.std()) < 120
+
+
+def test_jpeg_flows_through_spark_feature_path(spark):
+    """JPEG media rides the mapInPandas feature-extraction path with
+    REAL decode (fake=False) — the full Arrow batch -> decode ->
+    feature kernel pipeline."""
+    import numpy as np
+    from transferdb_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        encode_png,
+    )
+    from transferdb_spark.ext.jpeg import encode_jpeg
+
+    xx, yy = np.meshgrid(np.linspace(0, 255, 32), np.linspace(0, 255, 24))
+    img = np.stack([xx, yy, yy], axis=2).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image", encode_jpeg(img), ("image/jpeg", 32, 24, None)),
+            (2, "image", encode_png(img), ("image/png", 32, 24, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, fake=False).collect()}
+    f1, f2 = np.array(rows[1]["features"]), np.array(rows[2]["features"])
+    assert len(f1) == len(f2)
+    # same pixels through lossy vs lossless codecs: features nearly equal
+    assert float(np.abs(f1 - f2).max()) < 0.05
