@@ -150,3 +150,45 @@ def compact_corpus(spark: SparkSession, target_dir: str) -> dict:
     for d in aside:
         shutil.rmtree(d)
     return {"live_rows": live_rows, "dirs_removed": len(old_dirs)}
+
+
+def stream_media_files(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming media ingestion: each dropped file is one media blob.
+
+    `binaryFile` gives (path, modificationTime, length, content) with
+    checkpointed file offsets — the continuous analogue of a crawl
+    delivering images/audio. No decode happens here; the stream stays
+    a narrow scan until a feature stage consumes it."""
+    schema = (
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.bin")
+        .load(source_dir)
+    )
+
+
+def media_feature_stream(files: DataFrame) -> DataFrame:
+    """Continuous feature extraction: binary stream → MEDIA_SCHEMA
+    shape → the SAME Arrow-batched real-decode kernel the batch path
+    uses (ext/multimodal.extract_features). Per-batch work is a narrow
+    map — no aggregation state, so this scales with arrival rate, not
+    history."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.ext.multimodal import extract_features
+
+    media = files.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("image/auto").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return extract_features(media, fake=False)
