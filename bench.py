@@ -105,12 +105,20 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    # Streaming path: availableNow micro-batch rollup over the events
+    # table (file source -> windowed agg -> memory sink). Timed once —
+    # streaming checkpoint setup dominates and a median over re-created
+    # checkpoints measures tmpfs, not the plan.
+    try:
+        timings["stream_rollup"] = round(_bench_stream_rollup(spark), 3)
+        total += timings["stream_rollup"]
+    except Exception as exc:  # noqa: BLE001 — isolate per query
+        errors["stream_rollup"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # The driver captures only the tail of stdout: the FINAL line must
+    # stay compact (totals + median-only dict). Full detail (best/cold/
+    # spread per query) goes to BENCH_DETAIL.json alongside this script.
+    detail = {
         "runs": runs,
         "spread": spreads,
         "best": bests,
@@ -119,8 +127,52 @@ def main() -> None:
         "cold_total": round(sum(colds.values()), 3),
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": runs,
+    }
+    if errors:
+        out["nerrors"] = len(errors)
     print(json.dumps(out))
+
+
+def _bench_stream_rollup(spark) -> float:
+    """Time one availableNow pass of the hourly rollup stream.
+
+    Streams the events table from a temp dir (symlinked file) through
+    the windowed-agg + watermark plan into a memory sink."""
+    import shutil
+    import tempfile
+
+    from transferdb_spark.streaming.incr import run_rollup_to_memory
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        feed = os.path.join(work, "feed")
+        os.makedirs(feed)
+        os.symlink(src, os.path.join(feed, "events.parquet"))
+        ckpt = os.path.join(work, "ckpt")
+        t0 = time.time()
+        q = run_rollup_to_memory(spark, feed, ckpt, name="bench_stream_rollup")
+        q.awaitTermination()
+        dt = time.time() - t0
+        spark.sql("SELECT count(*) FROM bench_stream_rollup").collect()
+        return dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

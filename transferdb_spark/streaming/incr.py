@@ -48,7 +48,12 @@ def stream_events(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(source_dir)
+    # Same source-boundary rule as the batch registry: fixture parquet
+    # has shipped as TIMESTAMP_NTZ, which watermarks reject — cast to
+    # session-tz TIMESTAMP (epoch-preserving, session tz pinned UTC).
+    from transferdb_spark.sources.registry import _normalize_ntz
+
+    return _normalize_ntz(reader.parquet(source_dir))
 
 
 def filter_ops(stream: DataFrame, min_scn: int = 0) -> DataFrame:
