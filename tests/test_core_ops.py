@@ -627,6 +627,47 @@ def test_vacuum_keeps_pinned_epochs_and_latest(spark, sf_dir, tmp_path):
     assert len(remaining) == 2
 
 
+def test_vacuum_spares_inflight_writer_staging(spark, sf_dir, tmp_path):
+    """An uncommitted staging dir (parquet landed, manifest not yet
+    written — exactly what a concurrent write_snapshot looks like
+    mid-commit) must survive vacuum until it ages past the grace
+    window; a dropped committed version's dir goes immediately."""
+    import os
+    import time
+
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import (
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    orders = load_table(spark, sf_dir, "orders")
+    for n in (10, 20, 30):
+        write_snapshot(orders.limit(n).coalesce(1), base)
+
+    # simulate an in-flight writer: data written, no manifest yet
+    staging = os.path.join(base, "data", "deadbeefcafe")
+    os.makedirs(staging)
+    orders.limit(5).coalesce(1).write.mode("overwrite").parquet(staging)
+
+    stats = vacuum_snapshots(base, keep_last=1)
+    assert stats["kept_versions"] == [2]
+    assert os.path.isdir(staging), "in-flight staging dir was vacuumed"
+    # dropped committed versions' dirs went despite being fresh
+    dirs = os.listdir(os.path.join(base, "data"))
+    assert len([d for d in dirs if os.path.isdir(os.path.join(base, "data", d))]) == 2
+    assert read_snapshot(spark, base, 2).count() == 30
+
+    # age the orphan past the window: swept on the next pass
+    old = time.time() - 7200
+    for f in os.listdir(staging):
+        os.utime(os.path.join(staging, f), (old, old))
+    vacuum_snapshots(base, keep_last=1, grace_seconds=3600)
+    assert not os.path.isdir(staging)
+
+
 def test_snapshot_version_diff_reads_only_changed_files(spark, sf_dir, tmp_path):
     """Version-to-version diff: an append's diff is exactly the
     appended rows with only the new files read (immutable common files

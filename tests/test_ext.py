@@ -685,6 +685,27 @@ def test_jpeg_roundtrip_psnr(spark):
     assert psnr > 35.0, psnr
 
 
+def test_jpeg_truncated_stream_never_indexerrors(spark):
+    """A truncated entropy segment must surface as a decode error (or a
+    best-effort partial image), never a raw IndexError out of the bit
+    reader — corpus ingestion meets torn files constantly."""
+    import numpy as np
+    import pytest
+    from transferdb_spark.ext.jpeg import decode_jpeg, encode_jpeg
+
+    xx, yy = np.meshgrid(np.linspace(0, 255, 45), np.linspace(0, 255, 37))
+    img = np.stack([xx, yy, (xx + yy) / 2], axis=2).astype(np.uint8)
+    buf = encode_jpeg(img)
+    for cut in (len(buf) - 3, len(buf) - 10, int(len(buf) * 0.75), int(len(buf) * 0.5)):
+        try:
+            out = decode_jpeg(buf[:cut])
+            assert out.dtype == np.uint8 and out.ndim == 3  # partial decode OK
+        except ValueError:
+            pass  # explicit decode error OK
+        except IndexError:
+            pytest.fail(f"IndexError escaped decode_jpeg at cut={cut}")
+
+
 def test_jpeg_decodes_real_world_files(spark):
     """Spec fidelity: JPEGs produced by other encoders (incl. a 4:2:0
     photo) decode at their declared dimensions with contentful stats."""

@@ -604,6 +604,26 @@ def test_compact_files_merges_fragments(spark, sf_dir, lineitem, tmp_path):
     assert score.span_fraction["l_partkey"] < 0.7
 
 
+def test_compact_files_recovers_from_crash_window(spark, lineitem, tmp_path):
+    """A crash between `path -> backup` and `staging -> path` leaves no
+    directory at path; a rerun must restore the backup instead of
+    failing (or worse, rmtree-ing the only copy)."""
+    import os
+
+    from transferdb_spark.modes.optimize import compact_files
+
+    frag = str(tmp_path / "fragc")
+    lineitem.limit(2000).repartition(16).write.mode("overwrite").parquet(frag)
+    n = spark.read.parquet(frag).count()
+
+    # simulate the crash window: data stranded in .__compact_old
+    os.rename(frag, frag + ".__compact_old")
+    stats = compact_files(spark, frag, target_mb=8)
+    assert stats.files_before == 16
+    assert spark.read.parquet(frag).count() == n
+    assert not os.path.isdir(frag + ".__compact_old")
+
+
 def test_compact_files_plain_path_is_shuffle_free(spark, lineitem, tmp_path):
     from transferdb_spark.modes.optimize import _parquet_files
 

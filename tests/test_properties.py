@@ -188,6 +188,36 @@ def test_canonical_url_idempotent(spark):
         assert r["c1"] == r["c2"], r
 
 
+def test_canonical_url_param_boundaries(spark):
+    """Tracking-param strip is anchored to ?/& — `href=`/`xref=` must
+    survive, adjacent tracking params must all go, and the DuckDB
+    rendering must agree byte-for-byte (the oracle is blind to a shared
+    regex bug, so pin expectations by hand here)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.ext.text import canonical_url, canonical_url_sql
+
+    cases = [
+        # (input, expected canonical)
+        ("http://a.com/p?href=x&q=1", "http://a.com/p?href=x&q=1"),
+        ("http://a.com/p?xref=x&subref=y", "http://a.com/p?xref=x&subref=y"),
+        ("http://a.com/p?ref=x&q=1", "http://a.com/p?q=1"),
+        ("http://a.com/p?utm_a=1&utm_b=2&id=7", "http://a.com/p?id=7"),
+        ("http://a.com/p?utm_a=1&gclid=2&fbclid=3", "http://a.com/p"),
+        ("http://a.com/p?id=7&ref=x", "http://a.com/p?id=7"),
+        ("http://a.com/p?ref=x", "http://a.com/p"),
+    ]
+    df = spark.createDataFrame(cases, "u string, want string")
+    got = df.select("u", "want", canonical_url(F.col("u")).alias("c")).collect()
+    for r in got:
+        assert r["c"] == r["want"], (r["u"], r["c"])
+    con = duckdb.connect()
+    for u, want in cases:
+        (dv,) = con.execute("SELECT " + canonical_url_sql("?"), [u]).fetchone()
+        assert dv == want, (u, dv)
+
+
 def test_mulaw_codec_bounds_error_everywhere():
     """mu-law expand(compress(x)) stays within the ITU quantization
     envelope across the full amplitude range, including the extremes

@@ -109,6 +109,8 @@ _A = _dct_basis()
 def _build_huffman(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
     """{(code_length, code): value} — canonical JPEG code assignment."""
     table: dict[tuple[int, int], int] = {}
+    if sum(bits) > len(values):
+        raise ValueError("truncated JPEG: DHT values shorter than code counts")
     code = 0
     k = 0
     for length in range(1, 17):
@@ -131,8 +133,14 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            # truncated entropy segment — surface as end-of-scan so the
+            # decoder's error path runs instead of a raw IndexError
+            raise _EndOfScan()
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise _EndOfScan()
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -187,7 +195,18 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """bytes → (h, w, 3) uint8 RGB (grayscale replicated)."""
+    """bytes → (h, w, 3) uint8 RGB (grayscale replicated).
+
+    Boundary contract for corpus ingestion: arbitrary torn/corrupt
+    bytes raise ValueError (or NotImplementedError for unsupported
+    modes), never a raw IndexError/KeyError from header parsing."""
+    try:
+        return _decode_jpeg(buf)
+    except (IndexError, KeyError) as exc:
+        raise ValueError(f"truncated or corrupt JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG (no SOI)")
     pos = 2
@@ -281,6 +300,9 @@ def _decode_scan(buf, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interv
                 except _RestartMarker:
                     reader.align_after_restart()
                     pred = [0] * len(comps)
+                except _EndOfScan:
+                    # stream ended where a restart marker was required
+                    raise ValueError("truncated JPEG: missing restart marker")
             try:
                 for ci, c in enumerate(comps):
                     s = sel[c["id"]]

@@ -600,7 +600,15 @@ ORDER BY t.doc_id
 # page arrives as http/https, with/without www, fragments, tracking
 # params, default ports, and trailing slashes. Pure JVM regexp chain;
 # identical regexes render in DuckDB for the oracle.
-_TRACK_RE = "(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?"
+# Anchored to a leading separator so `href=`, `xref=`, `subref=` are NOT
+# stripped (an unanchored `ref=` matched inside longer param names and
+# silently merged distinct URLs). The separator is KEPT via group 1 —
+# consuming it would hide the next param from the same left-to-right
+# pass when tracking params are adjacent — then separator runs left
+# behind by removed params (`?&`, `&&`) are collapsed in a second pass.
+# No lookarounds: must render identically in Java regex and RE2.
+_TRACK_RE = "([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+_SEP_RUN_RE = "([?&])&+"
 
 
 def canonical_url(col: Column) -> Column:
@@ -611,7 +619,8 @@ def canonical_url(col: Column) -> Column:
     c = F.regexp_replace(c, "^(http://)www\\.", "$1")
     c = F.regexp_replace(c, "^(http://[^/:?#]+):(80|443)([/?#].*)?$", "$1$3")
     c = F.regexp_replace(c, "#.*$", "")
-    c = F.regexp_replace(c, _TRACK_RE, "")
+    c = F.regexp_replace(c, _TRACK_RE, "$1")
+    c = F.regexp_replace(c, _SEP_RUN_RE, "$1")
     c = F.regexp_replace(c, "[?&]$", "")
     return F.regexp_replace(c, "/$", "")
 
@@ -622,7 +631,8 @@ def canonical_url_sql(expr: str) -> str:
     c = f"regexp_replace({c}, '^(http://)www\\.', '\\1')"
     c = f"regexp_replace({c}, '^(http://[^/:?#]+):(80|443)([/?#].*)?$', '\\1\\3')"
     c = f"regexp_replace({c}, '#.*$', '')"
-    c = f"regexp_replace({c}, '{_TRACK_RE}', '', 'g')"
+    c = f"regexp_replace({c}, '{_TRACK_RE}', '\\1', 'g')"
+    c = f"regexp_replace({c}, '{_SEP_RUN_RE}', '\\1', 'g')"
     c = f"regexp_replace({c}, '[?&]$', '')"
     return f"regexp_replace({c}, '/$', '')"
 
@@ -634,10 +644,17 @@ def url_canonical_roundtrip(docs: DataFrame) -> DataFrame:
     messy = F.concat(
         F.lit("https://WWW."),
         F.col("source"),
-        F.lit(".example.com:443/path/?utm_source=x&utm_medium=y&id=7&gclid=z#frag"),
+        F.lit(
+            ".example.com:443/path/"
+            "?href=h&utm_source=x&utm_medium=y&id=7&gclid=z#frag"
+        ),
     )
+    # href= must SURVIVE (only a bare `ref=` param is tracking — a
+    # substring match here corrupted adjacent params)
     want = F.concat(
-        F.lit("http://"), F.lower(F.col("source")), F.lit(".example.com/path/?id=7")
+        F.lit("http://"),
+        F.lower(F.col("source")),
+        F.lit(".example.com/path/?href=h&id=7"),
     )
     canon = canonical_url(messy)
     return docs.select(
@@ -650,9 +667,9 @@ def url_canonical_roundtrip(docs: DataFrame) -> DataFrame:
 def url_canonical_roundtrip_sql() -> str:
     messy = (
         "'https://WWW.' || source || "
-        "'.example.com:443/path/?utm_source=x&utm_medium=y&id=7&gclid=z#frag'"
+        "'.example.com:443/path/?href=h&utm_source=x&utm_medium=y&id=7&gclid=z#frag'"
     )
-    want = "'http://' || lower(source) || '.example.com/path/?id=7'"
+    want = "'http://' || lower(source) || '.example.com/path/?href=h&id=7'"
     canon = canonical_url_sql(messy)
     return f"""
 SELECT doc_id,

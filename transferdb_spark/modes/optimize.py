@@ -60,6 +60,15 @@ def compact_files(
     swap and refuses on mismatch — the compaction never replaces data
     it could not faithfully rewrite.
     """
+    staging = path.rstrip("/") + ".__compact_tmp"
+    backup = path.rstrip("/") + ".__compact_old"
+    if not os.path.isdir(path) and os.path.isdir(backup):
+        # crash recovery: a previous run renamed path -> backup and died
+        # before staging -> path landed; the data is intact in backup —
+        # restore it before doing anything else (a blind rerun would
+        # find no source and could rmtree the only copy)
+        os.rename(backup, path)
+
     files = _parquet_files(path)
     if not files:
         # hive-partitioned layouts have no root-level part files; a
@@ -80,8 +89,6 @@ def compact_files(
     else:
         shaped = df.coalesce(n_out)
 
-    staging = path.rstrip("/") + ".__compact_tmp"
-    backup = path.rstrip("/") + ".__compact_old"
     shutil.rmtree(staging, ignore_errors=True)
     shaped.write.mode("overwrite").parquet(staging)
 
@@ -98,11 +105,18 @@ def compact_files(
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(staging, path)
+    # keep the backup until the swapped-in directory proves readable
+    # (footer parse) — only then is the old copy disposable
+    files_after = _parquet_files(path)
+    if not files_after:
+        os.rename(path, staging)
+        os.rename(backup, path)
+        raise RuntimeError(f"compacted directory {path} unreadable; original restored")
     shutil.rmtree(backup, ignore_errors=True)
 
     return CompactStats(
         files_before=len(files),
-        files_after=len(_parquet_files(path)),
+        files_after=len(files_after),
         bytes_total=total,
         rows=rows,
     )

@@ -97,11 +97,20 @@ def morton_expr(
         raise ValueError("Z-order needs >= 2 columns; use a plain sort for 1")
     if len(cols) == 2:
         b = bits or DEFAULT_BITS_2D
+        if b > 16:
+            # _spread2_expr's masks spread exactly 16 bits — higher
+            # bucket bits would be silently dropped, degrading the
+            # z-order with no error
+            raise ValueError(f"2-column Z-order supports at most 16 bits/dim, got {b}")
         x = _spread2_expr(bucket_expr(cols[0], *ranges[cols[0]], b, idiv))
         y = _spread2_expr(bucket_expr(cols[1], *ranges[cols[1]], b, idiv))
         return f"(({x}) | (({y}) * 2))"
     k = len(cols)
     b = bits or min(8, 48 // k)
+    if k * b > 62:
+        # highest term weight is 2^(k*(b-1)+k-1) = 2^(k*b-1); keep the
+        # z-value inside int64 instead of silently wrapping negative
+        raise ValueError(f"{k}-column Z-order at {b} bits/dim overflows int64")
     terms = []
     for i, c in enumerate(cols):
         bucket = bucket_expr(c, *ranges[c], b, idiv)

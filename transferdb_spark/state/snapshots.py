@@ -241,7 +241,10 @@ def read_schema_epoch(
 
 
 def vacuum_snapshots(
-    base: str, keep_last: int = 2, pinned: set[int] | None = None
+    base: str,
+    keep_last: int = 2,
+    pinned: set[int] | None = None,
+    grace_seconds: float = 3600.0,
 ) -> dict:
     """Retention: drop old version manifests and unreferenced data files.
 
@@ -253,14 +256,29 @@ def vacuum_snapshots(
     manifest at all) are swept too. Manifests are removed before the
     files they referenced, so a crash mid-vacuum leaves data to sweep,
     never a readable version with missing files.
+
+    ``grace_seconds``: a staging dir referenced by NO manifest at all
+    and younger than this is SKIPPED — it may be a concurrent
+    write_snapshot that has finished its parquet write but not yet
+    committed its manifest; deleting it would let that writer commit a
+    torn version (the Delta/Iceberg VACUUM retention-window rule).
+    Dirs belonging to dropped COMMITTED versions carry no such risk and
+    are removed regardless of age; old orphans from crashed writes age
+    past the window and are swept on a later pass. Pass 0 only when no
+    writer can be concurrent.
     """
+    import time as _time
     versions = list_versions(base)
     if not versions:
         return {"kept_versions": [], "deleted_versions": 0, "deleted_files": 0}
     keep = set(versions[-keep_last:]) | {v for v in (pinned or set()) if v in versions}
     referenced: set[str] = set()
-    for v in keep:
-        referenced.update(_manifest(base, v)["files"])
+    ever_referenced: set[str] = set()
+    for v in versions:
+        fs = _manifest(base, v)["files"]
+        ever_referenced.update(fs)
+        if v in keep:
+            referenced.update(fs)
 
     dropped_versions = 0
     for v in versions:
@@ -283,8 +301,22 @@ def vacuum_snapshots(
                 if f.endswith(".parquet")
             ]
             if not any(p in referenced for p in parquets):
-                # whole write unreferenced (old version or failed-write
-                # orphan): drop the dir with its _SUCCESS/.crc sidecars
+                # whole write unreferenced. If NO manifest (kept or
+                # dropped) ever listed these files, this is either a
+                # crashed-write orphan or an IN-FLIGHT writer that
+                # hasn't committed its manifest yet — indistinguishable,
+                # hence the grace window on the newest mtime in the dir.
+                if not any(p in ever_referenced for p in parquets):
+                    try:
+                        newest = max(
+                            os.path.getmtime(os.path.join(sdir, f))
+                            for f in os.listdir(sdir)
+                        )
+                    except (ValueError, OSError):
+                        newest = os.path.getmtime(sdir)
+                    if _time.time() - newest < grace_seconds:
+                        continue
+                # drop the dir with its _SUCCESS/.crc sidecars
                 shutil.rmtree(sdir)
                 deleted_files += len(parquets)
             else:
