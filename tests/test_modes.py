@@ -58,6 +58,91 @@ def test_reverse_quarantines_incompatible(catalog):
     assert len(res.ddl) == 1  # nation still converted, bitmap index skipped
 
 
+def test_reverse_o2t_clustered_routing(catalog):
+    """O2T (TiDB) direction: clustered/non-clustered PK routing, the
+    SHARD_ROW_ID_BITS table-option dance, and FK/CK quarantined to the
+    compatibility output (o2t/reverse.go:139-188, rule.go:263-400,
+    ddl.go:218)."""
+    import pytest
+
+    from transferdb_spark.modes.reverse import (
+        TiDBReverseConfig,
+        reverse_tables_o2t,
+    )
+
+    cfg = TiDBReverseConfig(
+        clustered_tables=frozenset({"orders"}),
+        nonclustered_tables={"lineitem": "SHARD_ROW_ID_BITS = 6 PRE_SPLIT_REGIONS = 6"},
+        global_table_option="SHARD_ROW_ID_BITS = 4 PRE_SPLIT_REGIONS = 4",
+        clustered_index="OFF",
+    )
+    res = reverse_tables_o2t(catalog, cfg)
+    assert not res.errors
+    orders = next(d for d in res.ddl if "CREATE TABLE `orders`" in d)
+    li = next(d for d in res.ddl if "CREATE TABLE `lineitem`" in d)
+    cust = next(d for d in res.ddl if "CREATE TABLE `customer`" in d)
+
+    assert ") CLUSTERED" in orders and "SHARD_ROW_ID_BITS" not in orders
+    assert ") NONCLUSTERED" in li and "SHARD_ROW_ID_BITS = 6" in li
+    # unrouted table under clustered_index=OFF: global option applies
+    assert "SHARD_ROW_ID_BITS = 4" in cust
+    assert all("ENGINE=InnoDB DEFAULT CHARSET=utf8mb4" in d for d in res.ddl)
+
+    # TiDB doesn't enforce FK/CHECK: they live in compatibility, not DDL
+    assert not any("FOREIGN KEY" in d for d in res.ddl)
+    fk_alters = [c for c in res.compatibility if "FOREIGN KEY" in c]
+    assert any("ALTER TABLE `lineitem` ADD CONSTRAINT" in c for c in fk_alters)
+
+    # overlap between the two routing configs is refused
+    with pytest.raises(ValueError, match="both clustered"):
+        TiDBReverseConfig(
+            clustered_tables=frozenset({"t1"}), nonclustered_tables={"T1": ""}
+        )
+
+
+def test_reverse_o2t_int_only_table_option(catalog):
+    """INT_ONLY mode: a single-column integer PK stays rowid-clustered
+    (option off); multi-column or alter-primary-key=true enables it;
+    clustered-config without a PK falls back with a note."""
+    import dataclasses
+
+    from transferdb_spark.modes.reverse import (
+        TiDBReverseConfig,
+        reverse_tables_o2t,
+    )
+
+    base = dict(global_table_option="SHARD_ROW_ID_BITS = 4", clustered_index="INT_ONLY")
+    # alter-primary-key absent -> option disabled everywhere
+    res = reverse_tables_o2t(catalog, TiDBReverseConfig(**base))
+    assert not any("SHARD_ROW_ID_BITS" in d for d in res.ddl)
+
+    # alter-primary-key=false: single-int-PK tables (orders/customer…)
+    # skip the option; composite-PK lineitem gets it
+    res = reverse_tables_o2t(catalog, TiDBReverseConfig(**base, alter_primary_key=False))
+    orders = next(d for d in res.ddl if "CREATE TABLE `orders`" in d)
+    li = next(d for d in res.ddl if "CREATE TABLE `lineitem`" in d)
+    assert "SHARD_ROW_ID_BITS" not in orders
+    assert "SHARD_ROW_ID_BITS" in li
+
+    # alter-primary-key=true: option everywhere
+    res = reverse_tables_o2t(catalog, TiDBReverseConfig(**base, alter_primary_key=True))
+    assert all("SHARD_ROW_ID_BITS" in d for d in res.ddl)
+
+    # clustered-config table without a PK: quarantine note + fallback
+    nat = dataclasses.replace(catalog["nation"])
+    nat.constraints = [c for c in nat.constraints if c.ctype != "P"]
+    res = reverse_tables_o2t(
+        {"nation": nat},
+        TiDBReverseConfig(
+            clustered_tables=frozenset({"nation"}),
+            global_table_option="SHARD_ROW_ID_BITS = 4",
+            clustered_index="OFF",
+        ),
+    )
+    assert any("no primary key" in c for c in res.compatibility)
+    assert "SHARD_ROW_ID_BITS" in res.ddl[0] and "CLUSTERED" not in res.ddl[0]
+
+
 def test_reverse_m2o_generates_oracle_ddl():
     """M2O direction (reference module/reverse/mysql/m2o/rule.go):
     MySQL-typed catalog → Oracle DDL with constraints, indexes and

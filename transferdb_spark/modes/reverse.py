@@ -210,6 +210,194 @@ def reverse_tables_m2o(
     return out
 
 
+# TiDB's clustered-index integer family — a single-column PK of these
+# types is already clustered by rowid, so SHARD_ROW_ID_BITS-style table
+# options don't apply (common/reverse.go:54 TiDBIntegerPrimaryKeyList)
+TIDB_INTEGER_PK_TYPES = ("TINYINT", "SMALLINT", "INT", "BIGINT", "DECIMAL")
+
+
+@dataclass(frozen=True)
+class TiDBReverseConfig:
+    """O2T routing knobs (reverse/oracle/o2t/reverse.go:139-188 +
+    example/config.toml [schema-config]).
+
+    clustered_tables: struct-clustered-config — force `PRIMARY KEY ...
+      CLUSTERED` when a PK exists (no PK → falls back to the global
+      table option, with a compatibility note).
+    nonclustered_tables: struct-nonclustered-config — table →
+      per-table option (e.g. "SHARD_ROW_ID_BITS = 6 PRE_SPLIT_REGIONS
+      = 6"); emits `PRIMARY KEY ... NONCLUSTERED`.
+    clustered_index: downstream tidb_enable_clustered_index — ON
+      (global clustered, table options disabled), OFF (global
+      non-clustered, options enabled), INT_ONLY (routed by
+      alter_primary_key + integer-PK shape, o2t/rule.go:263-360).
+    alter_primary_key: the tidb config value for the INT_ONLY branch;
+      None = not present in config (options disabled).
+    """
+
+    clustered_tables: frozenset = frozenset()
+    nonclustered_tables: dict = field(default_factory=dict)
+    global_table_option: str = ""
+    clustered_index: str = "INT_ONLY"
+    alter_primary_key: bool | None = None
+    charset: str = "utf8mb4"
+    collation: str = "utf8mb4_bin"
+
+    def __post_init__(self):
+        overlap = {t.upper() for t in self.clustered_tables} & {
+            t.upper() for t in self.nonclustered_tables
+        }
+        if overlap:
+            # reference refuses the ambiguous config outright
+            # (o2t/reverse.go:159-162)
+            raise ValueError(
+                f"tables in both clustered and nonclustered config: {sorted(overlap)}"
+            )
+
+
+def _tidb_table_option_applies(cfg: TiDBReverseConfig, t: TableMeta, rules) -> bool:
+    """Does the global table option belong on this table's suffix?
+    (o2t/rule.go:263-360 — the tidb_enable_clustered_index dance.)"""
+    mode = cfg.clustered_index.upper()
+    if mode == "OFF":
+        return True
+    if mode == "ON":
+        return False
+    # INT_ONLY / unset: governed by alter-primary-key + PK shape
+    if cfg.alter_primary_key is None:
+        return False
+    pk = t.primary_key
+    single_int_pk = False
+    if pk and len(pk.columns) == 1:
+        col = next((c for c in t.columns if c.name.upper() == pk.columns[0].upper()), None)
+        if col is not None:
+            target = resolve_type(t.schema, t.name, col, rules)
+            base = target.split("(")[0].strip().upper()
+            single_int_pk = base in TIDB_INTEGER_PK_TYPES
+    if not cfg.alter_primary_key and single_int_pk:
+        return False  # rowid-clustered integer PK: option has no effect
+    return True
+
+
+def gen_create_table_tidb(
+    t: TableMeta,
+    cfg: TiDBReverseConfig,
+    rules: RuleSet | None = None,
+    case_policy: int = 1,
+) -> tuple[list[str], list[str]]:
+    """O2T: (statements, compatibility notes) in TiDB dialect.
+
+    Differences from the MySQL renderer (o2t/ddl.go:180-236):
+    - PK carries CLUSTERED / NONCLUSTERED per the routing config
+      (o2t/rule.go:388-400).
+    - FOREIGN KEY and CHECK constraints are emitted as ALTER TABLE
+      statements in the COMPATIBILITY output — TiDB parses but does
+      not enforce them (ddl.go:218 'TiDB 增加不兼容性语句').
+    - The table suffix appends SHARD_ROW_ID_BITS-style options when
+      the clustered-index mode allows (rule.go:263-360).
+    """
+    compat: list[str] = []
+    lines: list[str] = []
+    tname_u = t.name.upper()
+    tname = f"`{_case(t.name, case_policy)}`"
+
+    for c in t.columns:
+        target = resolve_type(t.schema, t.name, c, rules)
+        string_typed = any(k in target for k in ("CHAR", "TEXT"))
+        parts = [f"`{_case(c.name, case_policy)}`", target]
+        if not c.nullable:
+            parts.append("NOT NULL")
+        if c.default is not None:
+            parts.append(f"DEFAULT {rewrite_default_o2m(c.default, string_typed)}")
+        if c.comment:
+            parts.append("COMMENT '" + c.comment.replace("'", "''") + "'")
+        lines.append("  " + " ".join(parts))
+
+    is_nonclustered = tname_u in {x.upper() for x in cfg.nonclustered_tables}
+    is_clustered = tname_u in {x.upper() for x in cfg.clustered_tables}
+    pk = t.primary_key
+    if is_clustered and pk is None:
+        compat.append(
+            f"-- table {t.name}: struct-clustered-config but no primary key; "
+            f"global table option used instead"
+        )
+        is_clustered = False
+
+    for con in t.constraints:
+        cols = ", ".join(f"`{_case(x, case_policy)}`" for x in con.columns)
+        if con.ctype == "P":
+            suffix = " NONCLUSTERED" if is_nonclustered else (" CLUSTERED" if is_clustered else "")
+            lines.append(f"  PRIMARY KEY ({cols}){suffix}")
+        elif con.ctype == "U":
+            lines.append(f"  UNIQUE KEY `{con.name.lower()}` ({cols})")
+        elif con.ctype == "R":
+            rcols = ", ".join(f"`{_case(x, case_policy)}`" for x in con.r_columns)
+            fk = (
+                f"CONSTRAINT `{con.name.lower()}` FOREIGN KEY ({cols}) "
+                f"REFERENCES `{_case(con.r_table, case_policy)}` ({rcols})"
+            )
+            if con.delete_rule and con.delete_rule != "NO ACTION":
+                fk += f" ON DELETE {con.delete_rule}"
+            compat.append(f"ALTER TABLE {tname} ADD {fk};")
+        elif con.ctype == "C":
+            cond = con.search_condition
+            if cond and "IS NOT NULL" not in cond.upper():
+                compat.append(
+                    f"ALTER TABLE {tname} ADD CONSTRAINT `{con.name.lower()}` CHECK ({cond});"
+                )
+
+    for ix in t.indexes:
+        if ix.index_type in INCOMPATIBLE_INDEX_TYPES:
+            compat.append(
+                f"-- index {ix.name} type {ix.index_type} on {t.name} "
+                f"is not directly convertible; manual review required"
+            )
+            continue
+        cols = ", ".join(f"`{_case(x, case_policy)}`" for x in ix.columns)
+        kind = "UNIQUE KEY" if ix.unique else "KEY"
+        lines.append(f"  {kind} `{ix.name.lower()}` ({cols})")
+
+    suffix = f"ENGINE=InnoDB DEFAULT CHARSET={cfg.charset} COLLATE={cfg.collation}"
+    if is_nonclustered:
+        opts = {k.upper(): v for k, v in cfg.nonclustered_tables.items()}
+        opt = opts.get(tname_u, "")
+        if opt:
+            suffix += f" {opt.upper()}"
+    elif not is_clustered and cfg.global_table_option and _tidb_table_option_applies(cfg, t, rules):
+        suffix += f" {cfg.global_table_option.upper()}"
+
+    ddl = f"CREATE TABLE {tname} (\n" + ",\n".join(lines) + f"\n) {suffix}"
+    if t.comment:
+        ddl += " COMMENT='" + t.comment.replace("'", "''") + "'"
+    ddl += ";"
+    return [ddl], compat
+
+
+def reverse_tables_o2t(
+    catalog: dict[str, TableMeta],
+    cfg: TiDBReverseConfig | None = None,
+    rules: RuleSet | None = None,
+    case_policy: int = 1,
+) -> ReverseResult:
+    """O2T reverse: Oracle catalog → TiDB DDL; quarantine, never abort
+    (reverse/oracle/o2t/reverse.go:139-188)."""
+    cfg = cfg or TiDBReverseConfig()
+    out = ReverseResult()
+    for name, t in sorted(catalog.items()):
+        try:
+            if not t.is_compatible:
+                out.compatibility.append(
+                    f"-- table {t.name} type {t.table_type} requires manual conversion"
+                )
+                continue
+            stmts, compat = gen_create_table_tidb(t, cfg, rules, case_policy)
+            out.ddl.extend(stmts)
+            out.compatibility.extend(compat)
+        except Exception as e:  # error_log_detail semantics
+            out.errors.append(f"{t.name}: {e}")
+    return out
+
+
 def reverse_tables(
     catalog: dict[str, TableMeta], rules: RuleSet | None = None, case_policy: int = 1
 ) -> ReverseResult:
