@@ -229,6 +229,90 @@ def test_check_clean_on_identical(catalog):
     assert r.is_clean and not r.fix_sql
 
 
+def _m2o_check_fixtures():
+    """MySQL-typed source expectation + Oracle-typed target pair."""
+    from transferdb_spark.catalog.meta import ConstraintMeta, TableMeta
+    from transferdb_spark.rules.datatypes import OracleColumn
+
+    src = TableMeta(
+        schema="app",
+        name="users",
+        columns=[
+            OracleColumn("id", "BIGINT", nullable=False),
+            OracleColumn("name", "VARCHAR", data_length=128, nullable=False),
+            OracleColumn("balance", "DECIMAL", data_precision=12, data_scale=2),
+            OracleColumn("flags", "SET"),
+        ],
+        constraints=[ConstraintMeta("pk_users", "P", ("id",))],
+        collation="utf8mb4_bin",
+    )
+    tgt = TableMeta(
+        schema="APP",
+        name="USERS",
+        columns=[
+            OracleColumn("ID", "NUMBER", data_precision=19, data_scale=0, nullable=False),
+            # drifted: undersized VARCHAR2 and nullable flipped
+            OracleColumn("NAME", "VARCHAR2", data_length=64, nullable=True),
+            OracleColumn("BALANCE", "NUMBER", data_precision=12, data_scale=2),
+            OracleColumn("LEGACY", "CLOB"),  # extra on target
+        ],
+        constraints=[ConstraintMeta("PK_USERS_OLD", "P", ("ID", "NAME"))],
+        collation="BINARY_CI",  # drift: _bin maps to BINARY_CS
+    )
+    return src, tgt
+
+
+def test_check_m2o_type_and_collation_drift():
+    """M2O direction: expected Oracle types derived from the MySQL
+    catalog (check/mysql/m2o/diff.go), Oracle-dialect fix SQL, the
+    collation class facet, and ENUM/SET flagged unsupported."""
+    from transferdb_spark.modes.check import check_catalogs, check_table_m2o
+
+    src, tgt = _m2o_check_fixtures()
+    r = check_table_m2o(src, tgt)
+
+    assert ("NAME", "VARCHAR2(128)", "VARCHAR2(64)") in r.type_mismatches
+    assert any(
+        'ALTER TABLE "APP"."USERS" MODIFY "NAME" VARCHAR2(128);' == s for s in r.fix_sql
+    )
+    assert ("NAME", False, True) in r.nullability_mismatches
+    # BALANCE/ID map to the target's declared types: no mismatch
+    assert not any(m[0] in ("BALANCE", "ID") for m in r.type_mismatches)
+    # SET source column (absent on target): unsupported note, no bogus ADD
+    assert "FLAGS" in r.missing_columns
+    assert any("unsupported" in s for s in r.fix_sql if "FLAGS" in s.upper())
+    assert not any("ADD \"FLAGS\"" in s for s in r.fix_sql)
+    assert r.extra_columns == ["LEGACY"]
+    assert any('DROP COLUMN "LEGACY"' in s for s in r.fix_sql)
+    assert r.pk_mismatch == (("ID",), ("ID", "NAME"))
+    assert any('DROP CONSTRAINT "PK_USERS_OLD"' in s for s in r.fix_sql)
+    assert any('ADD CONSTRAINT "PK_USERS" PRIMARY KEY ("ID")' in s for s in r.fix_sql)
+    assert r.collation_mismatch == ("BINARY_CS", "BINARY_CI")
+
+    # catalog-level direction routing
+    out = check_catalogs({"users": src}, {"users": tgt}, direction="m2o")
+    assert not out["users"].is_clean
+
+
+def test_check_m2o_clean_on_equivalent():
+    from transferdb_spark.modes.check import check_table_m2o
+
+    src, tgt = _m2o_check_fixtures()
+    src.columns = [c for c in src.columns if c.name not in ("flags",)]
+    src.constraints = tgt.constraints
+    src.collation = "utf8mb4_general_ci"
+    tgt.collation = "BINARY_AI"
+    tgt.columns = [c for c in tgt.columns if c.name != "LEGACY"]
+    # align the drifted column
+    for i, c in enumerate(tgt.columns):
+        if c.name == "NAME":
+            import dataclasses
+
+            tgt.columns[i] = dataclasses.replace(c, data_length=128, nullable=False)
+    r = check_table_m2o(src, tgt)
+    assert r.is_clean, (r.type_mismatches, r.fix_sql)
+
+
 def test_check_detects_fk_drift(catalog):
     """FK facet (diff.go:336-372): dropped FK -> ADD with referenced
     table/cols + delete rule; target-only FK -> DROP FOREIGN KEY."""

@@ -222,14 +222,140 @@ def check_table(
     return r
 
 
+def _mysql_col_to_oracle_type(c) -> str:
+    """Expected Oracle type for a MySQL-typed catalog column — the
+    repo's twin of the reference's 488-LoC expected-type oracle
+    (module/check/mysql/public/mapping_oracle.go)."""
+    from transferdb_spark.rules.datatypes import map_mysql_to_oracle_type
+
+    return map_mysql_to_oracle_type(
+        c.data_type,
+        length=c.data_length or c.char_length or 0,
+        precision=c.data_precision if c.data_precision is not None else 10,
+        scale=c.data_scale if c.data_scale is not None else 0,
+    )
+
+
+def check_table_m2o(src: TableMeta, tgt: TableMeta) -> CheckResult:
+    """M2O struct check: MySQL source expectation vs actual Oracle
+    target, fix-SQL in Oracle dialect (module/check/mysql/m2o/diff.go:
+    column counts 247-294, column type 535+, charset/collation
+    151-246, PK/UK 296-338).
+
+    src carries MySQL types (OracleColumn reused as a dialect-neutral
+    carrier), tgt carries Oracle types; the expected Oracle type is
+    derived from src via the M2O mapping and compared against the
+    target's declared type. ENUM/SET source columns are not
+    expressible in Oracle — reported as a mismatch note, no fix SQL.
+    """
+    r = CheckResult(table=src.name)
+    qt = f'"{tgt.schema.upper()}"."{tgt.name.upper()}"'
+    src_cols = {c.name.upper(): c for c in src.columns}
+    tgt_cols = {c.name.upper(): c for c in tgt.columns}
+
+    for name in sorted(src_cols.keys() - tgt_cols.keys()):
+        r.missing_columns.append(name)
+        c = src_cols[name]
+        try:
+            otype = _mysql_col_to_oracle_type(c)
+        except ValueError as e:
+            r.fix_sql.append(f"-- column {name}: {e}")
+            continue
+        null_s = "" if c.nullable else " NOT NULL"
+        r.fix_sql.append(f'ALTER TABLE {qt} ADD "{name}" {otype}{null_s};')
+
+    for name in sorted(tgt_cols.keys() - src_cols.keys()):
+        r.extra_columns.append(name)
+        r.fix_sql.append(f'ALTER TABLE {qt} DROP COLUMN "{name}";')
+
+    for name in sorted(src_cols.keys() & tgt_cols.keys()):
+        s, t = src_cols[name], tgt_cols[name]
+        try:
+            expected = _mysql_col_to_oracle_type(s)
+        except ValueError as e:
+            r.type_mismatches.append((name, f"<{s.data_type}>", t.data_type.upper()))
+            r.fix_sql.append(f"-- column {name}: {e}")
+            continue
+        actual = _render_oracle_type(t)
+        if expected != actual:
+            r.type_mismatches.append((name, expected, actual))
+            r.fix_sql.append(f'ALTER TABLE {qt} MODIFY "{name}" {expected};')
+        if s.nullable != t.nullable:
+            r.nullability_mismatches.append((name, s.nullable, t.nullable))
+            mod = "NULL" if s.nullable else "NOT NULL"
+            r.fix_sql.append(f'ALTER TABLE {qt} MODIFY "{name}" {mod};')
+
+    spk = tuple(x.upper() for x in src.primary_key.columns) if src.primary_key else ()
+    tpk = tuple(x.upper() for x in tgt.primary_key.columns) if tgt.primary_key else ()
+    if spk != tpk:
+        r.pk_mismatch = (spk, tpk)
+        if tpk and tgt.primary_key is not None:
+            r.fix_sql.append(
+                f'ALTER TABLE {qt} DROP CONSTRAINT "{tgt.primary_key.name.upper()}";'
+            )
+        if spk:
+            cols = ", ".join(f'"{c}"' for c in spk)
+            r.fix_sql.append(
+                f'ALTER TABLE {qt} ADD CONSTRAINT "PK_{tgt.name.upper()}" PRIMARY KEY ({cols});'
+            )
+
+    # collation facet: the MySQL source collation maps to an Oracle
+    # collation class (BINARY_CS/CI/AI); divergence is reported with an
+    # ALTER ... DEFAULT COLLATION suggestion (12.2+ only — the
+    # reference renders a suggestion table, diff.go:115-149)
+    if src.collation and tgt.collation:
+        from transferdb_spark.rules.collation import mysql_to_oracle_collation
+
+        expected_coll = mysql_to_oracle_collation(src.collation)
+        actual_coll = tgt.collation.upper()
+        if actual_coll != expected_coll:
+            r.collation_mismatch = (expected_coll, actual_coll)
+            r.fix_sql.append(
+                f"-- expected oracle collation class {expected_coll}, found {actual_coll}"
+                f" (ALTER TABLE {qt} DEFAULT COLLATION requires 12.2+ MAX_STRING_SIZE)"
+            )
+    return r
+
+
+def _render_oracle_type(c) -> str:
+    """Declared Oracle type string from catalog column facts, matching
+    the M2O mapper's rendering so equal types compare equal."""
+    dt = c.data_type.upper()
+    if dt == "NUMBER":
+        p = c.data_precision
+        s = c.data_scale or 0
+        if p is None:
+            return "NUMBER"
+        # always render the scale so NUMBER(19,0) from the M2O mapper
+        # compares equal to a catalog's NUMBER(19)
+        return f"NUMBER({p},{s})"
+    if dt in ("VARCHAR2", "NVARCHAR2", "CHAR", "NCHAR", "RAW"):
+        ln = c.data_length or c.char_length or 0
+        return f"{dt}({ln})" if ln else dt
+    if dt.startswith("TIMESTAMP"):
+        return dt if "(" in dt else f"TIMESTAMP({c.data_scale if c.data_scale is not None else 6})"
+    return dt
+
+
 def check_catalogs(
-    src: dict[str, TableMeta], tgt: dict[str, TableMeta], rules: RuleSet | None = None
+    src: dict[str, TableMeta],
+    tgt: dict[str, TableMeta],
+    rules: RuleSet | None = None,
+    direction: str = "o2m",
 ) -> dict[str, CheckResult]:
-    """Diff every common table; missing target tables get full DDL need."""
+    """Diff every common table; missing target tables get full DDL need.
+
+    direction='o2m' (default): Oracle source vs MySQL target, MySQL
+    fix-SQL. direction='m2o': MySQL source vs Oracle target, Oracle
+    fix-SQL via the M2O expected-type oracle (check/mysql/m2o)."""
     out = {}
     for name in sorted(src):
         if name in tgt:
-            out[name] = check_table(src[name], tgt[name], rules)
+            out[name] = (
+                check_table_m2o(src[name], tgt[name])
+                if direction == "m2o"
+                else check_table(src[name], tgt[name], rules)
+            )
         else:
             r = CheckResult(table=name)
             r.missing_columns = [c.name for c in src[name].columns]
