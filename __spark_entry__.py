@@ -2688,6 +2688,14 @@ def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+def ann_topk_lsh_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with the plane count derived from table stats (the
+    production sizing path) — 5 planes at 500 rows, 7 at 2000."""
+    from transferdb_spark.ext.similarity import ann_topk_lsh_auto
+
+    return ann_topk_lsh_auto(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.similarity import embedding_neardup_pairs
 
@@ -3625,6 +3633,7 @@ def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.similarity import (
         EMBEDDING_NORMS_SQL,
         ann_topk_ivf_sql,
+        ann_topk_lsh_auto_sql,
         ann_topk_lsh_multiprobe_sql,
         ann_topk_lsh_sql,
         embedding_neardup_sql,
@@ -3667,6 +3676,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "similarity_topk": topk_bruteforce_sql(0, 10),
         "ann_bucket_histogram": lsh_bucket_histogram_sql(),
         "ann_topk_lsh": ann_topk_lsh_sql(0, 10),
+        "ann_topk_lsh_auto": ann_topk_lsh_auto_sql(0, 10),
         "ann_topk_ivf": ann_topk_ivf_sql(0, 10),
         "ann_topk_multiprobe": ann_topk_lsh_multiprobe_sql(0, 10),
         "assess_identifier_lengths": ASSESS_IDENT_SQL,
@@ -3814,7 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_rollup": grouping_rollup,
         "semi_join_customers": semi_join_customers,
         "anti_join_parts": anti_join_parts,
-        "date_extract": date_extract,
+        "ann_topk_lsh_auto": ann_topk_lsh_auto_q,
         "above_customer_avg": above_customer_avg,
         # -- north-star LLM-pipeline operators (31-48)
         "dedup_exact": dedup_exact,
@@ -3850,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": deterministic_sample,
         "stratified_sample": stratified_sample,
         # ---------------- below the driver's 50-query fold ----------------
+        "date_extract": date_extract,
         "median_order_value": median_order_value,
         "json_props_histogram": json_props_histogram,
         "q2_min_cost_supplier": q2_min_cost_supplier,

@@ -177,6 +177,49 @@ def test_lsh_buckets_parameterized_planes(spark, sf_dir):
     assert n4 <= 16 and n6 <= 64 and n6 > n4
 
 
+def test_ann_auto_planes_bound_bucket_occupancy(spark, emb):
+    """Derived plane counts keep expected bucket occupancy near the
+    target: derived_planes follows the clamp(ceil(log2(n/target)))
+    formula, and the realized index at those plane counts has mean
+    occupancy within 2× of target with no bucket holding the majority
+    of the table (the 100 TB sizing contract)."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.ext.similarity import (
+        N_PLANES,
+        ann_topk_lsh_auto,
+        derived_planes,
+        lsh_buckets,
+    )
+
+    # formula edges
+    assert derived_planes(100, 4096) == N_PLANES  # small table: floor
+    assert derived_planes(4096, 4096) == N_PLANES
+    assert derived_planes(4097, 4096) == N_PLANES  # ceil(log2(~1)) < lo
+    assert derived_planes(4096 * 32, 4096) == 5
+    assert derived_planes(10**10, 4096) == 22  # ~10 TB of vectors
+    assert derived_planes(10**12, 4096) == 24  # clamped at production hi
+
+    n = emb.count()
+    planes = derived_planes(n, target_bucket_rows=16, hi=12)
+    assert planes > N_PLANES  # fixtures genuinely exercise the derivation
+
+    hist = (
+        lsh_buckets(emb, n_planes=planes)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    assert sum(r["cnt"] for r in hist) == n
+    mean_occ = n / (1 << planes)
+    assert mean_occ <= 2 * 16  # expected occupancy within 2× of target
+    assert max(r["cnt"] for r in hist) < n / 2  # no majority bucket
+
+    out = ann_topk_lsh_auto(emb, query_vec_id=0, k=10).collect()
+    assert 0 < len(out) <= 10
+    assert all(r["vec_id"] != 0 for r in out)
+
+
 def test_wav_decode_and_audio_features(spark):
     """REAL audio path: PCM WAV parsed with struct, DSP features via
     numpy FFT — no audio library. The 440 Hz tone's energy must land

@@ -190,6 +190,18 @@ def _signs(n_planes: int = N_PLANES) -> np.ndarray:
     return _SIGNS_CACHE[n_planes]
 
 
+def derived_planes(
+    n_rows: int, target_bucket_rows: int = 4096, lo: int = N_PLANES, hi: int = 24
+) -> int:
+    """Shared plane-count formula (both engines evaluate it identically):
+    n <= target -> lo; else clamp(ceil(log2(n/target)), lo, hi)."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def recommended_planes(n_rows: int, target_bucket_rows: int = 4096) -> int:
     """Data-driven hyperplane count: enough planes that the EXPECTED
     bucket occupancy n/2^p lands at ~target_bucket_rows, clamped to
@@ -204,6 +216,75 @@ def recommended_planes(n_rows: int, target_bucket_rows: int = 4096) -> int:
     if n_rows <= target_bucket_rows:
         return N_PLANES
     return max(N_PLANES, min(24, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
+def ann_topk_lsh_auto(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    target_bucket_rows: int = 16,
+    max_planes: int = 12,
+) -> DataFrame:
+    """ANN top-k with the plane count DERIVED from table stats instead
+    of the fixed test-scale N_PLANES — the production sizing path.
+
+    The count is parquet-metadata cheap; derived_planes keeps expected
+    bucket occupancy ≈ target_bucket_rows. max_planes=12 here (not the
+    production 24) purely to bound the oracle twin's expanded SQL —
+    the formula itself is scale-free. At the fixture scales this
+    derives 5 planes (500 rows) and 7 planes (2000 rows), so the
+    parametric path is genuinely exercised by the correctness gate."""
+    n = emb.count()
+    planes = derived_planes(n, target_bucket_rows, hi=max_planes)
+    udf = make_bucket_udf(planes)
+    with_b = emb.select(
+        "vec_id", "embedding", udf(F.col("embedding")).alias("bucket")
+    )
+    q = with_b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        with_b.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", cosine_expr("embedding", "qvec").cast("double").alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def ann_topk_lsh_auto_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    target_bucket_rows: int = 16,
+    max_planes: int = 12,
+) -> str:
+    """Oracle twin: the plane count comes from the SAME formula as a
+    scalar subquery, and every bit up to max_planes is gated on
+    `i < planes` — so one static SQL string adapts to any table size,
+    exactly like the Spark side's derived_planes(count)."""
+    t = target_bucket_rows
+    planes_sql = (
+        f"(SELECT CASE WHEN COUNT(*) <= {t} THEN {N_PLANES} "
+        f"ELSE GREATEST({N_PLANES}, LEAST({max_planes}, "
+        f"CAST(CEIL(LOG2(COUNT(*) / {t}.0)) AS INT))) END FROM embeddings)"
+    )
+    bits = []
+    for i in range(max_planes):
+        dot = _signed_dot(i, "CAST(embedding[{j}] AS DOUBLE)")
+        bits.append(
+            f"(CASE WHEN {i} < p.planes AND ({dot}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+WITH p AS (SELECT {planes_sql} AS planes),
+b AS (SELECT vec_id, embedding, CAST(({bucket}) AS INT) AS bucket FROM embeddings, p),
+q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = {query_vec_id})
+SELECT vec_id, CAST({cosine_sql('embedding', 'qvec')} AS DOUBLE) AS cosine
+FROM b, q
+WHERE bucket = qbucket AND vec_id <> {query_vec_id}
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
 
 
 def make_bucket_udf(n_planes: int):
