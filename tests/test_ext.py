@@ -177,6 +177,27 @@ def test_lsh_buckets_parameterized_planes(spark, sf_dir):
     assert n4 <= 16 and n6 <= 64 and n6 > n4
 
 
+def test_neardup_clusters_long_chain_pointer_doubling(spark):
+    """An adversarial 1000-link chain (diameter 999) exceeds the plain
+    min-propagation budget; the automatic pointer-doubling fallback
+    must converge (log D rounds) and collapse everything to one
+    cluster — and a dense multi-cluster graph still resolves exactly."""
+    from transferdb_spark.ext.dedup import neardup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+    )
+    out = neardup_clusters(chain, max_iter=5).collect()
+    assert len(out) == 1000
+    assert {r["cluster_id"] for r in out} == {0}
+
+    # two clusters + a singleton-free disjoint triangle: exact labels
+    edges = [(10, 11), (11, 12), (20, 21), (21, 22), (22, 20)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(df).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_ann_auto_planes_bound_bucket_occupancy(spark, emb):
     """Derived plane counts keep expected bucket occupancy near the
     target: derived_planes follows the clamp(ceil(log2(n/target)))

@@ -151,22 +151,61 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
+    labels, converged = _cc_rounds(sym, labels, max_iter, pointer_jump=False)
+    if not converged:
+        # long-chain graph: plain propagation needs diameter rounds —
+        # switch to pointer doubling (label(v) also shortcuts to
+        # label(label(v)) each round), which closes distance 2^k after
+        # k rounds, so 48 more rounds cover any graph that fits in
+        # storage (2^48 nodes)
+        labels, converged = _cc_rounds(sym, labels, 48, pointer_jump=True)
+    if not converged:
+        raise RuntimeError(
+            "neardup_clusters did not converge even under pointer doubling — "
+            "inconsistent edge relation?"
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _cc_rounds(
+    sym: DataFrame, labels: DataFrame, max_iter: int, pointer_jump: bool
+) -> tuple[DataFrame, bool]:
+    """Min-label rounds; returns (labels, converged).
+
+    pointer_jump=False: label(v) ← min(label(v), min_{u~v} label(u)) —
+    one join+groupBy per round, rounds needed = diameter. Right for
+    banded near-dup graphs (dense clusters, tiny diameter).
+    pointer_jump=True adds the doubling step label(v) ← min(...,
+    label(label(v))) — a second self-join per round, log(D) rounds on
+    adversarial chains (the MapReduce-CC 'pointer jumping' technique,
+    public literature: Kiveris et al., Connected Components in
+    MapReduce and Beyond)."""
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nl"))
         )
-        new_labels = (
-            labels.join(neigh, labels["node"] == neigh["a"], "left")
-            .select(
-                labels["node"].alias("node"),
-                F.least(labels["label"], F.coalesce(neigh["nl"], labels["label"])).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
+        cand = labels.join(neigh, labels["node"] == neigh["a"], "left").select(
+            labels["node"].alias("node"),
+            F.least(labels["label"], F.coalesce(neigh["nl"], labels["label"])).alias(
+                "label"
+            ),
         )
+        if pointer_jump:
+            # shortcut through the label graph: labels is total over
+            # nodes and every label IS a node id, so the lookup is a
+            # left join that only misses when label(v)==v's root
+            parent = labels.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            cand = cand.join(parent, cand["label"] == parent["p_node"], "left").select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+        new_labels = cand.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -175,13 +214,8 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"neardup_clusters did not converge in {max_iter} rounds — "
-            "use pointer-doubling for long-chain graphs"
-        )
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+            return labels, True
+    return labels, False
 
 
 def exact_dedup_summary(docs: DataFrame) -> DataFrame:
