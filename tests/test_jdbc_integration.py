@@ -172,3 +172,66 @@ def test_jdbc_session_init_statement_pins_snapshot_per_connection(spark, derby_u
         spark, chunks=chunks
     )
     assert sorted(r["VAL"] for r in unpinned.collect()) == [100, 200, 300, 400]
+
+
+def test_cdc_stream_merge_apply_repairs_damaged_target(spark, sf_dir, derby_url, tmp_path):
+    """Full T-family loop against a LIVE JDBC target: stream events →
+    per-batch latest-wins dedupe → staging write → one set-based MERGE
+    (the reference's incr apply, o2m/apply.go:119-233). Damage the
+    target through plain SQL, re-deliver the stream, and the idempotent
+    MERGE must repair it to a zero-diff compare."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.modes.compare_mode import compare_tables
+    from transferdb_spark.sources.jdbc import JdbcSink, JdbcSource
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.streaming.incr import apply_cdc_stream_to_jdbc, stream_events
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .filter(F.col("event_id") % 5 == 0)  # deterministic subset
+    )
+    n_src = events.count()
+    assert n_src > 50
+    feed = str(tmp_path / "feed")
+    events.coalesce(1).write.mode("overwrite").parquet(feed)
+
+    sink = JdbcSink(url=derby_url, table="EVT", driver=DERBY_DRIVER)
+    sink.write(events.limit(0), mode="overwrite")  # create empty target
+
+    q = apply_cdc_stream_to_jdbc(
+        stream_events(spark, feed), sink, str(tmp_path / "ckpt1"), key="event_id"
+    )
+    q.awaitTermination(120)
+
+    def read_tgt():
+        t = JdbcSource(url=derby_url, table="EVT", driver=DERBY_DRIVER).load(spark)
+        return t.toDF(*[c.lower() for c in t.columns])
+
+    assert read_tgt().count() == n_src
+
+    # damage the target: one row deleted, one modified
+    k0, k1 = [r["event_id"] for r in events.orderBy("event_id").limit(2).collect()]
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.executeUpdate(f'DELETE FROM EVT WHERE "event_id" = {k0}')
+    st.executeUpdate(f'UPDATE EVT SET "value" = -1 WHERE "event_id" = {k1}')
+    st.close()
+    conn.close()
+
+    bad = compare_tables(
+        spark, events, read_tgt(), "evt", str(tmp_path / "cmp1"), key="event_id", n_chunks=4
+    )
+    assert not bad.is_equal
+
+    # re-deliver from a fresh checkpoint: MERGE restores both rows
+    q2 = apply_cdc_stream_to_jdbc(
+        stream_events(spark, feed), sink, str(tmp_path / "ckpt2"), key="event_id"
+    )
+    q2.awaitTermination(120)
+    good = compare_tables(
+        spark, events, read_tgt(), "evt", str(tmp_path / "cmp2"), key="event_id", n_chunks=4
+    )
+    assert good.is_equal

@@ -157,6 +157,68 @@ class JdbcSink:
                 time.sleep(backoff_s * (2 ** (attempt - 1)))
         raise last  # type: ignore[misc]
 
+    def execute(self, spark: SparkSession, sql: str) -> int:
+        """Run one driver-side DDL/DML statement over JDBC (py4j).
+
+        Used for the set-based statements that bracket bulk writes
+        (MERGE from staging, DROP staging) — O(1) driver work per
+        batch regardless of batch size; row data never flows through
+        the driver."""
+        jvm = spark._jvm
+        if self.driver:
+            jvm.java.lang.Class.forName(self.driver)
+        if self.user:
+            conn = jvm.java.sql.DriverManager.getConnection(self.url, self.user, self.password)
+        else:
+            conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            st = conn.createStatement()
+            try:
+                return st.executeUpdate(sql)
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    def merge_from_staging(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        staging_table: str | None = None,
+        drop_staging: bool = True,
+    ) -> int:
+        """MERGE-style upsert: land df in a staging table (executor-side
+        batched JDBC write), then one set-based MERGE INTO target — the
+        scalable shape of the reference's REPLACE safe-mode apply
+        (o2m/apply.go:119-233, translate.go:118-128): per-batch work is
+        one bulk write + one statement, never per-row driver round
+        trips. Identifiers are double-quoted to match Spark's JDBC
+        writer casing. Returns the MERGE's affected-row count."""
+        spark = df.sparkSession
+        stg = staging_table or f"{self.table}__STG"
+        import dataclasses
+
+        stg_sink = dataclasses.replace(self, table=stg)
+        stg_sink.write(df, mode="overwrite")
+        cols = df.columns
+
+        def q(c: str) -> str:
+            return f'"{c}"'
+
+        on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in key_cols)
+        sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in cols if c not in key_cols)
+        ins_cols = ", ".join(q(c) for c in cols)
+        ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        stmt = (
+            f"MERGE INTO {self.table} t USING {stg} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+        n = self.execute(spark, stmt)
+        if drop_staging:
+            self.execute(spark, f"DROP TABLE {stg}")
+        return n
+
     def upsert_batch(self, df: DataFrame, key_cols: list[str]) -> str:
         """REPLACE-safe-mode statement text for a MERGE-style apply.
 

@@ -149,6 +149,53 @@ def apply_cdc_stream(
     return writer.start()
 
 
+def apply_cdc_stream_to_jdbc(
+    stream: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    key: str = "event_id",
+    scn_col: str = "event_id",
+    available_now: bool = True,
+):
+    """Stream → MERGE into a live JDBC target — the end-to-end analogue
+    of the reference's incr apply loop (o2m/apply.go:119-233: ordered
+    appliers executing REPLACE against the target database).
+
+    Per micro-batch: dedupe to the newest image per business key
+    (latest-wins, the UPDATE = DELETE+REPLACE collapse), then
+    JdbcSink.merge_from_staging lands the batch executor-side and runs
+    ONE set-based MERGE — re-delivered batches re-merge the same
+    images, so the apply is idempotent and the streaming checkpoint's
+    at-least-once delivery upgrades to effectively-once on the target.
+    """
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(F.desc(scn_col), F.desc("ts"))
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        if latest.isEmpty():
+            return
+        sink.merge_from_staging(latest, [key], staging_table=f"{sink.table}__STG_{batch_id}")
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(apply_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="300 milliseconds")
+    return writer.start()
+
+
 def cdc_current_state(
     spark: SparkSession, target_dir: str, key: str = "event_id", scn_col: str = "event_id"
 ) -> DataFrame:
