@@ -2588,9 +2588,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (ext/bpe.py) — corpus collapses
     to a word-frequency table (one shuffle), then each merge iteration
     is a map-side-combined pair count + a single argmax row to the
-    driver. Iterative/driver-coordinated, so no SQL oracle (rows-only
-    check); the differential pytest pins it against a pure-Python
-    Sennrich reference."""
+    driver. Oracle: the loop unrolled into chained DuckDB CTEs
+    (ext/bpe.train_merges_sql); a differential pytest additionally
+    pins it against a pure-Python Sennrich reference."""
     from transferdb_spark.ext.bpe import merges_frame
 
     return merges_frame(_t(spark, sf_dir, "documents"), n_merges=5)
@@ -3979,6 +3979,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_returnflag": PIVOT_SQL,
         "grouping_cube": CUBE_SQL,
         "text_bpe_tokens": _bpe_token_sql(),
+        "bpe_train_merges": _bpe_train_merges_sql(),
         "catalog_columns": CATALOG_COLUMNS_SQL,
         "assess_width_audit": WIDTH_AUDIT_SQL,
         "assess_constraint_kinds": _constraint_kinds_sql(),
@@ -4016,6 +4017,16 @@ def _bpe_token_sql() -> str:
     from transferdb_spark.ext.text import BPE_TOKEN_SQL
 
     return BPE_TOKEN_SQL
+
+
+def _bpe_train_merges_sql() -> str:
+    # the merge loop unrolled into chained CTEs — same n_merges as the
+    # queries() entry (the dedup_clusters precedent proved iterative
+    # oracles workable; unrolling carries the per-step argmax a
+    # recursive CTE cannot)
+    from transferdb_spark.ext.bpe import train_merges_sql
+
+    return train_merges_sql(n_merges=5)
 
 
 ORDERS_SCHEMA = T.StructType(

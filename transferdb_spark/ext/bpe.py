@@ -22,10 +22,10 @@ Scale shape (100 TB of text):
   smallest (left, right) pair, so two engines (and re-runs) produce
   identical merge tables.
 
-No SQL oracle: the loop is iterative/driver-coordinated (the driver
-gate records the weaker rows-only check); correctness is pinned by a
-differential pytest against a pure-Python reference implementation on
-the same corpus.
+Oracle: the merge loop is unrolled into chained DuckDB CTEs
+(train_merges_sql — full hash-checked parity in the driver gate);
+correctness is additionally pinned by a differential pytest against a
+pure-Python reference implementation on the same corpus.
 """
 
 from __future__ import annotations
@@ -103,6 +103,70 @@ def train_merges(
             _merge_udf(top["l"], top["r"])(F.col("syms")).alias("syms"), "cnt"
         ).localCheckpoint()
     return merges
+
+
+def train_merges_sql(n_merges: int = 10, min_freq: int = 2) -> str:
+    """DuckDB oracle for train_merges: the merge loop UNROLLED into
+    chained CTEs (one pair-count + argmax + merge-apply block per
+    iteration — n_merges is small, so full unrolling keeps the oracle
+    pure SQL where a recursive CTE could not carry the per-step argmax).
+
+    The greedy left-to-right pair merge is expressed relationally:
+    symbols live as (word, pos, sym) rows; matched positions form
+    gaps-and-islands runs, and greedy consumption = keeping alternating
+    positions within each run (a kept match consumes its right symbol,
+    which un-consumes the next, etc. — exactly run-parity). The merged
+    rows concatenate sym||next, rows consumed by a kept left neighbour
+    drop out, and positions re-densify for the next round. Ties break
+    (freq DESC, l, r) in both engines."""
+    from transferdb_spark.ext.text import TOKENS_SQL
+
+    parts = [
+        f"""wc AS (
+  SELECT tok AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest({TOKENS_SQL}) AS tok FROM documents)
+  WHERE length(tok) > 0 GROUP BY tok),
+w0 AS (
+  SELECT word AS wid, cnt, CAST(g.i AS INT) AS pos,
+         substr(word, CAST(g.i AS INT), 1) AS sym
+  FROM wc, UNNEST(generate_series(1, length(word))) AS g(i))"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"w{k - 1}"
+        parts.append(
+            f"""f{k} AS (
+  SELECT l, r, SUM(cnt) AS freq FROM (
+    SELECT sym AS l, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS r, cnt
+    FROM {prev})
+  WHERE r IS NOT NULL GROUP BY l, r),
+t{k} AS (SELECT l, r, freq FROM f{k} WHERE freq >= {min_freq}
+         ORDER BY freq DESC, l, r LIMIT 1),
+m{k} AS (
+  SELECT w.wid, w.cnt, w.pos, w.sym,
+         COALESCE(w.sym = t.l AND
+           lead(w.sym) OVER (PARTITION BY w.wid ORDER BY w.pos) = t.r, FALSE) AS mt
+  FROM {prev} w CROSS JOIN t{k} t),
+k{k} AS (
+  SELECT wid, cnt, pos, sym, mt,
+         CASE WHEN mt THEN
+           CAST(pos - MIN(pos) OVER (PARTITION BY wid, mt, grp) AS INT) % 2 = 0
+         ELSE FALSE END AS keepm
+  FROM (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY wid, mt ORDER BY pos) AS grp
+        FROM m{k})),
+w{k} AS (
+  SELECT wid, cnt, CAST(ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS INT) AS pos,
+         CASE WHEN keepm THEN sym || nxt ELSE sym END AS sym
+  FROM (SELECT *, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt,
+               COALESCE(lag(keepm) OVER (PARTITION BY wid ORDER BY pos), FALSE) AS pkeep
+        FROM k{k})
+  WHERE NOT pkeep)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f'SELECT {k - 1} AS rank, l AS "left", r AS "right", '
+        f"CAST(freq AS BIGINT) AS freq FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY rank"
 
 
 def merges_frame(docs: DataFrame, n_merges: int = 10) -> DataFrame:
