@@ -454,6 +454,65 @@ def test_full_migrate_resume_skips_success(spark, workdir, lineitem):
     assert store.pending("lineitem") == []
 
 
+def test_full_migrate_resume_across_schema_evolution(spark, sf_dir, tmp_path):
+    """Resume a half-done migration after the SOURCE gained a column
+    (ALTER TABLE ADD between runs): the chunk plan is unchanged (same
+    key, same bounds), so resume appends the evolved rows; the target
+    then reads through load_evolved (mergeSchema) with NULL-for-missing
+    on pre-evolution rows — every source row exactly once, no silent
+    corruption. A re-plan with a different chunk count still discards
+    stale state (plan-drift refusal)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.modes.full import full_migrate_table
+    from transferdb_spark.plans.chunker import plan_chunks
+    from transferdb_spark.sources.registry import load_evolved, load_table
+    from transferdb_spark.state.store import SUCCESS, StateStore
+
+    wd = str(tmp_path)
+    v1 = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n_src = v1.count()
+    chunks = plan_chunks(v1, "c_custkey", 4)
+
+    # half-done first run: chunks 0-1 landed with the v1 schema, then
+    # the job died (chunks 2-3 never written)
+    store = StateStore(wd, "full")
+    store.init_table("customer", chunks)
+    target = os.path.join(wd, "target", "customer")
+    for c in chunks[:2]:
+        v1.filter(c.predicate).write.mode("append").parquet(target)
+        store.mark("customer", c.chunk_id, SUCCESS)
+
+    # source evolved: new column exists when the operator resumes
+    v2 = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    full_migrate_table(
+        spark, v2, "customer", wd, n_chunks=4, key="c_custkey", store=store
+    )
+    assert store.pending("customer") == []
+
+    out = load_evolved(spark, target)
+    assert "c_acctbal" in out.columns
+    assert out.count() == n_src
+    assert out.groupBy("c_custkey").count().filter("count > 1").count() == 0
+    # pre-evolution rows read NULL, resumed rows carry real values
+    hi = chunks[1].upper
+    assert out.filter(
+        (F.col("c_custkey") <= hi) & F.col("c_acctbal").isNotNull()
+    ).count() == 0
+    resumed = out.filter(F.col("c_custkey") > hi)
+    assert resumed.count() > 0
+    assert resumed.filter(F.col("c_acctbal").isNull()).count() == 0
+
+    # plan drift (different chunk count) discards stale state entirely
+    store2 = StateStore(wd, "full")
+    states = store2.init_table("customer", plan_chunks(v2, "c_custkey", 8))
+    assert len(store2.pending("customer")) == len(states) == 8
+
+
 def test_compare_corrupted_emits_fix_sql(spark, sf_dir, workdir, lineitem):
     from transferdb_spark.modes.compare_mode import compare_tables
     from transferdb_spark.operators.compare_fixture import mutated_target

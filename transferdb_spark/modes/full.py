@@ -93,6 +93,12 @@ def full_migrate_table(
     min/max file skipping serves all of them. Same job shape (one
     range exchange); chunk bookkeeping and resume are unchanged
     (resume appends per-chunk predicates without re-clustering).
+    Schema evolution across a resume is safe: the chunk plan hangs off
+    the split key only, so a source that gained columns between runs
+    resumes cleanly — evolved chunks land with the wider schema and the
+    target reads through sources.registry.load_evolved (mergeSchema,
+    NULL-for-missing on pre-evolution rows). A re-plan whose chunk
+    bounds moved is refused by StateStore.init_table instead.
     """
     store = store or StateStore(workdir, "full")
     if user_range:
