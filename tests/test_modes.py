@@ -58,6 +58,46 @@ def test_reverse_quarantines_incompatible(catalog):
     assert len(res.ddl) == 1  # nation still converted, bitmap index skipped
 
 
+def test_reverse_t2o_charset_surface():
+    """T2O mirrors the M2O generation flow but on TiDB's narrower
+    charset surface: gb18030 converts under M2O yet quarantines under
+    T2O; utf8mb4 converts under both; an unknown collation quarantines
+    in either direction."""
+    from transferdb_spark.catalog.meta import ConstraintMeta, TableMeta
+    from transferdb_spark.modes.reverse import reverse_tables_m2o, reverse_tables_t2o
+    from transferdb_spark.rules.datatypes import OracleColumn
+
+    def mk(name, charset, collation="utf8mb4_bin"):
+        return TableMeta(
+            schema="app",
+            name=name,
+            columns=[OracleColumn("id", "BIGINT", nullable=False)],
+            constraints=[ConstraintMeta(f"pk_{name}", "P", ("id",))],
+            charset=charset,
+            collation=collation,
+        )
+
+    cat = {
+        "plain": mk("plain", "utf8mb4"),
+        "legacy": mk("legacy", "gb18030", "gb18030_chinese_ci"),
+        "weird": mk("weird", "utf8mb4", "utf8mb4_sinhala_ci"),
+    }
+    m2o = reverse_tables_m2o(cat)
+    t2o = reverse_tables_t2o(cat)
+
+    assert any('"PLAIN"' in d for d in m2o.ddl)
+    assert any('"PLAIN"' in d for d in t2o.ddl)
+    # gb18030: fine under M2O, quarantined under T2O
+    assert any('"LEGACY"' in d for d in m2o.ddl)
+    assert not any('"LEGACY"' in d for d in t2o.ddl)
+    assert any("gb18030" in c for c in t2o.compatibility)
+    # unsupported collation quarantines in both directions
+    assert not any('"WEIRD"' in d for d in m2o.ddl)
+    assert not any('"WEIRD"' in d for d in t2o.ddl)
+    assert any("utf8mb4_sinhala_ci" in c for c in t2o.compatibility)
+    assert not m2o.errors and not t2o.errors
+
+
 def test_reverse_o2t_clustered_routing(catalog):
     """O2T (TiDB) direction: clustered/non-clustered PK routing, the
     SHARD_ROW_ID_BITS table-option dance, and FK/CK quarantined to the

@@ -195,19 +195,81 @@ def gen_create_table_oracle(
     return stmts, compat
 
 
-def reverse_tables_m2o(
-    catalog: dict[str, TableMeta], target_schema: str = ""
+# Source-charset → Oracle-charset maps (common/reverse.go:118-129).
+# The TiDB map is strictly narrower than MySQL's: TiDB only ships
+# utf8/utf8mb4/gbk server charsets, so big5/gb18030 sources that M2O
+# converts are a T2O quarantine.
+M2O_CHARSET_TO_ORACLE = {
+    "UTF8MB4": "AL32UTF8",
+    "UTF8": "AL32UTF8",
+    "BIG5": "ZHT16BIG5",
+    "GBK": "ZHS16GBK",
+    "GB18030": "ZHS32GB18030",
+}
+T2O_CHARSET_TO_ORACLE = {
+    "UTF8MB4": "AL32UTF8",
+    "UTF8": "AL32UTF8",
+    "GBK": "ZHS16GBK",
+}
+
+
+def _reverse_tables_to_oracle(
+    catalog: dict[str, TableMeta],
+    target_schema: str,
+    charset_map: dict[str, str],
+    dialect: str,
 ) -> ReverseResult:
-    """Convert a MySQL-typed catalog to Oracle DDL; quarantine, never abort."""
+    """Shared M2O/T2O driver: Oracle DDL per table, with the source
+    charset/collation validated against the direction's map — an
+    unrepresentable table quarantines whole (reference
+    module/reverse/mysql/t2o/table.go:757-834 emits the same
+    'charset/collation currently isn't support' compatibility note)."""
     out = ReverseResult()
     for name, t in sorted(catalog.items()):
         try:
+            cs = (t.charset or "").upper().replace("-", "")
+            if cs and cs not in charset_map:
+                out.compatibility.append(
+                    f"-- table {t.name}: {dialect} source charset {t.charset} has no "
+                    f"oracle mapping in this direction; manual conversion required"
+                )
+                continue
+            if t.collation:
+                from transferdb_spark.rules.collation import mysql_to_oracle_collation
+
+                try:
+                    mysql_to_oracle_collation(t.collation)
+                except ValueError:
+                    out.compatibility.append(
+                        f"-- table {t.name}: {dialect} collation {t.collation} not "
+                        f"supported toward oracle; manual conversion required"
+                    )
+                    continue
             stmts, compat = gen_create_table_oracle(t, target_schema)
             out.ddl.extend(stmts)
             out.compatibility.extend(compat)
         except Exception as e:  # error_log_detail semantics
             out.errors.append(f"{t.name}: {e}")
     return out
+
+
+def reverse_tables_m2o(
+    catalog: dict[str, TableMeta], target_schema: str = ""
+) -> ReverseResult:
+    """Convert a MySQL-typed catalog to Oracle DDL; quarantine, never
+    abort (module/reverse/mysql/m2o)."""
+    return _reverse_tables_to_oracle(catalog, target_schema, M2O_CHARSET_TO_ORACLE, "mysql")
+
+
+def reverse_tables_t2o(
+    catalog: dict[str, TableMeta], target_schema: str = ""
+) -> ReverseResult:
+    """T2O: TiDB-typed catalog → Oracle DDL. Same generation flow as
+    M2O (the reference's t2o package is the m2o flow re-keyed to the
+    TaskTypeTiDB2Oracle lookup tables, module/reverse/mysql/t2o/
+    rule.go:401,426) with the narrower TiDB charset surface — only
+    utf8/utf8mb4/gbk sources convert; anything else quarantines."""
+    return _reverse_tables_to_oracle(catalog, target_schema, T2O_CHARSET_TO_ORACLE, "tidb")
 
 
 # TiDB's clustered-index integer family — a single-column PK of these
