@@ -1617,10 +1617,25 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule battery (Rae et al. 2021):
+    word-count/word-length bounds, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic fraction, stopword floor → keep verdict."""
+    from transferdb_spark.ext.text import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
 def _repetition_sql() -> str:
     from transferdb_spark.ext.text import REPETITION_SQL
 
     return REPETITION_SQL
+
+
+def _gopher_quality_sql() -> str:
+    from transferdb_spark.ext.text import gopher_quality_sql
+
+    return gopher_quality_sql()
 
 
 def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3825,7 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_customers": semi_join_customers,
         "anti_join_parts": anti_join_parts,
         "ann_topk_lsh_auto": ann_topk_lsh_auto_q,
-        "above_customer_avg": above_customer_avg,
+        "gopher_quality_rules": gopher_quality_rules,
         # -- north-star LLM-pipeline operators (31-48)
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
@@ -3861,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample,
         # ---------------- below the driver's 50-query fold ----------------
         "date_extract": date_extract,
+        "above_customer_avg": above_customer_avg,
         "median_order_value": median_order_value,
         "json_props_histogram": json_props_histogram,
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -4002,6 +4018,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_family": RANK_FAMILY_SQL,
         "pii_redaction": _pii_redaction_sql(),
         "repetition_ratio": _repetition_sql(),
+        "gopher_quality_rules": _gopher_quality_sql(),
         "domain_mix_sample": _domain_mix_sql(),
         **_ext_oracle_sql(),
     }

@@ -177,6 +177,42 @@ def test_lsh_buckets_parameterized_planes(spark, sf_dir):
     assert n4 <= 16 and n6 <= 64 and n6 > n4
 
 
+def test_gopher_quality_rules_branch_coverage(spark):
+    """Every Gopher rule flips on a purpose-built doc, and the DuckDB
+    rendering agrees row-for-row (the fixture corpus never exercises
+    the bullet/ellipsis line rules, so pin them here)."""
+    import duckdb
+    import pandas as pd
+
+    from transferdb_spark.ext.text import LANG_STOPWORDS, gopher_quality, gopher_quality_sql
+
+    # 64 words, mean length 5.0, stopword-rich
+    good_words = ("the and is with people working together example " * 8).strip()
+    cases = [
+        (0, good_words, 1),  # passes all rules
+        (1, "short text the and", 0),  # < 50 words
+        (2, ("a b c d " * 20 + "the and").strip(), 0),  # mean word len < 3
+        (3, good_words + " ###### ########## #####", 0),  # symbol ratio
+        (4, "\n".join(["- " + good_words.split()[i % 9] for i in range(40)]) + "\n" + good_words, 0),  # bullets
+        (5, "\n".join([good_words + "..."] * 3) + "\n" + good_words, 0),  # ellipsis lines
+        (6, good_words + " " + " ".join(["123"] * 40), 0),  # alpha frac < 0.8
+        (7, ("word waffle pelican trombone " * 15).strip(), 0),  # < 2 stopwords
+    ]
+    sdf = spark.createDataFrame(cases, "doc_id long, text string, want int")
+    got = gopher_quality(sdf.drop("want")).toPandas().set_index("doc_id")
+    for did, _, want in cases:
+        assert got.loc[did, "keep"] == want, (did, dict(got.loc[did]))
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame([(d, t) for d, t, _ in cases], columns=["doc_id", "text"])
+    )
+    oracle = con.execute(gopher_quality_sql()).fetchdf().set_index("doc_id")
+    for col in got.columns:
+        assert list(got[col]) == list(oracle[col].astype(got[col].dtype)), col
+    assert len(LANG_STOPWORDS["en"]) >= 8
+
+
 def test_neardup_clusters_long_chain_pointer_doubling(spark):
     """An adversarial 1000-link chain (diameter 999) exceeds the plain
     min-propagation budget; the automatic pointer-doubling fallback

@@ -406,6 +406,109 @@ ORDER BY doc_id
 """
 
 
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    public knowledge): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (# and ellipsis), bullet/ellipsis line
+    fractions, alphabetic-word fraction, minimum stopword hits — each
+    facet a narrow JVM expression, composed into one keep verdict.
+
+    Every ratio is a single integer division (IEEE-identical across
+    engines); thresholds compare the ROUNDED facets so the oracle's
+    verdict can never drift on a boundary."""
+    toks = F.expr(TOKENS)
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(toks)
+    nz = F.greatest(n_words, F.lit(1)).cast("double")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    mean_wlen = stable_round(F.length(F.array_join(toks, "")) / nz, 5)
+    ellipses = (F.length("text") - F.length(F.regexp_replace("text", "\\.\\.\\.", ""))) / F.lit(3)
+    hashes = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    symbol_ratio = stable_round((ellipses + hashes) / nz, 5)
+    bullet = stable_round(
+        F.size(F.filter(lines, lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"))) / n_lines,
+        5,
+    )
+    ellipsis_lines = stable_round(
+        F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("..."))) / n_lines, 5
+    )
+    alpha = stable_round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nz, 5
+    )
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]]))
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet.alias("bullet_line_frac"),
+        ellipsis_lines.alias("ellipsis_line_frac"),
+        alpha.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stopword_hits") >= 2)
+    )
+    return out.withColumn("keep", keep.cast("int")).orderBy("doc_id")
+
+
+def gopher_quality_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         {TOKENS_SQL} AS t,
+         regexp_split_to_array(text, '\n') AS lines,
+         text
+  FROM documents
+),
+facet AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_words,
+         CAST(GREATEST(len(t), 1) AS DOUBLE) AS nz,
+         CAST(GREATEST(len(lines), 1) AS DOUBLE) AS n_lines,
+         length(array_to_string(t, '')) AS wchars,
+         (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS ellipses,
+         length(text) - length(replace(text, '#', '')) AS hashes,
+         len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*'))) AS bullets,
+         len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS ell_lines,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+         CAST(len(list_intersect(list_distinct(t), [{stops}])) AS INT) AS stopword_hits
+  FROM base
+),
+scored AS (
+  SELECT doc_id, n_words,
+         CAST({stable_round_sql('wchars / nz', 5)} AS DOUBLE) AS mean_word_len,
+         CAST({stable_round_sql('(ellipses + hashes) / nz', 5)} AS DOUBLE) AS symbol_word_ratio,
+         CAST({stable_round_sql('bullets / n_lines', 5)} AS DOUBLE) AS bullet_line_frac,
+         CAST({stable_round_sql('ell_lines / n_lines', 5)} AS DOUBLE) AS ellipsis_line_frac,
+         CAST({stable_round_sql('alpha_words / nz', 5)} AS DOUBLE) AS alpha_word_frac,
+         stopword_hits
+  FROM facet
+)
+SELECT *,
+       CAST(n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stopword_hits >= 2 AS INT) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
 def doc_chunks(
     docs: DataFrame, window: int = 32, stride: int = 24
 ) -> DataFrame:
