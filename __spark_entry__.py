@@ -2653,6 +2653,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_summary(_t(spark, sf_dir, "documents"))
 
 
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate n-gram span accounting (exact-substring
+    dedup detection, Lee et al. 2021): per-doc duplicated-span counts
+    and the token mass an exact-substring pass would remove."""
+    from transferdb_spark.ext.dedup import dup_span_stats
+
+    return dup_span_stats(_t(spark, sf_dir, "documents"), n=5)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFAULT jaccard dedup = the df-capped (skew-safe) candidate
     generator: a hot shingle with df=100k would alone yield 10^10
@@ -2799,6 +2808,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTER_CAP = 2000
+
+
+def _dup_span_sql() -> str:
+    from transferdb_spark.ext.dedup import dup_span_stats_sql
+
+    return dup_span_stats_sql(n=5)
 
 
 def _dedup_clusters_sql() -> str:
@@ -3683,6 +3698,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "dedup_exact": EXACT_DEDUP_SUMMARY_SQL,
         "dedup_keep_first": EXACT_SURVIVORS_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_span_ngrams": _dup_span_sql(),
         "text_tfidf_top_terms": tfidf_top_terms_sql(5),
         "dedup_ngram_jaccard": ngram_jaccard_rare_sql(0.5),
         "dedup_ngram_jaccard_exact": ngram_jaccard_sql(0.5),
@@ -3835,7 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_unique_users": events_daily_unique_users,
         "sessionize_events": sessionize_events,
         "moving_avg_user_value": moving_avg_user_value,
-        "lag_lead_deltas": lag_lead_deltas,
+        "dedup_span_ngrams": dedup_span_ngrams,
         "grouping_rollup": grouping_rollup,
         "semi_join_customers": semi_join_customers,
         "anti_join_parts": anti_join_parts,
@@ -3877,6 +3893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- below the driver's 50-query fold ----------------
         "date_extract": date_extract,
         "above_customer_avg": above_customer_avg,
+        "lag_lead_deltas": lag_lead_deltas,
         "median_order_value": median_order_value,
         "json_props_histogram": json_props_histogram,
         "q2_min_cost_supplier": q2_min_cost_supplier,

@@ -723,3 +723,125 @@ FROM pairs
 WHERE {c_ab} >= {threshold} OR {c_ba} >= {threshold}
 ORDER BY doc_a, doc_b
 """
+
+
+def dup_span_stats(docs: DataFrame, n: int = 10) -> DataFrame:
+    """Cross-corpus duplicate n-gram span accounting — the detection
+    stage of exact-substring dedup (public literature: Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    any 50-token span that appears more than once in the corpus; n is
+    a parameter here, fixture docs are short).
+
+    Relational shape, no suffix array needed at this granularity:
+    tokenize → explode the n-gram start positions (narrow) → hash each
+    span → ONE groupBy(hash) over the corpus for occurrence counts →
+    join back → per-doc interval-union of duplicated spans via a
+    running-max window. Output per doc: span counts plus the fraction
+    of tokens covered by at least one duplicated span (the mass
+    exact-substring dedup would cut).
+
+    100 TB: the only wide ops are the span-hash groupBy (map-side
+    combined, key space = distinct spans) and the join back on the
+    same key — both shuffle 8-byte hashes, never text. The window is
+    per-doc (small partitions by construction)."""
+    from pyspark.sql import Window
+
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    toks = docs.select("doc_id", F.expr(TOKENS).alias("toks")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+    spans = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("n_tokens") - (n - 1), F.lit(0)))
+        ).alias("start"),
+        "toks",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        portable_hash64(F.array_join(F.slice("toks", F.col("start"), n), " ")).alias("h"),
+    )
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    dup = (
+        spans.join(counts, "h")
+        .filter(F.col("occ") > 1)
+        .select("doc_id", "n_tokens", "start", (F.col("start") + (n - 1)).alias("end"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = dup.select(
+        "doc_id",
+        "n_tokens",
+        F.greatest(
+            F.lit(0),
+            F.col("end")
+            - F.greatest(F.coalesce(F.max("end").over(w), F.col("start") - 1), F.col("start") - 1),
+        ).alias("cov"),
+        F.lit(1).alias("is_span"),
+    )
+    per_doc = covered.groupBy("doc_id", "n_tokens").agg(
+        F.sum("is_span").alias("dup_spans"),
+        F.sum("cov").alias("dup_tokens"),
+    )
+    base = toks.select("doc_id", "n_tokens")
+    return (
+        base.join(per_doc.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("int").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("int").alias("dup_tokens"),
+            stable_round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                5,
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_span_stats_sql(n: int = 10) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+tk AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens FROM t),
+spans AS (
+  SELECT doc_id, n_tokens, CAST(g.i AS INT) AS start,
+         {_h64_duck(f"array_to_string(toks[g.i : g.i + {n} - 1], ' ')")} AS h
+  FROM tk, UNNEST(generate_series(1, GREATEST(n_tokens - {n - 1}, 0))) AS g(i)
+),
+occ AS (SELECT h, COUNT(*) AS c FROM spans GROUP BY h),
+dup AS (
+  SELECT s.doc_id, s.n_tokens, s.start, s.start + {n - 1} AS "end"
+  FROM spans s JOIN occ USING (h) WHERE occ.c > 1
+),
+cov AS (
+  SELECT doc_id, n_tokens,
+         GREATEST(0, "end" - GREATEST(COALESCE(
+           MAX("end") OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           start - 1), start - 1)) AS covered
+  FROM dup
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS dup_spans, SUM(covered) AS dup_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT tk.doc_id, tk.n_tokens,
+       CAST(COALESCE(agg.dup_spans, 0) AS INT) AS dup_spans,
+       CAST(COALESCE(agg.dup_tokens, 0) AS INT) AS dup_tokens,
+       CAST({{R}} AS DOUBLE) AS dup_token_frac
+FROM tk LEFT JOIN agg USING (doc_id)
+ORDER BY tk.doc_id
+""".replace(
+        "{R}",
+        stable_round_sql(
+            "COALESCE(agg.dup_tokens, 0) / CAST(GREATEST(tk.n_tokens, 1) AS DOUBLE)", 5
+        ),
+    )
