@@ -2611,6 +2611,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_frame(_t(spark, sf_dir, "documents"), n_merges=5)
 
 
+def bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer apply: symbols-per-word histogram under the trained
+    merges — the vocab compression curve (ext/bpe.py)."""
+    from transferdb_spark.ext.bpe import encoded_length_histogram
+
+    return encoded_length_histogram(_t(spark, sf_dir, "documents"), n_merges=5)
+
+
 def _text_html_clean_sql() -> str:
     from transferdb_spark.ext.text import html_clean_roundtrip_sql
 
@@ -3894,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_extract": date_extract,
         "above_customer_avg": above_customer_avg,
         "lag_lead_deltas": lag_lead_deltas,
+        "bpe_encoded_lengths": bpe_encoded_lengths,
         "median_order_value": median_order_value,
         "json_props_histogram": json_props_histogram,
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -4013,6 +4022,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_cube": CUBE_SQL,
         "text_bpe_tokens": _bpe_token_sql(),
         "bpe_train_merges": _bpe_train_merges_sql(),
+        "bpe_encoded_lengths": _bpe_encoded_lengths_sql(),
         "catalog_columns": CATALOG_COLUMNS_SQL,
         "assess_width_audit": WIDTH_AUDIT_SQL,
         "assess_constraint_kinds": _constraint_kinds_sql(),
@@ -4061,6 +4071,12 @@ def _bpe_train_merges_sql() -> str:
     from transferdb_spark.ext.bpe import train_merges_sql
 
     return train_merges_sql(n_merges=5)
+
+
+def _bpe_encoded_lengths_sql() -> str:
+    from transferdb_spark.ext.bpe import encoded_length_histogram_sql
+
+    return encoded_length_histogram_sql(n_merges=5)
 
 
 ORDERS_SCHEMA = T.StructType(

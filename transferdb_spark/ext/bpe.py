@@ -105,6 +105,51 @@ def train_merges(
     return merges
 
 
+def encoded_length_histogram(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Tokenizer APPLY: symbolize the corpus vocabulary under the
+    trained merge table and histogram symbols-per-word — the
+    compression curve a tokenizer team reads before shipping a vocab
+    (n_syms → distinct words at that length, corpus occurrences).
+
+    Same scale shape as training: iterates over the (word, cnt) table,
+    one Arrow-batched merge pass per learned merge."""
+    words = (
+        word_counts(docs)
+        .select(_chars_udf("word").alias("syms"), "cnt")
+        .localCheckpoint()
+    )
+    for left, right, _ in train_merges(docs, n_merges):
+        words = words.select(
+            _merge_udf(left, right)(F.col("syms")).alias("syms"), "cnt"
+        ).localCheckpoint()
+    return (
+        words.select(F.size("syms").alias("n_syms"), "cnt")
+        .groupBy("n_syms")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("cnt").alias("n_occurrences"),
+        )
+        .orderBy("n_syms")
+    )
+
+
+def encoded_length_histogram_sql(n_merges: int = 5, min_freq: int = 2) -> str:
+    """Oracle twin: the same unrolled merge CTEs, final select grouped
+    on per-word symbol counts instead of the merge list."""
+    parts = _merge_ctes(n_merges, min_freq)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(n_syms AS INT) AS n_syms,
+       COUNT(*) AS n_words,
+       CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM (SELECT wid, MAX(pos) AS n_syms, MAX(cnt) AS cnt FROM w{n_merges} GROUP BY wid)
+GROUP BY n_syms ORDER BY n_syms
+"""
+    )
+
+
 def train_merges_sql(n_merges: int = 10, min_freq: int = 2) -> str:
     """DuckDB oracle for train_merges: the merge loop UNROLLED into
     chained CTEs (one pair-count + argmax + merge-apply block per
@@ -119,6 +164,20 @@ def train_merges_sql(n_merges: int = 10, min_freq: int = 2) -> str:
     rows concatenate sym||next, rows consumed by a kept left neighbour
     drop out, and positions re-densify for the next round. Ties break
     (freq DESC, l, r) in both engines."""
+    parts = _merge_ctes(n_merges, min_freq)
+    unions = "\nUNION ALL ".join(
+        f'SELECT {k - 1} AS rank, l AS "left", r AS "right", '
+        f"CAST(freq AS BIGINT) AS freq FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY rank"
+
+
+def _merge_ctes(n_merges: int, min_freq: int) -> list[str]:
+    """Shared CTE chain: wc, w0, then (f/t/m/k/w){1..n}. m{k} LEFT
+    JOINs the (possibly empty) argmax so an early-stopped training
+    leaves w{k} = w{k-1} instead of an empty relation — parity with
+    the Spark loop's break."""
     from transferdb_spark.ext.text import TOKENS_SQL
 
     parts = [
@@ -145,7 +204,7 @@ m{k} AS (
   SELECT w.wid, w.cnt, w.pos, w.sym,
          COALESCE(w.sym = t.l AND
            lead(w.sym) OVER (PARTITION BY w.wid ORDER BY w.pos) = t.r, FALSE) AS mt
-  FROM {prev} w CROSS JOIN t{k} t),
+  FROM {prev} w LEFT JOIN t{k} t ON TRUE),
 k{k} AS (
   SELECT wid, cnt, pos, sym, mt,
          CASE WHEN mt THEN
@@ -161,12 +220,7 @@ w{k} AS (
         FROM k{k})
   WHERE NOT pkeep)"""
         )
-    unions = "\nUNION ALL ".join(
-        f'SELECT {k - 1} AS rank, l AS "left", r AS "right", '
-        f"CAST(freq AS BIGINT) AS freq FROM t{k}"
-        for k in range(1, n_merges + 1)
-    )
-    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY rank"
+    return parts
 
 
 def merges_frame(docs: DataFrame, n_merges: int = 10) -> DataFrame:
