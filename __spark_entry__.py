@@ -2728,6 +2728,13 @@ def ann_topk_lsh_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh_auto(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+def ann_topk_multiprobe_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-sized multi-probe ANN (derived planes + Hamming-1 probes)."""
+    from transferdb_spark.ext.similarity import ann_topk_multiprobe_auto
+
+    return ann_topk_multiprobe_auto(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.similarity import embedding_neardup_pairs
 
@@ -3673,6 +3680,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         ann_topk_ivf_sql,
         ann_topk_lsh_auto_sql,
         ann_topk_lsh_multiprobe_sql,
+        ann_topk_multiprobe_auto_sql,
         ann_topk_lsh_sql,
         embedding_neardup_sql,
         lsh_bucket_histogram_sql,
@@ -3716,6 +3724,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "ann_bucket_histogram": lsh_bucket_histogram_sql(),
         "ann_topk_lsh": ann_topk_lsh_sql(0, 10),
         "ann_topk_lsh_auto": ann_topk_lsh_auto_sql(0, 10),
+        "ann_topk_multiprobe_auto": ann_topk_multiprobe_auto_sql(0, 10),
         "ann_topk_ivf": ann_topk_ivf_sql(0, 10),
         "ann_topk_multiprobe": ann_topk_lsh_multiprobe_sql(0, 10),
         "assess_identifier_lengths": ASSESS_IDENT_SQL,
@@ -3903,6 +3912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_customer_avg": above_customer_avg,
         "lag_lead_deltas": lag_lead_deltas,
         "bpe_encoded_lengths": bpe_encoded_lengths,
+        "ann_topk_multiprobe_auto": ann_topk_multiprobe_auto_q,
         "median_order_value": median_order_value,
         "json_props_histogram": json_props_histogram,
         "q2_min_cost_supplier": q2_min_cost_supplier,

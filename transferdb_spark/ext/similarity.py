@@ -252,16 +252,9 @@ def ann_topk_lsh_auto(
     )
 
 
-def ann_topk_lsh_auto_sql(
-    query_vec_id: int = 0,
-    k: int = 10,
-    target_bucket_rows: int = 16,
-    max_planes: int = 12,
-) -> str:
-    """Oracle twin: the plane count comes from the SAME formula as a
-    scalar subquery, and every bit up to max_planes is gated on
-    `i < planes` — so one static SQL string adapts to any table size,
-    exactly like the Spark side's derived_planes(count)."""
+def _auto_bucket_ctes(query_vec_id: int, target_bucket_rows: int, max_planes: int) -> str:
+    """Shared p/b/q CTE text: the derived plane count as a scalar
+    subquery, every bucket bit up to max_planes gated on `i < planes`."""
     t = target_bucket_rows
     planes_sql = (
         f"(SELECT CASE WHEN COUNT(*) <= {t} THEN {N_PLANES} "
@@ -278,11 +271,82 @@ def ann_topk_lsh_auto_sql(
     return f"""
 WITH p AS (SELECT {planes_sql} AS planes),
 b AS (SELECT vec_id, embedding, CAST(({bucket}) AS INT) AS bucket FROM embeddings, p),
-q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = {query_vec_id})
+q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = {query_vec_id})"""
+
+
+def ann_topk_lsh_auto_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    target_bucket_rows: int = 16,
+    max_planes: int = 12,
+) -> str:
+    """Oracle twin: the plane count comes from the SAME formula as a
+    scalar subquery, and every bit up to max_planes is gated on
+    `i < planes` — so one static SQL string adapts to any table size,
+    exactly like the Spark side's derived_planes(count)."""
+    return f"""{_auto_bucket_ctes(query_vec_id, target_bucket_rows, max_planes)}
 SELECT vec_id, CAST({cosine_sql('embedding', 'qvec')} AS DOUBLE) AS cosine
 FROM b, q
 WHERE bucket = qbucket AND vec_id <> {query_vec_id}
 ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+def ann_topk_multiprobe_auto(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    target_bucket_rows: int = 16,
+    max_planes: int = 12,
+) -> DataFrame:
+    """Auto-sized multi-probe: derived plane count + Hamming-1 probe
+    set. The production recall knob — more planes (smaller buckets)
+    cost recall, the 1-bit probes buy it back at (1+planes)/2^planes
+    of the scan."""
+    n = emb.count()
+    planes = derived_planes(n, target_bucket_rows, hi=max_planes)
+    udf = make_bucket_udf(planes)
+    with_b = emb.select(
+        "vec_id", "embedding", udf(F.col("embedding")).alias("bucket")
+    )
+    q = with_b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    probe = F.col("bucket") == F.col("qbucket")
+    for i in range(planes):
+        probe = probe | (
+            F.col("bucket") == F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+        )
+    return (
+        with_b.join(F.broadcast(q), probe)
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", cosine_expr("embedding", "qvec").cast("double").alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def ann_topk_multiprobe_auto_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    target_bucket_rows: int = 16,
+    max_planes: int = 12,
+) -> str:
+    # probes beyond the derived plane count degenerate to the base
+    # bucket equality (xor with 0) — harmless duplicates under OR
+    probes = " OR ".join(
+        ["b.bucket = q.qbucket"]
+        + [
+            f"b.bucket = xor(q.qbucket, CASE WHEN {i} < p.planes THEN {1 << i} ELSE 0 END)"
+            for i in range(max_planes)
+        ]
+    )
+    return f"""{_auto_bucket_ctes(query_vec_id, target_bucket_rows, max_planes)}
+SELECT b.vec_id, CAST({cosine_sql('b.embedding', 'q.qvec')} AS DOUBLE) AS cosine
+FROM b, q, p
+WHERE ({probes}) AND b.vec_id <> {query_vec_id}
+ORDER BY cosine DESC, b.vec_id
 LIMIT {k}
 """
 
