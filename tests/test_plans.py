@@ -188,3 +188,31 @@ def test_doc_chunk_windows_no_exchange(queries):
     p = plan_of(queries["doc_chunk_windows"])
     assert n_nodes(p, "Exchange") == 0
     assert n_nodes(p, "Generate") >= 1
+
+
+def test_dup_span_stats_reuses_window_partitioning(queries):
+    """The per-doc aggregate after the interval-union window must reuse
+    the window's doc_id hash partitioning (grouping on a composite key
+    would insert a second wide shuffle), and shuffles must carry span
+    hashes, never text."""
+    p = plan_of(queries["dedup_span_ngrams"])
+    t = tree_of(p)
+    # exactly one hash exchange per key: one on the span hash, one on doc_id
+    import re
+
+    hash_ex = [l for l in t.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) <= 2, hash_ex
+    assert n_nodes(p, "Window") == 1
+    # final aggregate sits above the window with no exchange between
+    win_idx = t.index("Window")
+    agg_above = t[:win_idx].count("HashAggregate")
+    assert agg_above >= 2  # partial+final, both exchange-free above the window
+
+
+def test_gopher_quality_is_narrow_scan(queries):
+    """One scan, no joins; the only exchange is the output sort."""
+    p = plan_of(queries["gopher_quality_rules"])
+    t = tree_of(p)
+    assert n_nodes(p, "Join") == 0
+    assert t.count("Exchange hashpartitioning") == 0
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p

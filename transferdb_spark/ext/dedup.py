@@ -789,13 +789,16 @@ def dup_span_stats(docs: DataFrame, n: int = 10) -> DataFrame:
         ).alias("cov"),
         F.lit(1).alias("is_span"),
     )
-    per_doc = covered.groupBy("doc_id", "n_tokens").agg(
+    # group on doc_id ALONE (n_tokens re-joins from base): the window
+    # above already hash-partitioned on doc_id, so this aggregate reuses
+    # that exchange instead of reshuffling on a composite key
+    per_doc = covered.groupBy("doc_id").agg(
         F.sum("is_span").alias("dup_spans"),
         F.sum("cov").alias("dup_tokens"),
     )
     base = toks.select("doc_id", "n_tokens")
     return (
-        base.join(per_doc.drop("n_tokens"), "doc_id", "left")
+        base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
