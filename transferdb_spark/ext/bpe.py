@@ -33,9 +33,16 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from transferdb_spark.ext.text import TOKENS
+
+# Pass a DataType OBJECT, not a DDL string: string return types are
+# parsed through the JVM at decoration time, which would make merely
+# importing this module require a live SparkSession (and break
+# oracle_sql() in session-free contexts).
+_ARR_STR = T.ArrayType(T.StringType())
 
 
 def word_counts(docs: DataFrame) -> DataFrame:
@@ -48,13 +55,13 @@ def word_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-@pandas_udf("array<string>")
+@pandas_udf(_ARR_STR)
 def _chars_udf(words: pd.Series) -> pd.Series:
     return words.map(list)
 
 
 def _merge_udf(left: str, right: str):
-    @pandas_udf("array<string>")
+    @pandas_udf(_ARR_STR)
     def apply_merge(syms: pd.Series) -> pd.Series:
         merged = left + right
         def m(s):
