@@ -2831,6 +2831,47 @@ def _dup_span_sql() -> str:
     return dup_span_stats_sql(n=5)
 
 
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup decision structure: LSH-bucketed cosine
+    near-dup pairs → connected components → per-vector cluster label.
+    Composes the similarity and clustering operators the way a real
+    corpus dedup would (pairs feed the same CC engine text dedup uses)."""
+    from transferdb_spark.ext.dedup import neardup_clusters
+    from transferdb_spark.ext.similarity import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    pairs = pairs.select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return (
+        neardup_clusters(pairs)
+        .select(F.col("doc_id").alias("vec_id"), "cluster_id")
+        .orderBy("vec_id")
+    )
+
+
+def _embedding_dedup_clusters_sql() -> str:
+    from transferdb_spark.ext.similarity import embedding_neardup_sql
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({embedding_neardup_sql(0.3)})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS vec_id, MIN(label) AS cluster_id
+FROM reach GROUP BY node ORDER BY vec_id
+"""
+
+
 def _dedup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE pairs AS (
@@ -3725,6 +3766,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": ann_topk_lsh_sql(0, 10),
         "ann_topk_lsh_auto": ann_topk_lsh_auto_sql(0, 10),
         "ann_topk_multiprobe_auto": ann_topk_multiprobe_auto_sql(0, 10),
+        "embedding_dedup_clusters": _embedding_dedup_clusters_sql(),
         "ann_topk_ivf": ann_topk_ivf_sql(0, 10),
         "ann_topk_multiprobe": ann_topk_lsh_multiprobe_sql(0, 10),
         "assess_identifier_lengths": ASSESS_IDENT_SQL,
@@ -3913,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead_deltas": lag_lead_deltas,
         "bpe_encoded_lengths": bpe_encoded_lengths,
         "ann_topk_multiprobe_auto": ann_topk_multiprobe_auto_q,
+        "embedding_dedup_clusters": embedding_dedup_clusters,
         "median_order_value": median_order_value,
         "json_props_histogram": json_props_histogram,
         "q2_min_cost_supplier": q2_min_cost_supplier,
