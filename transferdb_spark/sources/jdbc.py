@@ -209,9 +209,12 @@ class JdbcSink:
         sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in cols if c not in key_cols)
         ins_cols = ", ".join(q(c) for c in cols)
         ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        # a key-only table has nothing to update — MATCHED is a no-op
+        # and an empty SET list would be a syntax error
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
         stmt = (
             f"MERGE INTO {self.table} t USING {stg} s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"{matched}"
             f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
         )
         n = self.execute(spark, stmt)
