@@ -3693,6 +3693,14 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_summary(_t(spark, sf_dir, "documents"))
 
 
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination accounting: MinHash-LSH near-dup pairs that
+    straddle train/val/test splits (ext/packing.split_leakage)."""
+    from transferdb_spark.ext.packing import split_leakage
+
+    return split_leakage(_t(spark, sf_dir, "documents"))
+
+
 def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of LSH bucket search vs brute force, 8 sample queries."""
     from transferdb_spark.ext.similarity import ann_recall_eval
@@ -3789,6 +3797,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "pack_sequences": _packing_sql()[0],
         "pack_bin_summary": _packing_sql()[1],
         "split_train_val_test": _packing_sql()[2],
+        "split_leakage_check": _split_leakage_sql(),
         "ann_recall_eval": _ann_recall_sql(),
         "minhash_calibration": _minhash_calibration_sql(),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
@@ -3858,6 +3867,7 @@ EXT_QUERIES = {
     "pack_sequences": pack_sequences,
     "pack_bin_summary": pack_bin_summary,
     "split_train_val_test": split_train_val_test,
+    "split_leakage_check": split_leakage_check,
     "ann_recall_eval": ann_recall_eval_q,
     "minhash_calibration": minhash_calibration_q,
     "multimodal_features": multimodal_features_q,
@@ -4124,6 +4134,12 @@ def _bpe_train_merges_sql() -> str:
     from transferdb_spark.ext.bpe import train_merges_sql
 
     return train_merges_sql(n_merges=5)
+
+
+def _split_leakage_sql() -> str:
+    from transferdb_spark.ext.packing import split_leakage_sql
+
+    return split_leakage_sql()
 
 
 def _bpe_encoded_lengths_sql() -> str:

@@ -202,3 +202,59 @@ FROM documents
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def split_leakage(docs: DataFrame) -> DataFrame:
+    """Near-dup leakage across train/val/test: MinHash-LSH candidate
+    pairs whose two sides landed in different splits — the
+    contamination a random (even deterministic-hash) split silently
+    bakes into held-out evaluation. Output: per (split_a, split_b)
+    cell, how many near-dup pairs straddle it (train/test cells are
+    the eval-contamination number; the diagonal is harmless).
+
+    Scale: pairs come from the banded LSH groupBy (never all-pairs);
+    split assignment is a narrow hash on each side of the join."""
+    from transferdb_spark.ext.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(docs)
+    assign = split_assign(docs.select("doc_id")).select("doc_id", "split")
+    out = (
+        pairs.join(assign.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"}), "doc_a")
+        .join(assign.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"}), "doc_b")
+        .select(
+            F.least("split_a", "split_b").alias("split_a"),
+            F.greatest("split_a", "split_b").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "leaks", (F.col("split_a") != F.col("split_b")).cast("int")
+        )
+        .orderBy("split_a", "split_b")
+    )
+    return out
+
+
+def split_leakage_sql() -> str:
+    from transferdb_spark.ext.dedup import minhash_lsh_sql
+
+    split_case = (
+        f"CASE WHEN {portable_hash64_sql(_SPLIT_HASH)} % 100 < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {portable_hash64_sql(_SPLIT_HASH)} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+    return f"""
+WITH pairs AS ({minhash_lsh_sql()}),
+assign AS (SELECT doc_id, {split_case} AS split FROM documents),
+tagged AS (
+  SELECT LEAST(a.split, b.split) AS split_a, GREATEST(a.split, b.split) AS split_b
+  FROM pairs
+  JOIN assign a ON pairs.doc_a = a.doc_id
+  JOIN assign b ON pairs.doc_b = b.doc_id
+)
+SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       CAST(split_a <> split_b AS INT) AS leaks
+FROM tagged
+GROUP BY split_a, split_b
+ORDER BY split_a, split_b
+"""
