@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "text_lang_id",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_span_ngrams",
+    "gopher_quality_rules",
+    "split_leakage_check",
     "similarity_topk",
     "ann_topk_lsh",
     "embedding_neardup",
