@@ -193,3 +193,48 @@ def test_differential_fuzz(engines):
         if got != want:
             failures.append((sql, len(got), len(want)))
     assert not failures, f"{len(failures)} differential mismatches: {failures[:3]}"
+
+
+def test_dup_span_stats_matches_python_reference(spark):
+    """The relational greedy interval-union (gaps-and-islands window)
+    must agree with a direct Python implementation on random corpora
+    with planted duplicate runs."""
+    from transferdb_spark.ext.dedup import dup_span_stats
+
+    n = 4
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> many dup spans
+    docs = []
+    for did in range(60):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        docs.append((did, " ".join(toks)))
+
+    # python reference: same tokenization (whitespace, lowered)
+    span_occ: dict = {}
+    tokenized = {}
+    for did, text in docs:
+        toks = text.strip().lower().split()
+        if text.strip() == "":
+            toks = [""]  # split('') -> [''] in both engines
+        tokenized[did] = toks
+        for s in range(len(toks) - n + 1):
+            key = " ".join(toks[s : s + n])
+            span_occ[key] = span_occ.get(key, 0) + 1
+    expect = {}
+    for did, toks in tokenized.items():
+        spans = [
+            (s, s + n - 1)
+            for s in range(len(toks) - n + 1)
+            if span_occ[" ".join(toks[s : s + n])] > 1
+        ]
+        covered: set = set()
+        for a, b in spans:
+            covered.update(range(a, b + 1))
+        expect[did] = (len(spans), len(covered))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup_spans"], r["dup_tokens"])
+        for r in dup_span_stats(sdf, n=n).collect()
+    }
+    assert got == expect

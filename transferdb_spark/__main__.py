@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunks", type=int, default=32)
     p.add_argument("--target-dir", default="", help="compare: target parquet dir (defaults to mutated fixture)")
     p.add_argument("--case-policy", type=int, default=1, choices=[0, 1, 2])
+    p.add_argument(
+        "--dialect",
+        default="mysql",
+        choices=["mysql", "tidb", "spark"],
+        help="reverse: target DDL dialect (mysql=O2M, tidb=O2T, spark=lakehouse)",
+    )
     return p
 
 
@@ -63,12 +69,25 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.mode == "reverse":
         from transferdb_spark.catalog.fixture import fixture_catalog
-        from transferdb_spark.modes.reverse import reverse_tables
+        from transferdb_spark.modes.reverse import (
+            gen_create_table_spark,
+            reverse_tables,
+            reverse_tables_o2t,
+        )
 
         cat = fixture_catalog(spark, args.source_dir)
         if tables:
             cat = {k: v for k, v in cat.items() if k in tables}
-        res = reverse_tables(cat, case_policy=args.case_policy)
+        if args.dialect == "tidb":
+            res = reverse_tables_o2t(cat, case_policy=args.case_policy)
+        elif args.dialect == "spark":
+            from transferdb_spark.modes.reverse import ReverseResult
+
+            res = ReverseResult(
+                ddl=[gen_create_table_spark(t, args.case_policy) for t in cat.values()]
+            )
+        else:
+            res = reverse_tables(cat, case_policy=args.case_policy)
         os.makedirs(args.workdir, exist_ok=True)
         ddl_path = os.path.join(args.workdir, "reverse.sql")
         with open(ddl_path, "w") as f:

@@ -751,12 +751,18 @@ def dup_span_stats(docs: DataFrame, n: int = 10) -> DataFrame:
     toks = docs.select("doc_id", F.expr(TOKENS).alias("toks")).withColumn(
         "n_tokens", F.size("toks")
     )
+    # guard short docs explicitly: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] (DuckDB's generate_series(1, 0) is empty) — an
+    # unguarded explode crashes slice() on start=0 for docs shorter
+    # than n tokens and would silently diverge from the oracle
+    starts = F.when(
+        F.col("n_tokens") >= n,
+        F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     spans = toks.select(
         "doc_id",
         "n_tokens",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.col("n_tokens") - (n - 1), F.lit(0)))
-        ).alias("start"),
+        F.explode(starts).alias("start"),
         "toks",
     ).select(
         "doc_id",
