@@ -1,0 +1,105 @@
+"""Physical-plan antipattern lint over EVERY queries() entry.
+
+Correctness gates prove the 136 queries return the right rows at
+sf0.01; this lint proves none of them carries a plan shape that dies
+at 100 TB. For each query it builds the DataFrame (no execution) and
+scans the formatted physical plan for:
+
+HARD flags (exit 1 — these are scale killers, no exceptions):
+- CartesianProduct        unbucketed all-pairs join (scalar 1-row
+                          cross joins compile to BroadcastNestedLoop,
+                          so any CartesianProduct left is a real one)
+- BatchEvalPython         row-at-a-time Python UDF on the data path
+                          (Arrow variants show as ArrowEvalPython /
+                          MapInPandas / FlatMapGroupsInPandas)
+
+SOFT flags (reported, non-fatal — legitimate for tiny/final stages,
+suspicious in the middle of a big plan):
+- Exchange SinglePartition feeding a Window/Sort — a global
+  single-partition funnel; fine for a final scalar/limit, fatal for a
+  per-row window over a big table.
+
+Usage:
+    python scripts/plan_lint.py            # lint all queries
+    python scripts/plan_lint.py q1 q5 ...  # lint a subset
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+HARD = ("CartesianProduct", "BatchEvalPython")
+
+
+def plan_of(df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def soft_single_partition_window(plan: str) -> bool:
+    """Exchange SinglePartition directly feeding a Window or a
+    non-terminal Sort (the global-funnel shape)."""
+    tree = plan.split("\n\n(")[0]
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # the consumer is ABOVE the exchange in the indented tree
+        for j in range(i - 1, max(-1, i - 4), -1):
+            if "Window" in lines[j]:
+                return True
+    return False
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+
+    from transferdb_spark.session import get_spark
+
+    spark = get_spark("plan-lint")
+    qs = entry.queries()
+    names = sys.argv[1:] or list(qs)
+
+    hard_hits: dict[str, list[str]] = {}
+    soft_hits: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        try:
+            plan = plan_of(qs[name](spark, SF_DIR))
+        except Exception as exc:  # noqa: BLE001 — lint every query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        tree = plan.split("\n\n(")[0]
+        hard = [h for h in HARD if h in tree]
+        soft = []
+        if soft_single_partition_window(plan):
+            soft.append("SinglePartitionWindow")
+        if hard:
+            hard_hits[name] = hard
+        if soft:
+            soft_hits[name] = soft
+        status = "HARD" if hard else ("soft" if soft else "ok")
+        print(f"{status:5s} {name}" + (f"  {hard + soft}" if hard or soft else ""))
+
+    print(
+        f"\nLINTED {len(names) - len(errors)}/{len(names)} "
+        f"HARD: {len(hard_hits)} soft: {len(soft_hits)} errors: {len(errors)}"
+    )
+    for n, e in errors.items():
+        print(f"ERROR {n}: {e}")
+    for n, f in hard_hits.items():
+        print(f"HARD  {n}: {f}")
+    return 1 if hard_hits or errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

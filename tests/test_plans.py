@@ -216,3 +216,27 @@ def test_gopher_quality_is_narrow_scan(queries):
     assert n_nodes(p, "Join") == 0
     assert t.count("Exchange hashpartitioning") == 0
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_plan_lint_first_fold_no_hard_flags(queries, spark):
+    """scripts/plan_lint.py's hard flags (CartesianProduct, row-Python
+    BatchEvalPython) must stay absent across the driver-sampled window;
+    the standalone script lints all 136."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_lint",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_lint.py"),
+    )
+    lint = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lint)
+
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())[:50:4]  # every 4th of the fold — fast
+    for name in names:
+        p = plan_of(queries[name])
+        tree = tree_of(p)
+        for h in lint.HARD:
+            assert h not in tree, (name, h)
