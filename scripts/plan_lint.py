@@ -46,17 +46,32 @@ def plan_of(df) -> str:
 
 
 def soft_single_partition_window(plan: str) -> bool:
-    """Exchange SinglePartition directly feeding a Window or a
-    non-terminal Sort (the global-funnel shape)."""
-    tree = plan.split("\n\n(")[0]
-    lines = tree.splitlines()
-    for i, line in enumerate(lines):
-        if "Exchange SinglePartition" not in line:
-            continue
-        # the consumer is ABOVE the exchange in the indented tree
-        for j in range(i - 1, max(-1, i - 4), -1):
-            if "Window" in lines[j]:
-                return True
+    """Exchange SinglePartition directly feeding a Window — the
+    global-funnel shape (a windowed computation squeezed through one
+    partition).
+
+    Formatted explain puts partitioning in each node's DETAIL block
+    ('(4) Exchange / Arguments: SinglePartition, ...'), not on the tree
+    line, so: collect the node ids of SinglePartition Exchanges from
+    the details, then look for a tree line 'Window (n)' whose immediate
+    child line is one of those Exchanges."""
+    single_ids = set()
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) Exchange\b", block.strip())
+        if m and "SinglePartition" in block:
+            single_ids.add(m.group(1))
+    if not single_ids:
+        return False
+    tree = plan.split("\n\n(")[0].splitlines()
+    for i, line in enumerate(tree):
+        if re.search(r"\bWindow(?:GroupLimit)? \(\d+\)", line):
+            # a Sort always sits between the Window and its Exchange —
+            # look through the next two tree lines
+            for j in (i + 1, i + 2):
+                if j < len(tree):
+                    m = re.search(r"Exchange \((\d+)\)", tree[j])
+                    if m and m.group(1) in single_ids:
+                        return True
     return False
 
 

@@ -83,9 +83,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.dialect == "spark":
             from transferdb_spark.modes.reverse import ReverseResult
 
-            res = ReverseResult(
-                ddl=[gen_create_table_spark(t, args.case_policy) for t in cat.values()]
-            )
+            # same quarantine-never-abort contract as the other dialects
+            res = ReverseResult()
+            for t in cat.values():
+                try:
+                    if not t.is_compatible:
+                        res.compatibility.append(
+                            f"-- table {t.name} type {t.table_type} requires manual conversion"
+                        )
+                        continue
+                    res.ddl.append(gen_create_table_spark(t, args.case_policy))
+                except Exception as e:  # noqa: BLE001 — error_log_detail semantics
+                    res.errors.append(f"{t.name}: {e}")
         else:
             res = reverse_tables(cat, case_policy=args.case_policy)
         os.makedirs(args.workdir, exist_ok=True)

@@ -86,6 +86,16 @@ def train_merges(
 
     Stops early when no pair reaches ``min_freq``.
     """
+    merges, _ = _train_merges_with_words(docs, n_merges, min_freq)
+    return merges
+
+
+def _train_merges_with_words(
+    docs: DataFrame, n_merges: int, min_freq: int
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Training loop that also returns the fully-merged (syms, cnt)
+    word table — the apply stage (encoded_length_histogram) consumes
+    it directly instead of re-running every merge pass."""
     words = (
         word_counts(docs)
         .select(_chars_udf("word").alias("syms"), "cnt")
@@ -109,7 +119,7 @@ def train_merges(
         words = words.select(
             _merge_udf(top["l"], top["r"])(F.col("syms")).alias("syms"), "cnt"
         ).localCheckpoint()
-    return merges
+    return merges, words
 
 
 def encoded_length_histogram(docs: DataFrame, n_merges: int = 5) -> DataFrame:
@@ -118,17 +128,11 @@ def encoded_length_histogram(docs: DataFrame, n_merges: int = 5) -> DataFrame:
     compression curve a tokenizer team reads before shipping a vocab
     (n_syms → distinct words at that length, corpus occurrences).
 
-    Same scale shape as training: iterates over the (word, cnt) table,
-    one Arrow-batched merge pass per learned merge."""
-    words = (
-        word_counts(docs)
-        .select(_chars_udf("word").alias("syms"), "cnt")
-        .localCheckpoint()
-    )
-    for left, right, _ in train_merges(docs, n_merges):
-        words = words.select(
-            _merge_udf(left, right)(F.col("syms")).alias("syms"), "cnt"
-        ).localCheckpoint()
+    Same scale shape as training — and the same WORK: the training
+    loop's final word table IS the fully-merged symbolization, so the
+    apply stage reuses it instead of re-tokenizing and re-running
+    every merge pass."""
+    _, words = _train_merges_with_words(docs, n_merges, min_freq=2)
     return (
         words.select(F.size("syms").alias("n_syms"), "cnt")
         .groupBy("n_syms")

@@ -323,7 +323,15 @@ def _decode_scan(buf, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interv
                 reader.align_after_restart()
                 pred = [0] * len(comps)
             except _EndOfScan:
-                pass
+                # running out of entropy data INSIDE the final MCU is
+                # normal (the encoder's byte padding can end exactly at
+                # the EOI marker); anywhere earlier the scan is torn —
+                # raise rather than return a silently half-black image
+                if (my, mx) != (mcuy - 1, mcux - 1):
+                    raise ValueError(
+                        "truncated JPEG: entropy segment ended at "
+                        f"MCU ({my},{mx}) of ({mcuy},{mcux})"
+                    )
             mcu_count += 1
 
     # upsample to full resolution and crop

@@ -211,11 +211,7 @@ def recommended_planes(n_rows: int, target_bucket_rows: int = 4096) -> int:
     the per-bucket exact-cosine work bounded. More planes trade recall
     for cost — recover recall with multi-probe (ann_topk_multiprobe
     probes the 1-bit-flip neighbourhood, cost ×(1+p))."""
-    import math
-
-    if n_rows <= target_bucket_rows:
-        return N_PLANES
-    return max(N_PLANES, min(24, math.ceil(math.log2(n_rows / target_bucket_rows))))
+    return derived_planes(n_rows, target_bucket_rows)
 
 
 def ann_topk_lsh_auto(

@@ -306,7 +306,15 @@ def check_table_m2o(src: TableMeta, tgt: TableMeta) -> CheckResult:
     if src.collation and tgt.collation:
         from transferdb_spark.rules.collation import mysql_to_oracle_collation
 
-        expected_coll = mysql_to_oracle_collation(src.collation)
+        try:
+            expected_coll = mysql_to_oracle_collation(src.collation)
+        except ValueError as e:
+            # quarantine-never-abort: an unmapped source collation
+            # (utf8mb4_0900_ai_ci, latin1_swedish_ci, ...) is a
+            # per-table finding, not a run-killer
+            r.collation_mismatch = (f"<unmapped: {src.collation}>", tgt.collation.upper())
+            r.fix_sql.append(f"-- collation facet skipped: {e}")
+            return r
         actual_coll = tgt.collation.upper()
         if actual_coll != expected_coll:
             r.collation_mismatch = (expected_coll, actual_coll)
