@@ -726,9 +726,13 @@ def quantile_chunk_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("chunk_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy()
+    # total via broadcast 1-row join, not a partitionless window — the
+    # window form funnels through a single partition (harmless on k=8
+    # aggregated rows, but the broadcast shape is the one that scales
+    # and keeps plan_lint's global-window flag meaningful)
+    total = per.agg(F.sum("cnt").alias("n"))
     return (
-        per.withColumn("n", F.sum("cnt").over(w))
+        per.crossJoin(F.broadcast(total))
         .select(
             "chunk_id",
             (

@@ -36,6 +36,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 HARD = ("CartesianProduct", "BatchEvalPython")
 
+# Queries whose soft flag is the OPERATOR'S SEMANTICS, with the
+# production alternative named — reported as 'allow', never failing.
+SOFT_ALLOW = {
+    # ntile over a total order IS a global sort; the scale path is
+    # two-phase range-partitioned ranking (range-partition boundaries
+    # from approx quantiles + per-partition offsets), which changes
+    # the exact equal-count tie behavior the oracle pins.
+    "ntile_customer_quartiles": "global ntile by definition",
+}
+
 
 def plan_of(df) -> str:
     qe = df._jdf.queryExecution()
@@ -97,7 +107,10 @@ def main() -> int:
         hard = [h for h in HARD if h in tree]
         soft = []
         if soft_single_partition_window(plan):
-            soft.append("SinglePartitionWindow")
+            if name in SOFT_ALLOW:
+                print(f"allow {name}  SinglePartitionWindow ({SOFT_ALLOW[name]})")
+            else:
+                soft.append("SinglePartitionWindow")
         if hard:
             hard_hits[name] = hard
         if soft:
