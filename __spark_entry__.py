@@ -1513,6 +1513,47 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def global_rank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global row_number WITHOUT the single-partition window:
+    range-repartition + per-partition counts + broadcast offsets +
+    parallel per-partition windows (operators/ranking.py). The oracle
+    is DuckDB's native global row_number — the two formulations must
+    agree row-for-row."""
+    from transferdb_spark.operators.ranking import global_row_number
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        global_row_number(cust, ["c_acctbal", "c_custkey"], num_partitions=8)
+        .select("c_custkey", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("rn")
+    )
+
+
+GLOBAL_RANK_SQL = """
+SELECT c_custkey, row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+FROM customer ORDER BY rn
+"""
+
+
+def global_ntile_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SQL ntile(4) from the two-phase global rank (uneven-bucket
+    rule included) — per-quartile stats must match DuckDB's native
+    global ntile exactly."""
+    from transferdb_spark.operators.ranking import global_ntile
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        global_ntile(cust, ["c_acctbal", "c_custkey"], k=4, num_partitions=8)
+        .groupBy(F.col("bucket").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
 def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile ranking: acctbal quartiles with per-quartile stats."""
     cust = _t(spark, sf_dir, "customer")
@@ -3993,6 +4034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "stats_rowcounts": stats_rowcounts,
         "ntile_customer_quartiles": ntile_customer_quartiles,
+        "global_rank_twophase": global_rank_twophase,
+        "global_ntile_twophase": global_ntile_twophase,
         "pivot_returnflag": pivot_returnflag,
         "grouping_cube": grouping_cube,
         "catalog_columns": catalog_columns,
@@ -4085,6 +4128,8 @@ def oracle_sql() -> dict[str, str]:
         "median_order_value": MEDIAN_SQL,
         "json_props_histogram": JSON_PROPS_SQL,
         "ntile_customer_quartiles": NTILE_SQL,
+        "global_rank_twophase": GLOBAL_RANK_SQL,
+        "global_ntile_twophase": NTILE_SQL,
         "pivot_returnflag": PIVOT_SQL,
         "grouping_cube": CUBE_SQL,
         "text_bpe_tokens": _bpe_token_sql(),

@@ -698,3 +698,47 @@ def test_snapshot_version_diff_reads_only_changed_files(spark, sf_dir, tmp_path)
     v2 = write_snapshot(li.limit(2300).coalesce(2), base)
     removed2, added2 = snapshot_version_diff(spark, base, v1, v2)
     assert removed2.count() == 0 and added2.count() == 0
+
+
+def test_two_phase_global_ranking_exact(spark):
+    """Two-phase global row_number/ntile must match the single-window
+    semantics exactly, including SQL ntile's uneven-bucket rule and the
+    fewer-rows-than-buckets edge; the plan must contain NO
+    single-partition window (that's the whole point)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from transferdb_spark.operators.ranking import global_ntile, global_row_number
+
+    df = spark.range(103).select(
+        (F.col("id") * 37 % 103).alias("k"), F.col("id").alias("uid")
+    )
+    got = {
+        r["uid"]: r["rn"]
+        for r in global_row_number(df, ["k", "uid"], num_partitions=7).collect()
+    }
+    want = {
+        r["uid"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "uid"))
+        ).collect()
+    }
+    assert got == want
+
+    # ntile uneven rule: 103 rows, k=4 -> buckets of 26,26,26,25
+    nt = global_ntile(df, ["k", "uid"], k=4, num_partitions=7)
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in nt.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {1: 26, 2: 26, 3: 26, 4: 25}
+
+    # fewer rows than buckets: each row its own bucket
+    tiny = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("uid"))
+    tb = sorted(r["bucket"] for r in global_ntile(tiny, ["k", "uid"], k=10).collect())
+    assert tb == [1, 2, 3]
+
+    # no global window funnel: the ranking window partitions by __pid
+    plan = global_row_number(df, ["k", "uid"], 7)._jdf.queryExecution().toString()
+    assert "windowspecdefinition(__pid" in plan
+    assert "SinglePartition" not in plan
