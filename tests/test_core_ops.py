@@ -700,6 +700,61 @@ def test_snapshot_version_diff_reads_only_changed_files(spark, sf_dir, tmp_path)
     assert removed2.count() == 0 and added2.count() == 0
 
 
+def test_merge_snapshot_rewrites_only_touched_files(spark, sf_dir, tmp_path):
+    """Copy-on-write MERGE: a batch confined to a narrow key range must
+    rewrite only the files whose manifest stats intersect it (the rest
+    carry over by reference), produce exactly the upserted image, and
+    leave every prior version readable."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import (
+        _manifest,
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # sorted layout -> tight per-file key ranges -> real pruning
+    v0 = write_snapshot(
+        orders.repartitionByRange(6, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        base,
+        stat_cols=["o_orderkey"],
+    )
+    n0 = orders.count()
+    before = set(_manifest(base, v0)["files"])
+
+    lo_keys = orders.orderBy("o_orderkey").limit(50)
+    batch = lo_keys.withColumn("o_totalprice", F.lit(-1.0)).unionByName(
+        spark.createDataFrame([(10_000_000, 1, 9.5)], "o_orderkey long, o_custkey long, o_totalprice double")
+    )
+    v1 = merge_snapshot(spark, base, batch, "o_orderkey", stat_cols=["o_orderkey"])
+
+    after = set(_manifest(base, v1)["files"])
+    carried = before & after
+    assert carried, "untouched files must carry over by reference"
+    assert len(before - after) < len(before), "not every file should be rewritten"
+
+    img = read_snapshot(spark, base, v1)
+    assert img.count() == n0 + 1  # 50 updates + 1 insert
+    assert img.filter("o_totalprice = -1.0").count() == 50
+    assert img.filter("o_orderkey = 10000000").count() == 1
+    # no duplicate keys after the upsert
+    assert img.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    # time travel: v0 image untouched
+    assert read_snapshot(spark, base, v0).filter("o_totalprice = -1.0").count() == 0
+
+    # merged stats stay prune-accurate on the new version
+    from transferdb_spark.state.snapshots import pruned_file_count
+
+    kept, total = pruned_file_count(base, v1, ("o_orderkey", 10_000_000, 10_000_000))
+    assert kept < total
+
+
 def test_two_phase_global_ranking_exact(spark):
     """Two-phase global row_number/ntile must match the single-window
     semantics exactly, including SQL ntile's uneven-bucket rule and the

@@ -168,6 +168,105 @@ def read_snapshot(
     return spark.read.parquet(*files)
 
 
+def merge_snapshot(
+    spark: SparkSession,
+    base: str,
+    batch: DataFrame,
+    key: str,
+    stat_cols: list[str] | None = None,
+) -> int:
+    """Copy-on-write MERGE (upsert by ``key``) into the versioned
+    store; returns the new version.
+
+    The Delta/Iceberg MERGE shape on plain parquet: manifest min/max
+    stats identify the files whose key range can intersect the batch
+    (files without stats for the key are conservatively rewritten);
+    ONLY those files are loaded, anti-joined against the batch's keys,
+    unioned with the batch and rewritten — untouched files carry over
+    into the new manifest by reference, and every prior version stays
+    readable (time travel intact, data files immutable).
+
+    At 100 TB the rewrite cost is proportional to the TOUCHED key
+    range, not the table — which is why merge targets should be
+    written sorted/Z-ordered on the merge key (tight per-file ranges =
+    tight pruning). The batch's key bounds are one aggregate row to
+    the driver."""
+    from pyspark.sql import functions as F
+
+    versions = list_versions(base)
+    if not versions:
+        return write_snapshot(batch, base, stat_cols=stat_cols)
+    man = _manifest(base, versions[-1])
+    files, stats = man["files"], man.get("stats", {})
+
+    if batch.isEmpty():
+        # empty batch: new version = previous image unchanged
+        return write_snapshot(batch.limit(0), base, mode="append", stat_cols=stat_cols)
+
+    # per-file touch test: a file is touched iff SOME batch key falls
+    # inside its [min, max] — a single global batch range would mark
+    # everything touched the moment one faraway insert appears. The
+    # file-interval table is manifest-sized, so broadcast it against
+    # the batch's distinct keys and collect at most one row per file.
+    no_stats = [f for f in files if stats.get(f, {}).get(key) is None]
+    ivals = [
+        (f, s[0], s[1])
+        for f in files
+        if (s := stats.get(f, {}).get(key)) is not None
+    ]
+    touched = list(no_stats)
+    if ivals:
+        fdf = spark.createDataFrame(ivals, ["__f", "__lo", "__hi"])
+        hit = (
+            batch.select(F.col(key).alias("__k"))
+            .distinct()
+            .join(
+                F.broadcast(fdf),
+                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        touched += [r["__f"] for r in hit]
+    untouched = [f for f in files if f not in set(touched)]
+
+    cols = batch.columns
+    if touched:
+        remaining = (
+            spark.read.parquet(*touched)
+            .select(*cols)
+            .join(batch.select(key).distinct(), key, "left_anti")
+        )
+        image_delta = remaining.unionByName(batch)
+    else:
+        image_delta = batch
+
+    staging = os.path.join(_data_dir(base), uuid.uuid4().hex)
+    image_delta.write.mode("overwrite").parquet(staging)
+    new_files = [
+        os.path.join(staging, f) for f in os.listdir(staging) if f.endswith(".parquet")
+    ]
+
+    version = versions[-1] + 1
+    new_stats = dict(stats) if stat_cols else {}
+    if stat_cols:
+        for f in touched:
+            new_stats.pop(f, None)
+        for f in new_files:
+            new_stats[f] = _file_stats(f, stat_cols)
+    manifest = {
+        "version": version,
+        "files": sorted(untouched + new_files),
+        "stats": new_stats,
+    }
+    tmp = os.path.join(_versions_dir(base), f"{version:06d}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(_versions_dir(base), f"{version:06d}.json"))
+    return version
+
+
 def pruned_file_count(
     base: str, version: int, predicate: tuple[str, object, object]
 ) -> tuple[int, int]:
