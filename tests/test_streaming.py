@@ -543,3 +543,60 @@ def test_redo_transaction_grouping(spark):
     ]
     assert [c["scn"] for c in txns[0]["changes"]] == [2, 4]
     assert [c["operation"] for c in txns[0]["changes"]] == ["INSERT", "UPDATE"]
+
+
+def test_cdc_stream_merges_into_snapshot_store(spark, sf_dir, tmp_path):
+    """Stream → merge_snapshot: the table image equals latest-wins over
+    the delivered events, each batch commits a time-travel-readable
+    version, and an update batch upserts instead of duplicating."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import list_versions, read_snapshot
+    from transferdb_spark.streaming.incr import (
+        apply_cdc_stream_to_snapshot,
+        stream_events,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .filter(F.col("event_id") % 7 == 0)
+    )
+    feed = str(tmp_path / "feed")
+    events.coalesce(1).write.mode("overwrite").parquet(feed)
+    base = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = apply_cdc_stream_to_snapshot(
+        stream_events(spark, feed), base, ckpt, key="user_id", stat_cols=["user_id"]
+    )
+    q.awaitTermination(120)
+    v1 = list_versions(base)[-1]
+    img = read_snapshot(spark, base)
+    n_users = events.select("user_id").distinct().count()
+    assert img.count() == n_users
+    assert img.groupBy("user_id").count().filter("count > 1").count() == 0
+
+    # an update for one existing user arrives in a later batch
+    u0 = img.orderBy("user_id").first()["user_id"]
+    upd = (
+        events.filter(F.col("user_id") == u0)
+        .limit(1)
+        .withColumn("event_id", F.lit(9_000_000).cast(events.schema["event_id"].dataType))
+        .withColumn("value", F.lit(777.0))
+    )
+    upd.coalesce(1).write.mode("append").parquet(feed)
+    q2 = apply_cdc_stream_to_snapshot(
+        stream_events(spark, feed), base, ckpt, key="user_id", stat_cols=["user_id"]
+    )
+    q2.awaitTermination(120)
+
+    img2 = read_snapshot(spark, base)
+    assert img2.count() == n_users  # upsert, not insert
+    got = img2.filter(F.col("user_id") == u0).first()
+    assert got["value"] == 777.0 and got["event_id"] == 9_000_000
+    # prior version still reads the pre-update image
+    assert read_snapshot(spark, base, v1).filter(
+        (F.col("user_id") == u0) & (F.col("value") == 777.0)
+    ).count() == 0

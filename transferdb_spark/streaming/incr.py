@@ -196,6 +196,54 @@ def apply_cdc_stream_to_jdbc(
     return writer.start()
 
 
+def apply_cdc_stream_to_snapshot(
+    stream: DataFrame,
+    base: str,
+    checkpoint_dir: str,
+    key: str = "event_id",
+    scn_col: str = "event_id",
+    stat_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Stream → copy-on-write MERGE into the versioned snapshot store —
+    the lakehouse twin of apply_cdc_stream_to_jdbc: each micro-batch
+    dedupes to the newest image per key and merge_snapshot rewrites
+    only the files whose key ranges the batch touches, committing one
+    new manifest version per batch (so the CDC history is time-travel
+    readable: version N = state after batch N).
+
+    Idempotence: a re-delivered batch re-merges the same images —
+    the file set changes but the logical image does not, so
+    at-least-once delivery is effectively-once on the table image."""
+    from transferdb_spark.state.snapshots import merge_snapshot
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(F.desc(scn_col), F.desc("ts"))
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        if latest.isEmpty():
+            return
+        merge_snapshot(batch.sparkSession, base, latest, key, stat_cols=stat_cols)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(apply_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="300 milliseconds")
+    return writer.start()
+
+
 def cdc_current_state(
     spark: SparkSession, target_dir: str, key: str = "event_id", scn_col: str = "event_id"
 ) -> DataFrame:
