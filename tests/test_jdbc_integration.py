@@ -235,3 +235,38 @@ def test_cdc_stream_merge_apply_repairs_damaged_target(spark, sf_dir, derby_url,
         spark, events, read_tgt(), "evt", str(tmp_path / "cmp2"), key="event_id", n_chunks=4
     )
     assert good.is_equal
+
+
+def test_jdbc_merge_scn_guard_blocks_stale_updates(spark, sf_dir, derby_url, tmp_path):
+    """merge_from_staging(scn_col=...) must apply only rows whose scn
+    exceeds the target's — a stale re-delivery cannot regress."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.sources.jdbc import JdbcSink, JdbcSource
+    from transferdb_spark.sources.registry import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value")
+        .filter(F.col("event_id") % 13 == 0)
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("event_id"), F.first("value").alias("value"))
+    )
+    sink = JdbcSink(url=derby_url, table="EVSTATE", driver=DERBY_DRIVER)
+    sink.write(ev, mode="overwrite")
+
+    u0 = ev.orderBy("user_id").first()
+    fresh = spark.createDataFrame(
+        [(u0["user_id"], u0["event_id"] + 1000, 111.0)], "user_id long, event_id long, value double"
+    )
+    stale = spark.createDataFrame(
+        [(u0["user_id"], 1, -1.0)], "user_id long, event_id long, value double"
+    )
+    sink.merge_from_staging(fresh, ["user_id"], scn_col="event_id")
+    sink.merge_from_staging(stale, ["user_id"], scn_col="event_id")
+
+    t = JdbcSource(url=derby_url, table="EVSTATE", driver=DERBY_DRIVER).load(spark)
+    t = t.toDF(*[c.lower() for c in t.columns])
+    got = t.filter(F.col("user_id") == u0["user_id"]).first()
+    assert got["event_id"] == u0["event_id"] + 1000
+    assert got["value"] == 111.0

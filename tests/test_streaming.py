@@ -600,3 +600,51 @@ def test_cdc_stream_merges_into_snapshot_store(spark, sf_dir, tmp_path):
     assert read_snapshot(spark, base, v1).filter(
         (F.col("user_id") == u0) & (F.col("value") == 777.0)
     ).count() == 0
+
+
+def test_stale_redelivery_cannot_regress_snapshot_image(spark, sf_dir, tmp_path):
+    """A STALE event re-delivered in a LATER batch must not overwrite an
+    already-applied newer image — per-key latest-wins through
+    merge_snapshot(scn_col=...)."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import read_snapshot
+    from transferdb_spark.streaming.incr import (
+        apply_cdc_stream_to_snapshot,
+        stream_events,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .filter(F.col("event_id") % 11 == 0)
+    )
+    feed = str(tmp_path / "feed")
+    events.coalesce(1).write.mode("overwrite").parquet(feed)
+    base, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+
+    q = apply_cdc_stream_to_snapshot(
+        stream_events(spark, feed), base, ckpt, key="user_id", stat_cols=["user_id"]
+    )
+    q.awaitTermination(120)
+    img = read_snapshot(spark, base)
+    u0 = img.orderBy("user_id").first()
+    assert u0["event_id"] > 1  # a stale event_id below it must exist
+
+    # re-deliver a STALE (older-scn) event for the same user
+    stale = (
+        events.filter(F.col("user_id") == u0["user_id"])
+        .limit(1)
+        .withColumn("event_id", F.lit(1).cast(events.schema["event_id"].dataType))
+        .withColumn("value", F.lit(-999.0))
+    )
+    stale.coalesce(1).write.mode("append").parquet(feed)
+    q2 = apply_cdc_stream_to_snapshot(
+        stream_events(spark, feed), base, ckpt, key="user_id", stat_cols=["user_id"]
+    )
+    q2.awaitTermination(120)
+
+    got = read_snapshot(spark, base).filter(F.col("user_id") == u0["user_id"]).first()
+    assert got["event_id"] == u0["event_id"], "stale event regressed the image"
+    assert got["value"] != -999.0

@@ -6,18 +6,29 @@ through one task (Spark even warns: "Moving all data to a single
 partition"). That is fine for a demo and fatal at 100 TB. The scalable
 form is the classic two-phase plan every MPP engine uses:
 
-1. range-repartition on the ORDER key(s) — each partition holds a
-   contiguous key range, globally ordered across partitions;
-2. count rows per partition (an aggregate, k rows to the driver);
-3. broadcast the cumulative offsets; global row_number =
-   within-partition row_number (a PARALLEL window, partitioned by
-   spark_partition_id) + the partition's offset.
+1. derive range-bucket boundaries for the leading order column
+   (approx quantiles — ANY boundaries are correct, equal-depth ones
+   are merely fast) and assign each row a bucket id with a PURE
+   expression — deterministic, so no materialization is needed to
+   keep two reads of the partitioning consistent;
+2. count rows per bucket (an aggregate, one row per bucket);
+3. fold the cumulative offsets into the plan; global row_number =
+   within-bucket row_number (a PARALLEL window partitioned by the
+   bucket id) + the bucket's offset.
+
+An earlier revision used repartitionByRange + spark_partition_id and
+had to localCheckpoint the exchange: RangePartitioner SAMPLES its
+bounds, so re-executing it for the count job and the window job put
+rows in different partitions and produced duplicate ranks (caught by
+the sf0.1 gate). The pure-expression bucket id removes that hazard and
+the checkpoint with it — the only jobs are the quantile probe and the
+bucket counts.
 
 Exactness: the order key list must be a TOTAL order (append a unique
-tie-breaker). Range partitioning puts equal keys in the same partition
-and orders partitions by key, so offset + local row_number is exactly
-the global row_number; ntile/quartile assignments derive from it with
-SQL ntile's exact uneven-bucket rule (first N % k buckets get one
+tie-breaker). All rows equal on the leading column share a bucket, so
+bucket order is consistent with the total order and offset + local
+row_number is exactly the global row_number. ntile derives from it
+with SQL ntile's exact uneven-bucket rule (first N % k buckets get one
 extra row).
 
 The reference has no window machinery at all (SURVEY §2.5); this is
@@ -36,30 +47,35 @@ def global_row_number(
     df: DataFrame, order_cols: list[str], num_partitions: int = 32
 ) -> DataFrame:
     """df + `rn` = exact global row_number over order_cols (must be a
-    total order), computed with parallel per-partition windows.
+    total order), computed with parallel per-bucket windows.
 
-    Driver traffic is ONE row per partition (the counts); everything
-    else stays distributed. The per-partition window sorts only its
-    partition — the range exchange already did the global ordering.
-    """
+    Driver traffic: the quantile probe plus one count row per bucket."""
     out, _ = _global_row_number_with_total(df, order_cols, num_partitions)
     return out
+
+
+def _bucket_expr(df: DataFrame, lead_col: str, num_partitions: int) -> Column:
+    """Deterministic range-bucket id for the leading order column:
+    sum of (col > boundary_i) over approx-quantile boundaries. Equal
+    values always share a bucket; skewed data just means uneven
+    buckets, never wrong ranks."""
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = sorted(set(df.stat.approxQuantile(lead_col, qs, 0.001)))
+    pid: Column = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col(lead_col) > F.lit(b)).cast("int")
+    # NULLs sort first under Spark's default ascending order — give
+    # them their own leading bucket instead of a NULL pid
+    return F.when(F.col(lead_col).isNull(), F.lit(-1)).otherwise(pid)
 
 
 def _global_row_number_with_total(
     df: DataFrame, order_cols: list[str], num_partitions: int
 ) -> tuple[DataFrame, int]:
-    ranged = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-    # MATERIALIZE the ranged partitioning before reading it twice:
-    # RangePartitioner picks its bounds by SAMPLING, so re-executing
-    # the exchange for the count job and the window job can land rows
-    # in different partitions — offsets from one partitioning applied
-    # to the other produced duplicate/skipped ranks (caught at sf0.1).
-    # localCheckpoint pins one materialization; a cluster deployment
-    # would use persist(DISK) or a reliable checkpoint the same way.
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    lead = order_cols[0]
+    with_pid = df.withColumn("__pid", _bucket_expr(df, lead, num_partitions))
 
-    # k rows to the driver: partition id -> row count
+    # one row per bucket to the driver
     counts = {
         r["__pid"]: r["cnt"]
         for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -186,6 +186,7 @@ class JdbcSink:
         key_cols: list[str],
         staging_table: str | None = None,
         drop_staging: bool = True,
+        scn_col: str | None = None,
     ) -> int:
         """MERGE-style upsert: land df in a staging table (executor-side
         batched JDBC write), then one set-based MERGE INTO target — the
@@ -210,8 +211,15 @@ class JdbcSink:
         ins_cols = ", ".join(q(c) for c in cols)
         ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
         # a key-only table has nothing to update — MATCHED is a no-op
-        # and an empty SET list would be a syntax error
-        matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
+        # and an empty SET list would be a syntax error.
+        # scn_col makes the update CONDITIONAL (s.scn >= t.scn): a
+        # strictly-older re-delivered row can never regress a newer
+        # target image, while an EQUAL-scn redelivery re-applies — the
+        # reference's ≥ half of the ≥/> dance, which is also what lets
+        # a replayed batch repair target corruption (same scn, fixed
+        # values). Per-key exact form of logminer.go:134-174's gate.
+        guard = f"AND s.{q(scn_col)} >= t.{q(scn_col)} " if scn_col else ""
+        matched = f"WHEN MATCHED {guard}THEN UPDATE SET {sets} " if sets else ""
         stmt = (
             f"MERGE INTO {self.table} t USING {stg} s ON {on} "
             f"{matched}"

@@ -92,14 +92,7 @@ def write_snapshot(
     any footer — manifest-level scan planning, which is what keeps
     10^6-file tables plannable. Pair with a Z-ordered or sorted
     layout so the stats are actually tight."""
-    os.makedirs(_versions_dir(base), exist_ok=True)
-    staging = os.path.join(_data_dir(base), uuid.uuid4().hex)
-    df.write.mode("overwrite").parquet(staging)
-    new_files = [
-        os.path.join(staging, f)
-        for f in os.listdir(staging)
-        if f.endswith(".parquet")
-    ]
+    new_files = _write_staging(df, base)
 
     versions = list_versions(base)
     version = (versions[-1] + 1) if versions else 0
@@ -109,7 +102,24 @@ def write_snapshot(
         prev = _manifest(base, versions[-1])
         files = prev["files"] + new_files
         stats = {**prev.get("stats", {}), **stats}
+    return _commit_manifest(base, version, files, stats)
 
+
+def _write_staging(df: DataFrame, base: str) -> list[str]:
+    """Land df's files in a fresh staging dir; returns the file paths.
+    Shared by every writer so the on-disk protocol has one copy."""
+    os.makedirs(_versions_dir(base), exist_ok=True)
+    staging = os.path.join(_data_dir(base), uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(staging)
+    return [
+        os.path.join(staging, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    ]
+
+
+def _commit_manifest(base: str, version: int, files: list, stats: dict) -> int:
+    """Atomic manifest commit (tmp-write + rename)."""
     manifest = {"version": version, "files": sorted(files), "stats": stats}
     tmp = os.path.join(_versions_dir(base), f"{version:06d}.json.tmp")
     with open(tmp, "w") as fh:
@@ -174,6 +184,7 @@ def merge_snapshot(
     batch: DataFrame,
     key: str,
     stat_cols: list[str] | None = None,
+    scn_col: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (upsert by ``key``) into the versioned
     store; returns the new version.
@@ -181,16 +192,29 @@ def merge_snapshot(
     The Delta/Iceberg MERGE shape on plain parquet: manifest min/max
     stats identify the files whose key range can intersect the batch
     (files without stats for the key are conservatively rewritten);
-    ONLY those files are loaded, anti-joined against the batch's keys,
-    unioned with the batch and rewritten — untouched files carry over
-    into the new manifest by reference, and every prior version stays
-    readable (time travel intact, data files immutable).
+    ONLY those files are loaded, merged with the batch and rewritten —
+    untouched files carry over into the new manifest by reference, and
+    every prior version stays readable (time travel intact, data files
+    immutable). Untouched files' stats always carry over too (their
+    data did not change); stats for rewritten files are refreshed over
+    ``stat_cols``, defaulting to whatever columns the previous
+    manifest tracked.
+
+    scn_col=None: the batch unconditionally replaces matching keys.
+    scn_col='...': LATEST-WINS — for a key present on both sides the
+    row with the higher scn survives (ties prefer the batch), so a
+    late-redelivered STALE event cannot regress an already-applied
+    newer image. This is the per-key exact form of the reference's
+    SCN gate (logminer.go:134-174).
+
+    NULL merge keys are rejected: NULL never equals NULL in the join,
+    so an upsert contract over a NULL key is unsatisfiable — each
+    merge would append another copy.
 
     At 100 TB the rewrite cost is proportional to the TOUCHED key
     range, not the table — which is why merge targets should be
     written sorted/Z-ordered on the merge key (tight per-file ranges =
-    tight pruning). The batch's key bounds are one aggregate row to
-    the driver."""
+    tight pruning)."""
     from pyspark.sql import functions as F
 
     versions = list_versions(base)
@@ -198,10 +222,17 @@ def merge_snapshot(
         return write_snapshot(batch, base, stat_cols=stat_cols)
     man = _manifest(base, versions[-1])
     files, stats = man["files"], man.get("stats", {})
+    if stat_cols is None:
+        # preserve the previous manifest's stat coverage: wiping stats
+        # on a stat_cols-less merge would disable pruning forever after
+        stat_cols = sorted({c for s in stats.values() for c in s}) or None
 
+    if not batch.where(F.col(key).isNull()).isEmpty():
+        raise ValueError(f"merge_snapshot: NULL values in merge key {key!r}")
     if batch.isEmpty():
-        # empty batch: new version = previous image unchanged
-        return write_snapshot(batch.limit(0), base, mode="append", stat_cols=stat_cols)
+        # empty batch: re-commit the previous manifest unchanged — no
+        # junk zero-row file, no staging dir
+        return _commit_manifest(base, versions[-1] + 1, files, stats)
 
     # per-file touch test: a file is touched iff SOME batch key falls
     # inside its [min, max] — a single global batch range would mark
@@ -229,42 +260,40 @@ def merge_snapshot(
             .collect()
         )
         touched += [r["__f"] for r in hit]
-    untouched = [f for f in files if f not in set(touched)]
+    touched_set = set(touched)
+    untouched = [f for f in files if f not in touched_set]
 
     cols = batch.columns
     if touched:
-        remaining = (
-            spark.read.parquet(*touched)
-            .select(*cols)
-            .join(batch.select(key).distinct(), key, "left_anti")
-        )
-        image_delta = remaining.unionByName(batch)
+        old = spark.read.parquet(*touched).select(*cols)
+        if scn_col is None:
+            remaining = old.join(batch.select(key).distinct(), key, "left_anti")
+            image_delta = remaining.unionByName(batch)
+        else:
+            # per-key latest-wins: old rows and batch rows compete on
+            # scn; ties prefer the batch (idempotent redelivery)
+            from pyspark.sql.window import Window
+
+            combined = old.withColumn("__src", F.lit(0)).unionByName(
+                batch.withColumn("__src", F.lit(1))
+            )
+            w = Window.partitionBy(key).orderBy(
+                F.desc(scn_col), F.desc("__src")
+            )
+            image_delta = (
+                combined.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn", "__src")
+            )
     else:
         image_delta = batch
 
-    staging = os.path.join(_data_dir(base), uuid.uuid4().hex)
-    image_delta.write.mode("overwrite").parquet(staging)
-    new_files = [
-        os.path.join(staging, f) for f in os.listdir(staging) if f.endswith(".parquet")
-    ]
-
-    version = versions[-1] + 1
-    new_stats = dict(stats) if stat_cols else {}
+    new_files = _write_staging(image_delta, base)
+    new_stats = {f: s for f, s in stats.items() if f not in touched_set}
     if stat_cols:
-        for f in touched:
-            new_stats.pop(f, None)
         for f in new_files:
             new_stats[f] = _file_stats(f, stat_cols)
-    manifest = {
-        "version": version,
-        "files": sorted(untouched + new_files),
-        "stats": new_stats,
-    }
-    tmp = os.path.join(_versions_dir(base), f"{version:06d}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(_versions_dir(base), f"{version:06d}.json"))
-    return version
+    return _commit_manifest(base, versions[-1] + 1, untouched + new_files, new_stats)
 
 
 def pruned_file_count(

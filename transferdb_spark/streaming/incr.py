@@ -63,6 +63,22 @@ def filter_ops(stream: DataFrame, min_scn: int = 0) -> DataFrame:
     )
 
 
+def _latest_per_key(batch: DataFrame, key: str, scn_col: str) -> DataFrame:
+    """Newest image per business key within one micro-batch — the
+    UPDATE = DELETE+REPLACE collapse every applier shares (ties break
+    on ts; extend HERE, not per-applier)."""
+    return (
+        batch.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key).orderBy(F.desc(scn_col), F.desc("ts"))
+            ),
+        )
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+
+
 def apply_cdc_stream(
     stream: DataFrame,
     target_dir: str,
@@ -114,16 +130,7 @@ def apply_cdc_stream(
         else:
             floor = gate["max_scn"]
         gated = batch if floor is None else batch.filter(F.col(scn_col) > floor)
-        latest = (
-            gated.withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy(key).orderBy(F.desc(scn_col), F.desc("ts"))
-                ),
-            )
-            .filter("_rn = 1")
-            .drop("_rn")
-        )
+        latest = _latest_per_key(gated, key, scn_col)
         latest.write.mode("overwrite").parquet(
             os.path.join(target_dir, f"batch_id={batch_id}")
         )
@@ -170,19 +177,20 @@ def apply_cdc_stream_to_jdbc(
     """
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        latest = (
-            batch.withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy(key).orderBy(F.desc(scn_col), F.desc("ts"))
-                ),
+        # persist: the dedupe window feeds the isEmpty probe AND the
+        # staging write — without it the shuffle runs twice per batch
+        latest = _latest_per_key(batch, key, scn_col).persist()
+        try:
+            if latest.isEmpty():
+                return
+            sink.merge_from_staging(
+                latest,
+                [key],
+                staging_table=f"{sink.table}__STG_{batch_id}",
+                scn_col=scn_col,
             )
-            .filter("_rn = 1")
-            .drop("_rn")
-        )
-        if latest.isEmpty():
-            return
-        sink.merge_from_staging(latest, [key], staging_table=f"{sink.table}__STG_{batch_id}")
+        finally:
+            latest.unpersist()
 
     writer = (
         stream.writeStream.outputMode("append")
@@ -218,19 +226,25 @@ def apply_cdc_stream_to_snapshot(
     from transferdb_spark.state.snapshots import merge_snapshot
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        latest = (
-            batch.withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy(key).orderBy(F.desc(scn_col), F.desc("ts"))
-                ),
+        # persist: the dedupe window feeds the empty probe, the NULL
+        # check, the touch test, and the merge write
+        latest = _latest_per_key(batch, key, scn_col).persist()
+        try:
+            if latest.isEmpty():
+                return
+            # scn_col makes the merge latest-wins PER KEY: a stale
+            # event re-delivered in a later batch cannot regress an
+            # already-applied newer image
+            merge_snapshot(
+                batch.sparkSession,
+                base,
+                latest,
+                key,
+                stat_cols=stat_cols,
+                scn_col=scn_col,
             )
-            .filter("_rn = 1")
-            .drop("_rn")
-        )
-        if latest.isEmpty():
-            return
-        merge_snapshot(batch.sparkSession, base, latest, key, stat_cols=stat_cols)
+        finally:
+            latest.unpersist()
 
     writer = (
         stream.writeStream.outputMode("append")
