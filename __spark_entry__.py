@@ -3981,7 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_multiprobe": ann_topk_multiprobe,
         "text_token_stats": text_token_stats,
         "text_lang_id": text_lang_id,
-        "text_quality": text_quality,
+        "split_leakage_check": split_leakage_check,
         "text_bpe_tokens": text_bpe_tokens,
         "doc_chunk_windows": doc_chunk_windows,
         "asof_last_purchase": asof_last_purchase,
@@ -4063,7 +4063,7 @@ _EXT_PROMOTED = frozenset(
         "ann_topk_multiprobe",
         "text_token_stats",
         "text_lang_id",
-        "text_quality",
+        "split_leakage_check",
         "doc_fingerprint",
         "asof_last_purchase",
         "range_join_windows",
