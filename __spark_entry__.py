@@ -2800,6 +2800,44 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def quality_prune_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style corpus pruning: rank every doc by its bigram-LM
+    score and keep the top three DECILES — the 'train on the most
+    predictable X%' filter, with the decile assignment computed by the
+    two-phase distributed ntile (operators/ranking.py), not a
+    single-partition window. At 100 TB the score relation would be
+    persisted between the quantile probe and the ranking pass."""
+    from transferdb_spark.ext.text import bigram_lm_score
+    from transferdb_spark.operators.ranking import global_ntile
+
+    scores = bigram_lm_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lm_score"
+    )
+    return (
+        global_ntile(scores, ["lm_score", "doc_id"], k=10, num_partitions=8)
+        .select(
+            "doc_id",
+            "lm_score",
+            F.col("bucket").alias("decile"),
+            (F.col("bucket") >= 8).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _quality_prune_sql() -> str:
+    from transferdb_spark.ext.text import BIGRAM_LM_SQL
+
+    return f"""
+WITH s AS ({BIGRAM_LM_SQL})
+SELECT doc_id, lm_score,
+       ntile(10) OVER (ORDER BY lm_score, doc_id) AS decile,
+       CAST(ntile(10) OVER (ORDER BY lm_score, doc_id) >= 8 AS INT) AS kept
+FROM s
+ORDER BY doc_id
+"""
+
+
 def decontam_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing shingles with
     the deterministic eval slice — see ext/dedup.py decontam_overlap."""
@@ -4036,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_customer_quartiles": ntile_customer_quartiles,
         "global_rank_twophase": global_rank_twophase,
         "global_ntile_twophase": global_ntile_twophase,
+        "quality_prune_deciles": quality_prune_deciles,
         "pivot_returnflag": pivot_returnflag,
         "grouping_cube": grouping_cube,
         "catalog_columns": catalog_columns,
@@ -4130,6 +4169,7 @@ def oracle_sql() -> dict[str, str]:
         "ntile_customer_quartiles": NTILE_SQL,
         "global_rank_twophase": GLOBAL_RANK_SQL,
         "global_ntile_twophase": NTILE_SQL,
+        "quality_prune_deciles": _quality_prune_sql(),
         "pivot_returnflag": PIVOT_SQL,
         "grouping_cube": CUBE_SQL,
         "text_bpe_tokens": _bpe_token_sql(),
