@@ -1581,6 +1581,7 @@ GROUP BY quartile ORDER BY quartile
 
 
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counts per document (tokenizer-cost estimator)."""
     from transferdb_spark.ext.text import bpe_token_counts
 
     return bpe_token_counts(_t(spark, sf_dir, "documents"))
@@ -2468,6 +2469,7 @@ SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 24-bit fingerprints + Hamming near-dup pairs."""
     from transferdb_spark.ext.dedup import simhash_fingerprints
 
     return simhash_fingerprints(_t(spark, sf_dir, "documents"))
@@ -2561,24 +2563,28 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts + average token length per document."""
     from transferdb_spark.ext.text import token_stats
 
     return token_stats(_t(spark, sf_dir, "documents"))
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-class quality ratios: punctuation, digits, whitespace, length gate."""
     from transferdb_spark.ext.text import quality_scores
 
     return quality_scores(_t(spark, sf_dir, "documents"))
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-lexicon overlap (n-gram-heuristic family)."""
     from transferdb_spark.ext.text import lang_id
 
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (content-defined signature)."""
     from transferdb_spark.ext.text import fingerprint
 
     return fingerprint(_t(spark, sf_dir, "documents"))
@@ -2701,6 +2707,7 @@ def _doc_chunks_sql_cached() -> str:
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: docs, distinct digests, dup rows (hash-groupBy)."""
     from transferdb_spark.ext.dedup import exact_dedup_summary
 
     return exact_dedup_summary(_t(spark, sf_dir, "documents"))
@@ -2736,30 +2743,35 @@ def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded candidate pairs (4 bands x r=3, never all-pairs)."""
     from transferdb_spark.ext.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
 def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms over the embedding column (quantized exact)."""
     from transferdb_spark.ext.similarity import embedding_norms
 
     return embedding_norms(_t(spark, sf_dir, "embeddings"))
 
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs one query vector (quantized-int64 exact)."""
     from transferdb_spark.ext.similarity import topk_bruteforce
 
     return topk_bruteforce(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
 def ann_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket occupancy histogram — the index health check."""
     from transferdb_spark.ext.similarity import lsh_bucket_histogram
 
     return lsh_bucket_histogram(_t(spark, sf_dir, "embeddings"))
 
 
 def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k within the query's hyperplane-LSH bucket (fixed test-scale planes)."""
     from transferdb_spark.ext.similarity import ann_topk_lsh
 
     return ann_topk_lsh(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
@@ -2781,12 +2793,14 @@ def ann_topk_multiprobe_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket prefilter."""
     from transferdb_spark.ext.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
 def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: pivot-cell routing, exact cosine only in probed cells."""
     from transferdb_spark.ext.similarity import ann_topk_ivf
 
     return ann_topk_ivf(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
@@ -2874,6 +2888,7 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: query bucket plus every Hamming-1 neighbour."""
     from transferdb_spark.ext.similarity import ann_topk_lsh_multiprobe
 
     return ann_topk_lsh_multiprobe(_t(spark, sf_dir, "embeddings"), 0, 10)
@@ -2977,6 +2992,7 @@ FROM reach GROUP BY node ORDER BY doc_id
 
 
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (corpus IDF, deterministic ties)."""
     from transferdb_spark.ext.text import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
