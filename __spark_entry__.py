@@ -2852,6 +2852,44 @@ ORDER BY doc_id
 """
 
 
+def quality_prune_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-STRATIFIED pruning: quality quartiles computed within
+    each language (a plain window partitioned by lang — parallel by
+    construction), so low-resource languages aren't starved by the
+    global score distribution. Keeps the top quartile per language."""
+    from transferdb_spark.ext.text import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = bigram_lm_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+    return (
+        scores.select(
+            "doc_id",
+            "lang",
+            "lm_score",
+            F.ntile(4).over(w).alias("lang_quartile"),
+        )
+        .withColumn("kept", (F.col("lang_quartile") == 4).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+def _quality_prune_per_lang_sql() -> str:
+    from transferdb_spark.ext.text import BIGRAM_LM_SQL
+
+    return f"""
+WITH s AS ({BIGRAM_LM_SQL}),
+j AS (SELECT s.doc_id, d.lang, s.lm_score FROM s JOIN documents d ON s.doc_id = d.doc_id)
+SELECT doc_id, lang, lm_score,
+       ntile(4) OVER (PARTITION BY lang ORDER BY lm_score, doc_id) AS lang_quartile,
+       CAST(ntile(4) OVER (PARTITION BY lang ORDER BY lm_score, doc_id) = 4 AS INT) AS kept
+FROM j
+ORDER BY doc_id
+"""
+
+
 def decontam_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing shingles with
     the deterministic eval slice — see ext/dedup.py decontam_overlap."""
@@ -4091,6 +4129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_rank_twophase": global_rank_twophase,
         "global_ntile_twophase": global_ntile_twophase,
         "quality_prune_deciles": quality_prune_deciles,
+        "quality_prune_per_lang": quality_prune_per_lang,
         "pivot_returnflag": pivot_returnflag,
         "grouping_cube": grouping_cube,
         "catalog_columns": catalog_columns,
@@ -4186,6 +4225,7 @@ def oracle_sql() -> dict[str, str]:
         "global_rank_twophase": GLOBAL_RANK_SQL,
         "global_ntile_twophase": NTILE_SQL,
         "quality_prune_deciles": _quality_prune_sql(),
+        "quality_prune_per_lang": _quality_prune_per_lang_sql(),
         "pivot_returnflag": PIVOT_SQL,
         "grouping_cube": CUBE_SQL,
         "text_bpe_tokens": _bpe_token_sql(),
