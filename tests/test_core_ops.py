@@ -797,3 +797,53 @@ def test_two_phase_global_ranking_exact(spark):
     plan = global_row_number(df, ["k", "uid"], 7)._jdf.queryExecution().toString()
     assert "windowspecdefinition(__pid" in plan
     assert "SinglePartition" not in plan
+
+
+def test_stale_chunks_prune_unaffected_ranges(spark, sf_dir, tmp_path):
+    """After a narrow-key merge, stale_chunks must keep only the chunks
+    whose ranges the changed files can touch (metadata-only decision),
+    and the skipped chunks' images must PROVABLY be identical across
+    the two versions."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.plans.chunker import plan_chunks
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+        stale_chunks,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v0 = write_snapshot(
+        orders.repartitionByRange(6, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        base,
+        stat_cols=["o_orderkey"],
+    )
+    batch = orders.orderBy("o_orderkey").limit(30).withColumn(
+        "o_totalprice", F.lit(-5.0)
+    )
+    v1 = merge_snapshot(spark, base, batch, "o_orderkey", stat_cols=["o_orderkey"])
+
+    chunks = plan_chunks(orders, "o_orderkey", 8)
+    stale = stale_chunks(base, v0, v1, "o_orderkey", chunks)
+    assert 0 < len(stale) < len(chunks), [c.chunk_id for c in stale]
+
+    # ground truth: every chunk NOT in stale has identical images
+    stale_ids = {c.chunk_id for c in stale}
+    old_img, new_img = read_snapshot(spark, base, v0), read_snapshot(spark, base, v1)
+    for c in chunks:
+        o = old_img.filter(c.predicate)
+        n = new_img.filter(c.predicate)
+        same = o.exceptAll(n).isEmpty() and n.exceptAll(o).isEmpty()
+        if c.chunk_id not in stale_ids:
+            assert same, f"pruned chunk {c.chunk_id} actually changed"
+    # and the damage IS inside a stale chunk
+    assert any(
+        not new_img.filter(c.predicate).filter("o_totalprice = -5.0").isEmpty()
+        for c in stale
+    )

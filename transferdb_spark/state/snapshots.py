@@ -484,6 +484,45 @@ def _exclusive_files(base: str, v_old: int, v_new: int) -> tuple[list[str], list
     return sorted(old - new), sorted(new - old)
 
 
+def stale_chunks(
+    base: str, v_old: int, v_new: int, key: str, chunks: list
+) -> list:
+    """Which chunks of a compare plan NEED re-verification after the
+    source advanced from v_old to v_new — decided from MANIFEST
+    metadata alone, zero data reads.
+
+    Data files are immutable, so only files exclusive to one manifest
+    can change the image; their per-file [min, max] stats on the split
+    key bound WHERE the change can live. A chunk whose key range
+    misses every changed file's range provably has an identical image
+    in both versions — its checksum cannot have moved, so periodic
+    compare skips even the re-checksum (the next rung above
+    compare_tables(incremental=True), which still checksums everything
+    and skips only phase 2).
+
+    Conservative by construction: a changed file with no stats for the
+    key stales EVERY chunk (pruning must never skip what it cannot
+    rule out)."""
+    only_old, only_new = _exclusive_files(base, v_old, v_new)
+    ranges: list[tuple] = []
+    for v, flist in ((v_old, only_old), (v_new, only_new)):
+        stats = _manifest(base, v).get("stats", {})
+        for f in flist:
+            s = stats.get(f, {}).get(key)
+            if s is None:
+                return list(chunks)
+            ranges.append((s[0], s[1]))
+    if not ranges:
+        return []
+
+    def overlaps(c) -> bool:
+        lo = c.lower if c.lower is not None else float("-inf")
+        hi = c.upper if c.upper is not None else float("inf")
+        return any(not (r[1] < lo or r[0] > hi) for r in ranges)
+
+    return [c for c in chunks if overlaps(c)]
+
+
 def snapshot_version_diff(
     spark: SparkSession, base: str, v_old: int, v_new: int
 ) -> tuple[DataFrame, DataFrame]:
