@@ -2824,8 +2824,13 @@ def quality_prune_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.text import bigram_lm_score
     from transferdb_spark.operators.ranking import global_ntile
 
-    scores = bigram_lm_score(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "lm_score"
+    # persist: global_ntile reads the score relation three times
+    # (quantile probe, bucket counts, final pass) — uncached, each
+    # re-runs the whole bigram pipeline
+    scores = (
+        bigram_lm_score(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "lm_score")
+        .persist()
     )
     return (
         global_ntile(scores, ["lm_score", "doc_id"], k=10, num_partitions=8)

@@ -847,3 +847,13 @@ def test_stale_chunks_prune_unaffected_ranges(spark, sf_dir, tmp_path):
         not new_img.filter(c.predicate).filter("o_totalprice = -5.0").isEmpty()
         for c in stale
     )
+
+    # inserts BEYOND the planned key range stale the open-ended edge
+    # chunk (its 'key >= lo' predicate catches them even though the
+    # stored upper bound does not)
+    far = spark.createDataFrame(
+        [(99_000_000, 1, 3.5)], "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    v2 = merge_snapshot(spark, base, far, "o_orderkey", stat_cols=["o_orderkey"])
+    stale2 = stale_chunks(base, v1, v2, "o_orderkey", chunks)
+    assert chunks[-1].chunk_id in {c.chunk_id for c in stale2}, "edge chunk missed"

@@ -515,9 +515,20 @@ def stale_chunks(
     if not ranges:
         return []
 
+    # The planner's FIRST and LAST chunks are open-ended by predicate
+    # ('key <= hi' / 'key >= lo' — boundary guards so out-of-range rows
+    # still land in a chunk) even though Chunk.lower/upper are concrete
+    # ints. Honor the predicate, not the stored bound: an insert beyond
+    # the planned range changes the edge chunk's image.
+    ordered = sorted(chunks, key=lambda c: c.chunk_id)
+    first_id = ordered[0].chunk_id
+    last_id = ordered[-1].chunk_id
+
     def overlaps(c) -> bool:
-        lo = c.lower if c.lower is not None else float("-inf")
-        hi = c.upper if c.upper is not None else float("inf")
+        if c.predicate == "1=1":
+            return True  # full-scan chunk: any change stales it
+        lo = float("-inf") if c.chunk_id == first_id else c.lower
+        hi = float("inf") if c.chunk_id == last_id else c.upper
         return any(not (r[1] < lo or r[0] > hi) for r in ranges)
 
     return [c for c in chunks if overlaps(c)]
