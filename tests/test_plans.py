@@ -202,17 +202,11 @@ def test_dup_span_stats_reuses_window_partitioning(queries):
 
     hash_ex = [l for l in t.splitlines() if "Exchange hashpartitioning" in l]
     assert len(hash_ex) <= 2, hash_ex
-    # two windows by design: occurrence count over the span hash (ONE
-    # shuffle of the big relation, replacing a groupBy + join-back)
-    # and the per-doc interval union
-    assert n_nodes(p, "Window") == 2
-    # the only join left is the final doc_id left-join re-attaching
-    # zero-dup docs — the h-keyed join-back is gone
-    assert n_nodes(p, "Join") <= 1
-    # final aggregate sits above the doc window with no exchange between
+    assert n_nodes(p, "Window") == 1
+    # final aggregate sits above the window with no exchange between
     win_idx = t.index("Window")
     agg_above = t[:win_idx].count("HashAggregate")
-    assert agg_above >= 2  # partial+final, both exchange-free above the windows
+    assert agg_above >= 2  # partial+final, both exchange-free above the window
 
 
 def test_gopher_quality_is_narrow_scan(queries):

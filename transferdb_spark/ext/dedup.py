@@ -770,17 +770,15 @@ def dup_span_stats(docs: DataFrame, n: int = 10) -> DataFrame:
         "start",
         portable_hash64(F.array_join(F.slice("toks", F.col("start"), n), " ")).alias("h"),
     )
-    # occurrence counts via ONE window over the span hash instead of a
-    # groupBy + join-back: the span relation (the big one — it carries
-    # every tokenized position) is shuffled ONCE on h, where the join
-    # form shuffles it for the probe AND aggregates it for the build.
-    # An unordered unbounded count needs no within-partition sort
-    # beyond the hash grouping itself.
-    occ_w = Window.partitionBy("h")
-    dup = (
-        spans.withColumn("occ", F.count(F.lit(1)).over(occ_w))
-        .filter(F.col("occ") > 1)
-        .select("doc_id", "n_tokens", "start", (F.col("start") + (n - 1)).alias("end"))
+    # filter to duplicated hashes BEFORE the join-back: the join's
+    # build side shrinks from all distinct spans to just the duplicated
+    # ones (usually a small fraction), and the probe becomes a
+    # semi-join shape AQE can also skew-split on a hot boilerplate hash
+    dup_hashes = (
+        spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ")).filter(F.col("occ") > 1)
+    )
+    dup = spans.join(dup_hashes.select("h"), "h").select(
+        "doc_id", "n_tokens", "start", (F.col("start") + (n - 1)).alias("end")
     )
     w = (
         Window.partitionBy("doc_id")
