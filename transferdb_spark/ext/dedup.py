@@ -770,10 +770,14 @@ def dup_span_stats(docs: DataFrame, n: int = 10) -> DataFrame:
         "start",
         portable_hash64(F.array_join(F.slice("toks", F.col("start"), n), " ")).alias("h"),
     )
-    # filter to duplicated hashes BEFORE the join-back: the join's
-    # build side shrinks from all distinct spans to just the duplicated
-    # ones (usually a small fraction), and the probe becomes a
-    # semi-join shape AQE can also skew-split on a hot boilerplate hash
+    # groupBy + join-back, NOT a count window over h: the groupBy
+    # map-side combines (its shuffle carries distinct hashes, not
+    # positions) and the join is AQE-skew-splittable, while a window
+    # partitioned on h would buffer EVERY occurrence of a hot
+    # boilerplate span in one task (measured ~25% faster locally,
+    # rejected for the unbounded-skew exposure at corpus scale).
+    # Filtering to duplicated hashes BEFORE the join keeps the build
+    # side at just the duplicate fraction
     dup_hashes = (
         spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ")).filter(F.col("occ") > 1)
     )
