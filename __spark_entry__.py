@@ -1515,10 +1515,10 @@ GROUP BY 1 ORDER BY 1
 
 def global_rank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global row_number WITHOUT the single-partition window:
-    range-repartition + per-partition counts + broadcast offsets +
-    parallel per-partition windows (operators/ranking.py). The oracle
-    is DuckDB's native global row_number — the two formulations must
-    agree row-for-row."""
+    deterministic quantile-boundary buckets + per-bucket counts +
+    in-plan offsets + parallel per-bucket windows
+    (operators/ranking.py). The oracle is DuckDB's native global
+    row_number — the two formulations must agree row-for-row."""
     from transferdb_spark.operators.ranking import global_row_number
 
     cust = _t(spark, sf_dir, "customer")
@@ -2824,13 +2824,14 @@ def quality_prune_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.text import bigram_lm_score
     from transferdb_spark.operators.ranking import global_ntile
 
-    # persist: global_ntile reads the score relation three times
-    # (quantile probe, bucket counts, final pass) — uncached, each
-    # re-runs the whole bigram pipeline
-    scores = (
-        bigram_lm_score(_t(spark, sf_dir, "documents"))
-        .select("doc_id", "lm_score")
-        .persist()
+    # NOT persisted: a query-registry callable has no unpersist point,
+    # and a .persist() here would leak one cached relation per
+    # invocation (every gate/lint/bench call) for the session lifetime.
+    # global_ntile reads the relation three times (quantile probe,
+    # bucket counts, final pass) — a production pipeline owning the
+    # lifecycle should persist scores and unpersist after the write.
+    scores = bigram_lm_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lm_score"
     )
     return (
         global_ntile(scores, ["lm_score", "doc_id"], k=10, num_partitions=8)

@@ -122,6 +122,7 @@ def main() -> None:
     # stay compact (totals + median-only dict). Full detail (best/cold/
     # spread per query) goes to BENCH_DETAIL.json alongside this script.
     detail = {
+        "sf": sf,
         "runs": runs,
         "spread": spreads,
         "best": bests,
@@ -131,12 +132,16 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # the committed BENCH_DETAIL.json reflects driver conditions
+    # (sf0.1, default runs) — fast probes at other SFs write a side
+    # file instead of clobbering the round artifact
+    name = "BENCH_DETAIL.json" if sf == "0.1" else f"BENCH_DETAIL_sf{sf}.json"
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
-    except OSError:
-        pass
+    except OSError as exc:
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total",

@@ -1,6 +1,6 @@
 """Physical-plan antipattern lint over EVERY queries() entry.
 
-Correctness gates prove the 136 queries return the right rows at
+Correctness gates prove every query returns the right rows at
 sf0.01; this lint proves none of them carries a plan shape that dies
 at 100 TB. For each query it builds the DataFrame (no execution) and
 scans the formatted physical plan for:
@@ -103,8 +103,12 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — lint every query
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        tree = plan.split("\n\n(")[0]
-        hard = [h for h in HARD if h in tree]
+        # scan the WHOLE plan, not just the first tree: formatted
+        # explain renders subquery plans as separate trees after the
+        # main details, and a cartesian/row-Python node inside a
+        # subquery is just as fatal. The HARD names are physical node
+        # names — they appear nowhere else in a formatted plan.
+        hard = [h for h in HARD if h in plan]
         soft = []
         if soft_single_partition_window(plan):
             if name in SOFT_ALLOW:

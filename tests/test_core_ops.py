@@ -798,6 +798,23 @@ def test_two_phase_global_ranking_exact(spark):
     assert "windowspecdefinition(__pid" in plan
     assert "SinglePartition" not in plan
 
+    # NaN sorts LAST (greater-than-all) in Spark's ordering — the
+    # bucket expression must agree, not dump NaN into bucket 0
+    fdf = spark.createDataFrame(
+        [(1.0, 1), (float("nan"), 2), (2.0, 3), (0.5, 4), (float("nan"), 5)],
+        "k double, uid long",
+    )
+    got = {
+        r["uid"]: r["rn"] for r in global_row_number(fdf, ["k", "uid"], 3).collect()
+    }
+    want = {
+        r["uid"]: r["rn"]
+        for r in fdf.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "uid"))
+        ).collect()
+    }
+    assert got == want and got[2] == 4 and got[5] == 5
+
 
 def test_stale_chunks_prune_unaffected_ranges(spark, sf_dir, tmp_path):
     """After a narrow-key merge, stale_chunks must keep only the chunks

@@ -221,7 +221,7 @@ def test_gopher_quality_is_narrow_scan(queries):
 def test_plan_lint_first_fold_no_hard_flags(queries, spark):
     """scripts/plan_lint.py's hard flags (CartesianProduct, row-Python
     BatchEvalPython) must stay absent across the driver-sampled window;
-    the standalone script lints all 136."""
+    the standalone script lints every entry."""
     import importlib.util
     import os
 

@@ -59,14 +59,22 @@ def _bucket_expr(df: DataFrame, lead_col: str, num_partitions: int) -> Column:
     sum of (col > boundary_i) over approx-quantile boundaries. Equal
     values always share a bucket; skewed data just means uneven
     buckets, never wrong ranks."""
+    from pyspark.sql import types as T
+
     qs = [i / num_partitions for i in range(1, num_partitions)]
     bounds = sorted(set(df.stat.approxQuantile(lead_col, qs, 0.001)))
     pid: Column = F.lit(0)
     for b in bounds:
         pid = pid + (F.col(lead_col) > F.lit(b)).cast("int")
-    # NULLs sort first under Spark's default ascending order — give
-    # them their own leading bucket instead of a NULL pid
-    return F.when(F.col(lead_col).isNull(), F.lit(-1)).otherwise(pid)
+    # Edge ordering must match the window semantics we claim parity
+    # with: NULL sorts FIRST under Spark's default ascending order
+    # (own leading bucket), and NaN sorts LAST / greater-than-all
+    # (own trailing bucket — `NaN > bound` is false, so it would
+    # otherwise silently land in bucket 0 with the LOWEST ranks).
+    out = F.when(F.col(lead_col).isNull(), F.lit(-1)).otherwise(pid)
+    if isinstance(df.schema[lead_col].dataType, (T.FloatType, T.DoubleType)):
+        out = F.when(F.isnan(F.col(lead_col)), F.lit(num_partitions + 1)).otherwise(out)
+    return out
 
 
 def _global_row_number_with_total(

@@ -145,6 +145,10 @@ def morton2_sql_dynamic(
     idiv: str = "//",
 ) -> str:
     """2-dim z-value with ranges taken from SQL scalar refs (CTE join)."""
+    if bits > 16:
+        # same guard as morton_expr: the spread masks cover exactly 16
+        # bits — the oracle twin must error symmetrically, not degrade
+        raise ValueError(f"2-column Z-order supports at most 16 bits/dim, got {bits}")
     x = _spread2_expr(_bucket_dyn_sql(cols[0], *range_refs[cols[0]], bits, idiv))
     y = _spread2_expr(_bucket_dyn_sql(cols[1], *range_refs[cols[1]], bits, idiv))
     return f"(({x}) | (({y}) * 2))"

@@ -225,10 +225,16 @@ class JdbcSink:
             f"{matched}"
             f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
         )
-        n = self.execute(spark, stmt)
-        if drop_staging:
-            self.execute(spark, f"DROP TABLE {stg}")
-        return n
+        try:
+            return self.execute(spark, stmt)
+        finally:
+            if drop_staging:
+                # best-effort: a failed MERGE must not strand the
+                # staging table in the target database
+                try:
+                    self.execute(spark, f"DROP TABLE {stg}")
+                except Exception:  # noqa: BLE001 — keep the MERGE error primary
+                    pass
 
     def upsert_batch(self, df: DataFrame, key_cols: list[str]) -> str:
         """REPLACE-safe-mode statement text for a MERGE-style apply.
