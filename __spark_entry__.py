@@ -2722,6 +2722,14 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(_t(spark, sf_dir, "documents"), n=5)
 
 
+def dedup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL: cut every token covered by a
+    duplicated n-gram span and reassemble the text (ext/dedup.py)."""
+    from transferdb_spark.ext.dedup import dup_span_removal
+
+    return dup_span_removal(_t(spark, sf_dir, "documents"), n=5)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFAULT jaccard dedup = the df-capped (skew-safe) candidate
     generator: a hot shingle with df=100k would alone yield 10^10
@@ -2971,6 +2979,12 @@ def _dup_span_sql() -> str:
     from transferdb_spark.ext.dedup import dup_span_stats_sql
 
     return dup_span_stats_sql(n=5)
+
+
+def _dup_span_removal_sql() -> str:
+    from transferdb_spark.ext.dedup import dup_span_removal_sql
+
+    return dup_span_removal_sql(n=5)
 
 
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3907,6 +3921,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "dedup_keep_first": EXACT_SURVIVORS_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_span_ngrams": _dup_span_sql(),
+        "dedup_span_removal": _dup_span_removal_sql(),
         "text_tfidf_top_terms": tfidf_top_terms_sql(5),
         "dedup_ngram_jaccard": ngram_jaccard_rare_sql(0.5),
         "dedup_ngram_jaccard_exact": ngram_jaccard_sql(0.5),
@@ -4109,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encoded_lengths": bpe_encoded_lengths,
         "ann_topk_multiprobe_auto": ann_topk_multiprobe_auto_q,
         "embedding_dedup_clusters": embedding_dedup_clusters,
+        "dedup_span_removal": dedup_span_removal_q,
         "median_order_value": median_order_value,
         "json_props_histogram": json_props_histogram,
         "q2_min_cost_supplier": q2_min_cost_supplier,

@@ -725,27 +725,10 @@ ORDER BY doc_a, doc_b
 """
 
 
-def dup_span_stats(docs: DataFrame, n: int = 10) -> DataFrame:
-    """Cross-corpus duplicate n-gram span accounting — the detection
-    stage of exact-substring dedup (public literature: Lee et al. 2021,
-    "Deduplicating Training Data Makes Language Models Better": remove
-    any 50-token span that appears more than once in the corpus; n is
-    a parameter here, fixture docs are short).
-
-    Relational shape, no suffix array needed at this granularity:
-    tokenize → explode the n-gram start positions (narrow) → hash each
-    span → ONE groupBy(hash) over the corpus for occurrence counts →
-    join back → per-doc interval-union of duplicated spans via a
-    running-max window. Output per doc: span counts plus the fraction
-    of tokens covered by at least one duplicated span (the mass
-    exact-substring dedup would cut).
-
-    100 TB: the only wide ops are the span-hash groupBy (map-side
-    combined, key space = distinct spans) and the join back on the
-    same key — both shuffle 8-byte hashes, never text. The window is
-    per-doc (small partitions by construction)."""
-    from pyspark.sql import Window
-
+def _dup_spans(docs: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
+    """(toks, dup): per-doc token arrays + the duplicated n-gram spans
+    (doc_id, n_tokens, start, end) — shared by the detection and
+    removal stages."""
     from transferdb_spark.functions.hashing import portable_hash64
 
     toks = docs.select("doc_id", F.expr(TOKENS).alias("toks")).withColumn(
@@ -784,6 +767,31 @@ def dup_span_stats(docs: DataFrame, n: int = 10) -> DataFrame:
     dup = spans.join(dup_hashes.select("h"), "h").select(
         "doc_id", "n_tokens", "start", (F.col("start") + (n - 1)).alias("end")
     )
+    return toks, dup
+
+
+def dup_span_stats(docs: DataFrame, n: int = 10) -> DataFrame:
+    """Cross-corpus duplicate n-gram span accounting — the detection
+    stage of exact-substring dedup (public literature: Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    any 50-token span that appears more than once in the corpus; n is
+    a parameter here, fixture docs are short).
+
+    Relational shape, no suffix array needed at this granularity:
+    tokenize → explode the n-gram start positions (narrow) → hash each
+    span → ONE groupBy(hash) over the corpus for occurrence counts →
+    join back → per-doc interval-union of duplicated spans via a
+    running-max window. Output per doc: span counts plus the fraction
+    of tokens covered by at least one duplicated span (the mass
+    exact-substring dedup would cut).
+
+    100 TB: the only wide ops are the span-hash groupBy (map-side
+    combined, key space = distinct spans) and the join back on the
+    same key — both shuffle 8-byte hashes, never text. The window is
+    per-doc (small partitions by construction)."""
+    from pyspark.sql import Window
+
+    toks, dup = _dup_spans(docs, n)
     w = (
         Window.partitionBy("doc_id")
         .orderBy("start")
@@ -862,3 +870,89 @@ ORDER BY tk.doc_id
             "COALESCE(agg.dup_tokens, 0) / CAST(GREATEST(tk.n_tokens, 1) AS DOUBLE)", 5
         ),
     )
+
+
+def dup_span_removal(docs: DataFrame, n: int = 10) -> DataFrame:
+    """The REMOVAL stage of exact-substring dedup: cut every token
+    covered by a duplicated n-gram span and reassemble the text —
+    detection (dup_span_stats) decides what, this executes it.
+
+    Policy: ALL occurrences of a duplicated span are removed (the
+    conservative variant — the duplicated text contributes no gradient
+    signal from any copy; keep-one-copy policies need a global
+    canonical-occurrence election, a different operator).
+
+    Relational shape: duplicated spans explode to covered positions
+    (×n fan-out on the dup fraction only), distinct per (doc, pos),
+    anti-join against the exploded token relation, then per-doc
+    ordered reassembly. Shuffles carry positions and single tokens.
+    """
+    toks, dup = _dup_spans(docs, n)
+    covered = (
+        dup.select(
+            "doc_id", F.explode(F.sequence(F.col("start"), F.col("end"))).alias("pos")
+        )
+        .distinct()
+    )
+    tok_rows = toks.select(
+        "doc_id", "n_tokens", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda st: st["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = toks.select("doc_id", "n_tokens")
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_span_removal_sql(n: int = 10) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+tk AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens FROM t),
+spans AS (
+  SELECT doc_id, n_tokens, CAST(g.i AS INT) AS start,
+         {_h64_duck(f"array_to_string(toks[g.i : g.i + {n} - 1], ' ')")} AS h
+  FROM tk, UNNEST(generate_series(1, GREATEST(n_tokens - {n - 1}, 0))) AS g(i)
+),
+occ AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) > 1),
+dup AS (SELECT s.doc_id, s.start, s.start + {n - 1} AS "end" FROM spans s JOIN occ USING (h)),
+covered AS (
+  SELECT DISTINCT doc_id, CAST(g.i AS INT) AS pos
+  FROM dup, UNNEST(generate_series(dup.start, dup."end")) AS g(i)
+),
+tok_rows AS (
+  SELECT doc_id, CAST(g.i AS INT) AS pos, toks[g.i] AS tok
+  FROM tk, UNNEST(generate_series(1, n_tokens)) AS g(i)
+),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok
+  FROM tok_rows tr LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.pos = c.pos
+  WHERE c.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text, COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept,
+       CAST(tk.n_tokens - COALESCE(r.n_kept, 0) AS INT) AS n_removed
+FROM tk LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY tk.doc_id
+"""
