@@ -2723,11 +2723,22 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring dedup REMOVAL: cut every token covered by a
-    duplicated n-gram span and reassemble the text (ext/dedup.py)."""
+    """Exact-substring dedup REMOVAL (remove-all policy): cut every
+    token covered by a duplicated n-gram span and reassemble the
+    normalized token text (ext/dedup.py)."""
     from transferdb_spark.ext.dedup import dup_span_removal
 
     return dup_span_removal(_t(spark, sf_dir, "documents"), n=5)
+
+
+def dedup_span_keep_one_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, KEEP-ONE-COPY policy (the Lee et al.
+    2021 training variant): elect a global canonical occurrence per
+    duplicated span (min (doc_id, start)) and remove only the other
+    occurrences' tokens (ext/dedup.py dup_span_keep_one)."""
+    from transferdb_spark.ext.dedup import dup_span_keep_one
+
+    return dup_span_keep_one(_t(spark, sf_dir, "documents"), n=5)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2985,6 +2996,12 @@ def _dup_span_removal_sql() -> str:
     from transferdb_spark.ext.dedup import dup_span_removal_sql
 
     return dup_span_removal_sql(n=5)
+
+
+def _dup_span_keep_one_sql() -> str:
+    from transferdb_spark.ext.dedup import dup_span_keep_one_sql
+
+    return dup_span_keep_one_sql(n=5)
 
 
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3922,6 +3939,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_span_ngrams": _dup_span_sql(),
         "dedup_span_removal": _dup_span_removal_sql(),
+        "dedup_span_keep_one": _dup_span_keep_one_sql(),
         "text_tfidf_top_terms": tfidf_top_terms_sql(5),
         "dedup_ngram_jaccard": ngram_jaccard_rare_sql(0.5),
         "dedup_ngram_jaccard_exact": ngram_jaccard_sql(0.5),
@@ -4125,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_multiprobe_auto": ann_topk_multiprobe_auto_q,
         "embedding_dedup_clusters": embedding_dedup_clusters,
         "dedup_span_removal": dedup_span_removal_q,
+        "dedup_span_keep_one": dedup_span_keep_one_q,
         "median_order_value": median_order_value,
         "json_props_histogram": json_props_histogram,
         "q2_min_cost_supplier": q2_min_cost_supplier,

@@ -874,3 +874,114 @@ def test_stale_chunks_prune_unaffected_ranges(spark, sf_dir, tmp_path):
     v2 = merge_snapshot(spark, base, far, "o_orderkey", stat_cols=["o_orderkey"])
     stale2 = stale_chunks(base, v1, v2, "o_orderkey", chunks)
     assert chunks[-1].chunk_id in {c.chunk_id for c in stale2}, "edge chunk missed"
+
+
+def test_manifest_commit_put_if_absent(spark, sf_dir, tmp_path):
+    """Two interleaved writers racing to the same next version must BOTH
+    survive as distinct versions (put-if-absent commit, never a silent
+    rename-clobber), and vacuum must find no orphaned data dirs."""
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import (
+        _commit_manifest,
+        _write_staging,
+        list_versions,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    write_snapshot(region, base)
+
+    # writer A stages its files and computes next version = 1 ...
+    a_files = _write_staging(nation, base)
+    # ... writer B commits version 1 first (full write_snapshot path)
+    v_b = write_snapshot(region.limit(2), base)
+    assert v_b == 1
+    # ... then A commits with its STALE version number: must land at 2
+    v_a = _commit_manifest(base, 1, a_files, {})
+    assert v_a == 2
+    assert list_versions(base) == [0, 1, 2]
+    # B's committed image was not clobbered; A's is intact too
+    assert read_snapshot(spark, base, v_b).count() == 2
+    assert read_snapshot(spark, base, v_a).count() == nation.count()
+
+    # every data dir is referenced by a surviving manifest: vacuum
+    # keeping all versions deletes nothing (no orphans from the race)
+    res = vacuum_snapshots(base, keep_last=10, grace_seconds=0)
+    assert res["deleted_files"] == 0
+    # no stray .tmp manifests left behind
+    import os
+    vd = os.path.join(base, "_versions")
+    assert not [f for f in os.listdir(vd) if f.endswith(".tmp")]
+
+
+def test_merge_snapshot_rejects_schema_drift(spark, sf_dir, tmp_path):
+    """A batch whose column set differs from the stored table must be
+    refused: the COW rewrite would otherwise project EVERY row of a
+    touched file through the narrower schema, silently losing data."""
+    import pytest
+
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import merge_snapshot, write_snapshot
+
+    base = str(tmp_path / "snap")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_snapshot(orders, base, stat_cols=["o_orderkey"])
+
+    narrow = orders.select("o_orderkey", "o_totalprice").limit(5)
+    with pytest.raises(ValueError, match="missing.*o_custkey"):
+        merge_snapshot(spark, base, narrow, "o_orderkey")
+
+    from pyspark.sql import functions as F
+
+    wide = orders.limit(5).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="extra.*extra"):
+        merge_snapshot(spark, base, wide, "o_orderkey")
+
+
+def test_global_ranking_non_numeric_order_keys(spark):
+    """String / date / timestamp leading order columns must produce
+    exactly the single-window ranks (order-preserving numeric
+    surrogates for boundary derivation); unsupported types raise a
+    clear error instead of an approxQuantile crash."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from transferdb_spark.operators.ranking import global_row_number
+
+    sdf = spark.createDataFrame(
+        [("", 1), ("zebra", 2), ("apple", 3), (None, 4), ("apple pie", 5),
+         ("Zeb", 6), ("zebra", 7), ("éclair", 8)],
+        "k string, uid long",
+    )
+    ddf = spark.sql(
+        "SELECT * FROM VALUES (DATE'2024-01-05', 1), (DATE'1969-12-31', 2), "
+        "(DATE'2024-01-05', 3), (CAST(NULL AS DATE), 4), (DATE'2030-06-01', 5) "
+        "AS t(k, uid)"
+    )
+    tdf = spark.sql(
+        "SELECT * FROM VALUES (TIMESTAMP'2024-01-05 10:00:00.123', 1), "
+        "(TIMESTAMP'1969-12-31 23:59:59', 2), (TIMESTAMP'2024-01-05 10:00:00.124', 3), "
+        "(CAST(NULL AS TIMESTAMP), 4) AS t(k, uid)"
+    )
+    for df in (sdf, ddf, tdf):
+        got = {
+            r["uid"]: r["rn"] for r in global_row_number(df, ["k", "uid"], 3).collect()
+        }
+        want = {
+            r["uid"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("k", "uid"))
+            ).collect()
+        }
+        assert got == want, df.schema.simpleString()
+
+    adf = spark.createDataFrame([([1, 2], 1)], "k array<int>, uid long")
+    with pytest.raises(ValueError, match="unsupported leading order column"):
+        global_row_number(adf, ["k", "uid"], 3)

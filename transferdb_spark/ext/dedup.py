@@ -765,7 +765,7 @@ def _dup_spans(docs: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
         spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ")).filter(F.col("occ") > 1)
     )
     dup = spans.join(dup_hashes.select("h"), "h").select(
-        "doc_id", "n_tokens", "start", (F.col("start") + (n - 1)).alias("end")
+        "h", "doc_id", "n_tokens", "start", (F.col("start") + (n - 1)).alias("end")
     )
     return toks, dup
 
@@ -872,15 +872,54 @@ ORDER BY tk.doc_id
     )
 
 
+def _reassemble_minus(toks: DataFrame, covered: DataFrame) -> DataFrame:
+    """Rebuild each doc's TOKEN text minus the ``covered`` positions
+    ((doc_id, pos), 1-based). Shared by the remove-all and keep-one
+    span-dedup policies.
+
+    OUTPUT CONTRACT: ``clean_tokens_text`` is rebuilt from the TOKENS
+    relation — lowercased, whitespace-split, single-space-joined — so
+    it is NORMALIZED token text, not the original document minus the
+    spans. Faithful original-text removal would need character
+    offsets, which the token pipeline deliberately discards; use the
+    output as a token stream (what an LLM pipeline tokenizes anyway),
+    not as a replacement display corpus."""
+    tok_rows = toks.select(
+        "doc_id", "n_tokens", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda st: st["tok"],
+            ),
+            " ",
+        ).alias("clean_tokens_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = toks.select("doc_id", "n_tokens")
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_tokens_text", F.lit("")).alias("clean_tokens_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dup_span_removal(docs: DataFrame, n: int = 10) -> DataFrame:
     """The REMOVAL stage of exact-substring dedup: cut every token
-    covered by a duplicated n-gram span and reassemble the text —
+    covered by a duplicated n-gram span and reassemble the token text —
     detection (dup_span_stats) decides what, this executes it.
 
     Policy: ALL occurrences of a duplicated span are removed (the
-    conservative variant — the duplicated text contributes no gradient
-    signal from any copy; keep-one-copy policies need a global
-    canonical-occurrence election, a different operator).
+    conservative variant); ``dup_span_keep_one`` is the Lee et al.
+    keep-one-copy election. Output is NORMALIZED token text — see
+    ``_reassemble_minus`` for the exact contract.
 
     Relational shape: duplicated spans explode to covered positions
     (×n fan-out on the dup fraction only), distinct per (doc, pos),
@@ -894,31 +933,82 @@ def dup_span_removal(docs: DataFrame, n: int = 10) -> DataFrame:
         )
         .distinct()
     )
-    tok_rows = toks.select(
-        "doc_id", "n_tokens", F.posexplode("toks").alias("pos0", "tok")
-    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda st: st["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    return _reassemble_minus(toks, covered)
+
+
+def dup_span_keep_one(docs: DataFrame, n: int = 10) -> DataFrame:
+    """Keep-one-copy exact-substring dedup — the variant Lee et al.
+    2021 actually train on: for every duplicated span hash, elect ONE
+    canonical occurrence (global min (doc_id, start)) and remove the
+    tokens covered by every OTHER occurrence. A token covered by a
+    canonical occurrence of one span but a non-canonical occurrence of
+    an overlapping span is still removed (coverage is a union).
+
+    The election is a groupBy(h).min(struct(doc_id, start)) + join-back
+    — same skew posture as the detection stage (the shuffle carries
+    8-byte hashes + one struct, and a hot boilerplate span never
+    buffers its occurrence list in one task the way a window over h
+    would). Output is NORMALIZED token text (``clean_tokens_text``)."""
+    toks, dup = _dup_spans(docs, n)
+    canon = dup.groupBy("h").agg(
+        F.min(F.struct("doc_id", "start")).alias("__c")
     )
-    base = toks.select("doc_id", "n_tokens")
-    return (
-        base.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+    non_canon = (
+        dup.join(canon, "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("__c.doc_id"))
+                & (F.col("start") == F.col("__c.start"))
+            )
         )
-        .orderBy("doc_id")
+        .select("doc_id", "start", "end")
     )
+    covered = non_canon.select(
+        "doc_id", F.explode(F.sequence(F.col("start"), F.col("end"))).alias("pos")
+    ).distinct()
+    return _reassemble_minus(toks, covered)
+
+
+def dup_span_keep_one_sql(n: int = 10) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+tk AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens FROM t),
+spans AS (
+  SELECT doc_id, n_tokens, CAST(g.i AS INT) AS start,
+         {_h64_duck(f"array_to_string(toks[g.i : g.i + {n} - 1], ' ')")} AS h
+  FROM tk, UNNEST(generate_series(1, GREATEST(n_tokens - {n - 1}, 0))) AS g(i)
+),
+occ AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) > 1),
+dup AS (
+  SELECT s.h, s.doc_id, s.start, s.start + {n - 1} AS "end",
+         ROW_NUMBER() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.start) AS rn
+  FROM spans s JOIN occ USING (h)
+),
+covered AS (
+  SELECT DISTINCT doc_id, CAST(g.i AS INT) AS pos
+  FROM dup, UNNEST(generate_series(dup.start, dup."end")) AS g(i)
+  WHERE dup.rn > 1
+),
+tok_rows AS (
+  SELECT doc_id, CAST(g.i AS INT) AS pos, toks[g.i] AS tok
+  FROM tk, UNNEST(generate_series(1, n_tokens)) AS g(i)
+),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok
+  FROM tok_rows tr LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.pos = c.pos
+  WHERE c.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_tokens_text, COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       COALESCE(r.clean_tokens_text, '') AS clean_tokens_text,
+       CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept,
+       CAST(tk.n_tokens - COALESCE(r.n_kept, 0) AS INT) AS n_removed
+FROM tk LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY tk.doc_id
+"""
 
 
 def dup_span_removal_sql(n: int = 10) -> str:
@@ -946,11 +1036,11 @@ kept AS (
   WHERE c.pos IS NULL
 ),
 rebuilt AS (
-  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text, COUNT(*) AS n_kept
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_tokens_text, COUNT(*) AS n_kept
   FROM kept GROUP BY doc_id
 )
 SELECT tk.doc_id,
-       COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.clean_tokens_text, '') AS clean_tokens_text,
        CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept,
        CAST(tk.n_tokens - COALESCE(r.n_kept, 0) AS INT) AS n_removed
 FROM tk LEFT JOIN rebuilt r USING (doc_id)

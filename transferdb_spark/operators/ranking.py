@@ -54,23 +54,74 @@ def global_row_number(
     return out
 
 
+def _order_surrogate(df: DataFrame, lead_col: str) -> Column:
+    """An order-preserving NUMERIC image of the leading order column,
+    so boundary derivation (approxQuantile, numeric-only) works for
+    every supported lead type.
+
+    The surrogate need not be injective — a monotone non-decreasing
+    map is enough: rows it collapses share a bucket, and the
+    within-bucket window still applies the full total order. Dates and
+    timestamps map to epoch ordinals (exact); strings map to their
+    first 7 UTF-8 bytes as a big-endian integer (order-consistent with
+    Spark's binary string comparison; ties just coarsen buckets)."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[lead_col].dataType
+    c = F.col(lead_col)
+    if isinstance(dt, T.NumericType):
+        return c
+    if isinstance(dt, T.BooleanType):
+        return c.cast("int")
+    if isinstance(dt, T.DateType):
+        return F.datediff(c, F.lit("1970-01-01"))
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return c.cast("long")
+    if isinstance(dt, T.StringType):
+        # 7 bytes = 14 hex digits < 2^56: fits a signed long. The hex
+        # image must be RIGHT-zero-padded to fixed width — otherwise a
+        # short string ('zebra', 10 hex digits) compares below a longer
+        # lexicographically-smaller one ('apple p', 14 digits). 0x00
+        # padding sorts the prefix first, matching binary comparison.
+        return F.coalesce(
+            F.conv(
+                F.rpad(F.hex(F.substring(F.encode(c, "UTF-8"), 1, 7)), 14, "0"),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(0),
+        )
+    raise ValueError(
+        f"global ranking: unsupported leading order column type {dt.simpleString()} "
+        f"for {lead_col!r}; supported: numeric, boolean, date, timestamp, string"
+    )
+
+
 def _bucket_expr(df: DataFrame, lead_col: str, num_partitions: int) -> Column:
     """Deterministic range-bucket id for the leading order column:
-    sum of (col > boundary_i) over approx-quantile boundaries. Equal
-    values always share a bucket; skewed data just means uneven
+    sum of (surrogate > boundary_i) over approx-quantile boundaries.
+    Equal values always share a bucket; skewed data just means uneven
     buckets, never wrong ranks."""
     from pyspark.sql import types as T
 
+    surrogate = _order_surrogate(df, lead_col)
     qs = [i / num_partitions for i in range(1, num_partitions)]
-    bounds = sorted(set(df.stat.approxQuantile(lead_col, qs, 0.001)))
+    bounds = sorted(
+        set(
+            df.select(surrogate.alias("__ord")).stat.approxQuantile(
+                "__ord", qs, 0.001
+            )
+        )
+    )
     pid: Column = F.lit(0)
     for b in bounds:
-        pid = pid + (F.col(lead_col) > F.lit(b)).cast("int")
+        pid = pid + (surrogate > F.lit(b)).cast("int")
     # Edge ordering must match the window semantics we claim parity
     # with: NULL sorts FIRST under Spark's default ascending order
-    # (own leading bucket), and NaN sorts LAST / greater-than-all
-    # (own trailing bucket — `NaN > bound` is false, so it would
-    # otherwise silently land in bucket 0 with the LOWEST ranks).
+    # (own leading bucket). NaN compares GREATER than any double in
+    # Spark SQL, so it would naturally accumulate into the last
+    # bucket; the explicit override gives it its own trailing bucket —
+    # same order, and a NaN-heavy column can't skew the top bucket.
     out = F.when(F.col(lead_col).isNull(), F.lit(-1)).otherwise(pid)
     if isinstance(df.schema[lead_col].dataType, (T.FloatType, T.DoubleType)):
         out = F.when(F.isnan(F.col(lead_col)), F.lit(num_partitions + 1)).otherwise(out)

@@ -119,13 +119,27 @@ def _write_staging(df: DataFrame, base: str) -> list[str]:
 
 
 def _commit_manifest(base: str, version: int, files: list, stats: dict) -> int:
-    """Atomic manifest commit (tmp-write + rename)."""
-    manifest = {"version": version, "files": sorted(files), "stats": stats}
-    tmp = os.path.join(_versions_dir(base), f"{version:06d}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(_versions_dir(base), f"{version:06d}.json"))
-    return version
+    """Atomic put-if-absent manifest commit; returns the version that
+    actually committed.
+
+    os.rename silently REPLACES an existing path on POSIX, so two
+    writers computing the same next version would last-wins-clobber a
+    committed manifest (its data dirs becoming orphans). os.link is
+    create-exclusive: the loser gets EEXIST and retries at the next
+    number, so BOTH commits survive as distinct versions."""
+    tmp = os.path.join(_versions_dir(base), f".{uuid.uuid4().hex}.json.tmp")
+    try:
+        while True:
+            manifest = {"version": version, "files": sorted(files), "stats": stats}
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            try:
+                os.link(tmp, os.path.join(_versions_dir(base), f"{version:06d}.json"))
+                return version
+            except FileExistsError:
+                version += 1
+    finally:
+        os.remove(tmp)
 
 
 def _manifest(base: str, version: int) -> dict:
@@ -226,6 +240,26 @@ def merge_snapshot(
         # preserve the previous manifest's stat coverage: wiping stats
         # on a stat_cols-less merge would disable pruning forever after
         stat_cols = sorted({c for s in stats.values() for c in s}) or None
+
+    # Schema contract: the merge rewrites TOUCHED files through
+    # select(*batch.columns), so a batch narrower/wider than the stored
+    # table would silently drop/invent columns for EVERY row of a
+    # rewritten file — not just matched keys — and leave touched and
+    # untouched files with divergent schemas. Refuse up front; schema
+    # evolution needs an explicit policy, not an accident.
+    if files:
+        import pyarrow.parquet as pq
+
+        stored_cols = set(pq.ParquetFile(files[0]).schema_arrow.names)
+        batch_cols = set(batch.columns)
+        if batch_cols != stored_cols:
+            missing = sorted(stored_cols - batch_cols)
+            extra = sorted(batch_cols - stored_cols)
+            raise ValueError(
+                "merge_snapshot: batch schema differs from stored table "
+                f"(missing={missing}, extra={extra}); evolve the schema "
+                "with an explicit rewrite, not a merge"
+            )
 
     if not batch.where(F.col(key).isNull()).isEmpty():
         raise ValueError(f"merge_snapshot: NULL values in merge key {key!r}")
@@ -338,11 +372,20 @@ def pin_schema_epoch(root: str, tables: list[str]) -> int:
         int(f[:-5]) for f in os.listdir(ed) if f.endswith(".json") and f[:-5].isdigit()
     )
     epoch = (epochs[-1] + 1) if epochs else 0
-    tmp = os.path.join(ed, f"{epoch:06d}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"epoch": epoch, "tables": pinned}, fh)
-    os.rename(tmp, os.path.join(ed, f"{epoch:06d}.json"))
-    return epoch
+    # same put-if-absent discipline as _commit_manifest: concurrent
+    # pinners each get their own epoch number, never a clobber
+    tmp = os.path.join(ed, f".{uuid.uuid4().hex}.json.tmp")
+    try:
+        while True:
+            with open(tmp, "w") as fh:
+                json.dump({"epoch": epoch, "tables": pinned}, fh)
+            try:
+                os.link(tmp, os.path.join(ed, f"{epoch:06d}.json"))
+                return epoch
+            except FileExistsError:
+                epoch += 1
+    finally:
+        os.remove(tmp)
 
 
 def read_schema_epoch(
