@@ -1016,3 +1016,69 @@ def test_full_migrate_partitioned_plus_zorder(spark, sf_dir, workdir, lineitem, 
     score = file_span_stats(os.path.join(target, dirs[0]), ["l_partkey"])
     if score.n_files >= 4:
         assert score.span_fraction["l_partkey"] < 0.6
+
+
+def test_ansi_dialect_rewrite_and_ddl_generation(catalog):
+    """rules/ansi: MySQL-dialect rule output -> ANSI/Derby types, and
+    the ANSI DDL generator's statement split (creates < indexes < FKs)
+    for the live-apply path (reference write.go:40-140 RWriteDB)."""
+    from transferdb_spark.modes.reverse import reverse_tables_ansi
+    from transferdb_spark.rules.ansi import ansi_type
+
+    assert ansi_type("TINYINT") == "SMALLINT"
+    assert ansi_type("INT") == "INTEGER"
+    assert ansi_type("INT(11)") == "INTEGER"
+    assert ansi_type("BIGINT") == "BIGINT"
+    assert ansi_type("DECIMAL(15,2)") == "DECIMAL(15,2)"
+    assert ansi_type("DECIMAL(65,30)") == "DECIMAL(31,30)"  # Derby p<=31
+    assert ansi_type("DATETIME(6)") == "TIMESTAMP"
+    assert ansi_type("LONGTEXT") == "CLOB"
+    assert ansi_type("VARBINARY(16)") == "VARCHAR (16) FOR BIT DATA"
+    assert ansi_type("VARCHAR(40000)") == "VARCHAR(32672)"
+    assert ansi_type("FLOAT") == "REAL"
+
+    res = reverse_tables_ansi(catalog)
+    assert not res.errors
+    kinds = ["CREATE TABLE" if s.startswith("CREATE TABLE")
+             else "CREATE INDEX" if "INDEX" in s.split("(")[0]
+             else "ALTER" for s in res.ddl]
+    # statement classes are contiguous and ordered: creates, indexes, FKs
+    assert kinds == sorted(kinds, key=["CREATE TABLE", "CREATE INDEX", "ALTER"].index)
+    create_nation = next(s for s in res.ddl if s.startswith("CREATE TABLE NATION"))
+    # PK column forced NOT NULL; no backticks anywhere in ANSI output
+    assert "N_NATIONKEY INTEGER NOT NULL" in create_nation
+    assert "`" not in "".join(res.ddl)
+    fk = next(s for s in res.ddl if "FOREIGN KEY" in s and "NATION " in s.split("REFERENCES")[0])
+    assert fk.startswith("ALTER TABLE NATION") and "REFERENCES REGION" in fk
+
+
+def test_apply_sql_statement_normalization(spark, monkeypatch):
+    """apply_sql: comment-only statements skip, trailing semicolons
+    strip, failures quarantine with the statement (never abort)."""
+    from transferdb_spark.modes.apply import apply_sql
+    from transferdb_spark.sources.jdbc import JdbcSink
+
+    ran = []
+    sink = JdbcSink(url="jdbc:fake", table="")
+
+    def fake_execute(self, spark_, sql):
+        ran.append(sql)
+        if "BOOM" in sql:
+            raise RuntimeError("table missing")
+        return 1
+
+    monkeypatch.setattr(JdbcSink, "execute", fake_execute)
+    res = apply_sql(
+        spark,
+        sink,
+        [
+            "-- a pure comment statement",
+            "CREATE TABLE T (A INT);",
+            "-- leading comment\nINSERT INTO BOOM VALUES (1);",
+            "DROP TABLE U",
+        ],
+    )
+    assert ran == ["CREATE TABLE T (A INT)", "INSERT INTO BOOM VALUES (1)", "DROP TABLE U"]
+    assert len(res.applied) == 2 and len(res.skipped) == 1
+    assert len(res.failed) == 1 and "table missing" in res.failed[0][1]
+    assert not res.ok

@@ -41,10 +41,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--dialect",
         default="mysql",
-        choices=["mysql", "tidb", "spark"],
-        help="reverse: target DDL dialect (mysql=O2M, tidb=O2T, spark=lakehouse)",
+        choices=["mysql", "tidb", "spark", "ansi"],
+        help="reverse: target DDL dialect (mysql=O2M, tidb=O2T, spark=lakehouse, "
+        "ansi=live-apply/Derby)",
     )
+    # live-apply surface (reference write.go:40-140 direct-DB branch):
+    # reverse --apply executes the DDL against --jdbc-url; compare
+    # --apply executes the generated fix-SQL the same way
+    p.add_argument("--apply", action="store_true", help="execute generated DDL/fix-SQL against --jdbc-url")
+    p.add_argument("--jdbc-url", default="", help="JDBC URL of the live target")
+    p.add_argument("--jdbc-driver", default="", help="JDBC driver class")
+    p.add_argument("--jdbc-user", default="")
+    p.add_argument("--jdbc-password", default="")
     return p
+
+
+def _live_sink(args):
+    from transferdb_spark.sources.jdbc import JdbcSink
+
+    if not args.jdbc_url:
+        raise SystemExit("--apply requires --jdbc-url")
+    return JdbcSink(
+        url=args.jdbc_url,
+        table="",
+        driver=args.jdbc_driver,
+        user=args.jdbc_user,
+        password=args.jdbc_password,
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -95,6 +118,10 @@ def main(argv: list[str] | None = None) -> int:
                     res.ddl.append(gen_create_table_spark(t, args.case_policy))
                 except Exception as e:  # noqa: BLE001 — error_log_detail semantics
                     res.errors.append(f"{t.name}: {e}")
+        elif args.dialect == "ansi":
+            from transferdb_spark.modes.reverse import reverse_tables_ansi
+
+            res = reverse_tables_ansi(cat)
         else:
             res = reverse_tables(cat, case_policy=args.case_policy)
         os.makedirs(args.workdir, exist_ok=True)
@@ -105,6 +132,11 @@ def main(argv: list[str] | None = None) -> int:
         with open(compat_path, "w") as f:
             f.write("\n".join(res.compatibility) + "\n")
         out.update(ddl=ddl_path, tables=len(res.ddl), compat=len(res.compatibility), errors=res.errors)
+        if args.apply:
+            from transferdb_spark.modes.apply import apply_sql
+
+            ar = apply_sql(spark, _live_sink(args), res.ddl)
+            out.update(applied=len(ar.applied), apply_failed=ar.failed)
 
     elif args.mode == "check":
         from transferdb_spark.catalog.fixture import fixture_catalog
@@ -131,6 +163,13 @@ def main(argv: list[str] | None = None) -> int:
             delete_rows=r.delete_rows,
             fix_sql=r.fix_sql_path,
         )
+        if args.apply and not r.is_equal:
+            from transferdb_spark.modes.apply import apply_sql
+
+            with open(r.fix_sql_path) as f:
+                stmts = [s.strip() for s in f.read().split(";\n") if s.strip()]
+            ar = apply_sql(spark, _live_sink(args), stmts)
+            out.update(applied=len(ar.applied), apply_failed=ar.failed)
 
     elif args.mode == "csv":
         from transferdb_spark.modes.csv_mode import csv_export

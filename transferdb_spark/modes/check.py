@@ -65,59 +65,98 @@ def check_table(
     tgt: TableMeta,
     rules: RuleSet | None = None,
     tgt_types: dict[str, str] | None = None,
+    dialect: str = "mysql",
 ) -> CheckResult:
     """Diff src (converted expectation) against tgt structure.
 
     tgt_types overrides the target's column->type map (when the target
-    catalog carries its own dialect types); default derives both sides
-    through the rule engine so parity holds on fixtures.
+    catalog carries its own dialect types — e.g. a live JDBC catalog
+    read via catalog/jdbc_catalog); default derives both sides through
+    the rule engine so parity holds on fixtures.
+
+    dialect='ansi' renders the EXPECTED types through rules/ansi and
+    emits ANSI/Derby fix-SQL (unquoted upper identifiers, ALTER COLUMN
+    SET DATA TYPE, DROP CONSTRAINT) — the live-apply direction, where
+    fix_sql must be directly executable over JDBC.
+
+    PK columns are compared as NOT NULL on the source side regardless
+    of the catalog flag: both MySQL (implicit conversion) and ANSI
+    (hard requirement) make them NOT NULL on the target, and that is
+    conversion, not drift.
     """
+    ansi = dialect == "ansi"
+    if ansi:
+        from transferdb_spark.rules.ansi import ansi_type as _ty
+    else:
+        def _ty(x: str) -> str:
+            return x
+
+    def qi(name: str) -> str:
+        return name.upper() if ansi else f"`{name.lower()}`"
+
     r = CheckResult(table=src.name)
     src_cols = {c.name.upper(): c for c in src.columns}
     tgt_cols = {c.name.upper(): c for c in tgt.columns}
+    spk = tuple(src.primary_key.columns) if src.primary_key else ()
+    spk_set = {c.upper() for c in spk}
+    # same normalization on the target side: a catalog that still says
+    # "nullable" for a declared-PK column describes the same structure
+    # a live target reports as NOT NULL
+    tpk_set = {c.upper() for c in (tuple(tgt.primary_key.columns) if tgt.primary_key else ())}
+    tname_q = qi(tgt.name)
 
     for name in sorted(src_cols.keys() - tgt_cols.keys()):
         r.missing_columns.append(name)
         c = src_cols[name]
-        target_type = resolve_type(src.schema, src.name, c, rules)
-        null_s = "" if c.nullable else " NOT NULL"
-        r.fix_sql.append(f"ALTER TABLE `{tgt.name.lower()}` ADD COLUMN `{name.lower()}` {target_type}{null_s};")
+        target_type = _ty(resolve_type(src.schema, src.name, c, rules))
+        null_s = "" if (c.nullable and name not in spk_set) else " NOT NULL"
+        r.fix_sql.append(
+            f"ALTER TABLE {tname_q} ADD COLUMN {qi(name)} {target_type}{null_s};"
+        )
 
     for name in sorted(tgt_cols.keys() - src_cols.keys()):
         r.extra_columns.append(name)
-        r.fix_sql.append(f"ALTER TABLE `{tgt.name.lower()}` DROP COLUMN `{name.lower()}`;")
+        r.fix_sql.append(f"ALTER TABLE {tname_q} DROP COLUMN {qi(name)};")
 
     for name in sorted(src_cols.keys() & tgt_cols.keys()):
         s, t = src_cols[name], tgt_cols[name]
-        expected = resolve_type(src.schema, src.name, s, rules)
-        actual = (tgt_types or {}).get(name) or resolve_type(tgt.schema, tgt.name, t, rules)
+        expected = _ty(resolve_type(src.schema, src.name, s, rules))
+        actual = (tgt_types or {}).get(name) or _ty(
+            resolve_type(tgt.schema, tgt.name, t, rules)
+        )
         if expected != actual:
             r.type_mismatches.append((name, expected, actual))
-            null_s = "" if s.nullable else " NOT NULL"
-            r.fix_sql.append(
-                f"ALTER TABLE `{tgt.name.lower()}` MODIFY COLUMN `{name.lower()}` {expected}{null_s};"
-            )
-        if s.nullable != t.nullable:
-            r.nullability_mismatches.append((name, s.nullable, t.nullable))
+            null_s = "" if (s.nullable and name not in spk_set) else " NOT NULL"
+            if ansi:
+                r.fix_sql.append(
+                    f"ALTER TABLE {tname_q} ALTER COLUMN {qi(name)} SET DATA TYPE {expected};"
+                )
+            else:
+                r.fix_sql.append(
+                    f"ALTER TABLE {tname_q} MODIFY COLUMN {qi(name)} {expected}{null_s};"
+                )
+        s_null = s.nullable and name not in spk_set
+        t_null = t.nullable and name not in tpk_set
+        if s_null != t_null:
+            r.nullability_mismatches.append((name, s_null, t_null))
 
-    spk = tuple(src.primary_key.columns) if src.primary_key else ()
     tpk = tuple(tgt.primary_key.columns) if tgt.primary_key else ()
     if spk != tpk:
         r.pk_mismatch = (spk, tpk)
         if tpk:
-            r.fix_sql.append(f"ALTER TABLE `{tgt.name.lower()}` DROP PRIMARY KEY;")
+            r.fix_sql.append(f"ALTER TABLE {tname_q} DROP PRIMARY KEY;")
         if spk:
-            cols = ", ".join(f"`{c.lower()}`" for c in spk)
-            r.fix_sql.append(f"ALTER TABLE `{tgt.name.lower()}` ADD PRIMARY KEY ({cols});")
+            cols = ", ".join(qi(c) for c in spk)
+            r.fix_sql.append(f"ALTER TABLE {tname_q} ADD PRIMARY KEY ({cols});")
 
     src_ix = {i.name.upper(): i for i in src.indexes}
     tgt_ix = {i.name.upper(): i for i in tgt.indexes}
     for name in sorted(src_ix.keys() - tgt_ix.keys()):
         r.missing_indexes.append(name)
         ix = src_ix[name]
-        cols = ", ".join(f"`{c.lower()}`" for c in ix.columns)
+        cols = ", ".join(qi(c) for c in ix.columns)
         kind = "UNIQUE INDEX" if ix.unique else "INDEX"
-        r.fix_sql.append(f"CREATE {kind} `{name.lower()}` ON `{tgt.name.lower()}` ({cols});")
+        r.fix_sql.append(f"CREATE {kind} {qi(name)} ON {tname_q} ({cols});")
 
     tname = tgt.name.lower()
 
@@ -127,8 +166,8 @@ def check_table(
 
     for cols in sorted(_uniques(src) - _uniques(tgt)):
         r.missing_uniques.append(cols)
-        col_list = ", ".join(f"`{c.lower()}`" for c in cols)
-        r.fix_sql.append(f"ALTER TABLE `{tname}` ADD UNIQUE ({col_list});")
+        col_list = ", ".join(qi(c) for c in cols)
+        r.fix_sql.append(f"ALTER TABLE {tname_q} ADD UNIQUE ({col_list});")
 
     # FK diff keyed on (columns, referenced table/columns, delete rule)
     # (diff.go:336-372 — the reference ADDs missing FKs; extras are
@@ -144,15 +183,17 @@ def check_table(
     for key in sorted(sfk.keys() - tfk.keys()):
         cols, r_table, r_cols, rule = key
         r.missing_fks.append(sfk[key])
-        col_list = ", ".join(f"`{c.lower()}`" for c in cols)
-        ref_list = ", ".join(f"`{c.lower()}`" for c in r_cols)
+        col_list = ", ".join(qi(c) for c in cols)
+        ref_list = ", ".join(qi(c) for c in r_cols)
+        on_del = "" if (ansi and rule == "NO ACTION") else f" ON DELETE {rule}"
         r.fix_sql.append(
-            f"ALTER TABLE `{tname}` ADD FOREIGN KEY ({col_list}) "
-            f"REFERENCES `{r_table.lower()}` ({ref_list}) ON DELETE {rule};"
+            f"ALTER TABLE {tname_q} ADD FOREIGN KEY ({col_list}) "
+            f"REFERENCES {qi(r_table)} ({ref_list}){on_del};"
         )
     for key in sorted(tfk.keys() - sfk.keys()):
         r.extra_fks.append(tfk[key])
-        r.fix_sql.append(f"ALTER TABLE `{tname}` DROP FOREIGN KEY `{tfk[key].lower()}`;")
+        drop = "CONSTRAINT" if ansi else "FOREIGN KEY"
+        r.fix_sql.append(f"ALTER TABLE {tname_q} DROP {drop} {qi(tfk[key])};")
 
     # CK diff on normalized condition text (diff.go:374-414)
     def _checks(t: TableMeta) -> set[str]:
@@ -350,19 +391,30 @@ def check_catalogs(
     tgt: dict[str, TableMeta],
     rules: RuleSet | None = None,
     direction: str = "o2m",
+    dialect: str = "mysql",
+    tgt_types_by_table: dict[str, dict[str, str]] | None = None,
 ) -> dict[str, CheckResult]:
     """Diff every common table; missing target tables get full DDL need.
 
     direction='o2m' (default): Oracle source vs MySQL target, MySQL
     fix-SQL. direction='m2o': MySQL source vs Oracle target, Oracle
-    fix-SQL via the M2O expected-type oracle (check/mysql/m2o)."""
+    fix-SQL via the M2O expected-type oracle (check/mysql/m2o).
+    dialect='ansi' + tgt_types_by_table (from catalog/jdbc_catalog
+    rendered_types) is the LIVE-target check: expected types rendered
+    through rules/ansi against the introspected dialect types."""
     out = {}
     for name in sorted(src):
         if name in tgt:
             out[name] = (
                 check_table_m2o(src[name], tgt[name])
                 if direction == "m2o"
-                else check_table(src[name], tgt[name], rules)
+                else check_table(
+                    src[name],
+                    tgt[name],
+                    rules,
+                    tgt_types=(tgt_types_by_table or {}).get(name),
+                    dialect=dialect,
+                )
             )
         else:
             r = CheckResult(table=name)

@@ -112,6 +112,118 @@ def gen_create_table_spark(t: TableMeta, case_policy: int = 1) -> str:
     )
 
 
+def gen_create_table_ansi(
+    t: TableMeta, rules: RuleSet | None = None
+) -> tuple[str, list[str], list[str], list[str]]:
+    """ANSI/Derby-dialect DDL for the LIVE-APPLY path — the direct-DB
+    branch of the reference's writer (/root/reference/module/reverse/
+    write.go:40-140 RWriteDB executes DDL against the target instead
+    of writing files).
+
+    Returns (create_stmt, index_stmts, fk_stmts, compat_notes) as
+    SEPARATE statements: JDBC executeUpdate takes one statement at a
+    time, and FK ALTERs must run after EVERY table exists (the caller
+    orders creates < indexes < FKs across the catalog, dissolving
+    cross-table dependency ordering).
+
+    PK columns are forced NOT NULL (ANSI requires it; MySQL does the
+    same conversion implicitly) — the structure check applies the same
+    normalization, so this is not drift. Comments and function
+    defaults are quarantined (Derby has no COMMENT syntax)."""
+    from transferdb_spark.rules.ansi import ansi_type
+
+    compat: list[str] = []
+    pk = t.primary_key
+    pk_set = set(pk.columns) if pk else set()
+    lines: list[str] = []
+    for c in t.columns:
+        target = ansi_type(resolve_type(t.schema, t.name, c, rules))
+        parts = [_case(c.name, 2), target]
+        if not c.nullable or c.name.upper() in pk_set:
+            parts.append("NOT NULL")
+        if c.default is not None:
+            if any(ch in c.default for ch in "()"):
+                compat.append(
+                    f"-- column {t.name}.{c.name} function default "
+                    f"{c.default!r} requires manual conversion"
+                )
+            else:
+                parts.append(f"DEFAULT {c.default}")
+        if c.comment:
+            compat.append(
+                f"-- column comment on {t.name}.{c.name} not expressible in ANSI DDL"
+            )
+        lines.append("  " + " ".join(parts))
+
+    fk_stmts: list[str] = []
+    tname = _case(t.name, 2)
+    for con in t.constraints:
+        cols = ", ".join(_case(x, 2) for x in con.columns)
+        if con.ctype == "P":
+            lines.append(f"  PRIMARY KEY ({cols})")
+        elif con.ctype == "U":
+            lines.append(f"  CONSTRAINT {con.name.upper()} UNIQUE ({cols})")
+        elif con.ctype == "R":
+            rcols = ", ".join(_case(x, 2) for x in con.r_columns)
+            fk = (
+                f"ALTER TABLE {tname} ADD CONSTRAINT {con.name.upper()} "
+                f"FOREIGN KEY ({cols}) REFERENCES {_case(con.r_table, 2)} ({rcols})"
+            )
+            if con.delete_rule and con.delete_rule != "NO ACTION":
+                fk += f" ON DELETE {con.delete_rule}"
+            fk_stmts.append(fk)
+        elif con.ctype == "C":
+            cond = con.search_condition
+            if cond and "IS NOT NULL" not in cond.upper():
+                lines.append(f"  CONSTRAINT {con.name.upper()} CHECK ({cond})")
+
+    index_stmts: list[str] = []
+    for ix in t.indexes:
+        if ix.index_type in INCOMPATIBLE_INDEX_TYPES:
+            compat.append(
+                f"-- index {ix.name} type {ix.index_type} on {t.name} "
+                f"is not directly convertible; manual review required"
+            )
+            continue
+        cols = ", ".join(_case(x, 2) for x in ix.columns)
+        kind = "CREATE UNIQUE INDEX" if ix.unique else "CREATE INDEX"
+        index_stmts.append(f"{kind} {ix.name.upper()} ON {tname} ({cols})")
+
+    if t.comment:
+        compat.append(f"-- table comment on {t.name} not expressible in ANSI DDL")
+    create = f"CREATE TABLE {tname} (\n" + ",\n".join(lines) + "\n)"
+    return create, index_stmts, fk_stmts, compat
+
+
+def reverse_tables_ansi(
+    catalog: dict[str, TableMeta], rules: RuleSet | None = None
+) -> ReverseResult:
+    """Catalog → ordered, directly-executable ANSI statement list:
+    every CREATE TABLE first, then indexes, then FK ALTERs — so the
+    statements apply in emission order regardless of FK topology.
+    Incompatibles quarantine, failures accumulate, never abort."""
+    out = ReverseResult()
+    creates: list[str] = []
+    indexes: list[str] = []
+    fks: list[str] = []
+    for name, t in sorted(catalog.items()):
+        try:
+            if not t.is_compatible:
+                out.compatibility.append(
+                    f"-- table {t.name} type {t.table_type} requires manual conversion"
+                )
+                continue
+            c, ix, fk, compat = gen_create_table_ansi(t, rules)
+            creates.append(c)
+            indexes.extend(ix)
+            fks.extend(fk)
+            out.compatibility.extend(compat)
+        except Exception as e:  # error_log_detail semantics
+            out.errors.append(f"{t.name}: {e}")
+    out.ddl = creates + indexes + fks
+    return out
+
+
 def gen_create_table_oracle(
     t: TableMeta, target_schema: str = ""
 ) -> tuple[list[str], list[str]]:

@@ -183,7 +183,7 @@ def _sql_literal_col(name: str, dtype) -> F.Column:
 
 
 def repair_statements(
-    insert_df: DataFrame, delete_df: DataFrame, table: str
+    insert_df: DataFrame, delete_df: DataFrame, table: str, dialect: str = "mysql"
 ) -> DataFrame:
     """Distributed fix-SQL rendering — columns (kind, stmt).
 
@@ -213,15 +213,27 @@ def repair_statements(
         )
         for f in delete_df.schema.fields
     ]
+    # MySQL's DELETE ... LIMIT 1 removes exactly one copy of a
+    # duplicated row (multiset-exact repair). ANSI/Derby has no DELETE
+    # LIMIT — dialect='ansi' drops it, which deletes ALL copies of a
+    # matching row: exact for keyed/duplicate-free tables (the live
+    # apply path), conservative otherwise.
+    tail = ";" if dialect == "ansi" else " LIMIT 1;"
     dele = delete_df.select(
         F.lit("DELETE").alias("kind"),
         F.concat(
             F.lit(f"DELETE FROM {table} WHERE "),
             F.concat_ws(" AND ", *del_conds),
-            F.lit(" LIMIT 1;"),
+            F.lit(tail),
         ).alias("stmt"),
     )
-    return ins.unionAll(dele)
+    # DELETEs first: a modified row appears as one delete (stale image)
+    # plus one insert (correct image) with the SAME key — applying the
+    # insert first violates the PK. unionAll preserves relation order
+    # on collect; streaming consumers must likewise drain kind=DELETE
+    # before kind=INSERT (the reference's UPDATE = DELETE+REPLACE txn
+    # ordering, translate.go:149-334).
+    return dele.unionAll(ins)
 
 
 def keyed_diff(
