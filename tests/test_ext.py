@@ -861,3 +861,91 @@ def test_jpeg_flows_through_spark_feature_path(spark):
     assert len(f1) == len(f2)
     # same pixels through lossy vs lossless codecs: features nearly equal
     assert float(np.abs(f1 - f2).max()) < 0.05
+
+
+def test_byte_bpe_train_matches_python_reference(spark, docs):
+    """Differential: distributed BYTE-level BPE (vocab-size stopping,
+    int symbols, ids from 256) == a pure-Python byte-level reference
+    on the same corpus; vocab expansion round-trips to byte strings."""
+    from collections import Counter
+
+    from transferdb_spark.ext.bpe import train_bytes, vocab_tokens
+
+    sample = docs.limit(60)
+    K = 10
+    got = train_bytes(sample, vocab_size=256 + K)
+
+    wc = Counter()
+    for r in sample.collect():
+        for w in r["text"].strip().lower().split():
+            if w:
+                wc[w.encode("utf-8")] += 1
+
+    words = {w: list(w) for w in wc}
+    want = []
+    next_id = 256
+    while next_id < 256 + K:
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), freq = best
+        if freq < 2:
+            break
+        want.append((l, r, next_id, freq))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(next_id)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+        next_id += 1
+    assert got == want
+    assert len(got) == K  # corpus is rich enough to fill the vocab
+
+    # vocab expansion: every learned token expands to the concatenation
+    # of its parents' byte strings
+    vocab = vocab_tokens(got)
+    assert all(len(vocab[m[2]]) >= 2 for m in got)
+    first = got[0]
+    assert vocab[first[2]] == bytes([first[0]]) + bytes([first[1]])
+
+    # vocab-size stopping: asking for fewer merges is a strict prefix
+    assert train_bytes(sample, vocab_size=256 + 4) == got[:4]
+    assert train_bytes(sample, vocab_size=256) == []
+
+
+def test_byte_bpe_encode_matches_sequential_replay(spark, docs):
+    """The broadcast rank-greedy apply must equal replaying every merge
+    in training order over the same normalized byte stream."""
+    from transferdb_spark.ext.bpe import encode_bytes_df, train_bytes
+
+    sample = docs.limit(40)
+    merges = train_bytes(sample, vocab_size=256 + 8)
+    out = {r["doc_id"]: r for r in encode_bytes_df(sample, merges).collect()}
+    assert len(out) == 40
+
+    for r in sample.limit(8).collect():
+        b = r["text"].lower().encode("utf-8")
+        syms = list(b)
+        for left, right, new_id, _ in merges:
+            o, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    o.append(new_id)
+                    i += 2
+                else:
+                    o.append(syms[i])
+                    i += 1
+            syms = o
+        got = out[r["doc_id"]]
+        assert got["n_tokens"] == len(syms), r["doc_id"]
+        assert got["n_bytes"] == len(r["text"].encode("utf-8"))
+        assert got["n_tokens"] <= got["n_bytes"]

@@ -234,6 +234,160 @@ w{k} AS (
     return parts
 
 
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2-style): symbols are ints — 0..255 are raw
+# UTF-8 bytes, merged symbols take ids 256, 257, ... in merge order.
+# Training stops at ``vocab_size`` (the real tokenizer-training stop
+# condition) or when no pair reaches ``min_freq``. Compared to the
+# word-level trainer above, every shuffle carries 8-byte int pairs
+# instead of strings, and there is no out-of-vocabulary symbol by
+# construction (any byte sequence is encodable).
+# ---------------------------------------------------------------------------
+
+_ARR_INT = T.ArrayType(T.IntegerType())
+
+
+@pandas_udf(_ARR_INT)
+def _bytes_udf(words: pd.Series) -> pd.Series:
+    return words.map(lambda w: list(w.encode("utf-8")))
+
+
+def _merge_ints_udf(left: int, right: int, new_id: int):
+    @pandas_udf(_ARR_INT)
+    def apply_merge(syms: pd.Series) -> pd.Series:
+        def m(s):
+            out, i, n = [], 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == left and s[i + 1] == right:
+                    out.append(new_id)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+        return syms.map(m)
+
+    return apply_merge
+
+
+def train_bytes(
+    docs: DataFrame, vocab_size: int = 280, min_freq: int = 2
+) -> list[tuple[int, int, int, int]]:
+    """Byte-level BPE training; returns [(left_id, right_id, new_id,
+    freq)] with new_id assigned 256, 257, ... in merge order.
+
+    Stops when the vocabulary (256 base bytes + merges) reaches
+    ``vocab_size``, or earlier when no adjacent pair reaches
+    ``min_freq`` — the stopping rule production tokenizer training
+    uses (target vocab, not target merge count). Ties break on the
+    numerically smallest (left, right), so re-runs and the pure-Python
+    differential reference agree exactly."""
+    if vocab_size <= 256:
+        return []
+    words = (
+        word_counts(docs)
+        .select(_bytes_udf("word").alias("syms"), "cnt")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, int, int, int]] = []
+    for step in range(vocab_size - 256):
+        pairs = words.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        ).groupBy("p.l", "p.r").agg(F.sum("cnt").alias("freq"))
+        top = pairs.orderBy(F.desc("freq"), F.asc("l"), F.asc("r")).first()
+        if top is None or top["freq"] < min_freq:
+            break
+        new_id = 256 + step
+        merges.append((int(top["l"]), int(top["r"]), new_id, int(top["freq"])))
+        words = words.select(
+            _merge_ints_udf(top["l"], top["r"], new_id)(F.col("syms")).alias("syms"),
+            "cnt",
+        ).localCheckpoint()
+    return merges
+
+
+def vocab_tokens(merges: list[tuple[int, int, int, int]]) -> dict[int, bytes]:
+    """symbol id -> byte string it expands to (base bytes + learned)."""
+    vocab: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    for left, right, new_id, _ in merges:
+        vocab[new_id] = vocab[left] + vocab[right]
+    return vocab
+
+
+def encode_bytes_df(
+    docs: DataFrame, merges: list[tuple[int, int, int, int]]
+) -> DataFrame:
+    """Tokenizer APPLY at corpus scale: (doc_id, n_bytes, n_tokens)
+    under the trained byte-level merge table.
+
+    The merge list is broadcast once (tokenizer tables are KBs); each
+    Arrow batch encodes with the standard rank-greedy BPE algorithm —
+    repeatedly merge the LOWEST-RANK pair present — which for a merge
+    list produced by greedy training yields the same segmentation as
+    replaying every merge in order, in O(word · merges-present) instead
+    of O(word · total-merges)."""
+    spark = docs.sparkSession
+    ranks_b = spark.sparkContext.broadcast(
+        {(left, right): (i, new_id) for i, (left, right, new_id, _) in enumerate(merges)}
+    )
+
+    @pandas_udf(T.IntegerType())
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        ranks = ranks_b.value
+
+        def encode_word(word: bytes) -> int:
+            syms = list(word)
+            while len(syms) > 1:
+                best, at = None, -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r[0] < best[0]):
+                        best, at = r, i
+                if best is None:
+                    break
+                # replace EVERY occurrence of this pair left-to-right
+                # (matches training's greedy full-pass application)
+                left, right = syms[at], syms[at + 1]
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(best[1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        import re as _re
+
+        def encode(text: str) -> int:
+            # training merges never span whitespace (word_counts
+            # pre-tokenizes), so rank-greedy over the full byte stream
+            # decomposes exactly into per-word encoding + one token per
+            # whitespace byte — same result, O(word) working sets.
+            # lower() matches word_counts' TOKENS normalization, so the
+            # apply path sees the distribution training saw.
+            b = text.lower().encode("utf-8")
+            words = [w for w in _re.split(rb"\s", b) if w]
+            n_ws = sum(1 for ch in b if ch in b"\t\n\x0b\x0c\r ")
+            return n_ws + sum(encode_word(w) for w in words)
+
+        return texts.map(encode).astype("int32")
+
+    return docs.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("int").alias("n_bytes"),
+        n_tokens(F.col("text")).alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
 def merges_frame(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     """train_merges as a DataFrame (rank, left, right, freq) — the
     queries() surface for the driver's rows-only check."""
