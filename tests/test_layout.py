@@ -180,3 +180,53 @@ def test_recommend_layout_prefers_frequent_selective_columns(spark, lineitem):
     assert recommend_layout(lineitem, [], max_cols=2) == []
     # single-earner workloads recommend a single (plain-sort) column
     assert recommend_layout(lineitem, [(["l_partkey"], 1.0)]) == ["l_partkey"]
+
+
+def test_workload_log_relation_drives_layout_advice(spark, lineitem, tmp_path):
+    """--layout-cols auto end to end: a query-log RELATION folds into
+    the advisor's workload shape (weights summed per filter set) and
+    the advised columns drive the compaction CLI path."""
+    import json
+    import subprocess
+    import sys
+
+    from transferdb_spark.plans.layout import advise_layout_from_log, workload_from_log
+
+    log = spark.createDataFrame(
+        [
+            (["l_shipdate", "l_discount"], 5.0),
+            (["l_discount", "l_shipdate"], 3.0),  # same set, other order
+            (["l_partkey"], 1.0),
+            (["not_a_column"], 100.0),  # unknown columns score nothing
+        ],
+        "filter_cols array<string>, weight double",
+    )
+    wl = dict((tuple(c), w) for c, w in workload_from_log(log))
+    assert wl[("l_discount", "l_shipdate")] == 8.0  # order-insensitive fold
+    assert wl[("l_partkey",)] == 1.0
+
+    rec = advise_layout_from_log(lineitem, log, max_cols=2)
+    # shipdate+discount carry 8x the weight of partkey
+    assert set(rec) == {"l_shipdate", "l_discount"}
+
+    # a string filter_cols column (one col per row) also works
+    log1 = spark.createDataFrame([("l_partkey",)], "filter_cols string")
+    assert advise_layout_from_log(lineitem, log1) == ["l_partkey"]
+
+    # CLI: optimize --layout-cols auto --workload <json log>
+    src = str(tmp_path / "li")
+    lineitem.limit(2000).coalesce(4).write.parquet(src)
+    logp = str(tmp_path / "wl.jsonl")
+    with open(logp, "w") as f:
+        for cols, w in [(["l_orderkey", "l_partkey"], 4.0)]:
+            f.write(json.dumps({"filter_cols": cols, "weight": w}) + "\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "transferdb_spark", "--mode", "optimize",
+         "--path", src, "--layout-cols", "auto", "--workload", logp,
+         "--target-mb", "1"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(payload["advised_layout_cols"]) == {"l_orderkey", "l_partkey"}
+    assert payload["rows"] == 2000 or payload.get("files_after")

@@ -1082,3 +1082,37 @@ def test_apply_sql_statement_normalization(spark, monkeypatch):
     assert len(res.applied) == 2 and len(res.skipped) == 1
     assert len(res.failed) == 1 and "table missing" in res.failed[0][1]
     assert not res.ok
+
+
+def test_prune_mode_lifecycle_and_snapshot(spark, sf_dir, workdir):
+    """prune mode: clean -> score (persisted ONCE, unpersisted in
+    finally) -> global-decile keep -> versioned snapshot + JSON summary;
+    no cached relation may leak past the run."""
+    import json
+    import os
+
+    from transferdb_spark.modes.prune import prune_corpus
+    from transferdb_spark.state.snapshots import read_snapshot
+
+    spark.catalog.clearCache()
+    s = prune_corpus(spark, sf_dir, workdir, keep_deciles=3)
+    # lifecycle: nothing stays cached after the mode returns
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+    assert 0 < s["docs_kept"] <= s["docs_clean"] <= s["docs_total"]
+    # top-3-of-10 deciles keeps ~30% of the clean corpus (ntile is
+    # exact, so the bound is tight up to bucket rounding)
+    assert abs(s["docs_kept"] - 0.3 * s["docs_clean"]) <= 0.05 * s["docs_clean"] + 2
+
+    snap = read_snapshot(spark, s["snapshot_dir"], s["snapshot_version"])
+    assert snap.count() == s["docs_kept"]
+    assert "text" in snap.columns and "lang" in snap.columns
+    assert sum(s["kept_by_lang"].values()) == s["docs_kept"]
+    assert os.path.exists(s["summary_path"])
+    assert json.load(open(s["summary_path"]))["docs_kept"] == s["docs_kept"]
+
+    # stratified variant: every language retains ~its top quartile
+    s2 = prune_corpus(spark, sf_dir, workdir, per_lang=True, write_snapshot=False)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert s2["mode"] == "per_lang_quartile"
+    assert 0 < s2["docs_kept"] < s2["docs_clean"]

@@ -25,13 +25,26 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "prepare", "assess", "reverse", "check", "compare",
             "csv", "full", "all", "retry", "compact", "export",
-            "optimize", "explain",
+            "optimize", "explain", "prune",
         ],
     )
+    p.add_argument("--keep-deciles", type=int, default=3, help="prune: top lm-score deciles to keep")
+    p.add_argument("--per-lang", action="store_true", help="prune: per-language quartile stratification")
     p.add_argument("--query", default="", help="explain: queries() entry name (empty = list)")
     p.add_argument("--path", default="", help="optimize: parquet dir to compact")
     p.add_argument("--target-mb", type=int, default=128)
-    p.add_argument("--layout-cols", default="", help="optimize: comma-separated Z-order columns")
+    p.add_argument(
+        "--layout-cols",
+        default="",
+        help="optimize: comma-separated Z-order columns, or 'auto' to derive "
+        "them from --workload (filter-column frequency x NDV)",
+    )
+    p.add_argument(
+        "--workload",
+        default="",
+        help="optimize --layout-cols auto: query-log relation (parquet dir or "
+        "JSON-lines file with filter_cols [+ weight] per query)",
+    )
     p.add_argument("--source-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     p.add_argument("--workdir", default="./transferdb_work")
     p.add_argument("--tables", default="", help="comma-separated include globs")
@@ -208,6 +221,19 @@ def main(argv: list[str] | None = None) -> int:
         target = os.path.join(args.workdir, "target", "events_incr")
         out.update(compact_cdc_log(spark, target, key="user_id"))
 
+    elif args.mode == "prune":
+        from transferdb_spark.modes.prune import prune_corpus
+
+        out.update(
+            prune_corpus(
+                spark,
+                args.source_dir,
+                args.workdir,
+                keep_deciles=args.keep_deciles,
+                per_lang=args.per_lang,
+            )
+        )
+
     elif args.mode == "explain":
         import __spark_entry__ as entry_mod
 
@@ -224,7 +250,20 @@ def main(argv: list[str] | None = None) -> int:
 
         from transferdb_spark.modes.optimize import compact_files
 
-        cols = [c for c in args.layout_cols.split(",") if c]
+        if args.layout_cols == "auto":
+            from transferdb_spark.plans.layout import advise_layout_from_log
+
+            if not args.workload:
+                raise SystemExit("--layout-cols auto requires --workload")
+            log_df = (
+                spark.read.json(args.workload)
+                if args.workload.endswith((".json", ".jsonl"))
+                else spark.read.parquet(args.workload)
+            )
+            cols = advise_layout_from_log(spark.read.parquet(args.path), log_df)
+            out["advised_layout_cols"] = cols
+        else:
+            cols = [c for c in args.layout_cols.split(",") if c]
         stats = compact_files(
             spark, args.path, target_mb=args.target_mb, layout_cols=cols or None
         )

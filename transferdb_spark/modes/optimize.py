@@ -82,10 +82,17 @@ def compact_files(
     n_out = n_files or max(1, math.ceil(total / (target_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
-    if layout_cols:
+    if layout_cols and len(layout_cols) >= 2:
         from transferdb_spark.plans.layout import zorder_layout
 
         shaped = zorder_layout(df, layout_cols, n_files=n_out)
+    elif layout_cols:
+        # one clustering column (e.g. the advisor found a single
+        # filter dimension worth clustering): a plain range-sort IS the
+        # optimal layout — morton_expr refuses k=1 by design
+        shaped = df.repartitionByRange(n_out, *layout_cols).sortWithinPartitions(
+            *layout_cols
+        )
     else:
         shaped = df.coalesce(n_out)
 

@@ -1,0 +1,118 @@
+"""`prune` mode — the production wrapper for corpus quality pruning.
+
+The registry callables (`quality_prune_deciles`, `quality_prune_per_lang`,
+`pipeline_clean_corpus` in __spark_entry__.py) deliberately do NOT
+persist their score relation: a query-registry entry has no unpersist
+point, so caching there would leak one relation per gate/bench
+invocation. This mode OWNS the lifecycle: the score relation is
+persisted once before the ranking passes (global_ntile reads it three
+times — quantile probe, bucket counts, final pass) and unpersisted in
+a finally block, then the kept corpus lands as a versioned snapshot
+with a JSON summary.
+
+No reference parity to cite — the reference has no corpus-pruning
+surface; this is the LLM-data-pipeline extension operating at the
+same CLI tier as its 8 task modes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _clean_gate(docs: DataFrame) -> DataFrame:
+    """Exact-dedup canonical election + quality-ratio gate — the same
+    stages pipeline_clean_corpus composes, returning the kept doc_ids."""
+    from transferdb_spark.ext.text import quality_scores
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    digest = portable_hash64(F.trim(F.lower(F.col("text"))))
+    canonical = (
+        docs.select("doc_id", digest.alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q = (
+        quality_scores(docs)
+        .filter((F.col("punct_ratio") <= 0.1) & (F.col("space_ratio") <= 0.35))
+        .select("doc_id")
+    )
+    return canonical.join(q, "doc_id")
+
+
+def prune_corpus(
+    spark: SparkSession,
+    source_dir: str,
+    workdir: str,
+    keep_deciles: int = 3,
+    per_lang: bool = False,
+    write_snapshot: bool = True,
+) -> dict:
+    """Clean -> score -> rank -> keep the top slice -> snapshot.
+
+    keep_deciles: global mode keeps the top N lm-score deciles;
+    per_lang=True instead keeps the top quartile within every language
+    (stratified — low-resource languages aren't starved by the global
+    distribution). Returns the JSON-able run summary."""
+    from transferdb_spark.ext.text import bigram_lm_score
+    from transferdb_spark.operators.ranking import global_ntile
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state import snapshots
+
+    docs = load_table(spark, source_dir, "documents")
+    n_total = docs.count()
+    kept_ids = _clean_gate(docs)
+    clean = docs.join(kept_ids, "doc_id")
+
+    scores = bigram_lm_score(clean).select("doc_id", "lm_score")
+    if per_lang:
+        scores = scores.join(clean.select("doc_id", "lang"), "doc_id")
+    # THE lifecycle point the registry callables document but cannot
+    # own: the ranking passes below re-read this relation
+    scores = scores.persist()
+    try:
+        if per_lang:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+            ranked = scores.select(
+                "doc_id", "lang", "lm_score", F.ntile(4).over(w).alias("bucket")
+            )
+            kept = ranked.filter(F.col("bucket") == 4)
+        else:
+            ranked = global_ntile(
+                scores, ["lm_score", "doc_id"], k=10, num_partitions=8
+            ).withColumnRenamed("rn", "__rn")
+            kept = ranked.filter(F.col("bucket") > 10 - keep_deciles)
+        pruned = clean.join(kept.select("doc_id"), "doc_id")
+
+        summary: dict = {
+            "mode": "per_lang_quartile" if per_lang else f"top_{keep_deciles}_deciles",
+            "docs_total": n_total,
+            "docs_clean": clean.count(),
+            "docs_kept": pruned.count(),
+        }
+        by_lang = {
+            r["lang"]: r["n"]
+            for r in pruned.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        summary["kept_by_lang"] = dict(sorted(by_lang.items()))
+
+        if write_snapshot:
+            snap_dir = os.path.join(workdir, "pruned_documents")
+            version = snapshots.write_snapshot(pruned, snap_dir, stat_cols=["doc_id"])
+            summary["snapshot_dir"] = snap_dir
+            summary["snapshot_version"] = version
+        os.makedirs(workdir, exist_ok=True)
+        summary_path = os.path.join(workdir, "prune_summary.json")
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        summary["summary_path"] = summary_path
+        return summary
+    finally:
+        scores.unpersist()

@@ -39,6 +39,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType as _ArrayT
 
 # mask-spread steps: 16 input bits -> even bit positions of a 32-bit
 # word. (shift, mask) pairs; shift done as * 2^s for engine portability.
@@ -193,6 +194,39 @@ def zorder_layout(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def workload_from_log(log_df: DataFrame) -> list[tuple[list[str], float]]:
+    """Fold a query-log RELATION into recommend_layout's workload shape.
+
+    Expected columns: ``filter_cols`` (array<string> — the columns a
+    query filtered on; a plain string column also works) and optionally
+    ``weight`` (query frequency/cost; default 1 per row). The log is a
+    per-query audit relation (what a query gateway or plan-lint sweep
+    records), so it is small — the collect here is log-sized, never
+    data-sized. Identical filter-column sets aggregate their weight."""
+    cols = log_df.columns
+    if "filter_cols" not in cols:
+        raise ValueError("workload log needs a filter_cols column")
+    w = F.col("weight").cast("double") if "weight" in cols else F.lit(1.0)
+    fc = F.col("filter_cols")
+    if not isinstance(log_df.schema["filter_cols"].dataType, _ArrayT):
+        fc = F.array(fc.cast("string"))
+    agg = (
+        log_df.select(F.array_sort(fc).alias("fc"), w.alias("w"))
+        .groupBy("fc")
+        .agg(F.sum("w").alias("w"))
+        .collect()
+    )
+    return [(list(r["fc"]), float(r["w"])) for r in agg]
+
+
+def advise_layout_from_log(
+    df: DataFrame, log_df: DataFrame, max_cols: int = 2
+) -> list[str]:
+    """`--layout-cols auto`: workload log relation -> Z-order columns
+    (filter-column frequency x log2(NDV) scoring, recommend_layout)."""
+    return recommend_layout(df, workload_from_log(log_df), max_cols=max_cols)
 
 
 @dataclass(frozen=True)
