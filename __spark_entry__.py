@@ -3023,47 +3023,84 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_min_label_sql(pairs_body: str, out_col: str) -> str:
+    """Connected components as ONE DuckDB statement, fast enough for
+    the sf0.1 stress gate.
+
+    The naive `reach` closure enumerates every (node, reachable-label)
+    pair — O(m²) rows per m-node component, which made these two
+    oracles the 35-80 s rows of the stress run. Two STAR-CONTRACTION
+    pre-rounds (node -> min(self, neighbors), then rebuild edges on
+    the mapped labels) collapse the dense clique/star components real
+    dup graphs are made of BEFORE the quadratic closure runs on the
+    residual graph. Exact for any graph: each round maps every node to
+    a smaller node of ITS OWN component (the component minimum is a
+    fixed point), contraction preserves connectivity, and the final
+    closure resolves whatever diameter survives. Results are
+    hash-identical to the plain closure."""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+{pairs_body}
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+m1 AS MATERIALIZED (
+  SELECT node, MIN(lbl) AS lbl FROM (
+    SELECT a AS node, b AS lbl FROM edges
+    UNION ALL
+    SELECT a, a FROM edges
+  ) GROUP BY node
+),
+e1 AS MATERIALIZED (
+  SELECT DISTINCT ma.lbl AS a, mb.lbl AS b
+  FROM edges e JOIN m1 ma ON e.a = ma.node JOIN m1 mb ON e.b = mb.node
+  WHERE ma.lbl <> mb.lbl
+),
+m2 AS MATERIALIZED (
+  SELECT node, MIN(lbl) AS lbl FROM (
+    SELECT a AS node, b AS lbl FROM e1
+    UNION ALL
+    SELECT a, a FROM e1
+  ) GROUP BY node
+),
+e2 AS MATERIALIZED (
+  SELECT DISTINCT ma.lbl AS a, mb.lbl AS b
+  FROM e1 JOIN m2 ma ON e1.a = ma.node JOIN m2 mb ON e1.b = mb.node
+  WHERE ma.lbl <> mb.lbl
+),
+reach(node, label) AS (
+  SELECT a, a FROM e2
+  UNION
+  SELECT e.a, r.label FROM e2 e JOIN reach r ON e.b = r.node
+),
+cc AS (SELECT node, MIN(label) AS root FROM reach GROUP BY node)
+SELECT m1.node AS {out_col},
+       COALESCE(cc.root, COALESCE(m2.lbl, m1.lbl)) AS cluster_id
+FROM m1
+LEFT JOIN m2 ON m1.lbl = m2.node
+LEFT JOIN cc ON COALESCE(m2.lbl, m1.lbl) = cc.node
+ORDER BY {out_col}
+"""
+
+
 def _embedding_dedup_clusters_sql() -> str:
     from transferdb_spark.ext.similarity import embedding_neardup_sql
 
-    return f"""
-WITH RECURSIVE pairs AS (
-  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({embedding_neardup_sql(0.3)})
-),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION ALL
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(node, label) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
-)
-SELECT node AS vec_id, MIN(label) AS cluster_id
-FROM reach GROUP BY node ORDER BY vec_id
-"""
+    return _cc_min_label_sql(
+        f"  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({embedding_neardup_sql(0.3)})",
+        "vec_id",
+    )
 
 
 def _dedup_clusters_sql() -> str:
-    return f"""
-WITH RECURSIVE pairs AS (
-  SELECT * FROM ({_simhash_neardup_sql()})
-  WHERE doc_a < {_CLUSTER_CAP} AND doc_b < {_CLUSTER_CAP}
-),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION ALL
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(node, label) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
-)
-SELECT node AS doc_id, MIN(label) AS cluster_id
-FROM reach GROUP BY node ORDER BY doc_id
-"""
+    return _cc_min_label_sql(
+        f"""  SELECT * FROM ({_simhash_neardup_sql()})
+  WHERE doc_a < {_CLUSTER_CAP} AND doc_b < {_CLUSTER_CAP}""",
+        "doc_id",
+    )
 
 
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_span_ngrams",
+    "dedup_span_keep_one",
     "gopher_quality_rules",
     "split_leakage_check",
     "similarity_topk",

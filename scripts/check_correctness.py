@@ -70,7 +70,14 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from transferdb_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    out_path = ""
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
+    t_start = time.time()
     spark = get_spark("correctness-check")
 
     con = duckdb.connect()
@@ -82,9 +89,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    n_run = n_oracled = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
@@ -95,6 +104,7 @@ def main() -> int:
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle — weak check) [{time.time()-t0:.1f}s]")
             continue
+        n_oracled += 1
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
@@ -118,6 +128,24 @@ def main() -> int:
         else:
             print(f"{status} {name}: {sn} rows [{time.time()-t0:.1f}s]")
     print("FAILURES:", failures)
+    if out_path:
+        # driver-visible one-line artifact (tail-capture friendly)
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "gate": "oracle_correctness",
+                    "sf_dir": SF_DIR,
+                    "queries_run": n_run,
+                    "oracled": n_oracled,
+                    "failures": failures,
+                    "seconds": round(time.time() - t_start, 1),
+                },
+                f,
+                separators=(",", ":"),
+            )
+            f.write("\n")
     return 1 if failures else 0
 
 

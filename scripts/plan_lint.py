@@ -90,9 +90,18 @@ def main() -> int:
 
     from transferdb_spark.session import get_spark
 
+    import time as _time
+
+    t_start = _time.time()
+    argv = sys.argv[1:]
+    out_path = ""
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     spark = get_spark("plan-lint")
     qs = entry.queries()
-    names = sys.argv[1:] or list(qs)
+    names = argv or list(qs)
 
     hard_hits: dict[str, list[str]] = {}
     soft_hits: dict[str, list[str]] = {}
@@ -130,6 +139,25 @@ def main() -> int:
         print(f"ERROR {n}: {e}")
     for n, f in hard_hits.items():
         print(f"HARD  {n}: {f}")
+    if out_path:
+        # driver-visible one-line artifact (tail-capture friendly)
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "gate": "plan_lint",
+                    "linted": len(names) - len(errors),
+                    "total": len(names),
+                    "hard": len(hard_hits),
+                    "soft": len(soft_hits),
+                    "errors": len(errors),
+                    "seconds": round(_time.time() - t_start, 1),
+                },
+                f,
+                separators=(",", ":"),
+            )
+            f.write("\n")
     return 1 if hard_hits or errors else 0
 
 

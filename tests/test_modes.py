@@ -1094,10 +1094,14 @@ def test_prune_mode_lifecycle_and_snapshot(spark, sf_dir, workdir):
     from transferdb_spark.modes.prune import prune_corpus
     from transferdb_spark.state.snapshots import read_snapshot
 
-    spark.catalog.clearCache()
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persistent_ids()
     s = prune_corpus(spark, sf_dir, workdir, keep_deciles=3)
-    # lifecycle: nothing stays cached after the mode returns
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # lifecycle: the mode leaves NO new cached relation behind (other
+    # module-scoped suites may legitimately hold their own caches)
+    assert persistent_ids() <= before
 
     assert 0 < s["docs_kept"] <= s["docs_clean"] <= s["docs_total"]
     # top-3-of-10 deciles keeps ~30% of the clean corpus (ntile is
@@ -1113,6 +1117,6 @@ def test_prune_mode_lifecycle_and_snapshot(spark, sf_dir, workdir):
 
     # stratified variant: every language retains ~its top quartile
     s2 = prune_corpus(spark, sf_dir, workdir, per_lang=True, write_snapshot=False)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert persistent_ids() <= before
     assert s2["mode"] == "per_lang_quartile"
     assert 0 < s2["docs_kept"] < s2["docs_clean"]
