@@ -361,3 +361,64 @@ def test_reverse_apply_live_check_and_fix_sql_roundtrip(spark, sf_dir, tmp_path)
         tgt_types_by_table={"nation": rendered_types(live2["nation"])},
     )["nation"]
     assert r2.is_clean, r2
+
+
+def test_live_structure_drift_repaired_by_ansi_fix_sql(spark, sf_dir, tmp_path):
+    """The check half of the live loop: damage the TARGET STRUCTURE
+    over JDBC (drop a column, drop an index, add a stray column), run
+    check against the introspected live catalog, APPLY the emitted
+    ANSI fix-SQL, re-check -> zero drift."""
+    if not _derby_available(spark):
+        pytest.skip("no embedded Derby driver on the Spark classpath")
+    from transferdb_spark.catalog.fixture import fixture_catalog
+    from transferdb_spark.catalog.jdbc_catalog import read_jdbc_catalog, rendered_types
+    from transferdb_spark.modes.apply import apply_reverse_ddl, apply_sql
+    from transferdb_spark.modes.check import check_catalogs
+    from transferdb_spark.sources.jdbc import JdbcSink
+
+    url = f"jdbc:derby:{tmp_path}/driftdb;create=true"
+    sink = JdbcSink(url=url, table="", driver=DERBY_DRIVER)
+    full_cat = fixture_catalog(spark, sf_dir)
+    # region/nation ride along so customer's FK chain resolves; give
+    # customer an index NOT shadowed by an FK backing index (Derby
+    # shares the physical conglomerate for same-column indexes, so an
+    # FK-column index drop is functionally invisible)
+    cat = {k: full_cat[k] for k in ("region", "nation", "customer")}
+    from transferdb_spark.catalog.meta import IndexMeta
+
+    cat["customer"].indexes = list(cat["customer"].indexes) + [
+        IndexMeta(name="IDX_CUSTOMER_C_ACCTBAL", columns=("C_ACCTBAL",))
+    ]
+    assert apply_reverse_ddl(spark, sink, cat).ok
+
+    drift = apply_sql(
+        spark,
+        sink,
+        [
+            "ALTER TABLE CUSTOMER DROP COLUMN C_MKTSEGMENT",
+            "DROP INDEX IDX_CUSTOMER_C_ACCTBAL",
+            "ALTER TABLE CUSTOMER ADD COLUMN STRAY INTEGER",
+        ],
+    )
+    assert drift.ok, drift.failed
+
+    def live_check():
+        live = read_jdbc_catalog(spark, url, ["customer"], driver=DERBY_DRIVER)
+        return check_catalogs(
+            {"customer": cat["customer"]},
+            live,
+            dialect="ansi",
+            tgt_types_by_table={"customer": rendered_types(live["customer"])},
+        )["customer"]
+
+    r = live_check()
+    assert not r.is_clean
+    assert r.missing_columns == ["C_MKTSEGMENT"]
+    assert r.extra_columns == ["STRAY"]
+    assert "IDX_CUSTOMER_C_ACCTBAL" in r.missing_indexes
+
+    fix = apply_sql(spark, sink, r.fix_sql)
+    assert fix.ok, fix.failed
+
+    r2 = live_check()
+    assert r2.is_clean, r2

@@ -725,10 +725,10 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _dup_spans(docs: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
-    """(toks, dup): per-doc token arrays + the duplicated n-gram spans
-    (doc_id, n_tokens, start, end) — shared by the detection and
-    removal stages."""
+def _span_relation(docs: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
+    """(toks, spans): per-doc token arrays + every n-gram span hash
+    (h, doc_id, n_tokens, start) — the shared base of the span-dedup
+    family."""
     from transferdb_spark.functions.hashing import portable_hash64
 
     toks = docs.select("doc_id", F.expr(TOKENS).alias("toks")).withColumn(
@@ -753,6 +753,14 @@ def _dup_spans(docs: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
         "start",
         portable_hash64(F.array_join(F.slice("toks", F.col("start"), n), " ")).alias("h"),
     )
+    return toks, spans
+
+
+def _dup_spans(docs: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
+    """(toks, dup): per-doc token arrays + the duplicated n-gram spans
+    (doc_id, n_tokens, start, end) — shared by the detection and
+    removal stages."""
+    toks, spans = _span_relation(docs, n)
     # groupBy + join-back, NOT a count window over h: the groupBy
     # map-side combines (its shuffle carries distinct hashes, not
     # positions) and the join is AQE-skew-splittable, while a window
@@ -944,24 +952,32 @@ def dup_span_keep_one(docs: DataFrame, n: int = 10) -> DataFrame:
     canonical occurrence of one span but a non-canonical occurrence of
     an overlapping span is still removed (coverage is a union).
 
-    The election is a groupBy(h).min(struct(doc_id, start)) + join-back
-    — same skew posture as the detection stage (the shuffle carries
-    8-byte hashes + one struct, and a hot boilerplate span never
-    buffers its occurrence list in one task the way a window over h
-    would). Output is NORMALIZED token text (``clean_tokens_text``)."""
-    toks, dup = _dup_spans(docs, n)
-    canon = dup.groupBy("h").agg(
-        F.min(F.struct("doc_id", "start")).alias("__c")
+    The election rides the SAME groupBy(h) that counts occurrences
+    (min(struct(doc_id, start)) is one more map-side-combined
+    aggregate on an exchange that exists anyway), so keep-one costs
+    one aggregation + one join — the same shuffle count as the
+    remove-all detection stage, with the same skew posture (a hot
+    boilerplate span never buffers its occurrence list in one task
+    the way a window over h would). Output is NORMALIZED token text
+    (``clean_tokens_text``)."""
+    toks, spans = _span_relation(docs, n)
+    agg = (
+        spans.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct("doc_id", "start")).alias("__c"),
+        )
+        .filter(F.col("occ") > 1)
     )
     non_canon = (
-        dup.join(canon, "h")
+        spans.join(agg.select("h", "__c"), "h")
         .filter(
             ~(
                 (F.col("doc_id") == F.col("__c.doc_id"))
                 & (F.col("start") == F.col("__c.start"))
             )
         )
-        .select("doc_id", "start", "end")
+        .select("doc_id", "start", (F.col("start") + (n - 1)).alias("end"))
     )
     covered = non_canon.select(
         "doc_id", F.explode(F.sequence(F.col("start"), F.col("end"))).alias("pos")

@@ -149,11 +149,24 @@ def check_table(
             cols = ", ".join(qi(c) for c in spk)
             r.fix_sql.append(f"ALTER TABLE {tname_q} ADD PRIMARY KEY ({cols});")
 
+    # index diff: by name, with a COLUMN-SET fallback — live catalogs
+    # report system-named backing indexes (Derby shares the physical
+    # conglomerate between an FK's backing index and a same-column
+    # user index, surfacing only the SQL... name), so "an index
+    # covering these columns exists, unique-compatible" is the
+    # functional presence test (same stance as the name-independent
+    # UK diff, diff.go:292-334)
     src_ix = {i.name.upper(): i for i in src.indexes}
     tgt_ix = {i.name.upper(): i for i in tgt.indexes}
+    tgt_ix_cols = {(tuple(i.columns), i.unique) for i in tgt.indexes}
     for name in sorted(src_ix.keys() - tgt_ix.keys()):
-        r.missing_indexes.append(name)
         ix = src_ix[name]
+        covered = (tuple(ix.columns), True) in tgt_ix_cols or (
+            not ix.unique and (tuple(ix.columns), False) in tgt_ix_cols
+        )
+        if covered:
+            continue
+        r.missing_indexes.append(name)
         cols = ", ".join(qi(c) for c in ix.columns)
         kind = "UNIQUE INDEX" if ix.unique else "INDEX"
         r.fix_sql.append(f"CREATE {kind} {qi(name)} ON {tname_q} ({cols});")
