@@ -422,3 +422,77 @@ def test_live_structure_drift_repaired_by_ansi_fix_sql(spark, sf_dir, tmp_path):
 
     r2 = live_check()
     assert r2.is_clean, r2
+
+
+def test_redo_translate_ansi_applies_transactionally(spark, tmp_path):
+    """The streaming translate path against a LIVE target: Oracle-style
+    redo SQL -> parse_redo -> translate(dialect='ansi') ->
+    apply_transactions executes each txn atomically over JDBC
+    (apply.go:119-233's UPDATE = DELETE+REPLACE txn). A txn with a
+    failing statement must roll back WHOLE."""
+    if not _derby_available(spark):
+        pytest.skip("no embedded Derby driver on the Spark classpath")
+    from transferdb_spark.modes.apply import apply_sql, apply_transactions
+    from transferdb_spark.sources.jdbc import JdbcSink, JdbcSource
+    from transferdb_spark.streaming.redo import parse_redo, translate_stmt
+
+    url = f"jdbc:derby:{tmp_path}/redodb;create=true"
+    sink = JdbcSink(url=url, table="", driver=DERBY_DRIVER)
+    setup = apply_sql(
+        spark,
+        sink,
+        [
+            "CREATE TABLE ACCTS (ID INT NOT NULL PRIMARY KEY, BAL INT, NOTE VARCHAR(5))",
+            "INSERT INTO ACCTS VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c')",
+        ],
+    )
+    assert setup.ok, setup.failed
+
+    redo = {
+        "t1": [
+            'insert into "APP"."ACCTS"("ID","BAL","NOTE") values (\'4\',\'40\',\'d\');',
+            'update "APP"."ACCTS" set "BAL" = \'15\' where "ID" = \'1\' and '
+            '"BAL" = \'10\' and "NOTE" = \'a\';',
+        ],
+        "t2": ['delete from "APP"."ACCTS" where "ID" = \'2\' and "BAL" = \'20\' and "NOTE" = \'b\';'],
+    }
+    txns = [
+        (xid, [s for raw in sqls for s in translate_stmt(parse_redo(raw), dialect="ansi")])
+        for xid, sqls in redo.items()
+    ]
+    # txn boundaries live in the executor, not the statement text
+    assert not any("BEGIN" in s or "COMMIT" in s for _, ss in txns for s in ss)
+    res = apply_transactions(spark, sink, txns)
+    assert res.ok, res.failed
+    assert res.applied == ["t1", "t2"]
+
+    def state():
+        t = JdbcSource(url=url, table="ACCTS", driver=DERBY_DRIVER).load(spark)
+        return {r["ID"]: (r["BAL"], r["NOTE"]) for r in t.collect()}
+
+    assert state() == {1: (15, "a"), 3: (30, "c"), 4: (40, "d")}
+
+    # atomicity: valid UPDATE + failing INSERT (NOTE too long) in ONE
+    # txn -> neither lands
+    bad = [
+        (
+            "t3",
+            translate_stmt(
+                parse_redo(
+                    'update "APP"."ACCTS" set "BAL" = \'99\' where "ID" = \'3\' and '
+                    '"BAL" = \'30\' and "NOTE" = \'c\';'
+                ),
+                dialect="ansi",
+            )
+            + translate_stmt(
+                parse_redo(
+                    'insert into "APP"."ACCTS"("ID","BAL","NOTE") '
+                    "values ('5','50','way-too-long-note');"
+                ),
+                dialect="ansi",
+            ),
+        )
+    ]
+    res2 = apply_transactions(spark, sink, bad)
+    assert res2.failed and res2.failed[0][0] == "t3"
+    assert state() == {1: (15, "a"), 3: (30, "c"), 4: (40, "d")}  # rollback held

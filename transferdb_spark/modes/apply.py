@@ -72,6 +72,57 @@ def apply_sql(
     return res
 
 
+def apply_transactions(
+    spark: SparkSession,
+    sink: JdbcSink,
+    txns: list[tuple[str, list[str]]],
+    continue_on_error: bool = True,
+) -> ApplyResult:
+    """Apply CDC transactions ATOMICALLY against a live JDBC target —
+    the reference's ordered apply worker executes each redo
+    transaction as one target transaction (UPDATE = DELETE+REPLACE in
+    one txn, /root/reference/module/migrate/sql/oracle/o2m/
+    apply.go:119-233). ``txns`` = [(txn_id, [statements])] in
+    commit-SCN order (streaming/redo.group_transactions produces
+    exactly this shape; translate with dialect='ansi' so txn
+    boundaries stay out of the statement text).
+
+    One connection, autocommit off: a txn whose ANY statement fails is
+    ROLLED BACK whole and quarantined under its txn_id — a half-applied
+    transaction can never land. ApplyResult.applied/failed carry one
+    entry per TRANSACTION."""
+    res = ApplyResult()
+    jvm = spark._jvm
+    if sink.driver:
+        jvm.java.lang.Class.forName(sink.driver)
+    if sink.user:
+        conn = jvm.java.sql.DriverManager.getConnection(sink.url, sink.user, sink.password)
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(sink.url)
+    try:
+        conn.setAutoCommit(False)
+        for xid, stmts in txns:
+            runnable = [s for s in (_executable(x) for x in stmts) if s]
+            try:
+                st = conn.createStatement()
+                try:
+                    for s in runnable:
+                        st.executeUpdate(s)
+                finally:
+                    st.close()
+                conn.commit()
+                res.applied.append(xid)
+            except Exception as e:  # noqa: BLE001 — rollback + quarantine
+                conn.rollback()
+                msg = str(getattr(e, "java_exception", None) or e)
+                res.failed.append((xid, msg.splitlines()[0][:500]))
+                if not continue_on_error:
+                    break
+        return res
+    finally:
+        conn.close()
+
+
 def apply_reverse_ddl(
     spark: SparkSession,
     sink: JdbcSink,

@@ -553,51 +553,91 @@ def _mysql_lit(v: str | None) -> str:
     return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
-def translate_stmt(stmt: RedoStmt, target_schema: str = "") -> list[str]:
-    """RedoStmt → target MySQL statements (translate.go:149-334):
+def _ansi_lit(v: str | None) -> str:
+    if v is None:
+        return "NULL"
+    if re.fullmatch(r"-?\d+(\.\d+)?", v):
+        return v
+    # ANSI string literal: only the quote doubles (no backslash escapes)
+    return "'" + v.replace("'", "''") + "'"
+
+
+def translate_stmt(
+    stmt: RedoStmt, target_schema: str = "", dialect: str = "mysql"
+) -> list[str]:
+    """RedoStmt → target statements (translate.go:149-334):
     INSERT → REPLACE (safe-mode idempotence), UPDATE → DELETE + REPLACE
-    as one transaction, DELETE → DELETE, TRUNCATE/DROP passthrough."""
-    tbl = f"`{(target_schema or stmt.schema).lower()}`.`{stmt.table.lower()}`"
+    as one transaction, DELETE → DELETE, TRUNCATE/DROP passthrough.
+
+    dialect='ansi' is the LIVE-apply form (Derby-tested): REPLACE has
+    no ANSI equivalent, so safe-mode idempotence becomes
+    DELETE-full-row-match + INSERT; UPDATE emits its DELETE+INSERT
+    WITHOUT BEGIN/COMMIT markers — transaction boundaries belong to
+    the executor (modes/apply.apply_transactions), matching the
+    reference where apply.go owns the txn, not the statement text.
+    LOB splice maps to SUBSTR || piece || SUBSTR."""
+    ansi = dialect == "ansi"
+    lit = _ansi_lit if ansi else _mysql_lit
+
+    def qi(name: str) -> str:
+        return name.upper() if ansi else f"`{name.lower()}`"
+
+    sch = target_schema or stmt.schema
+    tbl = f"{qi(sch)}.{qi(stmt.table)}" if sch else qi(stmt.table)
 
     def where(before: dict[str, str | None]) -> str:
         return " AND ".join(
-            f"`{c.lower()}` IS NULL" if v is None else f"`{c.lower()}` = {_mysql_lit(v)}"
+            f"{qi(c)} IS NULL" if v is None else f"{qi(c)} = {lit(v)}"
             for c, v in before.items()
         )
 
-    def replace_into(data: dict[str, str | None]) -> str:
-        cols = ", ".join(f"`{c.lower()}`" for c in data)
-        vals = ", ".join(_mysql_lit(v) for v in data.values())
-        return f"REPLACE INTO {tbl} ({cols}) VALUES ({vals});"
+    def insert_into(data: dict[str, str | None], verb: str) -> str:
+        cols = ", ".join(qi(c) for c in data)
+        vals = ", ".join(lit(v) for v in data.values())
+        return f"{verb} INTO {tbl} ({cols}) VALUES ({vals});"
+
+    def replace_into(data: dict[str, str | None]) -> list[str]:
+        if not ansi:
+            return [insert_into(data, "REPLACE")]
+        # ANSI safe-mode: delete any full-row match first, then insert
+        # — idempotent under redelivery like REPLACE
+        return [
+            f"DELETE FROM {tbl} WHERE {where(data)};",
+            insert_into(data, "INSERT"),
+        ]
 
     if stmt.operation == "INSERT":
-        return [replace_into(stmt.data)]
+        return replace_into(stmt.data)
     if stmt.operation == "DELETE":
         return [f"DELETE FROM {tbl} WHERE {where(stmt.before)};"]
     if stmt.operation == "UPDATE":
         # the after image is the before image overlaid with SET values
         after = {**stmt.before, **stmt.data}
-        return [
-            "BEGIN;",
-            f"DELETE FROM {tbl} WHERE {where(stmt.before)};",
-            replace_into(after),
-            "COMMIT;",
-        ]
+        body = [f"DELETE FROM {tbl} WHERE {where(stmt.before)};", *replace_into(after)]
+        return body if ansi else ["BEGIN;", *body, "COMMIT;"]
     if stmt.operation == "LOB_WRITE":
         # piecewise splice → MySQL INSERT() string function at the same
-        # 1-based offset; COALESCE seeds the first piece of a NULL LOB
-        col = f"`{stmt.data['column'].lower()}`"
+        # 1-based offset; ANSI form splices with SUBSTR concatenation.
+        # COALESCE seeds the first piece of a NULL LOB
+        col = qi(stmt.data["column"])
+        off = int(stmt.data["offset"])
+        plen = int(stmt.data["piece_len"])
+        if ansi:
+            return [
+                f"UPDATE {tbl} SET {col} = SUBSTR(COALESCE({col}, ''), 1, {off - 1}) "
+                f"|| {lit(stmt.data['piece'])} "
+                f"|| SUBSTR(COALESCE({col}, ''), {off + plen}) WHERE {where(stmt.before)};"
+            ]
         return [
             f"UPDATE {tbl} SET {col} = INSERT(COALESCE({col}, ''), "
-            f"{int(stmt.data['offset'])}, {int(stmt.data['piece_len'])}, "
-            f"{_mysql_lit(stmt.data['piece'])}) WHERE {where(stmt.before)};"
+            f"{off}, {plen}, {lit(stmt.data['piece'])}) WHERE {where(stmt.before)};"
         ]
     if stmt.operation == "LOB_TRIM":
-        col = f"`{stmt.data['column'].lower()}`"
-        return [
-            f"UPDATE {tbl} SET {col} = LEFT({col}, {int(stmt.data['new_len'])}) "
-            f"WHERE {where(stmt.before)};"
-        ]
+        col = qi(stmt.data["column"])
+        n = int(stmt.data["new_len"])
+        if ansi:
+            return [f"UPDATE {tbl} SET {col} = SUBSTR({col}, 1, {n}) WHERE {where(stmt.before)};"]
+        return [f"UPDATE {tbl} SET {col} = LEFT({col}, {n}) WHERE {where(stmt.before)};"]
     if stmt.operation == "TRUNCATE":
         return [f"TRUNCATE TABLE {tbl};"]
     if stmt.operation == "DROP":
