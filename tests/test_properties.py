@@ -239,3 +239,66 @@ def test_mulaw_codec_bounds_error_everywhere():
         # relative error ~1/32 (3.1% measured), plus a small absolute
         # floor in the lowest segment
         assert float(np.max(err - (np.abs(wave) / 24 + 0.004))) <= 0.0, float(err.max())
+
+
+@given(
+    st.sampled_from(
+        ["TINYINT", "SMALLINT", "INT", "BIGINT", "DOUBLE", "FLOAT", "DATETIME",
+         "DATE", "TIMESTAMP", "TEXT", "LONGTEXT", "BLOB", "LONGBLOB", "DECIMAL",
+         "VARCHAR", "CHAR", "VARBINARY", "BINARY"]
+    ),
+    st.integers(min_value=1, max_value=80),
+    st.integers(min_value=0, max_value=40),
+    st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_ansi_type_rewrite_is_idempotent_and_derby_bounded(base, p, s, sized):
+    """rules/ansi invariants the live-apply loop depends on:
+    (a) IDEMPOTENT — re-rewriting an already-ANSI type changes nothing
+    (the checker re-renders what the generator emitted, so a second
+    pass must be a fixed point or zero-drift breaks);
+    (b) Derby bounds hold: DECIMAL precision <= 31, scale <= precision,
+    VARCHAR <= 32672, and no MySQL-only base survives."""
+    import re
+
+    from transferdb_spark.rules.ansi import ansi_type
+
+    t = f"{base}({p},{s})" if base == "DECIMAL" else (f"{base}({p})" if sized else base)
+    out = ansi_type(t)
+    assert ansi_type(out) == out, (t, out, ansi_type(out))
+    for banned in ("TINYINT", "DATETIME", "TEXT", "VARBINARY(", "LONGBLOB"):
+        assert banned not in out, (t, out)
+    m = re.match(r"^DECIMAL\((\d+),(\d+)\)$", out)
+    if m:
+        dp, ds = int(m.group(1)), int(m.group(2))
+        assert dp <= 31 and ds <= dp, (t, out)
+    m = re.match(r"^VARCHAR\((\d+)\)$", out)
+    if m:
+        assert int(m.group(1)) <= 32672
+
+
+@given(
+    st.sampled_from(
+        ["INTEGER", "BIGINT", "SMALLINT", "DOUBLE", "REAL", "DATE", "TIMESTAMP",
+         "DECIMAL", "VARCHAR", "CHAR", "CLOB", "BLOB", "BOOLEAN"]
+    ),
+    st.integers(min_value=1, max_value=4000),
+    st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_jdbc_rendered_type_matches_ansi_rewrite_fixed_points(tn, size, digits):
+    """catalog/jdbc_catalog.rendered_type must land in rules/ansi's
+    fixed-point set for every DERBY-REPRESENTABLE shape: what a Derby
+    catalog reports renders to a string ansi_type leaves unchanged —
+    the live zero-drift equality is only sound if both sides normalize
+    into the same space. (A WIDER live target — MySQL DECIMAL(65) —
+    may render outside the set; check then correctly flags a type
+    mismatch against the Derby dialect.)"""
+    from transferdb_spark.catalog.jdbc_catalog import rendered_type
+    from transferdb_spark.rules.ansi import ansi_type
+
+    if tn == "DECIMAL":
+        size = size % 31 + 1  # Derby representable: p <= 31
+        digits = min(digits, size)
+    out = rendered_type(tn, size, digits)
+    assert ansi_type(out) == out, (tn, size, digits, out)

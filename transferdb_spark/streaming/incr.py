@@ -355,7 +355,13 @@ def run_rollup_to_memory(
     spark: SparkSession, source_dir: str, checkpoint_dir: str, name: str = "rollup"
 ):
     """Drive the rollup with availableNow into an in-memory sink
-    (complete mode) — the test/verification harness path."""
+    (complete mode) — the test/verification harness path.
+
+    Sizing note: a streaming aggregation's STATE partition count is
+    spark.sql.shuffle.partitions at the query's FIRST start and is
+    pinned into the checkpoint permanently — set it to the expected
+    state volume (keys, not input rows) BEFORE first start; per-task
+    state-store overhead makes oversizing expensive at every trigger."""
     stream = stream_events(spark, source_dir)
     q = (
         hourly_rollup_stream(stream)
