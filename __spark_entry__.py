@@ -1710,6 +1710,143 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEMP_C = 8.0  # inverse-sqrt scale: domains under C^2 docs keep everything
 _TEMP_M = 1 << 20  # hash-gate modulus (power of two: exact threshold scaling)
 
+_MIX_B = 1_000_000_000  # target token budget for the mix plan
+_MIX_SCALE = 1_000_000  # sqrt fixed-point scale (keeps B*sq inside int64)
+
+
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-mixing PLAN: allocate a global token budget
+    across domains under temperature weighting (tau=2: w_d ∝
+    sqrt(tokens_d)) and report the oversampling factor (epochs) each
+    domain needs to fill its allocation — the table a training run is
+    configured from, where domain_temperature_sample executes a
+    row-level keep.
+
+    Cross-engine exact by construction: sqrt is one correctly-rounded
+    IEEE op, the weight numerators are FLOOR(sqrt*1e6) BIGINTs, their
+    sum is exact integer math, the budget split is int64
+    floor-division (B*sq <= 1e9*3e9 < 2^63), and doubles appear only
+    at the stable_round output boundary — no float summation ever
+    crosses the engine boundary."""
+    from transferdb_spark.ext.text import TOKENS
+    from transferdb_spark.functions.canonical import stable_round
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.expr(TOKENS))).cast("long").alias("n_tokens"),
+    )
+    sq = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * _MIX_SCALE).cast("long")
+    with_sq = per.withColumn("__sq", sq)
+    total = with_sq.agg(F.sum("__sq").cast("long").alias("t")).select("t")
+    budget = F.floor((F.lit(_MIX_B).cast("long") * F.col("__sq")) / F.col("t")).cast(
+        "long"
+    )
+    return (
+        with_sq.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_tokens",
+            stable_round(F.col("__sq") / F.col("t"), 8).alias("weight"),
+            budget.alias("token_budget"),
+            stable_round(budget / F.col("n_tokens"), 5).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mix_token_budget_sql() -> str:
+    from transferdb_spark.ext.text import TOKENS_SQL
+    from transferdb_spark.functions.canonical import stable_round_sql
+
+    w = stable_round_sql("CAST(sq AS DOUBLE) / CAST(t AS DOUBLE)", 8)
+    ep = stable_round_sql(
+        "CAST(budget AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 5
+    )
+    return f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+sq AS (
+  SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * {_MIX_SCALE}) AS BIGINT) AS sq
+  FROM per
+),
+tot AS (SELECT CAST(SUM(sq) AS BIGINT) AS t FROM sq),
+b AS (
+  SELECT sq.*, tot.t,
+         CAST(CAST({_MIX_B} AS BIGINT) * sq // t AS BIGINT) AS budget
+  FROM sq, tot
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       CAST({w} AS DOUBLE) AS weight,
+       budget AS token_budget,
+       CAST({ep} AS DOUBLE) AS epochs
+FROM b ORDER BY source
+"""
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: a NEW batch of documents checked
+    against the already-kept corpus by exact content digest — the
+    shape every rolling crawl runs (dedup the delta against the lake,
+    never re-dedup the lake). Split is by source name (lexicographic:
+    sources >= 'src5' are 'new'); at scale the anti-join shuffles
+    8-byte digests on both sides and the corpus side is read
+    digest-only (column pruning)."""
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    digest = portable_hash64(F.trim(F.lower(F.col("text"))))
+    with_d = docs.select("doc_id", "source", digest.alias("digest"))
+    corpus = with_d.filter(F.col("source") < "src5").select("digest").distinct()
+    new = with_d.filter(F.col("source") >= "src5")
+    kept = new.join(corpus, "digest", "left_anti")
+    return (
+        new.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .join(
+            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            F.col("n_new").cast("long").alias("n_new"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_new") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dup_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, {portable_hash64_sql("trim(lower(text))")} AS digest
+  FROM documents
+),
+corpus AS (SELECT DISTINCT digest FROM d WHERE source < 'src5'),
+new_docs AS (SELECT * FROM d WHERE source >= 'src5'),
+kept AS (
+  SELECT n.source FROM new_docs n LEFT JOIN corpus c USING (digest)
+  WHERE c.digest IS NULL
+)
+SELECT n.source,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dup_vs_corpus
+FROM new_docs n
+LEFT JOIN (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source) k
+  ON n.source = k.source
+GROUP BY n.source, k.n_kept
+ORDER BY n.source
+"""
+
 
 def domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (inverse-sqrt) domain rebalancing — the multilingual
@@ -3969,6 +4106,8 @@ def _ext_oracle_sql() -> dict[str, str]:
         "dedup_containment": _dedup_containment_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
         "domain_temperature_sample": _domain_temperature_sql(),
+        "mix_token_budget": _mix_token_budget_sql(),
+        "dedup_incremental": _dedup_incremental_sql(),
         "assess_column_profile": ASSESS_PROFILE_SQL,
         "doc_chunk_windows": _doc_chunks_sql_cached(),
         "dedup_exact": EXACT_DEDUP_SUMMARY_SQL,
@@ -4164,6 +4303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": dedup_containment,
         "url_canonicalize": url_canonicalize,
         "domain_temperature_sample": domain_temperature_sample,
+        "mix_token_budget": mix_token_budget,
+        "dedup_incremental": dedup_incremental,
         "assess_column_profile": assess_column_profile,
         "bpe_train_merges": bpe_train_merges,
         "pii_redaction": pii_redaction,
