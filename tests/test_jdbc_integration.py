@@ -496,3 +496,37 @@ def test_redo_translate_ansi_applies_transactionally(spark, tmp_path):
     res2 = apply_transactions(spark, sink, bad)
     assert res2.failed and res2.failed[0][0] == "t3"
     assert state() == {1: (15, "a"), 3: (30, "c"), 4: (40, "d")}  # rollback held
+
+
+def test_apply_transactions_scn_resume_gate(spark, tmp_path):
+    """Redelivered redo replays idempotently: transactions at or below
+    the checkpointed SCN are skipped, new ones apply, and the returned
+    high-water SCN advances the checkpoint (incr_sync_meta semantics,
+    logminer.go:134-174)."""
+    if not _derby_available(spark):
+        pytest.skip("no embedded Derby driver on the Spark classpath")
+    from transferdb_spark.modes.apply import apply_sql, apply_transactions
+    from transferdb_spark.sources.jdbc import JdbcSink, JdbcSource
+
+    url = f"jdbc:derby:{tmp_path}/scndb;create=true"
+    sink = JdbcSink(url=url, table="", driver=DERBY_DRIVER)
+    assert apply_sql(spark, sink, ["CREATE TABLE KV (K INT, V INT)"]).ok
+
+    txns = [
+        ("t1", ["INSERT INTO KV VALUES (1, 1)"]),
+        ("t2", ["INSERT INTO KV VALUES (2, 2)"]),
+    ]
+    scns = {"t1": 100, "t2": 200}
+    r1 = apply_transactions(spark, sink, txns, commit_scns=scns)
+    assert r1.applied == ["t1", "t2"] and r1.high_scn == 200
+
+    # full redelivery + one new txn: only the new one applies
+    txns2 = txns + [("t3", ["INSERT INTO KV VALUES (3, 3)"])]
+    r2 = apply_transactions(
+        spark, sink, txns2, commit_scns={**scns, "t3": 300}, resume_scn=r1.high_scn
+    )
+    assert r2.skipped == ["t1", "t2"] and r2.applied == ["t3"]
+    assert r2.high_scn == 300
+
+    t = JdbcSource(url=url, table="KV", driver=DERBY_DRIVER).load(spark)
+    assert sorted(r["K"] for r in t.collect()) == [1, 2, 3]  # no duplicates

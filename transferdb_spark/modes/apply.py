@@ -23,8 +23,9 @@ from transferdb_spark.sources.jdbc import JdbcSink
 @dataclass
 class ApplyResult:
     applied: list[str] = field(default_factory=list)
-    skipped: list[str] = field(default_factory=list)  # comment-only lines
+    skipped: list[str] = field(default_factory=list)  # comment-only / SCN-gated
     failed: list[tuple[str, str]] = field(default_factory=list)  # (stmt, error)
+    high_scn: int = -1  # max applied commit SCN (apply_transactions)
 
     @property
     def ok(self) -> bool:
@@ -77,6 +78,8 @@ def apply_transactions(
     sink: JdbcSink,
     txns: list[tuple[str, list[str]]],
     continue_on_error: bool = True,
+    commit_scns: dict[str, int] | None = None,
+    resume_scn: int = -1,
 ) -> ApplyResult:
     """Apply CDC transactions ATOMICALLY against a live JDBC target —
     the reference's ordered apply worker executes each redo
@@ -90,7 +93,15 @@ def apply_transactions(
     One connection, autocommit off: a txn whose ANY statement fails is
     ROLLED BACK whole and quarantined under its txn_id — a half-applied
     transaction can never land. ApplyResult.applied/failed carry one
-    entry per TRANSACTION."""
+    entry per TRANSACTION.
+
+    Resume (the reference's incr_sync_meta SCN gate, ≥/> dance exact
+    form): pass ``commit_scns`` ({txn_id: commit_scn}) and the
+    checkpointed ``resume_scn`` — transactions with commit_scn <=
+    resume_scn were already applied in a prior run and are SKIPPED
+    (recorded in ApplyResult.skipped), so a redelivered log replays
+    idempotently. ApplyResult.high_scn is the new checkpoint to
+    persist AFTER the run (max applied commit_scn)."""
     res = ApplyResult()
     jvm = spark._jvm
     if sink.driver:
@@ -102,6 +113,10 @@ def apply_transactions(
     try:
         conn.setAutoCommit(False)
         for xid, stmts in txns:
+            scn = (commit_scns or {}).get(xid)
+            if scn is not None and scn <= resume_scn:
+                res.skipped.append(xid)
+                continue
             runnable = [s for s in (_executable(x) for x in stmts) if s]
             try:
                 st = conn.createStatement()
@@ -112,6 +127,8 @@ def apply_transactions(
                     st.close()
                 conn.commit()
                 res.applied.append(xid)
+                if scn is not None:
+                    res.high_scn = max(res.high_scn, scn)
             except Exception as e:  # noqa: BLE001 — rollback + quarantine
                 conn.rollback()
                 msg = str(getattr(e, "java_exception", None) or e)
