@@ -985,3 +985,61 @@ def test_global_ranking_non_numeric_order_keys(spark):
     adf = spark.createDataFrame([([1, 2], 1)], "k array<int>, uid long")
     with pytest.raises(ValueError, match="unsupported leading order column"):
         global_row_number(adf, ["k", "uid"], 3)
+
+
+def test_merge_snapshot_union_evolution(spark, sf_dir, tmp_path):
+    """evolution='union': an ADDED column backfills NULL on untouched
+    rows (merged-schema reads), survives later strict merges, and the
+    upserted values land; time travel to the pre-evolution image keeps
+    the old schema."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v0 = write_snapshot(
+        orders.repartitionByRange(4, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        base,
+        stat_cols=["o_orderkey"],
+    )
+    n0 = orders.count()
+
+    batch = (
+        orders.orderBy("o_orderkey")
+        .limit(10)
+        .withColumn("o_flag", F.lit("evolved"))
+    )
+    v1 = merge_snapshot(
+        spark, base, batch, "o_orderkey", stat_cols=["o_orderkey"], evolution="union"
+    )
+    img = read_snapshot(spark, base, v1)
+    assert set(img.columns) == {"o_orderkey", "o_custkey", "o_totalprice", "o_flag"}
+    assert img.count() == n0
+    assert img.filter("o_flag = 'evolved'").count() == 10
+    assert img.filter("o_flag IS NULL").count() == n0 - 10
+    # pre-evolution image unchanged
+    assert "o_flag" not in read_snapshot(spark, base, v0).columns
+
+    # a later OLD-SCHEMA batch still merges (evolved store is sticky):
+    # its rows carry NULL for the evolved column
+    batch2 = orders.orderBy(F.desc("o_orderkey")).limit(5)
+    v2 = merge_snapshot(spark, base, batch2, "o_orderkey", evolution="union")
+    img2 = read_snapshot(spark, base, v2)
+    assert img2.count() == n0
+    assert img2.filter("o_flag = 'evolved'").count() == 10
+
+    # strict default still refuses a drifted batch on a fresh store
+    import pytest
+
+    base2 = str(tmp_path / "strict")
+    write_snapshot(orders, base2, stat_cols=["o_orderkey"])
+    with pytest.raises(ValueError, match="evolution='union'"):
+        merge_snapshot(spark, base2, batch, "o_orderkey")

@@ -98,11 +98,13 @@ def write_snapshot(
     version = (versions[-1] + 1) if versions else 0
     files = new_files
     stats = {f: _file_stats(f, stat_cols) for f in new_files} if stat_cols else {}
+    merged_schema = False
     if mode == "append" and versions:
         prev = _manifest(base, versions[-1])
         files = prev["files"] + new_files
         stats = {**prev.get("stats", {}), **stats}
-    return _commit_manifest(base, version, files, stats)
+        merged_schema = prev.get("merged_schema", False)
+    return _commit_manifest(base, version, files, stats, merged_schema)
 
 
 def _write_staging(df: DataFrame, base: str) -> list[str]:
@@ -118,7 +120,9 @@ def _write_staging(df: DataFrame, base: str) -> list[str]:
     ]
 
 
-def _commit_manifest(base: str, version: int, files: list, stats: dict) -> int:
+def _commit_manifest(
+    base: str, version: int, files: list, stats: dict, merged_schema: bool = False
+) -> int:
     """Atomic put-if-absent manifest commit; returns the version that
     actually committed.
 
@@ -131,6 +135,11 @@ def _commit_manifest(base: str, version: int, files: list, stats: dict) -> int:
     try:
         while True:
             manifest = {"version": version, "files": sorted(files), "stats": stats}
+            if merged_schema:
+                # files in this image do not all share one schema;
+                # readers must union file schemas (sticky from the
+                # evolving merge onward)
+                manifest["merged_schema"] = True
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)
             try:
@@ -175,6 +184,9 @@ def read_snapshot(
         raise ValueError(f"version {v} not in {versions}")
     m = _manifest(base, v)
     files = m["files"]
+    reader = spark.read
+    if m.get("merged_schema"):
+        reader = reader.option("mergeSchema", "true")
     if predicate is not None:
         col, lo, hi = predicate
         stats = m.get("stats", {})
@@ -184,12 +196,9 @@ def read_snapshot(
             if s is None or not (s[1] < lo or s[0] > hi):
                 kept.append(f)
         if not kept:
-            return (
-                spark.read.parquet(*files)
-                .filter(F.lit(False))
-            )
-        return spark.read.parquet(*kept).filter(F.col(col).between(lo, hi))
-    return spark.read.parquet(*files)
+            return reader.parquet(*files).filter(F.lit(False))
+        return reader.parquet(*kept).filter(F.col(col).between(lo, hi))
+    return reader.parquet(*files)
 
 
 def merge_snapshot(
@@ -199,9 +208,17 @@ def merge_snapshot(
     key: str,
     stat_cols: list[str] | None = None,
     scn_col: str | None = None,
+    evolution: str = "strict",
 ) -> int:
     """Copy-on-write MERGE (upsert by ``key``) into the versioned
     store; returns the new version.
+
+    evolution='strict' (default) REFUSES a batch whose column set
+    differs from the stored table; evolution='union' is the explicit
+    schema-evolution policy: added columns backfill NULL on old rows,
+    columns missing from the batch stay NULL on batch rows
+    (unionByName semantics), the manifest records merged_schema and
+    readers union file schemas from then on.
 
     The Delta/Iceberg MERGE shape on plain parquet: manifest min/max
     stats identify the files whose key range can intersect the batch
@@ -247,26 +264,31 @@ def merge_snapshot(
     # rewritten file — not just matched keys — and leave touched and
     # untouched files with divergent schemas. Refuse up front; schema
     # evolution needs an explicit policy, not an accident.
+    evolved = man.get("merged_schema", False)
     if files:
         import pyarrow.parquet as pq
 
         stored_cols = set(pq.ParquetFile(files[0]).schema_arrow.names)
         batch_cols = set(batch.columns)
         if batch_cols != stored_cols:
-            missing = sorted(stored_cols - batch_cols)
-            extra = sorted(batch_cols - stored_cols)
-            raise ValueError(
-                "merge_snapshot: batch schema differs from stored table "
-                f"(missing={missing}, extra={extra}); evolve the schema "
-                "with an explicit rewrite, not a merge"
-            )
+            if evolution != "union":
+                missing = sorted(stored_cols - batch_cols)
+                extra = sorted(batch_cols - stored_cols)
+                raise ValueError(
+                    "merge_snapshot: batch schema differs from stored table "
+                    f"(missing={missing}, extra={extra}); pass "
+                    "evolution='union' to evolve explicitly"
+                )
+            if key not in batch.columns:
+                raise ValueError(f"merge_snapshot: merge key {key!r} missing from batch")
+            evolved = True
 
     if not batch.where(F.col(key).isNull()).isEmpty():
         raise ValueError(f"merge_snapshot: NULL values in merge key {key!r}")
     if batch.isEmpty():
         # empty batch: re-commit the previous manifest unchanged — no
         # junk zero-row file, no staging dir
-        return _commit_manifest(base, versions[-1] + 1, files, stats)
+        return _commit_manifest(base, versions[-1] + 1, files, stats, evolved)
 
     # per-file touch test: a file is touched iff SOME batch key falls
     # inside its [min, max] — a single global batch range would mark
@@ -297,19 +319,20 @@ def merge_snapshot(
     touched_set = set(touched)
     untouched = [f for f in files if f not in touched_set]
 
-    cols = batch.columns
     if touched:
-        old = spark.read.parquet(*touched).select(*cols)
+        old = spark.read.parquet(*touched)
+        if not evolved:
+            old = old.select(*batch.columns)
         if scn_col is None:
             remaining = old.join(batch.select(key).distinct(), key, "left_anti")
-            image_delta = remaining.unionByName(batch)
+            image_delta = remaining.unionByName(batch, allowMissingColumns=evolved)
         else:
             # per-key latest-wins: old rows and batch rows compete on
             # scn; ties prefer the batch (idempotent redelivery)
             from pyspark.sql.window import Window
 
             combined = old.withColumn("__src", F.lit(0)).unionByName(
-                batch.withColumn("__src", F.lit(1))
+                batch.withColumn("__src", F.lit(1)), allowMissingColumns=evolved
             )
             w = Window.partitionBy(key).orderBy(
                 F.desc(scn_col), F.desc("__src")
@@ -327,7 +350,9 @@ def merge_snapshot(
     if stat_cols:
         for f in new_files:
             new_stats[f] = _file_stats(f, stat_cols)
-    return _commit_manifest(base, versions[-1] + 1, untouched + new_files, new_stats)
+    return _commit_manifest(
+        base, versions[-1] + 1, untouched + new_files, new_stats, evolved
+    )
 
 
 def pruned_file_count(
