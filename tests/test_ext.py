@@ -949,3 +949,54 @@ def test_byte_bpe_encode_matches_sequential_replay(spark, docs):
         assert got["n_tokens"] == len(syms), r["doc_id"]
         assert got["n_bytes"] == len(r["text"].encode("utf-8"))
         assert got["n_tokens"] <= got["n_bytes"]
+
+
+def test_png_palette_and_grayscale_roundtrip():
+    """Palette PNGs (all four legal bit depths, big-endian packing +
+    PLTE lookup) and 8-bit grayscale decode exactly; the filter
+    left-offset is 1 byte for indexed rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from transferdb_spark.ext.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_image,
+        encode_png_indexed,
+    )
+
+    rng = np.random.RandomState(7)
+    for depth in (1, 2, 4, 8):
+        n_colors = 2 ** min(depth, 4)
+        palette = rng.randint(0, 256, (n_colors, 3), dtype=np.uint8)
+        # odd width exercises the partial-byte tail of packed rows
+        idx = rng.randint(0, n_colors, (5, 7), dtype=np.uint8)
+        buf = encode_png_indexed(idx, palette, depth)
+        px = decode_image(buf)
+        assert px.shape == (5, 7, 3), depth
+        assert np.array_equal(px, palette[idx]), depth
+
+    # grayscale (color type 0): gray replicates into RGB; use filter 1
+    # (Sub) to pin the 1-byte left offset
+    g = rng.randint(0, 256, (4, 6), dtype=np.uint8)
+    lines = bytearray()
+    for y in range(4):
+        row = g[y].astype(np.int32)
+        enc = np.zeros(6, dtype=np.int32)
+        for x in range(6):
+            a = row[x - 1] if x >= 1 else 0
+            enc[x] = (row[x] - a) & 0xFF
+        lines.append(1)
+        lines.extend(enc.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 0, 0, 0, 0)
+    buf = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    px = decode_image(buf)
+    assert px.shape == (4, 6, 3)
+    assert np.array_equal(px[:, :, 0], g) and np.array_equal(px[:, :, 2], g)

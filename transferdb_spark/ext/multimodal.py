@@ -276,20 +276,23 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _decode_png(buf: bytes) -> np.ndarray:
     """Real PNG decode with the stdlib only (zlib inflate + scanline
-    un-filtering): 8-bit truecolor (type 2) and truecolor+alpha
-    (type 6, alpha dropped), non-interlaced. Palette/16-bit/Adam7
-    raise NotImplementedError — swap in Pillow for those (and for
-    throughput: Sub/Paeth un-filtering has a per-pixel left
+    un-filtering): 8-bit truecolor (type 2), truecolor+alpha (type 6,
+    alpha dropped), 8-bit grayscale (type 0), and PALETTE (type 3, at
+    depth 1/2/4/8 via bit unpacking + PLTE lookup), non-interlaced.
+    16-bit/Adam7 raise NotImplementedError — swap in Pillow for those
+    (and for throughput: Sub/Paeth un-filtering has a per-pixel left
     dependency, fine for fixtures, vectorized C in production)."""
     import zlib
 
-    pos, ihdr, idat = len(_PNG_SIG), None, []
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
     while pos < len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
         ctype = buf[pos + 4 : pos + 8]
         data = buf[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -298,13 +301,22 @@ def _decode_png(buf: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise NotImplementedError("malformed PNG (no IHDR/IDAT)")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or color not in (2, 6) or interlace != 0:
+    ok = (depth == 8 and color in (0, 2, 6)) or (
+        color == 3 and depth in (1, 2, 4, 8)
+    )
+    if not ok or interlace != 0:
         raise NotImplementedError(
             f"PNG variant depth={depth} color={color} interlace={interlace}"
         )
-    ch = 3 if color == 2 else 4
+    if color == 3 and plte is None:
+        raise NotImplementedError("palette PNG without PLTE")
+    # filtering operates on BYTES with the left-neighbour offset equal
+    # to the (whole) bytes per pixel — 1 for gray/indexed, incl.
+    # sub-byte depths (PNG spec: bpp rounds up to 1)
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    bpp = max(1, (depth * ch) // 8)
+    stride = (w * depth * ch + 7) // 8
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     pos = 0
@@ -319,9 +331,9 @@ def _decode_png(buf: bytes) -> np.ndarray:
         elif f in (1, 3, 4):  # Sub/Average/Paeth — left-dependent
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 if f == 1:
                     pred = a
                 elif f == 3:
@@ -333,6 +345,22 @@ def _decode_png(buf: bytes) -> np.ndarray:
             raise NotImplementedError(f"PNG filter type {f}")
         out[y] = cur
         prev = cur
+    if color == 3:
+        if depth == 8:
+            idx = out[:, :w]
+        else:
+            # unpack big-endian bit groups: each byte holds 8//depth
+            # indices, most significant first (PNG bit order)
+            bits = np.unpackbits(out, axis=1)
+            grouped = bits.reshape(h, stride * 8 // depth, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (grouped * weights).sum(axis=2)[:, :w]
+        if idx.max(initial=0) >= len(plte):
+            raise NotImplementedError("palette index out of range")
+        return np.ascontiguousarray(plte[idx])
+    if color == 0:
+        g = out[:, :w]
+        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
     return np.ascontiguousarray(out.reshape(h, w, ch)[:, :, :3])
 
 
@@ -370,18 +398,58 @@ def encode_png(px: np.ndarray, filters: list[int] | None = None) -> bytes:
         lines.extend(enc.astype(np.uint8).tobytes())
         prev = row
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        body = ctype + data
-        return struct.pack(">I", len(data)) + body + struct.pack(
-            ">I", zlib.crc32(body) & 0xFFFFFFFF
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    body = ctype + data
+    return struct.pack(">I", len(data)) + body + struct.pack(
+        ">I", zlib.crc32(body) & 0xFFFFFFFF
+    )
+
+
+def encode_png_indexed(
+    idx: np.ndarray, palette: np.ndarray, depth: int = 8
+) -> bytes:
+    """Palette-PNG encoder (color type 3, depth 1/2/4/8, filter 0) —
+    the test-side twin of _decode_png's indexed branch; big-endian bit
+    packing per the PNG spec."""
+    import zlib
+
+    idx = idx.astype(np.uint8)
+    h, w = idx.shape
+    if depth == 8:
+        rows = idx
+    else:
+        per_byte = 8 // depth
+        padded_w = -(-w // per_byte) * per_byte
+        padded = np.zeros((h, padded_w), dtype=np.uint8)
+        padded[:, :w] = idx
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        bits = ((padded[:, :, None] >> (depth - 1 - np.arange(depth))) & 1).astype(
+            np.uint8
+        )
+        del weights
+        rows = np.packbits(bits.reshape(h, padded_w * depth), axis=1)
+    lines = bytearray()
+    for y in range(h):
+        lines.append(0)
+        lines.extend(rows[y].tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
