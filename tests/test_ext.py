@@ -723,8 +723,9 @@ def test_gif_decodes_real_world_files(spark):
         _pt.skip("no sample GIFs on this machine")
     px = decode_image(open(f"{icons}/idle_32.gif", "rb").read())
     assert px.shape == (32, 32, 3)
-    with _pt.raises(NotImplementedError):
-        decode_image(open(f"{icons}/openfolder.gif", "rb").read())  # interlaced
+    # openfolder.gif is INTERLACED — decodes via the 4-pass scatter
+    px2 = decode_image(open(f"{icons}/openfolder.gif", "rb").read())
+    assert px2.ndim == 3 and px2.shape[2] == 3 and px2.shape[0] >= 8
 
 
 def test_line_dedup_first_wins_and_reassembly(spark):
@@ -1000,3 +1001,21 @@ def test_png_palette_and_grayscale_roundtrip():
     px = decode_image(buf)
     assert px.shape == (4, 6, 3)
     assert np.array_equal(px[:, :, 0], g) and np.array_equal(px[:, :, 2], g)
+
+
+def test_gif_interlaced_roundtrip():
+    """Interlaced GIFs deinterlace exactly: the stream stores rows in
+    the 4-pass order (0,8.. / 4,12.. / 2,6.. / 1,3..) and the decoder
+    scatters them back; heights that end mid-pass must still cover
+    every row exactly once."""
+    import numpy as np
+
+    from transferdb_spark.ext.multimodal import decode_image, encode_gif
+
+    rng = np.random.RandomState(11)
+    for h in (1, 2, 5, 8, 9, 16):
+        px = rng.randint(0, 8, (h, 6, 1), dtype=np.uint8).repeat(3, axis=2)
+        plain = decode_image(encode_gif(px))
+        inter = decode_image(encode_gif(px, interlaced=True))
+        assert np.array_equal(plain, px), h
+        assert np.array_equal(inter, px), h

@@ -113,8 +113,7 @@ def _decode_gif(buf: bytes) -> np.ndarray:
             iw, ih = struct.unpack_from("<HH", buf, pos + 5)
             iflags = buf[pos + 9]
             pos += 10
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF")
+            interlaced = bool(iflags & 0x40)
             if iflags & 0x80:  # local palette overrides
                 n = 2 << (iflags & 0x07)
                 palette = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
@@ -129,9 +128,24 @@ def _decode_gif(buf: bytes) -> np.ndarray:
                 data += buf[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             idx = _lzw_decode(bytes(data), min_code, iw * ih)
-            return np.ascontiguousarray(
-                palette[np.asarray(idx, dtype=np.int32)].reshape(ih, iw, 3)
-            )
+            rows = np.asarray(idx, dtype=np.int32).reshape(ih, iw)
+            if interlaced:
+                # Adam-style 4-pass row order (GIF89a appendix E):
+                # rows 0,8,16… then 4,12… then 2,6… then 1,3,5… —
+                # the stream stores them in pass order, so scatter
+                # them back to their display positions
+                order = np.concatenate(
+                    [
+                        np.arange(0, ih, 8),
+                        np.arange(4, ih, 8),
+                        np.arange(2, ih, 4),
+                        np.arange(1, ih, 2),
+                    ]
+                )
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            return np.ascontiguousarray(palette[rows])
         elif b0 == 0x3B:  # trailer
             break
         else:
@@ -190,13 +204,25 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
     return out[:n_pixels]
 
 
-def encode_gif(px: np.ndarray) -> bytes:
+def encode_gif(px: np.ndarray, interlaced: bool = False) -> bytes:
     """Minimal GIF89a encoder (single frame, global 256-entry palette
     built from the image's distinct colors, real compressing LZW) —
     the test-side twin of _decode_gif. Images with >256 distinct
-    colors raise ValueError (that's GIF's format limit, not ours)."""
+    colors raise ValueError (that's GIF's format limit, not ours).
+    interlaced=True stores rows in the 4-pass order with the
+    interlace flag set."""
     px = px.astype(np.uint8)
     h, w = px.shape[:2]
+    if interlaced:
+        order = np.concatenate(
+            [
+                np.arange(0, h, 8),
+                np.arange(4, h, 8),
+                np.arange(2, h, 4),
+                np.arange(1, h, 2),
+            ]
+        )
+        px = px[order]
     flat = px.reshape(-1, 3)
     colors, inverse = np.unique(flat, axis=0, return_inverse=True)
     if len(colors) > 256:
@@ -253,7 +279,7 @@ def encode_gif(px: np.ndarray) -> bytes:
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
     out += palette.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
     out.append(min_code)
     for i in range(0, len(payload), 255):
         block = payload[i : i + 255]
