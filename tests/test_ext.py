@@ -1019,3 +1019,20 @@ def test_gif_interlaced_roundtrip():
         inter = decode_image(encode_gif(px, interlaced=True))
         assert np.array_equal(plain, px), h
         assert np.array_equal(inter, px), h
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 PNGs decode exactly: seven independently-filtered passes
+    scatter onto their (x0+i*dx, y0+j*dy) grids; odd sizes leave some
+    passes empty and must still cover every pixel once. All filter
+    types exercised inside passes."""
+    import numpy as np
+
+    from transferdb_spark.ext.multimodal import decode_image, encode_png
+
+    rng = np.random.RandomState(3)
+    for h, w in ((1, 1), (3, 5), (8, 8), (9, 13), (16, 7)):
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = encode_png(px, filters=[0, 1, 2, 3, 4], interlaced=True)
+        got = decode_image(buf)
+        assert np.array_equal(got, px), (h, w)

@@ -330,23 +330,78 @@ def _decode_png(buf: bytes) -> np.ndarray:
     ok = (depth == 8 and color in (0, 2, 6)) or (
         color == 3 and depth in (1, 2, 4, 8)
     )
-    if not ok or interlace != 0:
+    if not ok or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG variant depth={depth} color={color} interlace={interlace}"
         )
     if color == 3 and plte is None:
         raise NotImplementedError("palette PNG without PLTE")
+    if interlace == 1 and depth != 8:
+        raise NotImplementedError("Adam7 at sub-byte depth")
     # filtering operates on BYTES with the left-neighbour offset equal
     # to the (whole) bytes per pixel — 1 for gray/indexed, incl.
     # sub-byte depths (PNG spec: bpp rounds up to 1)
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     bpp = max(1, (depth * ch) // 8)
-    stride = (w * depth * ch + 7) // 8
     raw = zlib.decompress(b"".join(idat))
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+
+    def to_rgb(rows: np.ndarray, width: int) -> np.ndarray:
+        """(n, stride) unfiltered byte rows -> (n, width, 3) pixels."""
+        n = rows.shape[0]
+        if color == 3:
+            if depth == 8:
+                idx = rows[:, :width]
+            else:
+                # unpack big-endian bit groups: each byte holds
+                # 8//depth indices, most significant first
+                bits = np.unpackbits(rows, axis=1)
+                grouped = bits.reshape(n, rows.shape[1] * 8 // depth, depth)
+                weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+                idx = (grouped * weights).sum(axis=2)[:, :width]
+            if idx.max(initial=0) >= len(plte):
+                raise NotImplementedError("palette index out of range")
+            return plte[idx]
+        if color == 0:
+            g = rows[:, :width]
+            return np.repeat(g[:, :, None], 3, axis=2)
+        return rows.reshape(n, width, ch)[:, :, :3]
+
+    if interlace == 0:
+        stride = (w * depth * ch + 7) // 8
+        rows, _ = _png_unfilter(raw, 0, h, stride, bpp)
+        return np.ascontiguousarray(to_rgb(rows, w))
+
+    # Adam7: seven independently-filtered sub-images scattered onto
+    # the (x0 + i*dx, y0 + j*dy) grids
+    out = np.zeros((h, w, 3), dtype=np.uint8)
     pos = 0
-    for y in range(h):
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * depth * ch + 7) // 8
+        rows, pos = _png_unfilter(raw, pos, ph, stride, bpp)
+        out[y0::dy, x0::dx] = to_rgb(rows, pw)
+    return np.ascontiguousarray(out)
+
+
+# Adam7 pass grid: (x start, y start, x step, y step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(
+    raw: bytes, pos: int, n_rows: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Un-filter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``pos``; returns (rows, next pos). Shared by the straight and
+    Adam7 paths (each Adam7 pass restarts prev at zero, per spec)."""
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(n_rows):
         f = raw[pos]
         row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
         pos += 1 + stride
@@ -371,60 +426,60 @@ def _decode_png(buf: bytes) -> np.ndarray:
             raise NotImplementedError(f"PNG filter type {f}")
         out[y] = cur
         prev = cur
-    if color == 3:
-        if depth == 8:
-            idx = out[:, :w]
-        else:
-            # unpack big-endian bit groups: each byte holds 8//depth
-            # indices, most significant first (PNG bit order)
-            bits = np.unpackbits(out, axis=1)
-            grouped = bits.reshape(h, stride * 8 // depth, depth)
-            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-            idx = (grouped * weights).sum(axis=2)[:, :w]
-        if idx.max(initial=0) >= len(plte):
-            raise NotImplementedError("palette index out of range")
-        return np.ascontiguousarray(plte[idx])
-    if color == 0:
-        g = out[:, :w]
-        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
-    return np.ascontiguousarray(out.reshape(h, w, ch)[:, :, :3])
+    return out, pos
 
 
-def encode_png(px: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """Minimal PNG encoder (truecolor 8-bit, non-interlaced) — the
-    test-side twin of _decode_png. ``filters`` selects the per-row
-    filter type (default all 0) so every un-filter path is
-    exercisable."""
+def encode_png(
+    px: np.ndarray, filters: list[int] | None = None, interlaced: bool = False
+) -> bytes:
+    """Minimal PNG encoder (truecolor 8-bit) — the test-side twin of
+    _decode_png. ``filters`` selects the per-row filter type (default
+    all 0) so every un-filter path is exercisable; interlaced=True
+    writes the seven Adam7 passes (each independently filtered, per
+    spec)."""
     import zlib
 
     px = px.astype(np.uint8)
     h, w = px.shape[:2]
     ch = 3
-    stride = w * ch
-    flat = px.reshape(h, stride).astype(np.int32)
-    lines = bytearray()
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = filters[y % len(filters)] if filters else 0
-        row = flat[y]
-        enc = np.zeros(stride, dtype=np.int32)
-        for x in range(stride):
-            a = row[x - ch] if x >= ch else 0
-            b = prev[x]
-            c = prev[x - ch] if x >= ch else 0
-            pred = {
-                0: 0,
-                1: a,
-                2: b,
-                3: (a + b) >> 1,
-                4: _paeth(int(a), int(b), int(c)),
-            }[f]
-            enc[x] = (row[x] - pred) & 0xFF
-        lines.append(f)
-        lines.extend(enc.astype(np.uint8).tobytes())
-        prev = row
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    def encode_rows(sub: np.ndarray) -> bytearray:
+        n, width = sub.shape[:2]
+        stride = width * ch
+        flat = sub.reshape(n, stride).astype(np.int32)
+        lines = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(n):
+            f = filters[y % len(filters)] if filters else 0
+            row = flat[y]
+            enc = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                pred = {
+                    0: 0,
+                    1: a,
+                    2: b,
+                    3: (a + b) >> 1,
+                    4: _paeth(int(a), int(b), int(c)),
+                }[f]
+                enc[x] = (row[x] - pred) & 0xFF
+            lines.append(f)
+            lines.extend(enc.astype(np.uint8).tobytes())
+            prev = row
+        return lines
+
+    if interlaced:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size:
+                lines += encode_rows(sub)
+    else:
+        lines = encode_rows(px)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlaced else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
