@@ -961,22 +961,23 @@ def dup_span_keep_one(docs: DataFrame, n: int = 10) -> DataFrame:
     the way a window over h would). Output is NORMALIZED token text
     (``clean_tokens_text``)."""
     toks, spans = _span_relation(docs, n)
+    # (doc_id, start) packs into one BIGINT (doc_id < 2^31, start <
+    # 2^31 — both int32-derived) so the canonical election is a
+    # vectorized MIN(long), not a struct comparator in the map-side
+    # combine; min(packed) == lexicographic min of the pair
+    enc = (F.col("doc_id").cast("long") * (1 << 31)) + F.col("start")
+    with_enc = spans.withColumn("__e", enc)
     agg = (
-        spans.groupBy("h")
+        with_enc.groupBy("h")
         .agg(
             F.count(F.lit(1)).alias("occ"),
-            F.min(F.struct("doc_id", "start")).alias("__c"),
+            F.min("__e").alias("__c"),
         )
         .filter(F.col("occ") > 1)
     )
     non_canon = (
-        spans.join(agg.select("h", "__c"), "h")
-        .filter(
-            ~(
-                (F.col("doc_id") == F.col("__c.doc_id"))
-                & (F.col("start") == F.col("__c.start"))
-            )
-        )
+        with_enc.join(agg.select("h", "__c"), "h")
+        .filter(F.col("__e") != F.col("__c"))
         .select("doc_id", "start", (F.col("start") + (n - 1)).alias("end"))
     )
     covered = non_canon.select(
