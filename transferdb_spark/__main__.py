@@ -299,6 +299,26 @@ def main(argv: list[str] | None = None) -> int:
         out["incr_rows"] = spark.read.parquet(
             os.path.join(args.workdir, "target", "events_incr")
         ).count()
+        # live branch: a redo feed dir + --jdbc-url streams the text
+        # path straight into the target database (transactional apply
+        # with a persisted SCN checkpoint)
+        redo_feed = os.path.join(args.workdir, "redo_feed")
+        if args.jdbc_url and os.path.isdir(redo_feed):
+            from transferdb_spark.streaming.live_apply import (
+                read_scn_checkpoint,
+                run_redo_apply_stream,
+            )
+
+            scn_path = os.path.join(args.workdir, "checkpoints", "redo_scn.json")
+            lq = run_redo_apply_stream(
+                spark,
+                redo_feed,
+                os.path.join(args.workdir, "checkpoints", "redo_apply"),
+                _live_sink(args),
+                scn_path,
+            )
+            lq.awaitTermination(300)
+            out["redo_scn"] = read_scn_checkpoint(scn_path)
 
     print(json.dumps(out, default=str))
     return 0
