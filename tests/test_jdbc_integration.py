@@ -595,3 +595,50 @@ def test_redo_apply_stream_end_to_end_with_scn_checkpoint(spark, tmp_path):
     assert state() == {1: 10, 3: 35}
     assert read_scn_checkpoint(scn_path) == 8
     assert os.path.exists(scn_path)
+
+
+def test_cli_check_against_live_target(spark, sf_dir, tmp_path):
+    """CLI surface of the live loop, run ENTIRELY in subprocesses
+    (embedded Derby is single-JVM — the CLI cannot share the test
+    session's database): reverse --apply creates the schema, a helper
+    introduces drift, check --jdbc-url --apply repairs it, and a
+    second check reports clean."""
+    if not _derby_available(spark):
+        pytest.skip("no embedded Derby driver on the Spark classpath")
+    import json as _json
+    import subprocess
+    import sys
+
+    url = f"jdbc:derby:{tmp_path}/clidb;create=true"
+    wk = str(tmp_path / "wk")
+
+    def run(args_list):
+        r = subprocess.run(
+            [sys.executable, *args_list], capture_output=True, text=True, timeout=600
+        )
+        assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+        return r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+
+    base = ["-m", "transferdb_spark", "--source-dir", sf_dir, "--workdir", wk,
+            "--tables", "region", "--jdbc-url", url, "--jdbc-driver", DERBY_DRIVER]
+    # 1. create the live schema through the CLI
+    rev = _json.loads(run(base + ["--mode", "reverse", "--dialect", "ansi", "--apply"]))
+    assert rev["applied"] >= 1 and not rev["apply_failed"]
+
+    # 2. drift: drop a column (own JVM, releases the db on exit)
+    run(["-c", (
+        "from transferdb_spark.session import get_spark\n"
+        "from transferdb_spark.modes.apply import apply_sql\n"
+        "from transferdb_spark.sources.jdbc import JdbcSink\n"
+        f"s = get_spark('drift'); sink = JdbcSink(url={url!r}, table='', driver={DERBY_DRIVER!r})\n"
+        "r = apply_sql(s, sink, ['ALTER TABLE REGION DROP COLUMN R_NAME'])\n"
+        "assert r.ok, r.failed\n"
+    )])
+
+    # 3. check + apply the fix-SQL, then 4. re-check clean
+    first = _json.loads(run(base + ["--mode", "check", "--apply"]))
+    assert first["clean"] is False and first["fix_statements"] >= 1
+    assert first["applied"] >= 1 and not first["apply_failed"]
+
+    second = _json.loads(run(base + ["--mode", "check"]))
+    assert second["clean"] is True and second["fix_statements"] == 0

@@ -156,7 +156,43 @@ def main(argv: list[str] | None = None) -> int:
         from transferdb_spark.modes.check import check_catalogs
 
         cat = fixture_catalog(spark, args.source_dir)
-        results = check_catalogs(cat, cat)
+        if tables:
+            cat = {k: v for k, v in cat.items() if k in tables}
+        if args.jdbc_url:
+            # LIVE check: introspect the target over JDBC, diff in the
+            # ANSI dialect, optionally apply the fix-SQL in place
+            from transferdb_spark.catalog.jdbc_catalog import (
+                read_jdbc_catalog,
+                rendered_types,
+            )
+
+            live = read_jdbc_catalog(
+                spark,
+                args.jdbc_url,
+                list(cat),
+                driver=args.jdbc_driver,
+                user=args.jdbc_user,
+                password=args.jdbc_password,
+            )
+            results = check_catalogs(
+                cat,
+                live,
+                dialect="ansi",
+                tgt_types_by_table={k: rendered_types(m) for k, m in live.items()},
+            )
+            fix = [s for r in results.values() for s in r.fix_sql]
+            os.makedirs(args.workdir, exist_ok=True)
+            fix_path = os.path.join(args.workdir, "check_fix.sql")
+            with open(fix_path, "w") as f:
+                f.write("\n".join(fix) + "\n")
+            out.update(fix_sql=fix_path, fix_statements=len(fix))
+            if args.apply and fix:
+                from transferdb_spark.modes.apply import apply_sql
+
+                ar = apply_sql(spark, _live_sink(args), fix)
+                out.update(applied=len(ar.applied), apply_failed=ar.failed)
+        else:
+            results = check_catalogs(cat, cat)
         out.update(tables=len(results), clean=all(r.is_clean for r in results.values()))
 
     elif args.mode == "compare":
