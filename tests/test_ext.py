@@ -1036,3 +1036,38 @@ def test_png_adam7_interlaced_roundtrip():
         buf = encode_png(px, filters=[0, 1, 2, 3, 4], interlaced=True)
         got = decode_image(buf)
         assert np.array_equal(got, px), (h, w)
+
+
+def test_png_16bit_downscales_to_high_byte():
+    """16-bit PNGs decode via high-byte downscale; the filter bpp is
+    2*channels bytes (Sub offset exercised), truecolor and gray."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from transferdb_spark.ext.multimodal import _png_chunk, _PNG_SIG, decode_image
+
+    rng = np.random.RandomState(5)
+    for color, ch in ((2, 3), (0, 1)):
+        px16 = rng.randint(0, 65536, (3, 4, ch), dtype=np.uint16)
+        # big-endian sample stream, filter 0 rows
+        be = px16.astype(">u2").tobytes()
+        stride = 4 * ch * 2
+        lines = bytearray()
+        for y in range(3):
+            lines.append(0)
+            lines.extend(be[y * stride : (y + 1) * stride])
+        ihdr = struct.pack(">IIBBBBB", 4, 3, 16, color, 0, 0, 0)
+        buf = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_image(buf)
+        want8 = (px16 >> 8).astype(np.uint8)
+        if color == 0:
+            assert np.array_equal(got, np.repeat(want8, 3, axis=2))
+        else:
+            assert np.array_equal(got, want8)

@@ -327,7 +327,7 @@ def _decode_png(buf: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise NotImplementedError("malformed PNG (no IHDR/IDAT)")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    ok = (depth == 8 and color in (0, 2, 6)) or (
+    ok = (depth in (8, 16) and color in (0, 2, 6)) or (
         color == 3 and depth in (1, 2, 4, 8)
     )
     if not ok or interlace not in (0, 1):
@@ -336,7 +336,7 @@ def _decode_png(buf: bytes) -> np.ndarray:
         )
     if color == 3 and plte is None:
         raise NotImplementedError("palette PNG without PLTE")
-    if interlace == 1 and depth != 8:
+    if interlace == 1 and depth < 8:
         raise NotImplementedError("Adam7 at sub-byte depth")
     # filtering operates on BYTES with the left-neighbour offset equal
     # to the (whole) bytes per pixel — 1 for gray/indexed, incl.
@@ -361,6 +361,10 @@ def _decode_png(buf: bytes) -> np.ndarray:
             if idx.max(initial=0) >= len(plte):
                 raise NotImplementedError("palette index out of range")
             return plte[idx]
+        if depth == 16:
+            # big-endian 16-bit samples downscale to their HIGH byte
+            # (the standard 16->8 approximation, error < 1/255)
+            rows = rows[:, 0::2]
         if color == 0:
             g = rows[:, :width]
             return np.repeat(g[:, :, None], 3, axis=2)
