@@ -1071,3 +1071,83 @@ def test_png_16bit_downscales_to_high_byte():
             assert np.array_equal(got, np.repeat(want8, 3, axis=2))
         else:
             assert np.array_equal(got, want8)
+
+
+def test_gpt2_pretokenizer_parity_and_training(spark, docs):
+    """GPT-2 pre-tokenization: the JVM regex (Spark scan) and the
+    Python rendering must tokenize the corpus identically (the
+    alternatives partition every string), and byte-BPE training over
+    the GPT-2 token table must match the pure-Python reference."""
+    from collections import Counter
+
+    from transferdb_spark.ext.bpe import (
+        encode_bytes_df,
+        gpt2_pre_tokenize,
+        train_bytes,
+        word_counts_gpt2,
+    )
+
+    sample = docs.limit(40)
+    texts = [r["text"] for r in sample.collect()]
+
+    # 1. engine parity: identical token multisets, and tokens
+    # reconstruct the original text exactly (partition property)
+    want = Counter(t for x in texts for t in gpt2_pre_tokenize(x))
+    got = Counter(
+        dict((r["word"], r["cnt"]) for r in word_counts_gpt2(sample).collect())
+    )
+    assert got == want
+    for x in texts[:10]:
+        assert "".join(gpt2_pre_tokenize(x)) == x
+
+    # 2. training differential vs pure-Python Sennrich over the same
+    # byte sequences (case-preserving, space-carrying tokens)
+    K = 8
+    got_m = train_bytes(sample, vocab_size=256 + K, pre_tokenizer="gpt2")
+    wc = Counter(t.encode("utf-8") for x in texts for t in gpt2_pre_tokenize(x))
+    words = {w: list(w) for w in wc}
+    want_m = []
+    next_id = 256
+    while next_id < 256 + K:
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (l, r), freq = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if freq < 2:
+            break
+        want_m.append((l, r, next_id, freq))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(next_id)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+        next_id += 1
+    assert got_m == want_m and len(got_m) == K
+
+    # 3. encode under the gpt2 merges: per-doc token counts match a
+    # pure-Python sequential merge replay over the pre-token streams
+    out = {r["doc_id"]: r["n_tokens"] for r in encode_bytes_df(sample, got_m, pre_tokenizer="gpt2").collect()}
+    for r in sample.limit(5).collect():
+        syms = []
+        for t in gpt2_pre_tokenize(r["text"]):
+            s = list(t.encode("utf-8"))
+            for left, right, new_id, _ in got_m:
+                o, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        o.append(new_id)
+                        i += 2
+                    else:
+                        o.append(s[i])
+                        i += 1
+                s = o
+            syms.extend(s)
+        assert out[r["doc_id"]] == len(syms)

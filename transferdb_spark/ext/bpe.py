@@ -246,10 +246,51 @@ w{k} AS (
 
 _ARR_INT = T.ArrayType(T.IntegerType())
 
+# GPT-2's pre-tokenization pattern (public: Radford et al. 2019 /
+# openai-gpt2 encoder.py): contractions, space-prefixed letter runs,
+# space-prefixed number runs, space-prefixed punctuation runs, then
+# whitespace (trailing-run lookahead keeps a final newline separate).
+# Two renderings of the SAME pattern: Java regex for the Spark side
+# (\p{L}/\p{N} property classes), Python stdlib re for the encode /
+# differential side ([^\W\d_] is re's unicode-letter idiom).
+GPT2_PRETOK_JAVA = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+GPT2_PRETOK_PY = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
+)
+
+
+def gpt2_pre_tokenize(text: str) -> list[str]:
+    """Python-side GPT-2 pre-tokenization (covers every character:
+    the alternatives partition the string)."""
+    import re
+
+    return re.findall(GPT2_PRETOK_PY, text)
+
+
+def _bytes_from(word: str) -> list[int]:
+    return list(word.encode("utf-8"))
+
 
 @pandas_udf(_ARR_INT)
 def _bytes_udf(words: pd.Series) -> pd.Series:
-    return words.map(lambda w: list(w.encode("utf-8")))
+    return words.map(_bytes_from)
+
+
+def word_counts_gpt2(docs: DataFrame) -> DataFrame:
+    """(token, cnt) under GPT-2 pre-tokenization — case-preserving and
+    whitespace-carrying (' word' tokens), unlike the lowercased
+    whitespace TOKENS split. JVM-side regexp_extract_all: the one
+    corpus-wide shuffle, no Python in the scan."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(GPT2_PRETOK_JAVA), F.lit(0))
+            ).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def _merge_ints_udf(left: int, right: int, new_id: int):
@@ -271,7 +312,10 @@ def _merge_ints_udf(left: int, right: int, new_id: int):
 
 
 def train_bytes(
-    docs: DataFrame, vocab_size: int = 280, min_freq: int = 2
+    docs: DataFrame,
+    vocab_size: int = 280,
+    min_freq: int = 2,
+    pre_tokenizer: str = "whitespace",
 ) -> list[tuple[int, int, int, int]]:
     """Byte-level BPE training; returns [(left_id, right_id, new_id,
     freq)] with new_id assigned 256, 257, ... in merge order.
@@ -281,12 +325,17 @@ def train_bytes(
     ``min_freq`` — the stopping rule production tokenizer training
     uses (target vocab, not target merge count). Ties break on the
     numerically smallest (left, right), so re-runs and the pure-Python
-    differential reference agree exactly."""
+    differential reference agree exactly.
+
+    pre_tokenizer='whitespace' (default) trains over the lowercased
+    whitespace word table; 'gpt2' trains over GPT-2 regex pre-tokens
+    (case-preserving, leading-space-carrying — the real tokenizer
+    training domain)."""
     if vocab_size <= 256:
         return []
+    wc = word_counts_gpt2(docs) if pre_tokenizer == "gpt2" else word_counts(docs)
     words = (
-        word_counts(docs)
-        .select(_bytes_udf("word").alias("syms"), "cnt")
+        wc.select(_bytes_udf("word").alias("syms"), "cnt")
         .localCheckpoint()
     )
     merges: list[tuple[int, int, int, int]] = []
@@ -321,7 +370,9 @@ def vocab_tokens(merges: list[tuple[int, int, int, int]]) -> dict[int, bytes]:
 
 
 def encode_bytes_df(
-    docs: DataFrame, merges: list[tuple[int, int, int, int]]
+    docs: DataFrame,
+    merges: list[tuple[int, int, int, int]],
+    pre_tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Tokenizer APPLY at corpus scale: (doc_id, n_bytes, n_tokens)
     under the trained byte-level merge table.
@@ -367,7 +418,7 @@ def encode_bytes_df(
 
         import re as _re
 
-        def encode(text: str) -> int:
+        def encode_ws(text: str) -> int:
             # training merges never span whitespace (word_counts
             # pre-tokenizes), so rank-greedy over the full byte stream
             # decomposes exactly into per-word encoding + one token per
@@ -379,6 +430,15 @@ def encode_bytes_df(
             n_ws = sum(1 for ch in b if ch in b"\t\n\x0b\x0c\r ")
             return n_ws + sum(encode_word(w) for w in words)
 
+        def encode_gpt2(text: str) -> int:
+            # GPT-2 pre-tokens partition the text exactly; each token
+            # is the training unit, so per-token encoding IS the
+            # full-stream segmentation
+            return sum(
+                encode_word(t.encode("utf-8")) for t in gpt2_pre_tokenize(text)
+            )
+
+        encode = encode_gpt2 if pre_tokenizer == "gpt2" else encode_ws
         return texts.map(encode).astype("int32")
 
     return docs.select(
