@@ -642,3 +642,64 @@ def test_cli_check_against_live_target(spark, sf_dir, tmp_path):
 
     second = _json.loads(run(base + ["--mode", "check"]))
     assert second["clean"] is True and second["fix_statements"] == 0
+
+
+def test_full_migrate_jdbc_with_chunk_resume(spark, sf_dir, tmp_path):
+    """Live `full` mode: chunked migration into Derby; a resumed run
+    deletes only the PENDING chunks' ranges (cleaning partial rows)
+    and never touches SUCCESS chunks — the reference's rerun-failed
+    contract against a real target."""
+    if not _derby_available(spark):
+        pytest.skip("no embedded Derby driver on the Spark classpath")
+    from transferdb_spark.catalog.fixture import fixture_catalog
+    from transferdb_spark.modes.apply import apply_reverse_ddl, apply_sql
+    from transferdb_spark.modes.full import full_migrate_table_jdbc
+    from transferdb_spark.sources.jdbc import JdbcSink, JdbcSource
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.state.store import FAILED, StateStore
+
+    url = f"jdbc:derby:{tmp_path}/fulldb;create=true"
+    sink = JdbcSink(url=url, table="", driver=DERBY_DRIVER)
+    cat = fixture_catalog(spark, sf_dir)
+    assert apply_reverse_ddl(spark, sink, {"part": cat["part"]}).ok
+
+    part = load_table(spark, sf_dir, "part")
+    n_src = part.count()
+    r1 = full_migrate_table_jdbc(
+        spark, part, "part", sink, str(tmp_path / "wk"), n_chunks=4, key="p_partkey"
+    )
+    assert r1["written"] == n_src and r1["chunks"] == 4 and not r1["resumed"]
+
+    tgt = JdbcSource(url=url, table="PART", driver=DERBY_DRIVER)
+    assert tgt.load(spark).count() == n_src
+
+    # simulate a crashed chunk: mark chunk 1 FAILED, corrupt its range
+    # (drop half its rows + mutate one) and plant a sentinel change in
+    # a SUCCESS chunk's range that resume must NOT undo
+    store = StateStore(str(tmp_path / "wk"), "full_jdbc")
+    store.mark("part", 1, FAILED, "simulated crash")
+    c1 = store.pending("part")[0]
+    assert c1.chunk_id == 1
+    mid = (c1.lower + c1.upper) // 2
+    lo = part.agg({"p_partkey": "min"}).first()[0]
+    dmg = apply_sql(
+        spark,
+        sink,
+        [
+            # partial-write damage strictly inside the FAILED chunk
+            f"DELETE FROM PART WHERE P_PARTKEY >= {c1.lower} AND P_PARTKEY < {mid}",
+            f"UPDATE PART SET P_RETAILPRICE = -1 WHERE P_PARTKEY = {lo}",  # SUCCESS chunk
+        ],
+    )
+    assert dmg.ok, dmg.failed
+
+    r2 = full_migrate_table_jdbc(
+        spark, part, "part", sink, str(tmp_path / "wk"), n_chunks=4, key="p_partkey"
+    )
+    assert r2["resumed"] and r2["chunks"] == 1
+
+    live = tgt.load(spark)
+    assert live.count() == n_src
+    # failed chunk repaired exactly; sentinel in the SUCCESS chunk survives
+    assert live.filter("P_RETAILPRICE = -1").count() == 1
+    assert live.groupBy("P_PARTKEY").count().filter("count > 1").count() == 0

@@ -231,6 +231,76 @@ def full_migrate_keyless(
     return target
 
 
+def full_migrate_table_jdbc(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    sink,
+    workdir: str,
+    n_chunks: int = 16,
+    key: str | None = None,
+    store: StateStore | None = None,
+    normalize: bool = False,
+) -> dict:
+    """Chunk-resumable full migration into a LIVE JDBC target — the
+    reference's actual `full` mode shape (chunked SELECT → batched
+    INSERT, /root/reference/module/migrate/sql/oracle/o2m/
+    full.go:387-633) with Spark's JDBC writer as the batched-insert
+    pool.
+
+    Resume contract: before writing, every PENDING chunk's key range
+    is DELETEd on the target (a previously crashed run may have left
+    partial rows — the reference truncates/reruns failed chunks the
+    same way), then ONE parallel write lands the union of pending
+    chunk predicates. SUCCESS chunks are never touched, so a resumed
+    run cannot disturb already-verified ranges. Identifiers uppercase
+    to match the ANSI DDL the live schema was applied with."""
+    from pyspark.sql import functions as F
+
+    store = store or StateStore(workdir, "full_jdbc")
+    key = key or elect_split_key(df)
+    chunks = plan_chunks(df, key, n_chunks)
+    store.init_table(table, chunks)
+    pending = store.pending(table)
+    if not pending:
+        return {"written": 0, "chunks": 0, "resumed": True}
+
+    out = normalize_projection(df) if normalize else df
+    up = out.toDF(*[c.upper() for c in out.columns])
+    ukey = key.upper()
+
+    import dataclasses
+
+    tsink = dataclasses.replace(sink, table=table.upper())
+    # set-based cleanup of possibly-partial pending ranges (driver-side
+    # statements, one per pending chunk — plan-sized, never row-sized)
+    from transferdb_spark.modes.apply import apply_sql
+
+    cleanup = [
+        f"DELETE FROM {table.upper()} WHERE "
+        + c.predicate.replace(key, ukey)
+        for c in pending
+    ]
+    res = apply_sql(spark, tsink, cleanup)
+    if not res.ok:
+        raise RuntimeError(f"pending-range cleanup failed: {res.failed[:2]}")
+
+    pred = " OR ".join(f"({c.predicate})" for c in pending)
+    part = up.filter(
+        pred.replace(key, ukey) if key != ukey else pred
+    ).repartitionByRange(max(1, len(pending)), F.col(ukey))
+    try:
+        tsink.write(part, mode="append")
+    except Exception as e:
+        for c in pending:
+            store.mark(table, c.chunk_id, FAILED, str(e)[:500])
+        raise
+    for c in pending:
+        store.mark(table, c.chunk_id, SUCCESS)
+    n = part.count()
+    return {"written": n, "chunks": len(pending), "resumed": len(pending) < len(chunks)}
+
+
 def retry_failed(
     spark: SparkSession,
     df: DataFrame,
