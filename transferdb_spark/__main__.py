@@ -230,9 +230,22 @@ def main(argv: list[str] | None = None) -> int:
         out["paths"] = paths
 
     elif args.mode == "full":
-        from transferdb_spark.modes.full import full_migrate
+        if args.jdbc_url:
+            # live target: chunk-resumable migration straight into the
+            # database (schema applied beforehand via reverse --apply)
+            from transferdb_spark.modes.full import full_migrate_table_jdbc
+            from transferdb_spark.sources.registry import load_tables
 
-        out["targets"] = full_migrate(spark, args.source_dir, args.workdir, tables=tables, n_chunks=args.chunks)
+            results = {}
+            for name, df in load_tables(spark, args.source_dir, include=tables).items():
+                results[name] = full_migrate_table_jdbc(
+                    spark, df, name, _live_sink(args), args.workdir, n_chunks=args.chunks
+                )
+            out["targets"] = results
+        else:
+            from transferdb_spark.modes.full import full_migrate
+
+            out["targets"] = full_migrate(spark, args.source_dir, args.workdir, tables=tables, n_chunks=args.chunks)
 
     elif args.mode == "retry":
         from transferdb_spark.modes.full import retry_failed
