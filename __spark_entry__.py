@@ -2955,6 +2955,22 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def semdedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 1: distributed k-means assignment + cluster sizes
+    (exact-quantized Lloyd rounds, oracle replays training)."""
+    from transferdb_spark.ext.semdedup import semdedup_clusters
+
+    return semdedup_clusters(_t(spark, sf_dir, "embeddings"))
+
+
+def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 2: within-cluster cosine prune, keep-lowest-id
+    canonical copy per duplicate neighborhood."""
+    from transferdb_spark.ext.semdedup import semdedup_prune
+
+    return semdedup_prune(_t(spark, sf_dir, "embeddings"))
+
+
 def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: pivot-cell routing, exact cosine only in probed cells."""
     from transferdb_spark.ext.similarity import ann_topk_ivf
@@ -4146,6 +4162,8 @@ def _ext_oracle_sql() -> dict[str, str]:
         "date_functions": DATE_FUNCS_SQL,
         "conditional_functions": COND_FUNCS_SQL,
         "embedding_neardup": embedding_neardup_sql(0.3),
+        "semdedup_clusters": _semdedup_sql()[0],
+        "semdedup_prune": _semdedup_sql()[1],
         "pack_sequences": _packing_sql()[0],
         "pack_bin_summary": _packing_sql()[1],
         "split_train_val_test": _packing_sql()[2],
@@ -4164,6 +4182,12 @@ def _packing_sql() -> tuple[str, str, str]:
     )
 
     return pack_plan_sql(), pack_bin_stats_sql(), SPLIT_SUMMARY_SQL
+
+
+def _semdedup_sql() -> tuple[str, str]:
+    from transferdb_spark.ext.semdedup import semdedup_clusters_sql, semdedup_prune_sql
+
+    return semdedup_clusters_sql(), semdedup_prune_sql()
 
 
 def _ann_recall_sql() -> str:
@@ -4213,6 +4237,8 @@ EXT_QUERIES = {
     "date_functions": date_functions,
     "conditional_functions": conditional_functions,
     "embedding_neardup": embedding_neardup,
+    "semdedup_clusters": semdedup_clusters_q,
+    "semdedup_prune": semdedup_prune_q,
     "text_bigram_lm": text_bigram_lm,
     "decontam_against_eval": decontam_against_eval,
     "compare_checksum_fast": compare_checksum_fast,
@@ -4273,9 +4299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "moving_avg_user_value": moving_avg_user_value,
         "dedup_span_ngrams": dedup_span_ngrams,
-        "grouping_rollup": grouping_rollup,
         "semi_join_customers": semi_join_customers,
-        "anti_join_parts": anti_join_parts,
+        "semdedup_clusters": semdedup_clusters_q,
+        "semdedup_prune": semdedup_prune_q,
         "ann_topk_lsh_auto": ann_topk_lsh_auto_q,
         "gopher_quality_rules": gopher_quality_rules,
         # -- north-star LLM-pipeline operators (31-48)
@@ -4314,6 +4340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": deterministic_sample,
         "stratified_sample": stratified_sample,
         # ---------------- below the driver's 50-query fold ----------------
+        "grouping_rollup": grouping_rollup,
+        "anti_join_parts": anti_join_parts,
         "date_extract": date_extract,
         "above_customer_avg": above_customer_avg,
         "lag_lead_deltas": lag_lead_deltas,
@@ -4382,6 +4410,8 @@ _EXT_PROMOTED = frozenset(
         "range_join_windows",
         "multires_rollup",
         "pipeline_clean_corpus",
+        "semdedup_clusters",
+        "semdedup_prune",
     }
 )
 

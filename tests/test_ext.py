@@ -1151,3 +1151,98 @@ def test_gpt2_pretokenizer_parity_and_training(spark, docs):
                 s = o
             syms.extend(s)
         assert out[r["doc_id"]] == len(syms)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means + within-cluster cosine pruning (ext/semdedup.py)
+
+
+def test_semdedup_kmeans_matches_numpy_reference(spark, emb):
+    """Differential: the distributed Lloyd rounds (narrow Arrow assign →
+    posexplode partial-agg → floor-div centroid update) must equal a
+    sequential numpy replay of the same exact-integer recurrence."""
+    import numpy as np
+
+    from transferdb_spark.ext.semdedup import (
+        ITERS,
+        K,
+        assign_clusters,
+        kmeans_centroids,
+    )
+    from transferdb_spark.ext.similarity import QSCALE
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * QSCALE + 0.5
+    ).astype(np.int64)
+    ids = np.array([r["vec_id"] for r in rows])
+
+    C = X[np.argsort(ids)[:K]].copy()
+    for _ in range(ITERS):
+        S = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)
+        a = np.argmin(S, axis=1)
+        for c in range(K):
+            members = X[a == c]
+            if len(members):
+                # python floor-div per dim, matching the engine contract
+                C[c] = np.array(
+                    [int(s) // int(n) for s, n in zip(members.sum(axis=0), [len(members)] * 64)]
+                )
+    S = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)
+    want = dict(zip(ids.tolist(), np.argmin(S, axis=1).tolist()))
+
+    got_c = kmeans_centroids(emb)
+    assert np.array_equal(np.asarray(got_c), C)
+    got = {r["vec_id"]: r["cluster"] for r in assign_clusters(emb, got_c).collect()}
+    assert got == want
+
+
+def test_semdedup_prune_properties(spark, emb):
+    """Every dropped row names a lower-id keeper in the same cluster at
+    cosine ≥ threshold, and a planted exact duplicate is always pruned
+    against its original (cosine 1.0 survives quantization)."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.ext.semdedup import THRESHOLD, semdedup_clusters, semdedup_prune
+
+    dup = emb.filter(F.col("vec_id") < 3).withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(dup)
+    pruned = semdedup_prune(both).collect()
+    by_id = {r["vec_id"]: r for r in pruned}
+    assert all(r["kept_by"] < r["vec_id"] for r in pruned)
+    assert all(r["cosine"] >= THRESHOLD for r in pruned)
+    clusters = {r["vec_id"]: r["cluster"] for r in semdedup_clusters(both).collect()}
+    for r in pruned:
+        assert clusters[r["vec_id"]] == clusters[r["kept_by"]] == r["cluster"]
+    for v in (100000, 100001, 100002):
+        assert v in by_id and by_id[v]["cosine"] == 1.0
+
+
+def test_semdedup_oracle_parity_small(spark, emb, sf_dir):
+    """Spark vs DuckDB on the fixture: identical training replay →
+    identical assignments and identical pruned row sets."""
+    import duckdb
+
+    from transferdb_spark.ext.semdedup import (
+        semdedup_clusters,
+        semdedup_clusters_sql,
+        semdedup_prune,
+        semdedup_prune_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    got = {
+        (r["vec_id"], r["cluster"], r["cluster_size"])
+        for r in semdedup_clusters(emb).collect()
+    }
+    want = set(map(tuple, con.sql(semdedup_clusters_sql()).fetchall()))
+    assert got == want
+    gotp = {
+        (r["vec_id"], r["cluster"], r["kept_by"], r["cosine"])
+        for r in semdedup_prune(emb).collect()
+    }
+    wantp = set(map(tuple, con.sql(semdedup_prune_sql()).fetchall()))
+    assert gotp == wantp
