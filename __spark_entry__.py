@@ -2971,6 +2971,20 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(_t(spark, sf_dir, "embeddings"))
 
 
+def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores: hashed-ngram target/raw log-ratio LM."""
+    from transferdb_spark.ext.dsir import doc_scores
+
+    return doc_scores(_t(spark, sf_dir, "documents"))
+
+
+def dsir_select_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: top-k most target-like raw documents."""
+    from transferdb_spark.ext.dsir import select_top
+
+    return select_top(_t(spark, sf_dir, "documents"))
+
+
 def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: pivot-cell routing, exact cosine only in probed cells."""
     from transferdb_spark.ext.similarity import ann_topk_ivf
@@ -4164,6 +4178,8 @@ def _ext_oracle_sql() -> dict[str, str]:
         "embedding_neardup": embedding_neardup_sql(0.3),
         "semdedup_clusters": _semdedup_sql()[0],
         "semdedup_prune": _semdedup_sql()[1],
+        "dsir_doc_scores": _dsir_sql()[0],
+        "dsir_select_top": _dsir_sql()[1],
         "pack_sequences": _packing_sql()[0],
         "pack_bin_summary": _packing_sql()[1],
         "split_train_val_test": _packing_sql()[2],
@@ -4188,6 +4204,12 @@ def _semdedup_sql() -> tuple[str, str]:
     from transferdb_spark.ext.semdedup import semdedup_clusters_sql, semdedup_prune_sql
 
     return semdedup_clusters_sql(), semdedup_prune_sql()
+
+
+def _dsir_sql() -> tuple[str, str]:
+    from transferdb_spark.ext.dsir import doc_scores_sql, select_top_sql
+
+    return doc_scores_sql(), select_top_sql()
 
 
 def _ann_recall_sql() -> str:
@@ -4239,6 +4261,8 @@ EXT_QUERIES = {
     "embedding_neardup": embedding_neardup,
     "semdedup_clusters": semdedup_clusters_q,
     "semdedup_prune": semdedup_prune_q,
+    "dsir_doc_scores": dsir_doc_scores,
+    "dsir_select_top": dsir_select_top,
     "text_bigram_lm": text_bigram_lm,
     "decontam_against_eval": decontam_against_eval,
     "compare_checksum_fast": compare_checksum_fast,
@@ -4321,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": range_join_windows,
         "multires_rollup": multires_rollup,
         "pipeline_clean_corpus": pipeline_clean_corpus,
+        "dsir_select_top": dsir_select_top,
         "setop_customers_with_orders": setop_customers_with_orders,
         "doc_fingerprint": doc_fingerprint,
         "text_html_clean": text_html_clean,
@@ -4412,6 +4437,7 @@ _EXT_PROMOTED = frozenset(
         "pipeline_clean_corpus",
         "semdedup_clusters",
         "semdedup_prune",
+        "dsir_select_top",
     }
 )
 

@@ -1246,3 +1246,44 @@ def test_semdedup_oracle_parity_small(spark, emb, sf_dir):
     }
     wantp = set(map(tuple, con.sql(semdedup_prune_sql()).fetchall()))
     assert gotp == wantp
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (ext/dsir.py)
+
+
+def test_dsir_target_vocabulary_doc_ranks_first(spark):
+    """A raw doc written in the target set's distinctive vocabulary must
+    outscore raw docs written in the background vocabulary (the
+    importance weight is positive exactly for buckets with excess
+    target-side mass)."""
+    from transferdb_spark.ext.dsir import TARGET_SOURCE, select_top
+
+    tgt_text = "quasar spectra redshift doppler parallax"
+    bg_text = "invoice shipment pallet freight customs duty ledger"
+    rows = [(i, tgt_text, TARGET_SOURCE) for i in range(5)]
+    rows += [(100 + i, bg_text, f"src{1 + i % 3}") for i in range(20)]
+    rows.append((999, "redshift quasar parallax spectra", "srcX"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    top = select_top(docs, k=3).collect()
+    assert top[0]["doc_id"] == 999 and top[0]["source"] == "srcX"
+    assert top[0]["score"] > top[1]["score"]
+
+
+def test_dsir_scores_exact_and_complete(spark, docs, sf_dir):
+    """Oracle parity on the fixture plus invariants: every document is
+    scored, target flags match the source column, and the integer
+    fixed-point contract means Spark and DuckDB agree bit-for-bit."""
+    import duckdb
+
+    from transferdb_spark.ext.dsir import doc_scores, doc_scores_sql
+
+    got = {
+        (r["doc_id"], r["is_target"], r["n_grams"], r["score"])
+        for r in doc_scores(docs).collect()
+    }
+    assert len(got) == docs.count()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = set(map(tuple, con.sql(doc_scores_sql()).fetchall()))
+    assert got == want
