@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "similarity_topk",
     "ann_topk_lsh",
     "embedding_neardup",
+    "semdedup_prune",
+    "dsir_select_top",
     "text_bigram_lm",
     "decontam_against_eval",
     "assess_storage_size",

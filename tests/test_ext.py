@@ -1287,3 +1287,59 @@ def test_dsir_scores_exact_and_complete(spark, docs, sf_dir):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
     want = set(map(tuple, con.sql(doc_scores_sql()).fetchall()))
     assert got == want
+
+
+def test_bpe_special_tokens_are_atomic(spark, docs):
+    """Added special tokens cost exactly one token, never merge across
+    their boundaries, and longest-match wins when one special prefixes
+    another."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.ext.bpe import (
+        encode_bytes_df,
+        special_token_ids,
+        train_bytes,
+    )
+
+    merges = train_bytes(docs, vocab_size=280)
+    sids = special_token_ids(merges, ["<|endoftext|>", "<|endoftext|>x"])
+    assert min(sids.values()) > max(m[2] for m in merges)
+    assert len(set(sids.values())) == 2
+
+    sample = docs.limit(4).select("doc_id", "text")
+    plain = {
+        r["doc_id"]: r["n_tokens"]
+        for r in encode_bytes_df(sample, merges).collect()
+    }
+    wrapped = sample.withColumn(
+        "text", F.concat(F.col("text"), F.lit("<|endoftext|>"))
+    )
+    # without the special registered, the marker's bytes are encoded
+    got_raw = {
+        r["doc_id"]: r["n_tokens"] for r in encode_bytes_df(wrapped, merges).collect()
+    }
+    # with it, the marker costs exactly 1 on top of the plain encoding
+    got_special = {
+        r["doc_id"]: r["n_tokens"]
+        for r in encode_bytes_df(
+            wrapped, merges, special_tokens=["<|endoftext|>"]
+        ).collect()
+    }
+    for d, n in plain.items():
+        assert got_special[d] == n + 1
+        assert got_raw[d] > got_special[d]
+
+    # longest-first: "<|endoftext|>x" must match as ONE special, not
+    # "<|endoftext|>" + encoded "x"
+    one = spark.createDataFrame(
+        [(1, "a<|endoftext|>xb")], "doc_id bigint, text string"
+    )
+    n_long = encode_bytes_df(
+        one, merges, special_tokens=["<|endoftext|>", "<|endoftext|>x"]
+    ).collect()[0]["n_tokens"]
+    n_short = encode_bytes_df(
+        one, merges, special_tokens=["<|endoftext|>"]
+    ).collect()[0]["n_tokens"]
+    # long variant: 'a' + special + 'b' = 3; short: 'a' + special + 'xb'
+    assert n_long == 3
+    assert n_short == 3 + 1  # 'x' and 'b' encode separately (no 'xb' merge)

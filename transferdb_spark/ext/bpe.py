@@ -30,6 +30,8 @@ pure-Python reference implementation on the same corpus.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -369,10 +371,21 @@ def vocab_tokens(merges: list[tuple[int, int, int, int]]) -> dict[int, bytes]:
     return vocab
 
 
+def special_token_ids(
+    merges: list[tuple[int, int, int, int]], special_tokens: list[str]
+) -> dict[str, int]:
+    """Assign ids to ADDED special tokens above the learned vocab
+    (tokenizers-library convention): next free id after 256 base bytes
+    and every merge-produced symbol, in the given order."""
+    base = max([255] + [new_id for _, _, new_id, _ in merges]) + 1
+    return {tok: base + i for i, tok in enumerate(special_tokens)}
+
+
 def encode_bytes_df(
     docs: DataFrame,
     merges: list[tuple[int, int, int, int]],
     pre_tokenizer: str = "whitespace",
+    special_tokens: list[str] | None = None,
 ) -> DataFrame:
     """Tokenizer APPLY at corpus scale: (doc_id, n_bytes, n_tokens)
     under the trained byte-level merge table.
@@ -382,10 +395,23 @@ def encode_bytes_df(
     repeatedly merge the LOWEST-RANK pair present — which for a merge
     list produced by greedy training yields the same segmentation as
     replaying every merge in order, in O(word · merges-present) instead
-    of O(word · total-merges)."""
+    of O(word · total-merges).
+
+    `special_tokens` are ADDED tokens (tokenizers-library semantics):
+    the text splits on their literal occurrences FIRST (longest match
+    wins when one special is a prefix of another), each occurrence
+    costs exactly one token (`special_token_ids` maps them above the
+    learned vocab), and BPE never merges across a special-token
+    boundary — the split happens before pre-tokenization, so a
+    document ending "…text<|endoftext|>" cannot leak the marker's
+    bytes into a neighbouring merge."""
     spark = docs.sparkSession
     ranks_b = spark.sparkContext.broadcast(
         {(left, right): (i, new_id) for i, (left, right, new_id, _) in enumerate(merges)}
+    )
+    specials = sorted(special_tokens or [], key=len, reverse=True)
+    spec_re = (
+        "(" + "|".join(re.escape(s) for s in specials) + ")" if specials else None
     )
 
     @pandas_udf(T.IntegerType())
@@ -439,6 +465,21 @@ def encode_bytes_df(
             )
 
         encode = encode_gpt2 if pre_tokenizer == "gpt2" else encode_ws
+
+        if spec_re is not None:
+            spec_set = set(specials)
+            pat = _re.compile(spec_re)
+
+            def encode_with_specials(text: str) -> int:
+                # alternation tries specials longest-first; capturing
+                # split keeps the matched literals as segments
+                return sum(
+                    1 if seg in spec_set else encode(seg)
+                    for seg in pat.split(text)
+                    if seg
+                )
+
+            return texts.map(encode_with_specials).astype("int32")
         return texts.map(encode).astype("int32")
 
     return docs.select(

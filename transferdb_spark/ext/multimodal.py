@@ -302,12 +302,14 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _decode_png(buf: bytes) -> np.ndarray:
     """Real PNG decode with the stdlib only (zlib inflate + scanline
-    un-filtering): 8-bit truecolor (type 2), truecolor+alpha (type 6,
-    alpha dropped), 8-bit grayscale (type 0), and PALETTE (type 3, at
-    depth 1/2/4/8 via bit unpacking + PLTE lookup), non-interlaced.
-    16-bit/Adam7 raise NotImplementedError — swap in Pillow for those
-    (and for throughput: Sub/Paeth un-filtering has a per-pixel left
-    dependency, fine for fixtures, vectorized C in production)."""
+    un-filtering): 8/16-bit truecolor (type 2), truecolor+alpha
+    (type 6, alpha dropped), grayscale (type 0), PALETTE (type 3, at
+    depth 1/2/4/8 via bit unpacking + PLTE lookup), and Adam7
+    interlace at byte-aligned depths (16-bit decodes via high-byte
+    downscale). Only sub-byte Adam7 raises NotImplementedError — swap
+    in Pillow for that (and for throughput: Sub/Paeth un-filtering has
+    a per-pixel left dependency, fine for fixtures, vectorized C in
+    production)."""
     import zlib
 
     pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
