@@ -4064,6 +4064,35 @@ def pack_bin_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bin_stats(_t(spark, sf_dir, "documents"))
 
 
+def pack_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin piece accounting after boundary splitting: what each
+    fixed-size training bin actually contains (fragments,
+    continuations, exact token fill) — the invariant check that every
+    bin but the last is full (ext/packing.pack_token_stats)."""
+    from transferdb_spark.ext.packing import pack_token_stats
+
+    return pack_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer→trainer handoff: byte-level BPE training
+    (ext/bpe.train_bytes), per-doc token-id emission (encode_ids_df),
+    and packed fixed-size sequence materialization
+    (ext/packing.pack_token_sequences). Non-SQL (the tokenizer apply
+    is a broadcast-ranks Pandas UDF); correctness is pytest-pinned via
+    the flatten-bins round-trip contract; id arrays dropped here to
+    keep the rows-only check light."""
+    from transferdb_spark.ext.bpe import encode_ids_df, train_bytes
+    from transferdb_spark.ext.packing import pack_token_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bytes(docs, vocab_size=264)
+    ids = encode_ids_df(docs, merges)
+    return pack_token_sequences(ids, budget=512).select(
+        "bin_id", "n_pieces", "n_tokens"
+    )
+
+
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 hash split, stratification check by lang."""
     from transferdb_spark.ext.packing import split_summary
@@ -4182,12 +4211,19 @@ def _ext_oracle_sql() -> dict[str, str]:
         "dsir_select_top": _dsir_sql()[1],
         "pack_sequences": _packing_sql()[0],
         "pack_bin_summary": _packing_sql()[1],
+        "pack_token_stats": _pack_token_stats_sql(),
         "split_train_val_test": _packing_sql()[2],
         "split_leakage_check": _split_leakage_sql(),
         "ann_recall_eval": _ann_recall_sql(),
         "minhash_calibration": _minhash_calibration_sql(),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
+
+
+def _pack_token_stats_sql() -> str:
+    from transferdb_spark.ext.packing import pack_token_stats_sql
+
+    return pack_token_stats_sql()
 
 
 def _packing_sql() -> tuple[str, str, str]:
@@ -4268,6 +4304,8 @@ EXT_QUERIES = {
     "compare_checksum_fast": compare_checksum_fast,
     "pack_sequences": pack_sequences,
     "pack_bin_summary": pack_bin_summary,
+    "pack_token_stats": pack_token_stats_q,
+    "bpe_pack_sequences": bpe_pack_sequences,
     "split_train_val_test": split_train_val_test,
     "split_leakage_check": split_leakage_check,
     "ann_recall_eval": ann_recall_eval_q,

@@ -73,6 +73,127 @@ def test_bin_stats_reconcile_with_plan(spark, docs):
     assert stats == {k: (v[0], v[1]) for k, v in agg.items()}
 
 
+def test_pack_token_stats_bins_are_exactly_full(spark, docs):
+    """After boundary splitting every bin but the last must hold
+    exactly the budget in tokens, pieces must cover the corpus with no
+    token lost, and piece counts must reconcile with a Python replay
+    of the layout."""
+    from transferdb_spark.ext.packing import PACK_BUDGET, pack_plan, pack_token_stats
+
+    stats = pack_token_stats(docs).collect()
+    assert stats == sorted(stats, key=lambda r: r["bin_id"])
+    total = sum(r["bin_tokens"] for r in stats)
+    for r in stats[:-1]:
+        assert r["bin_tokens"] == PACK_BUDGET, r
+    assert 0 < stats[-1]["bin_tokens"] <= PACK_BUDGET
+
+    # replay the piece explode from the plan in plain Python
+    expected: dict[int, list[int]] = {}
+    tok_total = 0
+    for r in pack_plan(docs).collect():
+        if r["n_tokens"] == 0:
+            continue
+        tok_total += r["n_tokens"]
+        start, n = r["start_offset"], r["n_tokens"]
+        for b in range(start // PACK_BUDGET, (start + n - 1) // PACK_BUDGET + 1):
+            lo = max(0, b * PACK_BUDGET - start)
+            hi = min(n, (b + 1) * PACK_BUDGET - start)
+            a = expected.setdefault(b, [0, 0, 0])
+            a[0] += 1
+            a[1] += hi - lo
+            a[2] += 1 if max(0, start - b * PACK_BUDGET) == 0 else 0
+    assert total == tok_total
+    got = {r["bin_id"]: [r["n_pieces"], r["bin_tokens"], r["n_continuations"]] for r in stats}
+    assert got == expected
+
+
+def test_encode_ids_matches_counts_and_decodes(spark, docs):
+    """encode_ids_df must agree with encode_bytes_df on length, and
+    concatenating the vocab byte-strings over the emitted ids must
+    reproduce the normalized byte stream exactly (lossless apply)."""
+    from transferdb_spark.ext.bpe import (
+        encode_bytes_df,
+        encode_ids_df,
+        train_bytes,
+        vocab_tokens,
+    )
+
+    sample = docs.limit(40)
+    merges = train_bytes(sample, vocab_size=256 + 8)
+    vocab = vocab_tokens(merges)
+    counts = {r["doc_id"]: r["n_tokens"] for r in encode_bytes_df(sample, merges).collect()}
+    ids = {r["doc_id"]: r for r in encode_ids_df(sample, merges).collect()}
+    texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+    assert set(ids) == set(counts)
+    for did, r in ids.items():
+        assert r["n_tokens"] == counts[did] == len(r["token_ids"])
+        decoded = b"".join(vocab[t] for t in r["token_ids"])
+        assert decoded == texts[did].lower().encode("utf-8"), did
+
+
+def test_encode_ids_special_tokens_single_id(spark, docs):
+    """An added special token must surface as exactly one id, above
+    the learned vocab, and decode round-trip must still hold around
+    it."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.ext.bpe import (
+        encode_ids_df,
+        special_token_ids,
+        train_bytes,
+        vocab_tokens,
+    )
+
+    sample = docs.limit(10)
+    merges = train_bytes(sample, vocab_size=256 + 6)
+    specials = ["<|endoftext|>"]
+    sids = special_token_ids(merges, specials)
+    wrapped = sample.select(
+        "doc_id", F.concat(F.col("text"), F.lit("<|endoftext|>")).alias("text")
+    )
+    vocab = vocab_tokens(merges)
+    texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+    for r in encode_ids_df(wrapped, merges, special_tokens=specials).collect():
+        assert r["token_ids"][-1] == sids["<|endoftext|>"]
+        body = b"".join(vocab[t] for t in r["token_ids"][:-1])
+        assert body == texts[r["doc_id"]].lower().encode("utf-8")
+
+
+def test_pack_token_sequences_roundtrip(spark, docs):
+    """Flattening the packed bins in bin order must reproduce the
+    concatenation of per-doc token ids in (order-hash, doc_id) order,
+    and every bin but the last must hold exactly the budget."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.ext.bpe import encode_ids_df, train_bytes
+    from transferdb_spark.ext.packing import pack_token_sequences
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    sample = docs.limit(60)
+    merges = train_bytes(sample, vocab_size=256 + 8)
+    ids = encode_ids_df(sample, merges)
+    budget = 128
+    bins = pack_token_sequences(ids, budget=budget).collect()
+
+    assert bins == sorted(bins, key=lambda r: r["bin_id"])
+    assert [r["bin_id"] for r in bins] == list(range(len(bins)))
+    for r in bins[:-1]:
+        assert r["n_tokens"] == budget == len(r["token_ids"])
+    assert 0 < bins[-1]["n_tokens"] <= budget
+
+    order = ids.select(
+        "doc_id",
+        portable_hash64(
+            F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+        "token_ids",
+    ).collect()
+    order.sort(key=lambda r: (r["h"], r["doc_id"]))
+    expected = [t for r in order for t in r["token_ids"]]
+    flat = [t for r in bins for t in r["token_ids"]]
+    assert flat == expected
+
+
 def test_split_is_total_and_deterministic(spark, docs):
     from transferdb_spark.ext.packing import split_assign
 

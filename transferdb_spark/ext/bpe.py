@@ -381,6 +381,98 @@ def special_token_ids(
     return {tok: base + i for i, tok in enumerate(special_tokens)}
 
 
+def _make_text_encoder(
+    ranks: dict,
+    pre_tokenizer: str,
+    specials: list[str],
+    special_ids: dict[str, int] | None,
+):
+    """text -> list[int] encoder closure shared by the count and the
+    id-sequence apply paths (one algorithm, two projections).
+
+    ``ranks``: {(left, right): (rank, new_id)} from the merge table.
+    ``specials`` must already be sorted longest-first; ``special_ids``
+    maps each to its added-token id (required when specials given).
+    """
+    import re as _re
+
+    def encode_word(word: bytes) -> list[int]:
+        syms = list(word)
+        while len(syms) > 1:
+            best, at = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r[0] < best[0]):
+                    best, at = r, i
+            if best is None:
+                break
+            # replace EVERY occurrence of this pair left-to-right
+            # (matches training's greedy full-pass application)
+            left, right = syms[at], syms[at + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def encode_ws(text: str) -> list[int]:
+        # training merges never span whitespace (word_counts
+        # pre-tokenizes), so rank-greedy over the full byte stream
+        # decomposes exactly into per-word encoding + one base-byte
+        # token per whitespace byte — same result, O(word) working
+        # sets. lower() matches word_counts' TOKENS normalization, so
+        # the apply path sees the distribution training saw. The
+        # capturing split keeps each whitespace byte as its own
+        # segment, preserving stream order for the id sequence.
+        b = text.lower().encode("utf-8")
+        out: list[int] = []
+        for seg in _re.split(rb"(\s)", b):
+            if not seg:
+                continue
+            if len(seg) == 1 and seg in b"\t\n\x0b\x0c\r ":
+                out.append(seg[0])
+            else:
+                out.extend(encode_word(seg))
+        return out
+
+    def encode_gpt2(text: str) -> list[int]:
+        # GPT-2 pre-tokens partition the text exactly; each token
+        # is the training unit, so per-token encoding IS the
+        # full-stream segmentation
+        out: list[int] = []
+        for t in gpt2_pre_tokenize(text):
+            out.extend(encode_word(t.encode("utf-8")))
+        return out
+
+    encode = encode_gpt2 if pre_tokenizer == "gpt2" else encode_ws
+    if not specials:
+        return encode
+
+    spec_re = "(" + "|".join(_re.escape(s) for s in specials) + ")"
+    pat = _re.compile(spec_re)
+    sids = special_ids or {}
+
+    def encode_with_specials(text: str) -> list[int]:
+        # alternation tries specials longest-first; capturing split
+        # keeps the matched literals as segments
+        out: list[int] = []
+        for seg in pat.split(text):
+            if not seg:
+                continue
+            if seg in sids:
+                out.append(sids[seg])
+            else:
+                out.extend(encode(seg))
+        return out
+
+    return encode_with_specials
+
+
 def encode_bytes_df(
     docs: DataFrame,
     merges: list[tuple[int, int, int, int]],
@@ -410,83 +502,61 @@ def encode_bytes_df(
         {(left, right): (i, new_id) for i, (left, right, new_id, _) in enumerate(merges)}
     )
     specials = sorted(special_tokens or [], key=len, reverse=True)
-    spec_re = (
-        "(" + "|".join(re.escape(s) for s in specials) + ")" if specials else None
-    )
+    sids = special_token_ids(merges, specials) if specials else None
 
     @pandas_udf(T.IntegerType())
     def n_tokens(texts: pd.Series) -> pd.Series:
-        ranks = ranks_b.value
-
-        def encode_word(word: bytes) -> int:
-            syms = list(word)
-            while len(syms) > 1:
-                best, at = None, -1
-                for i in range(len(syms) - 1):
-                    r = ranks.get((syms[i], syms[i + 1]))
-                    if r is not None and (best is None or r[0] < best[0]):
-                        best, at = r, i
-                if best is None:
-                    break
-                # replace EVERY occurrence of this pair left-to-right
-                # (matches training's greedy full-pass application)
-                left, right = syms[at], syms[at + 1]
-                out, i = [], 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                        out.append(best[1])
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            return len(syms)
-
-        import re as _re
-
-        def encode_ws(text: str) -> int:
-            # training merges never span whitespace (word_counts
-            # pre-tokenizes), so rank-greedy over the full byte stream
-            # decomposes exactly into per-word encoding + one token per
-            # whitespace byte — same result, O(word) working sets.
-            # lower() matches word_counts' TOKENS normalization, so the
-            # apply path sees the distribution training saw.
-            b = text.lower().encode("utf-8")
-            words = [w for w in _re.split(rb"\s", b) if w]
-            n_ws = sum(1 for ch in b if ch in b"\t\n\x0b\x0c\r ")
-            return n_ws + sum(encode_word(w) for w in words)
-
-        def encode_gpt2(text: str) -> int:
-            # GPT-2 pre-tokens partition the text exactly; each token
-            # is the training unit, so per-token encoding IS the
-            # full-stream segmentation
-            return sum(
-                encode_word(t.encode("utf-8")) for t in gpt2_pre_tokenize(text)
-            )
-
-        encode = encode_gpt2 if pre_tokenizer == "gpt2" else encode_ws
-
-        if spec_re is not None:
-            spec_set = set(specials)
-            pat = _re.compile(spec_re)
-
-            def encode_with_specials(text: str) -> int:
-                # alternation tries specials longest-first; capturing
-                # split keeps the matched literals as segments
-                return sum(
-                    1 if seg in spec_set else encode(seg)
-                    for seg in pat.split(text)
-                    if seg
-                )
-
-            return texts.map(encode_with_specials).astype("int32")
-        return texts.map(encode).astype("int32")
+        encode = _make_text_encoder(ranks_b.value, pre_tokenizer, specials, sids)
+        return texts.map(lambda t: len(encode(t))).astype("int32")
 
     return docs.select(
         "doc_id",
         F.length(F.encode(F.col("text"), "UTF-8")).cast("int").alias("n_bytes"),
         n_tokens(F.col("text")).alias("n_tokens"),
     ).orderBy("doc_id")
+
+
+def encode_ids_df(
+    docs: DataFrame,
+    merges: list[tuple[int, int, int, int]],
+    pre_tokenizer: str = "whitespace",
+    special_tokens: list[str] | None = None,
+) -> DataFrame:
+    """Tokenizer apply that EMITS the token-id sequence per document —
+    (doc_id, n_tokens, token_ids array<int>) — the input the sequence
+    packer consumes. Same broadcast merge table and rank-greedy
+    algorithm as `encode_bytes_df` (one shared encoder closure), with
+    the sequence kept instead of its length.
+
+    Round-trip contract (pytest-pinned): concatenating
+    `vocab_tokens(merges)[id]` over token_ids reconstructs the
+    pre-tokenized byte stream exactly — `text.lower().encode()` for
+    whitespace mode, `text.encode()` for gpt2 mode; added special
+    tokens map to their single added id.
+
+    Scale: token ids are ~4 bytes/token of Arrow batch traffic — the
+    same order as the text itself; no shuffle is introduced (narrow
+    projection)."""
+    spark = docs.sparkSession
+    ranks_b = spark.sparkContext.broadcast(
+        {(left, right): (i, new_id) for i, (left, right, new_id, _) in enumerate(merges)}
+    )
+    specials = sorted(special_tokens or [], key=len, reverse=True)
+    sids = special_token_ids(merges, specials) if specials else None
+
+    @pandas_udf(_ARR_INT)
+    def token_ids(texts: pd.Series) -> pd.Series:
+        encode = _make_text_encoder(ranks_b.value, pre_tokenizer, specials, sids)
+        return texts.map(encode)
+
+    return docs.select(
+        "doc_id",
+        token_ids(F.col("text")).alias("token_ids"),
+    ).select(
+        "doc_id",
+        F.size("token_ids").alias("n_tokens"),
+        "token_ids",
+    )
 
 
 def merges_frame(docs: DataFrame, n_merges: int = 10) -> DataFrame:

@@ -49,23 +49,15 @@ def _order_hash_col():
     return portable_hash64(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
 
 
-def pack_plan(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
-    """doc_id, n_tokens, start_offset, bin_id — the packing layout.
-
-    start_offset = exclusive prefix sum of n_tokens in (h, doc_id)
-    order; bin_id = start_offset div budget (a document is charged to
-    the bin its first token lands in — the concat-and-chunk contract,
-    where documents may straddle bin boundaries).
-    """
-    spark = docs.sparkSession
+def _layout(base: DataFrame, budget: int, carry_ids: bool = False) -> DataFrame:
+    """Two-phase distributed prefix sum over `base` (doc_id, n_tokens,
+    h): start_offset in (h, doc_id) order + bin_id = start div budget.
+    With carry_ids=True the token_ids array column rides through the
+    shuffle so callers don't pay a second exchange to join it back."""
+    spark = base.sparkSession
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bucket_width = math.ceil(_HASH_SPACE / n_buckets)
-
-    base = docs.select(
-        "doc_id",
-        F.size(F.expr(TOKENS)).alias("n_tokens"),
-        _order_hash_col().alias("h"),
-    ).withColumn("pid", (F.col("h") / F.lit(bucket_width)).cast("int"))
+    base = base.withColumn("pid", (F.col("h") / F.lit(bucket_width)).cast("int"))
 
     # phase 1: per-bucket token totals -> driver-side exclusive cumsum.
     # O(P) rows cross to the driver; the corpus never does.
@@ -96,17 +88,179 @@ def pack_plan(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
             start = (carry + excl).astype(np.int64)
             for p, s in pdf.groupby("pid")["n_tokens"].sum().items():
                 consumed[int(p)] = consumed.get(int(p), 0) + int(s)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_tokens": pdf["n_tokens"].astype(np.int32),
-                    "start_offset": start,
-                    "bin_id": start // budget,
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"].astype(np.int32),
+                "start_offset": start,
+                "bin_id": start // budget,
+            }
+            if carry_ids:
+                out["token_ids"] = pdf["token_ids"]
+            yield pd.DataFrame(out)
 
-    return part.mapInPandas(
-        assign, schema="doc_id long, n_tokens int, start_offset long, bin_id long"
+    schema = "doc_id long, n_tokens int, start_offset long, bin_id long"
+    if carry_ids:
+        schema += ", token_ids array<int>"
+    return part.mapInPandas(assign, schema=schema)
+
+
+def pack_plan(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """doc_id, n_tokens, start_offset, bin_id — the packing layout.
+
+    start_offset = exclusive prefix sum of n_tokens in (h, doc_id)
+    order; bin_id = start_offset div budget (a document is charged to
+    the bin its first token lands in — the concat-and-chunk contract,
+    where documents may straddle bin boundaries).
+    """
+    base = docs.select(
+        "doc_id",
+        F.size(F.expr(TOKENS)).alias("n_tokens"),
+        _order_hash_col().alias("h"),
+    )
+    return _layout(base, budget)
+
+
+def _pieces(plan: DataFrame, budget: int, with_ids: bool = False) -> DataFrame:
+    """Explode each laid-out document into its per-bin pieces.
+
+    A document whose [start_offset, start_offset + n_tokens) span
+    crosses bin boundaries contributes one piece per bin it touches:
+    bin_id, offset_in_bin (where the piece begins inside the bin) and
+    piece_tokens (how many of the doc's tokens land there). With
+    with_ids=True the matching token_ids slice rides along.
+
+    All pure built-in expressions (sequence/explode/slice) — the
+    fan-out per document is ceil(n_tokens / budget) + 1 pieces, so a
+    100 TB corpus explodes to ~corpus_tokens / budget extra rows, not
+    a cross product."""
+    b = F.lit(int(budget)).cast("long")
+    # `div` (integer division) keeps the arithmetic exact at any
+    # offset magnitude — a double round-trip would wobble past 2^53
+    last_bin = F.expr(f"(start_offset + n_tokens - 1) div {int(budget)}")
+    p = (
+        plan.where(F.col("n_tokens") > 0)
+        .withColumn("piece_bin", F.explode(F.sequence(F.col("bin_id"), last_bin)))
+    )
+    lo = F.greatest(F.lit(0).cast("long"), F.col("piece_bin") * b - F.col("start_offset"))
+    hi = F.least(
+        F.col("n_tokens").cast("long"),
+        (F.col("piece_bin") + F.lit(1)) * b - F.col("start_offset"),
+    )
+    cols = [
+        F.col("piece_bin").alias("bin_id"),
+        F.col("doc_id"),
+        F.greatest(
+            F.lit(0).cast("long"), F.col("start_offset") - F.col("piece_bin") * b
+        ).alias("offset_in_bin"),
+        (hi - lo).alias("piece_tokens"),
+    ]
+    if with_ids:
+        cols.append(
+            F.slice(
+                F.col("token_ids"), (lo + F.lit(1)).cast("int"), (hi - lo).cast("int")
+            ).alias("piece_ids")
+        )
+    return p.select(*cols)
+
+
+def pack_token_stats(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Per-bin piece accounting of the packing layout AFTER boundary
+    splitting — unlike `pack_bin_stats` (which charges a whole doc to
+    its starting bin), this counts what each bin actually contains:
+    n_pieces (document fragments), n_starts (docs whose first token is
+    here), bin_tokens (must equal the budget for every bin but the
+    last — the invariant the trainer relies on)."""
+    plan = pack_plan(docs, budget)
+    return (
+        _pieces(plan, budget)
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pieces"),
+            F.sum((F.col("offset_in_bin") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_starts_mid"),
+            F.sum("piece_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .select(
+            "bin_id",
+            "n_pieces",
+            (F.col("n_pieces") - F.col("n_starts_mid")).alias("n_continuations"),
+            "bin_tokens",
+        )
+        .orderBy("bin_id")
+    )
+
+
+def pack_token_stats_sql(budget: int = PACK_BUDGET) -> str:
+    # NOTE n_continuations counts pieces whose offset_in_bin == 0,
+    # i.e. pieces starting AT the bin boundary: a doc's own first
+    # piece when it happens to start exactly at a boundary, or the
+    # continuation of a straddling doc. Same definition both engines.
+    return f"""
+WITH plan AS ({pack_plan_sql(budget)}),
+pieces AS (
+  SELECT p.bin_id + g.i - 1 AS bin_id,
+         GREATEST(0, p.start_offset - (p.bin_id + g.i - 1) * {budget}) AS offset_in_bin,
+         LEAST(CAST(p.n_tokens AS BIGINT), (p.bin_id + g.i) * {budget} - p.start_offset)
+           - GREATEST(0, (p.bin_id + g.i - 1) * {budget} - p.start_offset) AS piece_tokens
+  FROM plan p,
+       UNNEST(generate_series(1,
+         ((p.start_offset + p.n_tokens - 1) // {budget}) - p.bin_id + 1)) AS g(i)
+  WHERE p.n_tokens > 0
+)
+SELECT bin_id, COUNT(*) AS n_pieces,
+       CAST(COUNT(*) - SUM(CASE WHEN offset_in_bin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_continuations,
+       CAST(SUM(piece_tokens) AS BIGINT) AS bin_tokens
+FROM pieces
+GROUP BY bin_id
+ORDER BY bin_id
+"""
+
+
+def pack_token_sequences(doc_ids: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Materialize the packed training sequences from tokenized docs.
+
+    Input: (doc_id, n_tokens, token_ids) — the output of
+    `bpe.encode_ids_df`. Output: (bin_id, n_pieces, n_tokens,
+    token_ids) where every bin but the last holds exactly `budget`
+    token ids, in (order-hash, doc_id) document order with boundary
+    straddles split mid-document — the concat-and-chunk contract.
+
+    Round-trip contract (pytest-pinned): flattening bins in bin_id
+    order reproduces the concatenation of the input token_ids in
+    (h, doc_id) order exactly.
+
+    Scale: the only corpus-sized shuffle is the groupBy(bin_id) that
+    physically assembles the bins (~4 bytes/token — unavoidable for
+    materialization, and each group is at most `budget` tokens so no
+    task buffers more than one context window per bin)."""
+    base = doc_ids.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "token_ids",
+        _order_hash_col().alias("h"),
+    )
+    plan = _layout(base, budget, carry_ids=True)
+    pieces = _pieces(plan, budget, with_ids=True)
+    return (
+        pieces.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pieces"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset_in_bin", "piece_ids"))),
+                    lambda s: s["piece_ids"],
+                )
+            ).alias("token_ids"),
+        )
+        .select(
+            "bin_id",
+            "n_pieces",
+            F.size("token_ids").alias("n_tokens"),
+            "token_ids",
+        )
+        .orderBy("bin_id")
     )
 
 
