@@ -52,13 +52,15 @@ TARGET_SOURCE = "src0"  # fixture's stand-in for the curated target set
 TOP_K = 50
 
 # unigrams + adjacent bigrams over the shared whitespace tokenization.
-# Spark sequence(1, 0) DESCENDS (fixture-quirk list) — guard short docs.
+# Spark side builds grams from a MATERIALIZED `toks` column —
+# element_at(<split expr>, i) inside a lambda re-evaluates the split
+# per index (Spark does not hoist subexpressions out of lambda
+# bodies), turning bigram construction O(n_tokens^2); zip_with over
+# two slices of the bound column is O(n). DuckDB's optimizer hoists
+# the list expression, so the SQL twin keeps the direct form.
 _GRAMS = (
-    f"concat({TOKENS}, "
-    f"CASE WHEN size({TOKENS}) >= 2 THEN "
-    f"transform(sequence(1, size({TOKENS}) - 1), "
-    f"i -> concat(element_at({TOKENS}, i), ' ', element_at({TOKENS}, i + 1))) "
-    "ELSE array() END)"
+    "concat(toks, zip_with(slice(toks, 1, size(toks) - 1), "
+    "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b)))"
 )
 _GRAMS_SQL = (
     f"list_concat({TOKENS_SQL}, "
@@ -79,11 +81,15 @@ def _bucket_sql(expr: str) -> str:
 
 def _terms(docs: DataFrame) -> DataFrame:
     """(doc_id, is_target, bucket) — one row per token occurrence."""
-    return docs.select(
-        "doc_id",
-        (F.col("source") == TARGET_SOURCE).cast("int").alias("is_target"),
-        F.explode(F.expr(_GRAMS)).alias("term"),
-    ).select("doc_id", "is_target", _bucket(F.col("term")).alias("bucket"))
+    return (
+        docs.select(
+            "doc_id",
+            (F.col("source") == TARGET_SOURCE).cast("int").alias("is_target"),
+            F.expr(TOKENS).alias("toks"),
+        )
+        .select("doc_id", "is_target", F.explode(F.expr(_GRAMS)).alias("term"))
+        .select("doc_id", "is_target", _bucket(F.col("term")).alias("bucket"))
+    )
 
 
 def bucket_weights(docs: DataFrame) -> DataFrame:
