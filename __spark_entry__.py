@@ -4093,6 +4093,25 @@ def bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_topk_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ext/pq.py): per-subspace k-means
+    codebooks trained in one distributed pass per round, vectors
+    compressed to M codes, top-k by asymmetric-distance lookup — a
+    pure-expression scan over the codes column (no join, no Python in
+    the scoring path)."""
+    from transferdb_spark.ext.pq import pq_topk_adc
+
+    return pq_topk_adc(_t(spark, sf_dir, "embeddings"))
+
+
+def pq_codes_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codeword occupancy per subspace — codebook balance
+    diagnostic (ext/pq.py)."""
+    from transferdb_spark.ext.pq import pq_codes_histogram
+
+    return pq_codes_histogram(_t(spark, sf_dir, "embeddings"))
+
+
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 hash split, stratification check by lang."""
     from transferdb_spark.ext.packing import split_summary
@@ -4212,12 +4231,20 @@ def _ext_oracle_sql() -> dict[str, str]:
         "pack_sequences": _packing_sql()[0],
         "pack_bin_summary": _packing_sql()[1],
         "pack_token_stats": _pack_token_stats_sql(),
+        "pq_topk_adc": _pq_sql()[0],
+        "pq_codes_histogram": _pq_sql()[1],
         "split_train_val_test": _packing_sql()[2],
         "split_leakage_check": _split_leakage_sql(),
         "ann_recall_eval": _ann_recall_sql(),
         "minhash_calibration": _minhash_calibration_sql(),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
+
+
+def _pq_sql() -> tuple[str, str]:
+    from transferdb_spark.ext.pq import pq_codes_histogram_sql, pq_topk_adc_sql
+
+    return pq_topk_adc_sql(), pq_codes_histogram_sql()
 
 
 def _pack_token_stats_sql() -> str:
@@ -4306,6 +4333,8 @@ EXT_QUERIES = {
     "pack_bin_summary": pack_bin_summary,
     "pack_token_stats": pack_token_stats_q,
     "bpe_pack_sequences": bpe_pack_sequences,
+    "pq_topk_adc": pq_topk_adc_q,
+    "pq_codes_histogram": pq_codes_histogram_q,
     "split_train_val_test": split_train_val_test,
     "split_leakage_check": split_leakage_check,
     "ann_recall_eval": ann_recall_eval_q,

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "ann_topk_lsh",
     "embedding_neardup",
     "semdedup_prune",
+    "pq_topk_adc",
     "dsir_select_top",
     "text_bigram_lm",
     "decontam_against_eval",

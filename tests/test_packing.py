@@ -273,6 +273,85 @@ def test_export_files_cover_contiguous_bin_ranges(spark, docs, tmp_path):
             assert hi1 <= lo2 or (hi1 == lo2 and lo1 <= lo2)
 
 
+def test_pq_encode_matches_numpy_replay(spark, emb):
+    """Distributed codebook training + encoding must equal a pure
+    numpy replay of the same fixed-round integer Lloyd recipe, and the
+    ADC scores must equal table lookups over that replay."""
+    import numpy as np
+
+    from transferdb_spark.ext.pq import (
+        ITERS,
+        KC,
+        M,
+        QID,
+        SUBDIM,
+        encode_vectors,
+        pq_topk_adc,
+        train_codebook,
+    )
+    from transferdb_spark.ext.similarity import QSCALE
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * QSCALE + 0.5
+    ).astype(np.int64)
+    n = X.shape[0]
+    Xs = X.reshape(n, M, SUBDIM)
+
+    # numpy replay: same seed, same integer argmin, same floor update
+    C = np.stack([X[:KC, m * SUBDIM : (m + 1) * SUBDIM] for m in range(M)])
+    for _ in range(ITERS):
+        CN2 = (C * C).sum(axis=2)
+        codes = np.empty((n, M), dtype=np.int64)
+        for m in range(M):
+            S = CN2[m][None, :] - 2 * (Xs[:, m, :] @ C[m].T)
+            codes[:, m] = np.argmin(S, axis=1)
+        nxt = C.copy()
+        for m in range(M):
+            for c in range(KC):
+                mask = codes[:, m] == c
+                if mask.any():
+                    nxt[m, c] = np.floor_divide(Xs[mask, m, :].sum(axis=0), mask.sum())
+        C = nxt
+
+    got_cb = train_codebook(emb)
+    assert np.array_equal(got_cb, C)
+
+    CN2 = (C * C).sum(axis=2)
+    exp_codes = np.empty((n, M), dtype=np.int64)
+    for m in range(M):
+        S = CN2[m][None, :] - 2 * (Xs[:, m, :] @ C[m].T)
+        exp_codes[:, m] = np.argmin(S, axis=1)
+    got = {r["vec_id"]: r["codes"] for r in encode_vectors(emb, got_cb).collect()}
+    ids = [r["vec_id"] for r in rows]
+    for i, vid in enumerate(ids):
+        assert got[vid] == exp_codes[i].tolist()
+        assert all(0 <= c < KC for c in got[vid])
+
+    # ADC replay for the benchmark query
+    q = Xs[ids.index(QID)]
+    lut = (C * C).sum(axis=2) - 2 * np.einsum("mkd,md->mk", C, q)
+    exp_adc = {
+        vid: int(sum(lut[m, exp_codes[i, m]] for m in range(M)))
+        for i, vid in enumerate(ids)
+        if vid != QID
+    }
+    top = pq_topk_adc(emb).collect()
+    expect_order = sorted(exp_adc.items(), key=lambda kv: (kv[1], kv[0]))[: len(top)]
+    assert [(r["vec_id"], r["adc"]) for r in top] == expect_order
+
+
+def test_pq_histogram_is_total(spark, emb):
+    from transferdb_spark.ext.pq import M, pq_codes_histogram
+
+    n = emb.count()
+    rows = pq_codes_histogram(emb).collect()
+    per_m: dict[int, int] = {}
+    for r in rows:
+        per_m[r["m"]] = per_m.get(r["m"], 0) + r["n_vectors"]
+    assert per_m == {m: n for m in range(M)}
+
+
 def test_minhash_calibration_error_is_bounded(spark, docs):
     """Estimator and exact Jaccard both land in [0,1]; planted exact
     duplicates must show est == exact == 1.0 (all slots agree, full
