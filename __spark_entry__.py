@@ -4093,6 +4093,15 @@ def bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subword tokens per word,
+    bytes per token) — the multilingual tokenizer-budget diagnostic
+    (ext/text.tokenizer_fertility)."""
+    from transferdb_spark.ext.text import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
 def pq_topk_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ext/pq.py): per-subspace k-means
     codebooks trained in one distributed pass per round, vectors
@@ -4233,12 +4242,19 @@ def _ext_oracle_sql() -> dict[str, str]:
         "pack_token_stats": _pack_token_stats_sql(),
         "pq_topk_adc": _pq_sql()[0],
         "pq_codes_histogram": _pq_sql()[1],
+        "tokenizer_fertility": _tokenizer_fertility_sql(),
         "split_train_val_test": _packing_sql()[2],
         "split_leakage_check": _split_leakage_sql(),
         "ann_recall_eval": _ann_recall_sql(),
         "minhash_calibration": _minhash_calibration_sql(),
         # multimodal_features: intentionally no oracle (non-SQL decode stub)
     }
+
+
+def _tokenizer_fertility_sql() -> str:
+    from transferdb_spark.ext.text import TOKENIZER_FERTILITY_SQL
+
+    return TOKENIZER_FERTILITY_SQL
 
 
 def _pq_sql() -> tuple[str, str]:
@@ -4335,6 +4351,7 @@ EXT_QUERIES = {
     "bpe_pack_sequences": bpe_pack_sequences,
     "pq_topk_adc": pq_topk_adc_q,
     "pq_codes_histogram": pq_codes_histogram_q,
+    "tokenizer_fertility": tokenizer_fertility_q,
     "split_train_val_test": split_train_val_test,
     "split_leakage_check": split_leakage_check,
     "ann_recall_eval": ann_recall_eval_q,

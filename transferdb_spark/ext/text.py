@@ -170,6 +170,67 @@ FROM documents
 """
 
 
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility: how many subword tokens the
+    BPE-ish tokenizer spends per whitespace word (fertility) and how
+    many bytes each token covers (bytes_per_token) — the standard
+    multilingual tokenizer-budget diagnostic (a high-fertility
+    language pays more context window per sentence).
+
+    Exact integer sums per language; the two ratios divide those exact
+    sums as the final boundary op (IEEE division is correctly rounded,
+    so engines agree). Narrow scan → one groupBy(lang) shuffle of a
+    handful of rows."""
+    base = docs.select(
+        "lang",
+        F.size(F.expr(TOKENS)).alias("w"),
+        F.regexp_count(F.lower("text"), F.lit(BPE_PATTERN)).alias("t"),
+        F.octet_length("text").alias("b"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("ws_tokens"),
+            F.sum("t").cast("bigint").alias("bpe_tokens"),
+            F.sum("b").cast("bigint").alias("n_bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "n_bytes",
+            (F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double")).alias(
+                "fertility"
+            ),
+            (F.col("n_bytes").cast("double") / F.col("bpe_tokens").cast("double")).alias(
+                "bytes_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH b AS (
+  SELECT lang, len({TOKENS_SQL}) AS w,
+         len(regexp_extract_all(lower(text), '{{BPE}}')) AS t,
+         strlen(text) AS byt
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS ws_tokens,
+       CAST(SUM(t) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(byt) AS BIGINT) AS n_bytes,
+       CAST(SUM(t) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility,
+       CAST(SUM(byt) AS DOUBLE) / CAST(SUM(t) AS DOUBLE) AS bytes_per_token
+FROM b
+GROUP BY lang
+ORDER BY lang
+""".replace("{BPE}", BPE_PATTERN)
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     """Top-k terms per language by tf-idf (linear idf: tf · N/df).
 
