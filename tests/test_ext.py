@@ -807,6 +807,59 @@ def test_jpeg_truncated_stream_never_indexerrors(spark):
             pytest.fail(f"IndexError escaped decode_jpeg at cut={cut}")
 
 
+def test_jpeg_progressive_matches_baseline_bit_for_bit(spark):
+    """Differential: the 14-scan progressive stream (SOF2, spectral
+    selection + successive approximation, EOB runs) decodes to EXACTLY
+    the pixels of the baseline stream of the same image — both encoders
+    share one quantizer, so progressive coding must be a lossless
+    reordering of the same coefficients. Noise forces dense AC bands
+    (ZRL, EOB-run, and correction-bit paths all exercised); 45x37 also
+    exercises non-multiple-of-8 padding."""
+    import numpy as np
+    from transferdb_spark.ext.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    xx, yy = np.meshgrid(np.linspace(0, 255, 45), np.linspace(0, 255, 37))
+    smooth = np.stack([xx, yy, (xx + yy) / 2], axis=2)
+    noisy = np.clip(smooth + rng.normal(0, 40, smooth.shape), 0, 255).astype(np.uint8)
+    for img in (smooth.astype(np.uint8), noisy):
+        base = decode_jpeg(encode_jpeg(img))
+        prog_buf = encode_jpeg_progressive(img)
+        # really progressive: SOF2 marker present, many scans
+        assert b"\xff\xc2" in prog_buf and prog_buf.count(b"\xff\xda") == 14
+        prog = decode_jpeg(prog_buf)
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_truncation_never_indexerrors(spark):
+    """Torn progressive streams (cut inside headers, mid-scan, and at
+    scan boundaries) surface as decode errors or partial images, never
+    raw IndexError/KeyError — same ingestion contract as baseline."""
+    import numpy as np
+    import pytest
+    from transferdb_spark.ext.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 21, 3), dtype=np.uint8)
+    buf = encode_jpeg_progressive(img)
+    cuts = [3, 20, len(buf) - 3, len(buf) - 10] + [
+        int(len(buf) * f) for f in (0.1, 0.25, 0.5, 0.75, 0.9)
+    ]
+    for cut in cuts:
+        try:
+            out = decode_jpeg(buf[:cut])
+            assert out.dtype == np.uint8 and out.ndim == 3  # partial decode OK
+        except (ValueError, NotImplementedError):
+            pass  # explicit decode error OK
+        except (IndexError, KeyError):
+            pytest.fail(f"Index/KeyError escaped decode_jpeg at cut={cut}")
+
+
 def test_jpeg_decodes_real_world_files(spark):
     """Spec fidelity: JPEGs produced by other encoders (incl. a 4:2:0
     photo) decode at their declared dimensions with contentful stats."""

@@ -1,16 +1,22 @@
-"""Baseline JPEG codec — stdlib + numpy, no imaging library.
+"""JPEG codec — stdlib + numpy, no imaging library.
 
-Decoder: baseline sequential DCT (SOF0), Huffman entropy coding, 8-bit
+Decoder: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2,
+ITU T.81 Annex G: spectral selection, successive approximation, DC/AC
+first and refinement scans, EOB runs), Huffman entropy coding, 8-bit
 samples, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling,
-restart markers. Progressive (SOF2), arithmetic coding, and 12-bit
-precision route to NotImplementedError — the one dispatch point an
-imaging library replaces in production.
+restart markers. Arithmetic coding and 12-bit precision route to
+NotImplementedError — the one dispatch point an imaging library
+replaces in production.
 
 Encoder: the test-side twin (4:4:4, ITU T.81 Annex K quantization and
 Huffman tables) so round-trips exercise the full marker → Huffman →
 DCT pipeline without trusting a matched pair of mistakes: the decoder
 is additionally validated against real-world JPEGs produced by other
-encoders.
+encoders. `encode_jpeg_progressive` emits a 14-scan progressive
+stream (shifted DC + DC refinement, two spectral AC bands at Al=1 +
+their refinement scans) sharing `encode_jpeg`'s quantizer, so the
+differential test can require progressive decode == baseline decode
+bit for bit.
 
 The 2-D DCT/IDCT run as two 8×8 matrix products against the
 orthonormal DCT-II basis (exact float, vectorized over all blocks at
@@ -215,6 +221,8 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    coef = None  # progressive only: per-comp zigzag coefficient blocks
+    scans_done = 0
     while pos < len(buf):
         if buf[pos] != 0xFF:
             pos += 1
@@ -244,7 +252,7 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(seg[s + 17 : s + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = _build_huffman(bits, vals)
                 s += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -252,8 +260,8 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -266,10 +274,26 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, tids = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_sel.append({"id": cid, "dc": tids >> 4, "ac": tids & 0x0F})
             data_pos = pos + 2 + seg_len
-            return _decode_scan(
-                buf, data_pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
+            if not frame["progressive"]:
+                return _decode_scan(
+                    buf, data_pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
+                )
+            # progressive: each SOS deposits one band/bit layer into the
+            # per-component coefficient store; pixels come at EOI
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if coef is None:
+                coef = _alloc_coef(frame)
+            end = _decode_progressive_scan(
+                buf, data_pos, frame, scan_sel, huff_dc, huff_ac,
+                restart_interval, coef, ss, se, ah, al,
             )
+            scans_done += 1
+            pos = _skip_to_marker(buf, end)
+            continue
         pos += 2 + seg_len
+    if frame is not None and frame.get("progressive") and scans_done:
+        return _reconstruct_progressive(frame, coef, qt)
     raise ValueError("no scan data found")
 
 
@@ -340,6 +364,11 @@ def _decode_scan(buf, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interv
         p = planes[ci]
         p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         full.append(p[:h, :w])
+    return _planes_to_rgb(full)
+
+
+def _planes_to_rgb(full: list[np.ndarray]) -> np.ndarray:
+    """Full-resolution component planes → (h, w, 3) uint8 RGB."""
     if len(full) == 1:
         g = np.clip(full[0], 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=2)
@@ -369,6 +398,231 @@ def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
         out[k] = _extend(reader.read_bits(s), s)
         k += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# progressive decode (ITU T.81 Annex G, Huffman): each SOS carries one
+# (component, spectral band, bit layer); coefficients accumulate in a
+# zigzag-order store and pixels materialize once, at EOI.
+
+
+def _mcu_geometry(frame) -> tuple[int, int, int, int]:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coef(frame) -> list[np.ndarray]:
+    _, _, mcux, mcuy = _mcu_geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _skip_to_marker(buf: bytes, pos: int) -> int:
+    """Advance past entropy padding/stuffing to the next true marker."""
+    while pos < len(buf) - 1:
+        if buf[pos] != 0xFF:
+            pos += 1
+        elif buf[pos + 1] == 0xFF:  # fill byte
+            pos += 1
+        elif buf[pos + 1] == 0x00 or 0xD0 <= buf[pos + 1] <= 0xD7:
+            pos += 2
+        else:
+            return pos
+    return len(buf)
+
+
+def _decode_progressive_scan(
+    buf, pos, frame, scan_sel, huff_dc, huff_ac, restart_interval,
+    coef, ss, se, ah, al,
+):
+    """Decode one progressive SOS into `coef` (in place); return the
+    position just past its entropy-coded data.
+
+    DC scans (Ss=Se=0) may interleave components over MCUs; AC scans are
+    single-component, traversed over that component's own block grid.
+    `eobrun` carries end-of-band runs across blocks; restarts reset both
+    it and the DC predictors."""
+    comps = frame["comps"]
+    idx = {c["id"]: ci for ci, c in enumerate(comps)}
+    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
+    if (ss == 0) != (se == 0):
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if ss > 0 and len(scan_sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    reader = _BitReader(buf, pos)
+    state = {"eobrun": 0, "pred": [0] * len(comps)}
+
+    if len(scan_sel) > 1:  # interleaved DC scan: MCU traversal
+        units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+
+        def decode_unit(unit):
+            my, mx = unit
+            for s in scan_sel:
+                ci = idx[s["id"]]
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = coef[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        _prog_dc(reader, blk, huff_dc.get(s["dc"]), state, ci, ah, al)
+
+    else:  # non-interleaved: the component's own block grid
+        s = scan_sel[0]
+        ci = idx[s["id"]]
+        c = comps[ci]
+        cw = -(-(frame["w"] * c["h"]) // hmax)
+        ch = -(-(frame["h"] * c["v"]) // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        units = [(by, bx) for by in range(bh) for bx in range(bw)]
+        if ss == 0:
+
+            def decode_unit(unit):
+                _prog_dc(reader, coef[ci][unit], huff_dc.get(s["dc"]), state, ci, ah, al)
+
+        else:
+            ac = huff_ac.get(s["ac"])
+            if ac is None:
+                raise ValueError("progressive AC scan references undefined DHT")
+            if ah == 0:
+
+                def decode_unit(unit):
+                    _prog_ac_first(reader, coef[ci][unit], ac, state, ss, se, al)
+
+            else:
+
+                def decode_unit(unit):
+                    _prog_ac_refine(reader, coef[ci][unit], ac, state, ss, se, al)
+
+    last = len(units) - 1
+    for n, unit in enumerate(units):
+        if restart_interval and n and n % restart_interval == 0:
+            try:
+                while True:
+                    reader.read_bit()
+            except _RestartMarker:
+                reader.align_after_restart()
+                state["eobrun"] = 0
+                state["pred"] = [0] * len(comps)
+            except _EndOfScan:
+                raise ValueError("truncated JPEG: missing restart marker")
+        try:
+            decode_unit(unit)
+        except _RestartMarker:
+            reader.align_after_restart()
+            state["eobrun"] = 0
+            state["pred"] = [0] * len(comps)
+        except _EndOfScan:
+            if n != last:
+                raise ValueError(
+                    f"truncated JPEG: progressive scan ended at unit {n} of {len(units)}"
+                )
+    return reader.pos
+
+
+def _prog_dc(reader, blk, dc_table, state, ci, ah, al):
+    if ah == 0:  # first DC scan: baseline DPCM, shifted left by Al
+        if dc_table is None:
+            raise ValueError("progressive DC scan references undefined DHT")
+        t = _decode_huff(reader, dc_table)
+        diff = _extend(reader.read_bits(t), t) if t else 0
+        state["pred"][ci] += diff
+        blk[0] = state["pred"][ci] << al
+    else:  # refinement: one bit, OR'd into the Al position
+        if reader.read_bit():
+            blk[0] = int(blk[0]) | (1 << al)
+
+
+def _prog_ac_first(reader, blk, ac_table, state, ss, se, al):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1  # this block consumes one
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            break  # run past the band: tolerate like baseline's k>63
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _prog_ac_refine(reader, blk, ac_table, state, ss, se, al):
+    """Successive-approximation AC refinement (T.81 G.1.2.3 / figure
+    G.7): newly-significant coefficients arrive as run/size=r/1 symbols;
+    every already-nonzero coefficient crossed costs one correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huff(reader, ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: rest of this block is correction-only
+                    # full run here; the post-loop below consumes this
+                    # block's share (reads its remaining correction bits
+                    # first), unlike ac_first where nothing follows EOB
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct_progressive(frame, coef, qt):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _mcu_geometry(frame)
+    full = []
+    for ci, c in enumerate(comps):
+        cz = coef[ci]
+        bh, bw = cz.shape[:2]
+        if c["q"] not in qt:
+            raise ValueError(f"missing quantization table {c['q']}")
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[:, :, _ZIGZAG] = cz * qt[c["q"]].astype(np.float64)
+        px = np.einsum("ij,abjk,kl->abil", _A.T, nat.reshape(bh, bw, 8, 8), _A) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = plane.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
+        full.append(plane[:h, :w])
+    return _planes_to_rgb(full)
 
 
 # ---------------------------------------------------------------------------
@@ -421,25 +675,56 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, code
 
 
-def encode_jpeg(px: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 → baseline JPEG bytes (4:4:4, Annex K tables)."""
+def _coef_blocks(px: np.ndarray) -> list[np.ndarray]:
+    """(h, w, 3) uint8 → per-component (bh, bw, 64) int32 quantized DCT
+    coefficients in zigzag order — the ONE quantizer both encoders
+    share, so a progressive stream carries bit-identical coefficients
+    to the baseline stream of the same image (zz[k] = natural index
+    _ZIGZAG[k], the inverse of the decoder's deq[_ZIGZAG] scatter)."""
     px = px.astype(np.float64)
     h, w = px.shape[:2]
     r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qts = [_QT_LUMA.reshape(8, 8), _QT_CHROMA.reshape(8, 8)]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    coefs = []
+    for ci, plane in enumerate((y, cb, cr)):
+        p = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,kl->abil", _A, blocks, _A.T)
+        q = np.round(coef / qts[0 if ci == 0 else 1]).astype(np.int32)
+        coefs.append(q.reshape(bh, bw, 64)[:, :, _ZIGZAG])
+    return coefs
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    # DQT carries the natural-order table serialized in zigzag order
+
+def _dqt_segments() -> bytes:
+    """DQT carries the natural-order table serialized in zigzag order."""
+    out = bytearray()
     for tid, qtab in ((0, _QT_LUMA), (1, _QT_CHROMA)):
         zz = qtab.reshape(8, 8).flatten()[_ZIGZAG]
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
             int(v) for v in zz
         )
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    return bytes(out)
+
+
+def _sof_segment(marker: int, h: int, w: int) -> bytes:
+    out = bytearray(bytes([0xFF, marker]) + struct.pack(">HBHHB", 17, 8, h, w, 3))
     for cid, qid in ((1, 0), (2, 1), (3, 1)):
         out += bytes([cid, 0x11, qid])  # 4:4:4
+    return bytes(out)
+
+
+def encode_jpeg(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → baseline JPEG bytes (4:4:4, Annex K tables)."""
+    h, w = px.shape[:2]
+    coefs = _coef_blocks(px)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _dqt_segments()
+    out += _sof_segment(0xC0, h, w)
     for cls, tid, (bits, vals) in (
         (0, 0, _DC_LUMA),
         (0, 1, _DC_CHROMA),
@@ -455,26 +740,15 @@ def encode_jpeg(px: np.ndarray) -> bytes:
 
     dc_enc = [_encode_codes(*_DC_LUMA), _encode_codes(*_DC_CHROMA)]
     ac_enc = [_encode_codes(*_AC_LUMA), _encode_codes(*_AC_CHROMA)]
-    qts = [_QT_LUMA.reshape(8, 8), _QT_CHROMA.reshape(8, 8)]
 
     wtr = _BitWriter()
     pred = [0, 0, 0]
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    padded = []
-    for plane in (y, cb, cr):
-        p = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-        padded.append(p)
+    bh, bw = coefs[0].shape[:2]
     for by in range(bh):
         for bx in range(bw):
-            for ci, plane in enumerate(padded):
+            for ci in range(3):
                 tsel = 0 if ci == 0 else 1
-                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _A @ blk @ _A.T
-                q = np.round(coef / qts[tsel]).astype(np.int32)
-                # zz[k] = coefficient at zigzag position k (natural
-                # index _ZIGZAG[k]) — the inverse of the decoder's
-                # deq[_ZIGZAG] = block scatter
-                zz = q.flatten()[_ZIGZAG]
+                zz = coefs[ci][by, bx]
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
                 t, code = _magnitude(diff)
@@ -506,5 +780,201 @@ def encode_jpeg(px: np.ndarray) -> bytes:
                     wtr.write(hc, hl)
     wtr.flush()
     out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (test-side twin for the Annex G decoder)
+
+
+def _flat_table(syms: list[int]) -> tuple[list[int], list[int]]:
+    """Canonical Huffman table giving every symbol the same code length
+    (the shortest L with n <= 2^L - 1, keeping the all-ones code of the
+    longest length unused as T.81 requires). Annex K's AC tables lack
+    the EOBn run symbols progressive scans need, so each scan ships its
+    own flat table — compression is not the point of the test twin."""
+    n = len(syms)
+    if not 0 < n <= 255:
+        raise ValueError(f"flat Huffman table needs 1..255 symbols, got {n}")
+    length = max(1, (n + 1 - 1).bit_length()) if n >= 1 else 1
+    while (1 << length) - 1 < n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, sorted(syms)
+
+
+def _scan_ops(kind, coefs, ci, ss, se, ah, al):
+    """One progressive scan as a symbol/bit op list (('s', symbol) |
+    ('b', value, nbits)) — built once, so the Huffman table can be
+    derived from the symbols actually used, then serialized."""
+    ops: list[tuple] = []
+    bh, bw = coefs[0].shape[:2]
+
+    if kind == "dc_first":
+        pred = [0, 0, 0]
+        for by in range(bh):
+            for bx in range(bw):
+                for c in range(3):
+                    t = int(coefs[c][by, bx, 0]) >> al
+                    diff = t - pred[c]
+                    pred[c] = t
+                    s, code = _magnitude(diff)
+                    ops.append(("s", s))
+                    if s:
+                        ops.append(("b", code, s))
+        return ops
+
+    if kind == "dc_refine":
+        for by in range(bh):
+            for bx in range(bw):
+                for c in range(3):
+                    ops.append(("b", (int(coefs[c][by, bx, 0]) >> al) & 1, 1))
+        return ops
+
+    if kind == "ac_first":
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                ops.append(("s", nb << 4))
+                if nb:
+                    ops.append(("b", eobrun & ((1 << nb) - 1), nb))
+                eobrun = 0
+
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[ci][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    temp = (-v if v < 0 else v) >> al  # magnitude shift
+                    if temp == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        ops.append(("s", 0xF0))
+                        r -= 16
+                    nbits = temp.bit_length()
+                    code = temp if v > 0 else (~temp) & ((1 << nbits) - 1)
+                    ops.append(("s", (r << 4) | nbits))
+                    ops.append(("b", code, nbits))
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return ops
+
+    if kind == "ac_refine":
+        # Mirrors the decoder's figure-G.7 walk: `be` buffers correction
+        # bits that ride with the pending EOB run (previous blocks),
+        # `br` buffers this block's bits since its last emitted symbol.
+        eobrun = 0
+        be: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                ops.append(("s", nb << 4))
+                if nb:
+                    ops.append(("b", eobrun & ((1 << nb) - 1), nb))
+                eobrun = 0
+                ops.extend(("b", bit, 1) for bit in be)
+                be.clear()
+
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[ci][by, bx]
+                absv = [(-int(v) if v < 0 else int(v)) >> al for v in zz]
+                eob = ss - 1  # last newly-significant index in the band
+                for k in range(ss, se + 1):
+                    if absv[k] == 1:
+                        eob = k
+                r = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    temp = absv[k]
+                    if temp == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        flush_eob()
+                        ops.append(("s", 0xF0))
+                        r -= 16
+                        ops.extend(("b", bit, 1) for bit in br)
+                        br.clear()
+                    if temp > 1:  # already nonzero: one correction bit
+                        br.append(temp & 1)
+                        continue
+                    flush_eob()
+                    ops.append(("s", (r << 4) | 1))
+                    ops.append(("b", 1 if int(zz[k]) >= 0 else 0, 1))
+                    ops.extend(("b", bit, 1) for bit in br)
+                    br.clear()
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return ops
+
+    raise ValueError(f"unknown scan kind {kind!r}")
+
+
+def encode_jpeg_progressive(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → progressive JPEG (SOF2, 4:4:4), 14 scans:
+    interleaved DC at Al=1 + DC refinement, then per component two
+    spectral AC bands (1-5, 6-63) at Al=1 and their Ah=1→Al=0
+    refinements. Coefficients come from the same `_coef_blocks`
+    quantizer as `encode_jpeg`, so decoding either stream must yield
+    bit-identical pixels — the differential test pins exactly that."""
+    h, w = px.shape[:2]
+    coefs = _coef_blocks(px)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segments()
+    out += _sof_segment(0xC2, h, w)
+
+    bands = ((1, 5), (6, 63))
+    scans: list[tuple] = [("dc_first", None, 0, 0, 0, 1), ("dc_refine", None, 0, 0, 1, 0)]
+    for ci in range(3):
+        for ss, se in bands:
+            scans.append(("ac_first", ci, ss, se, 0, 1))
+    for ci in range(3):
+        for ss, se in bands:
+            scans.append(("ac_refine", ci, ss, se, 1, 0))
+
+    for kind, ci, ss, se, ah, al in scans:
+        ops = _scan_ops(kind, coefs, ci, ss, se, ah, al)
+        codes = None
+        syms = sorted({op[1] for op in ops if op[0] == "s"})
+        if syms:  # DC refinement is raw bits: no DHT at all
+            bits, vals = _flat_table(syms)
+            cls = 1 if kind.startswith("ac") else 0
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
+            codes = _encode_codes(bits, vals)
+        in_scan = [0, 1, 2] if ci is None else [ci]
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(in_scan), len(in_scan))
+        for c in in_scan:
+            out += bytes([c + 1, 0x00])  # DC and AC selectors both 0
+        out += bytes([ss, se, (ah << 4) | al])
+        wtr = _BitWriter()
+        for op in ops:
+            if op[0] == "s":
+                hc, hl = codes[op[1]]
+                wtr.write(hc, hl)
+            else:
+                wtr.write(op[1], op[2])
+        wtr.flush()
+        out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
