@@ -2971,6 +2971,14 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(_t(spark, sf_dir, "embeddings"))
 
 
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving subset: ceil(sqrt(|cluster|)) vectors per
+    semantic cluster, hash-elected — see ext/semdedup.py."""
+    from transferdb_spark.ext.semdedup import cluster_balanced_sample
+
+    return cluster_balanced_sample(_t(spark, sf_dir, "embeddings"))
+
+
 def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scores: hashed-ngram target/raw log-ratio LM."""
     from transferdb_spark.ext.dsir import doc_scores
@@ -2990,6 +2998,15 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.similarity import ann_topk_ivf
 
     return ann_topk_ivf(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: distributed BM25 top-k over the documents
+    table (posting-list-bounded shuffle, broadcast scalars, ln-at-the-
+    boundary BIGINT idf) — see ext/retrieval.py."""
+    from transferdb_spark.ext.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
 def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4235,6 +4252,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "embedding_neardup": embedding_neardup_sql(0.3),
         "semdedup_clusters": _semdedup_sql()[0],
         "semdedup_prune": _semdedup_sql()[1],
+        "cluster_balanced_sample": _cluster_balanced_sql(),
         "dsir_doc_scores": _dsir_sql()[0],
         "dsir_select_top": _dsir_sql()[1],
         "pack_sequences": _packing_sql()[0],
@@ -4285,6 +4303,12 @@ def _semdedup_sql() -> tuple[str, str]:
     return semdedup_clusters_sql(), semdedup_prune_sql()
 
 
+def _cluster_balanced_sql() -> str:
+    from transferdb_spark.ext.semdedup import cluster_balanced_sample_sql
+
+    return cluster_balanced_sample_sql()
+
+
 def _dsir_sql() -> tuple[str, str]:
     from transferdb_spark.ext.dsir import doc_scores_sql, select_top_sql
 
@@ -4295,6 +4319,12 @@ def _ann_recall_sql() -> str:
     from transferdb_spark.ext.similarity import ann_recall_eval_sql
 
     return ann_recall_eval_sql(8, 10)
+
+
+def _bm25_sql() -> str:
+    from transferdb_spark.ext.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql()
 
 
 def _minhash_calibration_sql() -> str:
@@ -4397,7 +4427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assess_distribution": assess_distribution,
         "assess_threshold": assess_threshold,
         "assess_storage_size": assess_storage_size,
-        "assess_ndv_sketch": assess_ndv_sketch,
         "listagg_nation_customers": listagg_nation_customers,
         "window_topk_orders": window_topk_orders,
         "setop_customers_without_orders": setop_customers_without_orders,
@@ -4418,6 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "similarity_topk": similarity_topk,
+        "bm25_topk": bm25_topk_q,
         "ann_topk_lsh": ann_topk_lsh_q,
         "ann_topk_multiprobe": ann_topk_multiprobe,
         "text_token_stats": text_token_stats,
@@ -4447,8 +4477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": domain_mix_sample,
         # -- fill to 50
         "deterministic_sample": deterministic_sample,
-        "stratified_sample": stratified_sample,
         # ---------------- below the driver's 50-query fold ----------------
+        "stratified_sample": stratified_sample,
+        "assess_ndv_sketch": assess_ndv_sketch,
+        "cluster_balanced_sample": cluster_balanced_sample_q,
         "grouping_rollup": grouping_rollup,
         "anti_join_parts": anti_join_parts,
         "date_extract": date_extract,
@@ -4599,6 +4631,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_part_census": Q16_SQL,
         "q11_important_parts": Q11_SQL,
         "q21_last_shippers": Q21_SQL,
+        "bm25_topk": _bm25_sql(),
         "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "vocab_topn": _vocab_sql(),

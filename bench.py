@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "gopher_quality_rules",
     "split_leakage_check",
     "similarity_topk",
+    "bm25_topk",
     "ann_topk_lsh",
     "embedding_neardup",
     "semdedup_prune",

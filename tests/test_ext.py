@@ -1396,3 +1396,88 @@ def test_bpe_special_tokens_are_atomic(spark, docs):
     # long variant: 'a' + special + 'b' = 3; short: 'a' + special + 'xb'
     assert n_long == 3
     assert n_short == 3 + 1  # 'x' and 'b' encode separately (no 'xb' merge)
+
+
+def test_bm25_topk_matches_brute_force(spark, docs):
+    """Differential: distributed BM25 == a pure-Python BM25 computed
+    from collected tokens (same k1/b/idf quantization), including the
+    top-k boundary and the (score DESC, doc_id) tie order."""
+    import math
+
+    from transferdb_spark.ext.retrieval import (
+        B,
+        DEFAULT_QUERY,
+        IDF_SCALE,
+        K1,
+        bm25_topk,
+    )
+
+    got = bm25_topk(docs, k=15).collect()
+
+    corpus = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    n_docs = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n_docs
+    terms = list(dict.fromkeys(DEFAULT_QUERY))
+    df = {
+        w: sum(1 for t in corpus.values() if w in t) for w in terms
+    }
+    scores = {}
+    nt = {}
+    for d, toks in corpus.items():
+        s = 0.0
+        matched = 0
+        for w in terms:
+            tf = toks.count(w)
+            if tf == 0 or df[w] == 0:
+                continue
+            matched += 1
+            idf_q = math.floor(
+                math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5)) * IDF_SCALE
+                + 0.5
+            )
+            wgt = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * (len(toks) / avgdl)))
+            s += math.floor(idf_q * wgt / IDF_SCALE * 1e6 + 0.5) / 1e6
+        if matched:
+            scores[d] = round(s, 6)
+            nt[d] = matched
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [(r["doc_id"], r["n_terms"], round(r["score"], 6)) for r in got] == [
+        (d, nt[d], s) for d, s in want
+    ]
+
+
+def test_bm25_rare_term_outranks_common(spark, docs):
+    """The idf term must matter: querying only the rare token 'dup'
+    ranks docs containing it with a higher per-hit score than a
+    same-tf hit on a common token like 'merge'."""
+    from transferdb_spark.ext.retrieval import bm25_topk
+
+    rare = bm25_topk(docs, ("dup",), k=5).collect()
+    common = bm25_topk(docs, ("merge",), k=5).collect()
+    assert rare and common
+    assert rare[0]["score"] > common[0]["score"]
+
+
+def test_cluster_balanced_sample_quotas(spark, emb):
+    """Every cluster contributes exactly min(ceil(sqrt(size)), size)
+    vectors, hash-elected — and the subset is deterministic across
+    invocations (input-order independence)."""
+    import math
+
+    from transferdb_spark.ext.semdedup import cluster_balanced_sample
+
+    rows = cluster_balanced_sample(emb).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        size = members[0]["cluster_size"]
+        want = min(math.ceil(math.sqrt(size)), size)
+        assert len(members) == want, (cl, size, len(members))
+        assert all(m["quota"] == math.ceil(math.sqrt(size)) for m in members)
+    again = cluster_balanced_sample(emb).collect()
+    assert sorted(r["vec_id"] for r in again) == sorted(r["vec_id"] for r in rows)

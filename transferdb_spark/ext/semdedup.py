@@ -392,3 +392,64 @@ SELECT vec_id, cluster, kept_by, cosine FROM (
   FROM hits
 ) WHERE rn = 1
 """
+
+
+def cluster_balanced_sample(emb: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
+    """Diversity-preserving subset selection: keep ceil(sqrt(|cluster|))
+    vectors per semantic cluster, elected by portable-hash order.
+
+    The sqrt quota over-samples small clusters relative to proportional
+    sampling, so the long tail of rare topics survives while
+    mega-clusters are capped — the cluster-balanced selection recipe
+    the data-mixing literature pairs with SemDeDup-style clustering.
+    Hash election (not "first N") makes the subset independent of input
+    order and identical across engines.
+
+    Scale: one hash shuffle on the cluster key (shared with the size
+    window), then per-cluster windows — parallel across k clusters,
+    with |cluster| kept flat by `recommended_k`. sqrt and ceil are
+    correctly-rounded IEEE ops, so quotas are engine-exact."""
+    from pyspark.sql import Window
+
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    c = semdedup_clusters(emb, k, iters)
+    w = Window.partitionBy("cluster").orderBy("h", "vec_id")
+    return (
+        c.withColumn("h", portable_hash64(F.col("vec_id").cast("string")))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "quota",
+            F.ceil(F.sqrt(F.col("cluster_size").cast("double"))).cast("int"),
+        )
+        .where(F.col("rn") <= F.col("quota"))
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            "quota",
+        )
+        .orderBy("cluster", "vec_id")
+    )
+
+
+def cluster_balanced_sample_sql(k: int = K, iters: int = ITERS) -> str:
+    from transferdb_spark.functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH {_kmeans_ctes(k, iters)},
+cs AS (
+  SELECT vec_id, cluster, COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+  FROM aF
+),
+rk AS (
+  SELECT vec_id, cluster, cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY {h}, vec_id) AS rn,
+         CAST(ceil(sqrt(CAST(cluster_size AS DOUBLE))) AS INT) AS quota
+  FROM cs
+)
+SELECT vec_id, cluster, CAST(cluster_size AS INT) AS cluster_size, quota
+FROM rk WHERE rn <= quota
+ORDER BY cluster, vec_id
+"""
