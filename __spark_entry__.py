@@ -2971,6 +2971,23 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(_t(spark, sf_dir, "embeddings"))
 
 
+def quality_classifier_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier TRAINING (fastText-filter
+    analogue): hashed-unigram features, algebraic-sigmoid full-batch
+    GD, oracle replays all iterations — see ext/classifier.py."""
+    from transferdb_spark.ext.classifier import train_weights
+
+    return train_weights(_t(spark, sf_dir, "documents"))
+
+
+def quality_classifier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scoring with the trained quality classifier: top-k docs
+    by logit (exact cross-engine, no exp())."""
+    from transferdb_spark.ext.classifier import score_topk
+
+    return score_topk(_t(spark, sf_dir, "documents"))
+
+
 def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-preserving subset: ceil(sqrt(|cluster|)) vectors per
     semantic cluster, hash-elected — see ext/semdedup.py."""
@@ -4253,6 +4270,8 @@ def _ext_oracle_sql() -> dict[str, str]:
         "semdedup_clusters": _semdedup_sql()[0],
         "semdedup_prune": _semdedup_sql()[1],
         "cluster_balanced_sample": _cluster_balanced_sql(),
+        "quality_classifier_weights": _classifier_sql()[0],
+        "quality_classifier_topk": _classifier_sql()[1],
         "dsir_doc_scores": _dsir_sql()[0],
         "dsir_select_top": _dsir_sql()[1],
         "pack_sequences": _packing_sql()[0],
@@ -4301,6 +4320,12 @@ def _semdedup_sql() -> tuple[str, str]:
     from transferdb_spark.ext.semdedup import semdedup_clusters_sql, semdedup_prune_sql
 
     return semdedup_clusters_sql(), semdedup_prune_sql()
+
+
+def _classifier_sql() -> tuple[str, str]:
+    from transferdb_spark.ext.classifier import score_topk_sql, train_weights_sql
+
+    return train_weights_sql(), score_topk_sql()
 
 
 def _cluster_balanced_sql() -> str:
@@ -4481,6 +4506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample,
         "assess_ndv_sketch": assess_ndv_sketch,
         "cluster_balanced_sample": cluster_balanced_sample_q,
+        "quality_classifier_weights": quality_classifier_weights_q,
+        "quality_classifier_topk": quality_classifier_topk_q,
         "grouping_rollup": grouping_rollup,
         "anti_join_parts": anti_join_parts,
         "date_extract": date_extract,

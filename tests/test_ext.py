@@ -1481,3 +1481,67 @@ def test_cluster_balanced_sample_quotas(spark, emb):
         assert all(m["quota"] == math.ceil(math.sqrt(size)) for m in members)
     again = cluster_balanced_sample(emb).collect()
     assert sorted(r["vec_id"] for r in again) == sorted(r["vec_id"] for r in rows)
+
+
+def test_quality_classifier_matches_numpy_reference(spark, docs):
+    """Differential: distributed algebraic-sigmoid GD training == a
+    pure-numpy replica (same hashing, quantization, iteration count),
+    weight for weight; and the training loss strictly decreases over
+    iterations on the fixture corpus."""
+    import math
+
+    import numpy as np
+
+    from transferdb_spark.ext.classifier import (
+        D,
+        ITERS,
+        LR,
+        TARGET_SOURCE,
+        train_weights,
+    )
+    from transferdb_spark.functions.hashing import HEX_DIGITS
+    import hashlib
+
+    got = {r["bucket"]: r["weight"] for r in train_weights(docs).collect()}
+
+    def phash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:HEX_DIGITS], 16)
+
+    def q9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    rows = docs.select("doc_id", "source", "text").collect()
+    hits = {}  # doc_id -> (y, {bucket: x})
+    for r in rows:
+        toks = r["text"].strip().lower().split()
+        feats: dict[int, int] = {}
+        for t in toks:
+            b = phash(t) % D
+            feats[b] = feats.get(b, 0) + 1
+        feats[D] = 1  # bias
+        hits[r["doc_id"]] = (1 if r["source"] == TARGET_SOURCE else 0, feats)
+
+    n = len(hits)
+    w = np.zeros(D + 1)
+    losses = []
+    for _ in range(ITERS):
+        grad = np.zeros(D + 1)
+        loss = 0.0
+        for y, feats in hits.values():
+            # decimal-quantized contributions, exact like the engine
+            z = sum(q9(w[b] * x) for b, x in sorted(feats.items()))
+            z = float(z)
+            s = 0.5 + z / (2.0 * (1.0 + abs(z)))
+            err = s - float(y)
+            loss += (s - y) ** 2
+            for b, x in feats.items():
+                grad[b] += q9(err * x)
+        losses.append(loss / n)
+        w -= LR * (grad / n)
+    want = {b: math.floor(w[b] * 1e6 + 0.5) / 1e6 for b in range(D + 1)}
+
+    assert set(got) == set(want)
+    for b in got:
+        assert got[b] == pytest.approx(want[b], abs=2e-6), (b, got[b], want[b])
+    # algebraic-sigmoid GD actually learns on this corpus: monotone loss
+    assert all(l2 < l1 for l1, l2 in zip(losses, losses[1:])), losses

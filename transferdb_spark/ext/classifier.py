@@ -1,0 +1,224 @@
+"""Distributed quality-classifier training over the documents table.
+
+The discriminative counterpart to ext/dsir.py's generative importance
+weights: a CCNet/RefinedWeb-style quality filter — hashed unigram
+features, a linear model trained to separate the curated target slice
+(source == 'src0', the same weak label DSIR uses) from the rest of the
+corpus, then a corpus-wide scoring pass. fastText's quality-filter role,
+re-expressed as DataFrame algebra.
+
+Training is full-batch gradient descent with an ALGEBRAIC sigmoid
+s(z) = 0.5 + z / (2·(1 + |z|)) — same shape and gradient sign structure
+as the logistic curve, but built only from correctly-rounded IEEE ops
+(+, ×, /, abs). That choice is load-bearing: exp() is not correctly
+rounded, so a true logistic model could not be replayed bit-exactly by
+the DuckDB oracle; the algebraic sigmoid can, making the TRAINED WEIGHTS
+themselves hash-checkable (the same trick as the k-means replay in
+ext/semdedup.py and the unrolled-CTE BPE-trainer oracle).
+
+Cross-engine exactness of every order-sensitive reduction follows the
+house rules (functions/canonical.py): per-row contributions are
+stable_round(·, 9)-quantized and summed as DECIMAL(28,9) — dot products
+z = w·x and per-feature gradient sums both — so Spark's and DuckDB's
+different addition orders cannot diverge.
+
+Scale design (100 TB):
+- The feature pass is one explode + groupBy(doc_id, bucket) with
+  map-side combine; D (=256) bounds the model, not the corpus.
+- Each GD iteration: weights broadcast-join onto the hits (D rows),
+  one shuffle keyed on doc_id for the logit, one groupBy(bucket)
+  collapsing to ≤D+1 rows per task before the exchange. The driver
+  collects exactly D+1 gradient floats per iteration — a legal small
+  aggregate, never row data (the k-means precedent).
+- A production run would persist the hits relation across the T
+  iterations; a query-registry callable has no unpersist point, so the
+  callable recomputes it (same reasoning as quality_prune_deciles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transferdb_spark.ext.text import TOKENS, TOKENS_SQL
+from transferdb_spark.functions.canonical import stable_round, stable_round_sql
+from transferdb_spark.functions.hashing import portable_hash64, portable_hash64_sql
+
+D = 256  # hashed feature buckets; bucket D is the bias (x=1 per doc)
+ITERS = 5
+LR = 0.5
+TARGET_SOURCE = "src0"  # same weak label as ext/dsir.py
+_Q = 9  # contribution quantization digits (DECIMAL(28,9) headroom)
+
+
+def _hits(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, bucket, x): hashed-unigram counts + the bias row."""
+    base = docs.select(
+        "doc_id",
+        (F.col("source") == TARGET_SOURCE).cast("int").alias("y"),
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.expr(TOKENS)).alias("term")
+        )
+        .select(
+            "doc_id",
+            F.pmod(portable_hash64(F.col("term")), F.lit(D)).cast("int").alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    feats = base.join(tf, "doc_id").select("doc_id", "y", "bucket", "x")
+    bias = base.select(
+        "doc_id", "y", F.lit(D).alias("bucket"), F.lit(1).cast("long").alias("x")
+    )
+    return feats.unionByName(bias)
+
+
+def _dec(col):
+    return stable_round(col, _Q).cast(f"decimal(28,{_Q})")
+
+
+def train_weights(docs: DataFrame, iters: int = ITERS, lr: float = LR) -> DataFrame:
+    """T full-batch GD iterations; returns (bucket, weight) — D+1 rows.
+
+    weight is stable_round(·, 6)-quantized at the output boundary."""
+    spark = docs.sparkSession
+    hits = _hits(docs)
+    n_docs = docs.count()  # scalar, driver-side like the SQL twin's CROSS JOIN n
+    w = {b: 0.0 for b in range(D + 1)}
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(b, float(v)) for b, v in sorted(w.items())], "bucket int, w double"
+        )
+        z = (
+            hits.join(F.broadcast(wdf), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(_dec(F.col("w") * F.col("x"))).cast("double").alias("z"))
+        )
+        err = z.select(
+            "doc_id",
+            (
+                F.lit(0.5)
+                + F.col("z") / (F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z"))))
+                - F.col("y").cast("double")
+            ).alias("err"),
+        )
+        grads = (
+            hits.join(err, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(_dec(F.col("err") * F.col("x"))).cast("double").alias("g"))
+            .collect()  # <= D+1 rows: model-sized, corpus-independent
+        )
+        for r in grads:
+            w[r["bucket"]] = w[r["bucket"]] - lr * (r["g"] / float(n_docs))
+    rows = [(b, float(v)) for b, v in sorted(w.items())]
+    out = spark.createDataFrame(rows, "bucket int, weight double")
+    return out.select(
+        "bucket", stable_round("weight", 6).alias("weight")
+    ).orderBy("bucket")
+
+
+def score_topk(
+    docs: DataFrame, iters: int = ITERS, lr: float = LR, k: int = 20
+) -> DataFrame:
+    """(doc_id, y, score): top-k docs by trained-classifier logit.
+
+    The logit (not the sigmoid) is the exposed score — monotone in it,
+    and exact across engines without touching exp()."""
+    w = train_weights(docs, iters, lr)
+    scored = (
+        _hits(docs)
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.sum(_dec(F.col("weight") * F.col("x"))).cast("double").alias("score")
+        )
+    )
+    return scored.select(
+        "doc_id", "y", stable_round("score", 6).alias("score")
+    ).orderBy(F.col("score").desc(), "doc_id").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins: training unrolled as one CTE chain per iteration
+
+
+def _bucket_sql(expr: str) -> str:
+    return f"CAST({portable_hash64_sql(expr)} % {D} AS INT)"
+
+
+def _dec_sql(expr: str) -> str:
+    return f"CAST({stable_round_sql(expr, _Q)} AS DECIMAL(28,{_Q}))"
+
+
+def _train_ctes(iters: int = ITERS, lr: float = LR) -> str:
+    """hits/n + w0..w{iters} CTEs; w{iters} is the trained model."""
+    parts = [
+        f"""hits AS MATERIALIZED (
+  SELECT doc_id, y, bucket, COUNT(*) AS x FROM (
+    SELECT doc_id,
+           CASE WHEN source = '{TARGET_SOURCE}' THEN 1 ELSE 0 END AS y,
+           {_bucket_sql("u.tok")} AS bucket
+    FROM (SELECT doc_id, source, {TOKENS_SQL} AS t FROM documents),
+         UNNEST(t) AS u(tok)
+  ) GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT doc_id, CASE WHEN source = '{TARGET_SOURCE}' THEN 1 ELSE 0 END, {D}, 1
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+w0 AS MATERIALIZED (SELECT u.b AS bucket, 0.0::DOUBLE AS w
+       FROM UNNEST(generate_series(0, {D})) AS u(b))"""
+    ]
+    for i in range(iters):
+        parts.append(f"""z{i} AS (
+  SELECT h.doc_id, h.y,
+         CAST(SUM({_dec_sql("w.w * h.x")}) AS DOUBLE) AS z
+  FROM hits h JOIN w{i} w USING (bucket) GROUP BY 1, 2
+),
+e{i} AS (
+  SELECT doc_id,
+         (0.5 + z / (2.0 * (1.0 + abs(z)))) - CAST(y AS DOUBLE) AS err
+  FROM z{i}
+),
+g{i} AS (
+  SELECT h.bucket, CAST(SUM({_dec_sql("e.err * h.x")}) AS DOUBLE) AS g
+  FROM hits h JOIN e{i} e USING (doc_id) GROUP BY 1
+),
+w{i + 1} AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: w{i} is referenced by both z{i} and
+  -- this CTE; DuckDB inlines multiply-referenced CTEs, which would
+  -- recompute the whole chain 2^T times (see functions/canonical.py
+  -- cluster-oracle note).
+  SELECT w.bucket, w.w - {lr} * (COALESCE(g.g, 0.0) / CAST(n.n AS DOUBLE)) AS w
+  FROM w{i} w LEFT JOIN g{i} g USING (bucket) CROSS JOIN n
+)""")
+    return ",\n".join(parts)
+
+
+def train_weights_sql(iters: int = ITERS, lr: float = LR) -> str:
+    return f"""
+WITH {_train_ctes(iters, lr)}
+SELECT bucket, CAST({stable_round_sql("w", 6)} AS DOUBLE) AS weight
+FROM w{iters}
+ORDER BY bucket
+"""
+
+
+def score_topk_sql(iters: int = ITERS, lr: float = LR, k: int = 20) -> str:
+    return f"""
+WITH {_train_ctes(iters, lr)},
+sc AS (
+  SELECT h.doc_id, h.y,
+         CAST(SUM({_dec_sql("w.w * h.x")}) AS DOUBLE) AS s
+  FROM hits h JOIN (
+    SELECT bucket, CAST({stable_round_sql("w", 6)} AS DOUBLE) AS w FROM w{iters}
+  ) w USING (bucket)
+  GROUP BY 1, 2
+)
+SELECT doc_id, y, CAST({stable_round_sql("s", 6)} AS DOUBLE) AS score
+FROM sc
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
