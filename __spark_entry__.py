@@ -2971,6 +2971,15 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(_t(spark, sf_dir, "embeddings"))
 
 
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters over tokens: d x w mergeable
+    sketch, broadcast probe, exact count + one-sided overestimate
+    alongside — see ext/sketches.py."""
+    from transferdb_spark.ext.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
 def quality_classifier_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed quality-classifier TRAINING (fastText-filter
     analogue): hashed-unigram features, algebraic-sigmoid full-batch
@@ -4270,6 +4279,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "semdedup_clusters": _semdedup_sql()[0],
         "semdedup_prune": _semdedup_sql()[1],
         "cluster_balanced_sample": _cluster_balanced_sql(),
+        "cms_heavy_hitters": _cms_sql(),
         "quality_classifier_weights": _classifier_sql()[0],
         "quality_classifier_topk": _classifier_sql()[1],
         "dsir_doc_scores": _dsir_sql()[0],
@@ -4320,6 +4330,12 @@ def _semdedup_sql() -> tuple[str, str]:
     from transferdb_spark.ext.semdedup import semdedup_clusters_sql, semdedup_prune_sql
 
     return semdedup_clusters_sql(), semdedup_prune_sql()
+
+
+def _cms_sql() -> str:
+    from transferdb_spark.ext.sketches import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql()
 
 
 def _classifier_sql() -> tuple[str, str]:
@@ -4506,6 +4522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample,
         "assess_ndv_sketch": assess_ndv_sketch,
         "cluster_balanced_sample": cluster_balanced_sample_q,
+        "cms_heavy_hitters": cms_heavy_hitters_q,
         "quality_classifier_weights": quality_classifier_weights_q,
         "quality_classifier_topk": quality_classifier_topk_q,
         "grouping_rollup": grouping_rollup,

@@ -1545,3 +1545,24 @@ def test_quality_classifier_matches_numpy_reference(spark, docs):
         assert got[b] == pytest.approx(want[b], abs=2e-6), (b, got[b], want[b])
     # algebraic-sigmoid GD actually learns on this corpus: monotone loss
     assert all(l2 < l1 for l1, l2 in zip(losses, losses[1:])), losses
+
+
+def test_cms_heavy_hitters_one_sided_and_mergeable(spark, docs):
+    """CMS guarantees: est >= exact for every probed term; the sketch
+    built on the union of two disjoint halves equals cell-wise the sum
+    of the two half-sketches (mergeability — why sketches scale)."""
+    from transferdb_spark.ext.sketches import cms_heavy_hitters, cms_sketch
+
+    hh = cms_heavy_hitters(docs).collect()
+    assert hh and all(r["overestimate"] >= 0 for r in hh)
+
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    whole = {(r["row"], r["col"]): r["cnt"] for r in cms_sketch(docs).collect()}
+    sa = {(r["row"], r["col"]): r["cnt"] for r in cms_sketch(a).collect()}
+    sb = {(r["row"], r["col"]): r["cnt"] for r in cms_sketch(b).collect()}
+    merged: dict = {}
+    for d in (sa, sb):
+        for cell, c in d.items():
+            merged[cell] = merged.get(cell, 0) + c
+    assert merged == whole
