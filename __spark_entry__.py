@@ -2971,6 +2971,16 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(_t(spark, sf_dir, "embeddings"))
 
 
+def hybrid_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 candidate set re-ranked by embedding
+    cosine to the query vector — see ext/retrieval.py."""
+    from transferdb_spark.ext.retrieval import hybrid_search_topk
+
+    return hybrid_search_topk(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
 def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch heavy hitters over tokens: d x w mergeable
     sketch, broadcast probe, exact count + one-sided overestimate
@@ -4280,6 +4290,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "semdedup_prune": _semdedup_sql()[1],
         "cluster_balanced_sample": _cluster_balanced_sql(),
         "cms_heavy_hitters": _cms_sql(),
+        "hybrid_search_topk": _hybrid_sql(),
         "quality_classifier_weights": _classifier_sql()[0],
         "quality_classifier_topk": _classifier_sql()[1],
         "dsir_doc_scores": _dsir_sql()[0],
@@ -4330,6 +4341,12 @@ def _semdedup_sql() -> tuple[str, str]:
     from transferdb_spark.ext.semdedup import semdedup_clusters_sql, semdedup_prune_sql
 
     return semdedup_clusters_sql(), semdedup_prune_sql()
+
+
+def _hybrid_sql() -> str:
+    from transferdb_spark.ext.retrieval import hybrid_search_topk_sql
+
+    return hybrid_search_topk_sql()
 
 
 def _cms_sql() -> str:
@@ -4523,6 +4540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assess_ndv_sketch": assess_ndv_sketch,
         "cluster_balanced_sample": cluster_balanced_sample_q,
         "cms_heavy_hitters": cms_heavy_hitters_q,
+        "hybrid_search_topk": hybrid_search_topk_q,
         "quality_classifier_weights": quality_classifier_weights_q,
         "quality_classifier_topk": quality_classifier_topk_q,
         "grouping_rollup": grouping_rollup,

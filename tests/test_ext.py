@@ -1566,3 +1566,19 @@ def test_cms_heavy_hitters_one_sided_and_mergeable(spark, docs):
         for cell, c in d.items():
             merged[cell] = merged.get(cell, 0) + c
     assert merged == whole
+
+
+def test_hybrid_search_rerank_semantics(spark, docs, emb):
+    """The hybrid result is exactly: BM25 top-N candidates, re-ranked
+    by cosine — every returned doc must be in the lexical candidate
+    set, ordered by cosine not by bm25."""
+    from transferdb_spark.ext.retrieval import bm25_topk, hybrid_search_topk
+
+    cands = {r["doc_id"] for r in bm25_topk(docs, k=50).collect()}
+    got = hybrid_search_topk(docs, emb).collect()
+    assert len(got) == 10
+    assert all(r["doc_id"] in cands for r in got)
+    cosines = [r["cosine"] for r in got]
+    assert cosines == sorted(cosines, reverse=True)
+    bm = [r["bm25"] for r in got]
+    assert bm != sorted(bm, reverse=True)  # rerank actually reordered

@@ -162,3 +162,63 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT {k}
 """
+
+
+def hybrid_search_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    n_candidates: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval: lexical recall, semantic precision.
+
+    Stage 1 takes the BM25 top-N as a candidate set (cheap, posting-
+    list-bounded); stage 2 re-ranks the N survivors by embedding cosine
+    to the query vector. Only N rows ever touch the vector kernel — at
+    100 TB the candidate stage is what scales (or swaps for the LSH/IVF
+    ANN index in ext/similarity.py), while the re-rank is a broadcast
+    join over a model-sized set. Returns (doc_id, bm25, cosine) ordered
+    by cosine DESC, doc_id."""
+    from transferdb_spark.ext.similarity import cosine_expr
+
+    cands = bm25_topk(docs, query_terms, k=n_candidates).where(
+        F.col("doc_id") != query_vec_id
+    )
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    return (
+        emb.join(F.broadcast(cands), emb["vec_id"] == cands["doc_id"])
+        .join(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.col("score").alias("bm25"),
+            cosine_expr("embedding", "qvec").cast("double").alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def hybrid_search_topk_sql(
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    n_candidates: int = 50,
+    k: int = 10,
+) -> str:
+    from transferdb_spark.ext.similarity import cosine_sql
+
+    return f"""
+WITH bm AS MATERIALIZED (
+  SELECT * FROM ({bm25_topk_sql(query_terms, n_candidates)}) WHERE doc_id <> {query_vec_id}
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT bm.doc_id,
+       bm.score AS bm25,
+       CAST({cosine_sql('e.embedding', 'qvec')} AS DOUBLE) AS cosine
+FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id CROSS JOIN q
+ORDER BY cosine DESC, doc_id
+LIMIT {k}
+"""
