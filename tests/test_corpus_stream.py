@@ -161,3 +161,46 @@ def test_media_feature_stream_extracts_real_features(spark, tmp_path):
     assert all(len(f) > 8 and float(np.abs(f).sum()) > 0 for f in feats)
     # same pixels, two codecs: near-identical features
     assert float(np.abs(feats[0] - feats[1]).max()) < 0.05
+
+
+def test_streaming_cms_matches_batch_and_compacts(spark, tmp_path, docs):
+    """Mergeability end-to-end: stream the documents in small file
+    drops, land per-batch partial sketches, and the cell-wise merged
+    state must equal the one-shot batch sketch; compaction folds the
+    partials without changing a single cell."""
+    import os
+
+    from transferdb_spark.ext.sketches import cms_sketch
+    from transferdb_spark.streaming.corpus import stream_documents
+    from transferdb_spark.streaming.hotkeys import (
+        compact_sketch,
+        ingest_sketch_stream,
+        sketch_current_state,
+    )
+
+    src = str(tmp_path / "drops")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    sink = str(tmp_path / "sketch")
+    q = ingest_sketch_stream(
+        stream_documents(spark, src, schema=docs.schema, max_files_per_trigger=1),
+        sink,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    want = {(r["row"], r["col"]): r["cnt"] for r in cms_sketch(docs).collect()}
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in sketch_current_state(spark, sink).collect()
+    }
+    assert got == want
+    n_batches = len([d for d in os.listdir(sink) if d.startswith("batch_id=")])
+    assert n_batches >= 2  # maxFilesPerTrigger=1 over 4 files
+
+    removed = compact_sketch(spark, sink)
+    assert removed == n_batches
+    after = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in sketch_current_state(spark, sink).collect()
+    }
+    assert after == want
