@@ -258,3 +258,22 @@ def test_cli_explain_mode(capsys, spark):
     assert "q1_pricing_summary" in out["queries"]
     out2 = run_cli(["--mode", "explain", "--query", "q1_pricing_summary"], capsys)
     assert out2["query"] == "q1_pricing_summary"
+
+
+def test_cli_search_mode(tmp_path, capsys, spark):
+    wd = str(tmp_path / "wd")
+    out = run_cli(
+        ["--mode", "search", "--workdir", wd, "--terms", "spark,dup", "--topk", "5"],
+        capsys,
+    )
+    assert out["hits"] == 5 and len(out["results"]) == 5
+    scores = [r["score"] for r in out["results"]]
+    assert scores == sorted(scores, reverse=True)
+    assert spark.read.parquet(out["results_path"]).count() == 5
+
+    out = run_cli(
+        ["--mode", "search", "--workdir", wd, "--terms", "spark,dup", "--hybrid"],
+        capsys,
+    )
+    assert out["hybrid"] is True and out["hits"] == 10
+    assert {"doc_id", "bm25", "cosine"} <= set(out["results"][0])

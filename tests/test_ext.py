@@ -1582,3 +1582,68 @@ def test_hybrid_search_rerank_semantics(spark, docs, emb):
     assert cosines == sorted(cosines, reverse=True)
     bm = [r["bm25"] for r in got]
     assert bm != sorted(bm, reverse=True)  # rerank actually reordered
+
+
+def test_retrieval_and_cms_on_adversarial_corpora(spark):
+    """Seeded random corpora with edge content (empty text, whitespace
+    runs, single-token docs, query terms absent entirely): BM25 still
+    matches the brute-force reference and CMS stays one-sided."""
+    import math
+    import random
+
+    from transferdb_spark.ext.retrieval import B, IDF_SCALE, K1, bm25_topk
+    from transferdb_spark.ext.sketches import cms_heavy_hitters
+
+    rng = random.Random(20260814)
+    vocab = ["spark", "window", "merge", "dup", "zz", "q"]
+    for trial in range(3):
+        rows = []
+        for d in range(40):
+            kind = rng.random()
+            if kind < 0.1:
+                text = ""
+            elif kind < 0.2:
+                text = "   "
+            elif kind < 0.3:
+                text = rng.choice(vocab)
+            else:
+                text = "  ".join(
+                    rng.choice(vocab) for _ in range(rng.randrange(1, 30))
+                )
+            rows.append((d, text))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = bm25_topk(docs, ("spark", "dup", "absent_term"), k=10).collect()
+
+        import re
+
+        # engine tokenization convention: split(trim(lower(text)), '\s+')
+        # yields [''] for empty/whitespace-only text (dl=1), not []
+        corpus = {d: re.split(r"\s+", t.strip().lower()) for d, t in rows}
+        n = len(corpus)
+        avgdl = sum(len(t) for t in corpus.values()) / n
+        terms = ["spark", "dup", "absent_term"]
+        df = {w: sum(1 for t in corpus.values() if w in t) for w in terms}
+        scores, nt = {}, {}
+        for d, toks in corpus.items():
+            s, m = 0.0, 0
+            for w in terms:
+                tf = toks.count(w)
+                if tf == 0:
+                    continue
+                m += 1
+                idf_q = math.floor(
+                    math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5)) * IDF_SCALE + 0.5
+                )
+                wgt = (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * (len(toks) / avgdl))
+                )
+                s += math.floor(idf_q * wgt / IDF_SCALE * 1e6 + 0.5) / 1e6
+            if m:
+                scores[d], nt[d] = round(s, 6), m
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert [(r["doc_id"], r["n_terms"], round(r["score"], 6)) for r in got] == [
+            (d, nt[d], s) for d, s in want
+        ], f"trial {trial}"
+
+        hh = cms_heavy_hitters(docs, k=10).collect()
+        assert all(r["overestimate"] >= 0 for r in hh), f"trial {trial}"

@@ -4,7 +4,9 @@
 
 Modes: prepare | assess | reverse | check | compare | csv | full | all
 | retry (re-run only FAILED chunks from the persisted plan)
-| compact (rewrite the CDC change log to its live-key snapshot).
+| compact (rewrite the CDC change log to its live-key snapshot)
+| prune (quality-prune the corpus) | search (BM25 / hybrid retrieval)
+| export | optimize | explain.
 Fixture-backed (parquet source dirs); JDBC endpoints plug in through
 transferdb_spark.sources.jdbc when drivers are present.
 """
@@ -25,12 +27,16 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "prepare", "assess", "reverse", "check", "compare",
             "csv", "full", "all", "retry", "compact", "export",
-            "optimize", "explain", "prune",
+            "optimize", "explain", "prune", "search",
         ],
     )
     p.add_argument("--keep-deciles", type=int, default=3, help="prune: top lm-score deciles to keep")
     p.add_argument("--per-lang", action="store_true", help="prune: per-language quartile stratification")
     p.add_argument("--query", default="", help="explain: queries() entry name (empty = list)")
+    p.add_argument("--terms", default="", help="search: comma-separated query terms")
+    p.add_argument("--topk", type=int, default=10, help="search: result count")
+    p.add_argument("--hybrid", action="store_true", help="search: re-rank BM25 candidates by embedding cosine")
+    p.add_argument("--query-vec", type=int, default=0, help="search --hybrid: query vector id")
     p.add_argument("--path", default="", help="optimize: parquet dir to compact")
     p.add_argument("--target-mb", type=int, default=128)
     p.add_argument(
@@ -280,6 +286,21 @@ def main(argv: list[str] | None = None) -> int:
                 args.workdir,
                 keep_deciles=args.keep_deciles,
                 per_lang=args.per_lang,
+            )
+        )
+
+    elif args.mode == "search":
+        from transferdb_spark.modes.search import search_corpus
+
+        out.update(
+            search_corpus(
+                spark,
+                args.source_dir,
+                [t for t in args.terms.split(",") if t],
+                k=args.topk,
+                hybrid=args.hybrid,
+                query_vec_id=args.query_vec,
+                workdir=args.workdir,
             )
         )
 
