@@ -20,7 +20,7 @@ from transferdb_spark.operators.checksum import chunk_checksums
 from transferdb_spark.operators.compare_fixture import MUTATED_TARGET_SQL, mutated_target
 from transferdb_spark.operators.normalize import normalize_projection, normalize_projection_sql
 from transferdb_spark.plans.chunker import with_chunk_id
-from transferdb_spark.functions.canonical import row_string_sql
+from transferdb_spark.functions.canonical import row_string_sql, stable_round, stable_round_sql
 from transferdb_spark.functions.hashing import portable_hash64_sql
 from transferdb_spark.sources.registry import TABLES, load_table
 
@@ -2382,6 +2382,50 @@ LIMIT 20
 """
 
 
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, seedless and engine-
+    stable: sequential Poisson sampling (Ohlsson) — key = u / w with
+    u = (portable_hash + 1) / 2^40, take the k smallest keys. Bigger
+    weight (here n_chars, any quality score works) → smaller key →
+    selected; re-runs and engines agree exactly because the key is two
+    correctly-rounded IEEE divisions over exact integers — no rand(),
+    no ln()/pow() (the Efraimidis-Spirakis u^(1/w) key would not be
+    engine-exact). Top-k compiles to TakeOrderedAndProject; at 100 TB
+    this is one narrow scan + one model-sized ordered take."""
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    key = (
+        (h + F.lit(1)).cast("double")
+        / F.lit(1099511627776.0)  # 2^40: hash width
+        / F.col("n_chars").cast("double")
+    )
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            stable_round(key, 15).alias("key"),
+        )
+        .orderBy("key", "doc_id")
+        .limit(50)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars AS weight,
+       {stable_round_sql(
+           "CAST(" + portable_hash64_sql("CAST(doc_id AS VARCHAR)")
+           + " + 1 AS DOUBLE) / 1099511627776.0 / CAST(n_chars AS DOUBLE)", 15
+       )} AS key
+FROM documents
+WHERE n_chars > 0
+ORDER BY key, doc_id
+LIMIT 50
+"""
+
+
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline sampling: hash-gated, seedless, and stable —
     membership depends only on the key, so re-runs, engines, and
@@ -4536,6 +4580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- fill to 50
         "deterministic_sample": deterministic_sample,
         # ---------------- below the driver's 50-query fold ----------------
+        "weighted_sample_topk": weighted_sample_topk,
         "stratified_sample": stratified_sample,
         "assess_ndv_sketch": assess_ndv_sketch,
         "cluster_balanced_sample": cluster_balanced_sample_q,
@@ -4694,6 +4739,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": Q11_SQL,
         "q21_last_shippers": Q21_SQL,
         "bm25_topk": _bm25_sql(),
+        "weighted_sample_topk": WEIGHTED_SAMPLE_SQL,
         "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "vocab_topn": _vocab_sql(),

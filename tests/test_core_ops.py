@@ -1043,3 +1043,26 @@ def test_merge_snapshot_union_evolution(spark, sf_dir, tmp_path):
     write_snapshot(orders, base2, stat_cols=["o_orderkey"])
     with pytest.raises(ValueError, match="evolution='union'"):
         merge_snapshot(spark, base2, batch, "o_orderkey")
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """Sequential Poisson sampling: selection probability must rise
+    with weight — the mean n_chars of the 50 selected docs exceeds the
+    corpus mean, and the sample is deterministic across invocations."""
+    import __spark_entry__ as entry
+
+    a = entry.weighted_sample_topk(spark, sf_dir).collect()
+    b = entry.weighted_sample_topk(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    sel_mean = sum(r["weight"] for r in a) / len(a)
+    from transferdb_spark.sources.registry import load_table
+    import pyspark.sql.functions as F
+
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert sel_mean > corpus_mean
+    keys = [r["key"] for r in a]
+    assert keys == sorted(keys)
