@@ -4526,8 +4526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assess_join_skew": assess_join_skew,
         "assess_schema_overview": assess_schema_overview,
         "assess_topn": assess_topn,
-        "assess_distribution": assess_distribution,
-        "assess_threshold": assess_threshold,
+        "quality_classifier_weights": quality_classifier_weights_q,
+        "hybrid_search_topk": hybrid_search_topk_q,
         "assess_storage_size": assess_storage_size,
         "listagg_nation_customers": listagg_nation_customers,
         "window_topk_orders": window_topk_orders,
@@ -4583,10 +4583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_topk": weighted_sample_topk,
         "stratified_sample": stratified_sample,
         "assess_ndv_sketch": assess_ndv_sketch,
+        "assess_distribution": assess_distribution,
+        "assess_threshold": assess_threshold,
         "cluster_balanced_sample": cluster_balanced_sample_q,
         "cms_heavy_hitters": cms_heavy_hitters_q,
-        "hybrid_search_topk": hybrid_search_topk_q,
-        "quality_classifier_weights": quality_classifier_weights_q,
         "quality_classifier_topk": quality_classifier_topk_q,
         "grouping_rollup": grouping_rollup,
         "anti_join_parts": anti_join_parts,
