@@ -3015,6 +3015,14 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(_t(spark, sf_dir, "embeddings"))
 
 
+def bm25_phrase_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase BM25: row-local positional match (array expression,
+    zero-shuffle phrase counting) — see ext/retrieval.py."""
+    from transferdb_spark.ext.retrieval import bm25_phrase_topk
+
+    return bm25_phrase_topk(_t(spark, sf_dir, "documents"))
+
+
 def hybrid_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 candidate set re-ranked by embedding
     cosine to the query vector — see ext/retrieval.py."""
@@ -4335,6 +4343,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "cluster_balanced_sample": _cluster_balanced_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "hybrid_search_topk": _hybrid_sql(),
+        "bm25_phrase_topk": _phrase_sql(),
         "quality_classifier_weights": _classifier_sql()[0],
         "quality_classifier_topk": _classifier_sql()[1],
         "dsir_doc_scores": _dsir_sql()[0],
@@ -4385,6 +4394,12 @@ def _semdedup_sql() -> tuple[str, str]:
     from transferdb_spark.ext.semdedup import semdedup_clusters_sql, semdedup_prune_sql
 
     return semdedup_clusters_sql(), semdedup_prune_sql()
+
+
+def _phrase_sql() -> str:
+    from transferdb_spark.ext.retrieval import bm25_phrase_topk_sql
+
+    return bm25_phrase_topk_sql()
 
 
 def _hybrid_sql() -> str:
@@ -4587,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assess_threshold": assess_threshold,
         "cluster_balanced_sample": cluster_balanced_sample_q,
         "cms_heavy_hitters": cms_heavy_hitters_q,
+        "bm25_phrase_topk": bm25_phrase_topk_q,
         "quality_classifier_topk": quality_classifier_topk_q,
         "grouping_rollup": grouping_rollup,
         "anti_join_parts": anti_join_parts,

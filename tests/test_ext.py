@@ -1647,3 +1647,24 @@ def test_retrieval_and_cms_on_adversarial_corpora(spark):
 
         hh = cms_heavy_hitters(docs, k=10).collect()
         assert all(r["overestimate"] >= 0 for r in hh), f"trial {trial}"
+
+
+def test_bm25_phrase_counts_consecutive_only(spark):
+    """Phrase tf counts CONSECUTIVE matches only — a doc with both
+    words non-adjacent scores zero; overlapping repeats count each
+    starting position; short docs never error."""
+    from transferdb_spark.ext.retrieval import bm25_phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan merge table scan"),   # tf=2
+            (2, "table merge scan"),              # non-adjacent: tf=0
+            (3, "scan table"),                    # wrong order: tf=0
+            (4, "table"),                         # shorter than phrase
+            (5, ""),                              # empty
+            (6, "x table scan y"),                # tf=1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["tf"] for r in bm25_phrase_topk(docs, ("table", "scan")).collect()}
+    assert got == {1: 2, 6: 1}

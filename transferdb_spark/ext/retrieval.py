@@ -222,3 +222,117 @@ FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id CROSS JOIN q
 ORDER BY cosine DESC, doc_id
 LIMIT {k}
 """
+
+
+def _phrase_count_expr(m: int, eqs: str) -> str:
+    """Row-local phrase occurrence count over token array `t` — an
+    array expression, so phrase matching never shuffles positions:
+    count of i where toks[i..i+m-1] == phrase. Guarded for docs shorter
+    than the phrase (Spark's sequence(1, 0) DESCENDS; DuckDB's
+    generate_series(1, 0) is empty — the CASE keeps both at 0)."""
+    return (
+        f"CASE WHEN size(t) >= {m} THEN "
+        f"size(filter(sequence(1, size(t) - {m - 1}), i -> {eqs})) "
+        "ELSE 0 END"
+    )
+
+
+def bm25_phrase_topk(
+    docs: DataFrame,
+    phrase: tuple[str, ...] = ("table", "scan"),
+    k: int = 20,
+) -> DataFrame:
+    """Exact-phrase retrieval: the phrase scores as ONE BM25 term whose
+    tf is the row-local occurrence count (consecutive-token match) —
+    positional matching costs zero shuffle; only docs containing the
+    phrase reach the df aggregation and the ordered take.
+
+    Returns (doc_id, tf, score) ordered by score DESC, doc_id."""
+    m = len(phrase)
+    eqs = " AND ".join(
+        f"element_at(t, i + {j}) = '{w}'" for j, w in enumerate(phrase)
+    )
+    toks = _tokens(docs)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).alias("sum_dl"),
+    )
+    hits = toks.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        F.expr(_phrase_count_expr(m, eqs)).alias("tf"),
+    ).where(F.col("tf") > 0)
+    dfreq = hits.agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.crossJoin(F.broadcast(dfreq))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_micro", _idf_micro(F.col("n_docs"), F.col("df")))
+        .withColumn(
+            "w",
+            (F.col("tf").cast("double") * F.lit(K1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B)
+                    * (
+                        F.col("dl").cast("double")
+                        / (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
+                    )
+                )
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+            stable_round(
+                F.col("idf_micro").cast("double") * F.col("w") / F.lit(float(IDF_SCALE)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_phrase_topk_sql(
+    phrase: tuple[str, ...] = ("table", "scan"), k: int = 20
+) -> str:
+    m = len(phrase)
+    eqs = " AND ".join(f"t[i + {j}] = '{w}'" for j, w in enumerate(phrase))
+    count_expr = (
+        f"CASE WHEN len(t) >= {m} THEN "
+        f"len(list_filter(generate_series(1, len(t) - {m - 1}), i -> {eqs})) "
+        "ELSE 0 END"
+    )
+    w_expr = (
+        f"(CAST(tf AS DOUBLE) * {K1 + 1.0}) / "
+        f"(CAST(tf AS DOUBLE) + {K1} * ({1.0 - B} + {B} * "
+        f"(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    )
+    idf_expr = (
+        "CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        f" / (CAST(df AS DOUBLE) + 0.5)) * {float(IDF_SCALE)} + 0.5) AS BIGINT)"
+    )
+    score = stable_round_sql(
+        f"CAST({idf_expr} AS DOUBLE) * {w_expr} / {float(IDF_SCALE)}", 6
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS sum_dl FROM toks),
+hits AS (
+  SELECT doc_id, len(t) AS dl, {count_expr} AS tf
+  FROM toks
+),
+ph AS (SELECT * FROM hits WHERE tf > 0),
+dfreq AS (SELECT COUNT(*) AS df FROM ph)
+SELECT doc_id, CAST(tf AS INT) AS tf, CAST({score} AS DOUBLE) AS score
+FROM ph CROSS JOIN dfreq CROSS JOIN stats
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
