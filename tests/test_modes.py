@@ -1120,3 +1120,39 @@ def test_prune_mode_lifecycle_and_snapshot(spark, sf_dir, workdir):
     assert persistent_ids() <= before
     assert s2["mode"] == "per_lang_quartile"
     assert 0 < s2["docs_kept"] < s2["docs_clean"]
+
+
+def test_prune_mode_classifier_scorer(spark, sf_dir, workdir):
+    """prune --scorer classifier: the discriminative quality signal
+    drives the same clean -> rank -> keep flow, same lifecycle contract
+    (no leaked cache), and selects a genuinely different slice than the
+    bigram-LM scorer on the fixture corpus."""
+    from transferdb_spark.modes.prune import prune_corpus
+    from transferdb_spark.state.snapshots import read_snapshot
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persistent_ids()
+    s = prune_corpus(spark, sf_dir, workdir, keep_deciles=3, scorer="classifier")
+    assert persistent_ids() <= before
+    assert s["scorer"] == "classifier"
+    assert 0 < s["docs_kept"] <= s["docs_clean"] <= s["docs_total"]
+    assert abs(s["docs_kept"] - 0.3 * s["docs_clean"]) <= 0.05 * s["docs_clean"] + 2
+
+    kept_cls = {
+        r["doc_id"]
+        for r in read_snapshot(spark, s["snapshot_dir"], s["snapshot_version"])
+        .select("doc_id")
+        .collect()
+    }
+    s_lm = prune_corpus(
+        spark, sf_dir, str(workdir) + "_lm", keep_deciles=3, scorer="bigram_lm"
+    )
+    kept_lm = {
+        r["doc_id"]
+        for r in read_snapshot(spark, s_lm["snapshot_dir"], s_lm["snapshot_version"])
+        .select("doc_id")
+        .collect()
+    }
+    assert kept_cls != kept_lm

@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--keep-deciles", type=int, default=3, help="prune: top lm-score deciles to keep")
     p.add_argument("--per-lang", action="store_true", help="prune: per-language quartile stratification")
+    p.add_argument("--scorer", default="bigram_lm", choices=["bigram_lm", "classifier"],
+                   help="prune: quality signal (corpus bigram LM or the trained quality classifier)")
     p.add_argument("--query", default="", help="explain: queries() entry name (empty = list)")
     p.add_argument("--terms", default="", help="search: comma-separated query terms")
     p.add_argument("--topk", type=int, default=10, help="search: result count")
@@ -286,6 +288,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.workdir,
                 keep_deciles=args.keep_deciles,
                 per_lang=args.per_lang,
+                scorer=args.scorer,
             )
         )
 

@@ -119,13 +119,10 @@ def train_weights(docs: DataFrame, iters: int = ITERS, lr: float = LR) -> DataFr
     ).orderBy("bucket")
 
 
-def score_topk(
-    docs: DataFrame, iters: int = ITERS, lr: float = LR, k: int = 20
-) -> DataFrame:
-    """(doc_id, y, score): top-k docs by trained-classifier logit.
-
-    The logit (not the sigmoid) is the exposed score — monotone in it,
-    and exact across engines without touching exp()."""
+def classifier_scores(docs: DataFrame, iters: int = ITERS, lr: float = LR) -> DataFrame:
+    """(doc_id, y, score) for EVERY document: the trained-classifier
+    logit. The logit (not the sigmoid) is the exposed score — monotone
+    in it, and exact across engines without touching exp()."""
     w = train_weights(docs, iters, lr)
     scored = (
         _hits(docs)
@@ -135,9 +132,18 @@ def score_topk(
             F.sum(_dec(F.col("weight") * F.col("x"))).cast("double").alias("score")
         )
     )
-    return scored.select(
-        "doc_id", "y", stable_round("score", 6).alias("score")
-    ).orderBy(F.col("score").desc(), "doc_id").limit(k)
+    return scored.select("doc_id", "y", stable_round("score", 6).alias("score"))
+
+
+def score_topk(
+    docs: DataFrame, iters: int = ITERS, lr: float = LR, k: int = 20
+) -> DataFrame:
+    """(doc_id, y, score): top-k docs by trained-classifier logit."""
+    return (
+        classifier_scores(docs, iters, lr)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
 
 
 # ---------------------------------------------------------------------------

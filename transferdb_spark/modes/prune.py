@@ -52,13 +52,18 @@ def prune_corpus(
     keep_deciles: int = 3,
     per_lang: bool = False,
     write_snapshot: bool = True,
+    scorer: str = "bigram_lm",
 ) -> dict:
     """Clean -> score -> rank -> keep the top slice -> snapshot.
 
-    keep_deciles: global mode keeps the top N lm-score deciles;
+    keep_deciles: global mode keeps the top N score deciles;
     per_lang=True instead keeps the top quartile within every language
     (stratified — low-resource languages aren't starved by the global
-    distribution). Returns the JSON-able run summary."""
+    distribution). scorer picks the quality signal: "bigram_lm" (the
+    corpus-trained LM, predictability-style pruning) or "classifier"
+    (the discriminative quality classifier of ext/classifier.py —
+    CCNet-style kept-if-it-looks-curated). Returns the JSON-able run
+    summary."""
     from transferdb_spark.ext.text import bigram_lm_score
     from transferdb_spark.operators.ranking import global_ntile
     from transferdb_spark.sources.registry import load_table
@@ -69,7 +74,16 @@ def prune_corpus(
     kept_ids = _clean_gate(docs)
     clean = docs.join(kept_ids, "doc_id")
 
-    scores = bigram_lm_score(clean).select("doc_id", "lm_score")
+    if scorer == "classifier":
+        from transferdb_spark.ext.classifier import classifier_scores
+
+        scores = classifier_scores(clean).select(
+            "doc_id", F.col("score").alias("lm_score")
+        )
+    elif scorer == "bigram_lm":
+        scores = bigram_lm_score(clean).select("doc_id", "lm_score")
+    else:
+        raise SystemExit(f"unknown --scorer {scorer!r}")
     if per_lang:
         scores = scores.join(clean.select("doc_id", "lang"), "doc_id")
     # THE lifecycle point the registry callables document but cannot
@@ -92,6 +106,7 @@ def prune_corpus(
         pruned = clean.join(kept.select("doc_id"), "doc_id")
 
         summary: dict = {
+            "scorer": scorer,
             "mode": "per_lang_quartile" if per_lang else f"top_{keep_deciles}_deciles",
             "docs_total": n_total,
             "docs_clean": clean.count(),
