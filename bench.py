@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "split_leakage_check",
     "similarity_topk",
     "bm25_topk",
+    "bm25_phrase_topk",
+    "hybrid_search_topk",
+    "cms_heavy_hitters",
+    "weighted_sample_topk",
     "ann_topk_lsh",
     "embedding_neardup",
     "semdedup_prune",

@@ -1668,3 +1668,51 @@ def test_bm25_phrase_counts_consecutive_only(spark):
     )
     got = {r["doc_id"]: r["tf"] for r in bm25_phrase_topk(docs, ("table", "scan")).collect()}
     assert got == {1: 2, 6: 1}
+
+
+def test_png_adam7_sub_byte_depths(spark):
+    """Adam7-interlaced palette PNGs at bit depths 1/2/4 (the last PNG
+    decoder gap): hand-built files with known indices decode to the
+    exact palette colors at awkward geometries (partial passes, single
+    pixel)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from transferdb_spark.ext.multimodal import _ADAM7, _decode_png
+
+    def chunk(t, d):
+        c = struct.pack(">I", len(d)) + t + d
+        return c + struct.pack(">I", zlib.crc32(t + d))
+
+    def build(idx, plte, depth):
+        h, w = idx.shape
+        out = b"\x89PNG\r\n\x1a\n"
+        out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1))
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        raw = bytearray()
+        per_byte = 8 // depth
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            ph, pw = sub.shape
+            if ph == 0 or pw == 0:
+                continue
+            for y in range(ph):
+                b = bytearray((pw * depth + 7) // 8)
+                for x in range(pw):
+                    shift = 8 - depth * ((x % per_byte) + 1)
+                    b[x // per_byte] |= int(sub[y, x]) << shift
+                raw += b"\x00" + bytes(b)
+        out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+        out += chunk(b"IEND", b"")
+        return bytes(out)
+
+    rng = np.random.default_rng(3)
+    for depth, ncol in ((1, 2), (2, 4), (4, 16)):
+        for h, w in ((13, 9), (8, 8), (3, 17), (1, 1)):
+            plte = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+            idx = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+            px = _decode_png(build(idx, plte, depth))
+            assert px.shape == (h, w, 3)
+            assert np.array_equal(px, plte[idx]), (depth, h, w)

@@ -305,11 +305,10 @@ def _decode_png(buf: bytes) -> np.ndarray:
     un-filtering): 8/16-bit truecolor (type 2), truecolor+alpha
     (type 6, alpha dropped), grayscale (type 0), PALETTE (type 3, at
     depth 1/2/4/8 via bit unpacking + PLTE lookup), and Adam7
-    interlace at byte-aligned depths (16-bit decodes via high-byte
-    downscale). Only sub-byte Adam7 raises NotImplementedError — swap
-    in Pillow for that (and for throughput: Sub/Paeth un-filtering has
-    a per-pixel left dependency, fine for fixtures, vectorized C in
-    production)."""
+    interlace at EVERY supported depth, sub-byte included (16-bit
+    decodes via high-byte downscale). Swap in Pillow for throughput:
+    Sub/Paeth un-filtering has a per-pixel left dependency, fine for
+    fixtures, vectorized C in production."""
     import zlib
 
     pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
@@ -338,8 +337,10 @@ def _decode_png(buf: bytes) -> np.ndarray:
         )
     if color == 3 and plte is None:
         raise NotImplementedError("palette PNG without PLTE")
-    if interlace == 1 and depth < 8:
-        raise NotImplementedError("Adam7 at sub-byte depth")
+    # sub-byte Adam7 needs no special case: each pass is an independent
+    # sub-image, its stride rounds (pw*depth*ch) up to whole bytes, and
+    # the palette bit-unpacker below already slices [:, :width] past the
+    # final byte's padding bits
     # filtering operates on BYTES with the left-neighbour offset equal
     # to the (whole) bytes per pixel — 1 for gray/indexed, incl.
     # sub-byte depths (PNG spec: bpp rounds up to 1)
