@@ -1156,3 +1156,44 @@ def test_prune_mode_classifier_scorer(spark, sf_dir, workdir):
         .collect()
     }
     assert kept_cls != kept_lm
+
+
+def test_pipeline_mode_end_to_end(spark, sf_dir, workdir):
+    """pipeline mode: raw corpus -> clean -> prune -> split ->
+    decontaminate -> train-split BPE -> packed bins per split. Counts
+    are monotone through the funnel, bins conserve every encoded token
+    (concat-and-chunk loses nothing), every non-final bin is exactly
+    the budget, and no cached relation leaks."""
+    import json
+    import os
+
+    from transferdb_spark.modes.pipeline import build_training_corpus
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persistent_ids()
+    m = build_training_corpus(spark, sf_dir, str(workdir), budget=64)
+    assert persistent_ids() <= before
+
+    assert (
+        m["docs_raw"]
+        >= m["docs_clean"]
+        >= m["docs_pruned"]
+        >= m["docs_decontaminated"]
+        > 0
+    )
+    assert m["bpe_vocab"] <= 280
+    assert set(m["bins"]) == {"train", "val", "test"}
+    assert m["bins"]["train"]["n_tokens"] > m["bins"]["val"]["n_tokens"]
+
+    # token conservation + budget-exact bins, per split
+    for split, st in m["bins"].items():
+        bins = spark.read.parquet(os.path.join(m["bins_dir"], f"split={split}"))
+        rows = bins.select("bin_id", "n_tokens").collect()
+        assert sum(r["n_tokens"] for r in rows) == st["n_tokens"]
+        if rows:
+            last = max(r["bin_id"] for r in rows)
+            assert all(r["n_tokens"] == 64 for r in rows if r["bin_id"] != last)
+
+    assert json.load(open(m["manifest_path"]))["docs_raw"] == m["docs_raw"]

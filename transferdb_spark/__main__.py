@@ -6,6 +6,7 @@ Modes: prepare | assess | reverse | check | compare | csv | full | all
 | retry (re-run only FAILED chunks from the persisted plan)
 | compact (rewrite the CDC change log to its live-key snapshot)
 | prune (quality-prune the corpus) | search (BM25 / hybrid retrieval)
+| pipeline (raw corpus -> packed training bins, end to end)
 | export | optimize | explain.
 Fixture-backed (parquet source dirs); JDBC endpoints plug in through
 transferdb_spark.sources.jdbc when drivers are present.
@@ -27,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "prepare", "assess", "reverse", "check", "compare",
             "csv", "full", "all", "retry", "compact", "export",
-            "optimize", "explain", "prune", "search",
+            "optimize", "explain", "prune", "search", "pipeline",
         ],
     )
     p.add_argument("--keep-deciles", type=int, default=3, help="prune: top lm-score deciles to keep")
@@ -36,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="prune: quality signal (corpus bigram LM or the trained quality classifier)")
     p.add_argument("--query", default="", help="explain: queries() entry name (empty = list)")
     p.add_argument("--terms", default="", help="search: comma-separated query terms")
+    p.add_argument("--budget", type=int, default=512, help="pipeline: tokens per packed bin")
+    p.add_argument("--vocab-size", type=int, default=280, help="pipeline: BPE target vocab")
     p.add_argument("--topk", type=int, default=10, help="search: result count")
     p.add_argument("--hybrid", action="store_true", help="search: re-rank BM25 candidates by embedding cosine")
     p.add_argument("--query-vec", type=int, default=0, help="search --hybrid: query vector id")
@@ -289,6 +292,21 @@ def main(argv: list[str] | None = None) -> int:
                 keep_deciles=args.keep_deciles,
                 per_lang=args.per_lang,
                 scorer=args.scorer,
+            )
+        )
+
+    elif args.mode == "pipeline":
+        from transferdb_spark.modes.pipeline import build_training_corpus
+
+        out.update(
+            build_training_corpus(
+                spark,
+                args.source_dir,
+                args.workdir,
+                keep_deciles=args.keep_deciles,
+                scorer=args.scorer,
+                vocab_size=args.vocab_size,
+                budget=args.budget,
             )
         )
 

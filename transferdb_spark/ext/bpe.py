@@ -92,16 +92,37 @@ def train_merges(
     return merges
 
 
+def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
+    """localCheckpoint plus the ids of the RDD blocks it pinned, so the
+    iterative trainers can FREE superseded checkpoints via
+    _free_checkpoint: Dataset.unpersist() only talks to the SQL cache
+    manager and leaves checkpoint blocks resident for the whole
+    session — every training run would otherwise leak one cached RDD
+    per merge iteration. Driver code here is single-threaded, so the
+    before/after id diff cannot sweep someone else's cache."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint()
+    ids = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+    return out, ids
+
+
+def _free_checkpoint(df: DataFrame, ids: set) -> None:
+    scala_map = df.sparkSession.sparkContext._jsc.sc().getPersistentRDDs()
+    for rid in ids:
+        ref = scala_map.get(rid)
+        if ref.isDefined():
+            ref.get().unpersist(False)
+
+
 def _train_merges_with_words(
     docs: DataFrame, n_merges: int, min_freq: int
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Training loop that also returns the fully-merged (syms, cnt)
     word table — the apply stage (encoded_length_histogram) consumes
     it directly instead of re-running every merge pass."""
-    words = (
-        word_counts(docs)
-        .select(_chars_udf("word").alias("syms"), "cnt")
-        .localCheckpoint()
+    words, ckpt = _tracked_local_checkpoint(
+        word_counts(docs).select(_chars_udf("word").alias("syms"), "cnt")
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -118,9 +139,14 @@ def _train_merges_with_words(
         if top is None or top["freq"] < min_freq:
             break
         merges.append((top["l"], top["r"], int(top["freq"])))
-        words = words.select(
-            _merge_udf(top["l"], top["r"])(F.col("syms")).alias("syms"), "cnt"
-        ).localCheckpoint()
+        words, new_ckpt = _tracked_local_checkpoint(
+            words.select(
+                _merge_udf(top["l"], top["r"])(F.col("syms")).alias("syms"), "cnt"
+            )
+        )
+        _free_checkpoint(words, ckpt)  # superseded; the new one is materialized
+        ckpt = new_ckpt
+    # the FINAL checkpoint stays alive: callers consume the word table
     return merges, words
 
 
@@ -336,9 +362,8 @@ def train_bytes(
     if vocab_size <= 256:
         return []
     wc = word_counts_gpt2(docs) if pre_tokenizer == "gpt2" else word_counts(docs)
-    words = (
+    words, ckpt = _tracked_local_checkpoint(
         wc.select(_bytes_udf("word").alias("syms"), "cnt")
-        .localCheckpoint()
     )
     merges: list[tuple[int, int, int, int]] = []
     for step in range(vocab_size - 256):
@@ -356,10 +381,15 @@ def train_bytes(
             break
         new_id = 256 + step
         merges.append((int(top["l"]), int(top["r"]), new_id, int(top["freq"])))
-        words = words.select(
-            _merge_ints_udf(top["l"], top["r"], new_id)(F.col("syms")).alias("syms"),
-            "cnt",
-        ).localCheckpoint()
+        words, new_ckpt = _tracked_local_checkpoint(
+            words.select(
+                _merge_ints_udf(top["l"], top["r"], new_id)(F.col("syms")).alias("syms"),
+                "cnt",
+            )
+        )
+        _free_checkpoint(words, ckpt)
+        ckpt = new_ckpt
+    _free_checkpoint(words, ckpt)  # merges are collected; nothing reads the table
     return merges
 
 

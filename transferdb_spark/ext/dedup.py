@@ -342,7 +342,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+def minhash_lsh_candidates(docs: DataFrame, persist: bool = True) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ≥1 LSH band.
 
     Band hash = portable hash of r concatenated signature slots; pairs
@@ -354,8 +354,12 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
         "doc_id", F.posexplode(F.expr(bands)).alias("band_idx", "band_hash")
     )
     # persisted: signature computation is the expensive narrow stage;
-    # both join sides reuse it
-    sig = sig.persist()
+    # both join sides reuse it. Registry callables keep the default
+    # (the SQL cache manager dedups the entry across invocations);
+    # lifecycle-owning modes pass persist=False and pay the narrow
+    # recompute instead of a session-lifetime cache entry.
+    if persist:
+        sig = sig.persist()
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
