@@ -1574,8 +1574,11 @@ def test_hybrid_search_rerank_semantics(spark, docs, emb):
     set, ordered by cosine not by bm25."""
     from transferdb_spark.ext.retrieval import bm25_topk, hybrid_search_topk
 
-    cands = {r["doc_id"] for r in bm25_topk(docs, k=50).collect()}
+    # candidate stage excludes the query doc from the CORPUS (so the
+    # self-match never eats a candidate slot) — mirror that here
+    cands = {r["doc_id"] for r in bm25_topk(docs, k=50, exclude_doc_id=0).collect()}
     got = hybrid_search_topk(docs, emb).collect()
+    assert 0 not in {r["doc_id"] for r in got}
     assert len(got) == 10
     assert all(r["doc_id"] in cands for r in got)
     cosines = [r["cosine"] for r in got]

@@ -24,13 +24,22 @@ ext/dsir.py — idf is quantized ONCE to BIGINT micro-units right at the
 ln boundary. Every other step (integer tf/dl/df, IEEE divides and
 multiplies written in the same expression shape on both engines,
 stable_round → DECIMAL(18,6) before the order-sensitive SUM) is
-bit-deterministic across Spark and DuckDB.
+bit-deterministic across Spark and DuckDB. The weight/idf expressions
+live in ONE Spark builder and ONE SQL builder shared by every scorer
+here — tuning k1/b or the quantization cannot diverge between the
+word, phrase, and hybrid paths or between an engine and its oracle.
+
+Query terms are normalized (strip + lower) to the token alphabet and
+compared as Column literals Spark-side / quote-escaped literals
+SQL-side, so terms with quotes or stray spacing cannot break parsing
+or silently miss the lowercased token stream.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from transferdb_spark.ext.text import TOKENS
 from transferdb_spark.functions.canonical import stable_round, stable_round_sql
 
 # default query: three common terms + one rare ('dup') so the idf term
@@ -41,11 +50,30 @@ B = 0.75
 IDF_SCALE = 1_000_000
 
 
+def _norm_terms(query_terms: tuple[str, ...]) -> list[str]:
+    """Dedup + normalize to the token alphabet (the corpus is matched
+    lowercased, so 'Spark' must mean 'spark')."""
+    out = []
+    for w in query_terms:
+        w = w.strip().lower()
+        if w and w not in out:
+            out.append(w)
+    if not out:
+        raise ValueError("empty query after normalization")
+    return out
+
+
+def _sql_str(w: str) -> str:
+    """Standard-SQL single-quoted literal (quote doubling — DuckDB
+    does not backslash-process plain strings)."""
+    return "'" + w.replace("'", "''") + "'"
+
+
 def _tokens(docs: DataFrame) -> DataFrame:
-    # identical tokenization to ext/text.py TOKENS_SQL
-    return docs.select(
-        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
-    )
+    # THE house tokenization (ext/text.py TOKENS == TOKENS_SQL), reused
+    # by expression so retrieval can never drift from text/classifier/
+    # sketches tokenization
+    return docs.select("doc_id", F.expr(TOKENS).alias("t"))
 
 
 def _idf_micro(n_docs: Column, df: Column) -> Column:
@@ -59,16 +87,65 @@ def _idf_micro(n_docs: Column, df: Column) -> Column:
     return F.floor(raw * F.lit(float(IDF_SCALE)) + F.lit(0.5)).cast("long")
 
 
+def _bm25_weight(tf: Column, dl: Column, sum_dl: Column, n_docs: Column) -> Column:
+    """tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)) — the ONE Spark-side
+    builder; the SQL twin below must keep the same expression shape."""
+    return (tf.cast("double") * F.lit(K1 + 1.0)) / (
+        tf.cast("double")
+        + F.lit(K1)
+        * (
+            F.lit(1.0 - B)
+            + F.lit(B) * (dl.cast("double") / (sum_dl.cast("double") / n_docs.cast("double")))
+        )
+    )
+
+
+def _contrib(idf_micro: Column, w: Column) -> Column:
+    """Per-hit score contribution, quantized for order-free summation."""
+    return stable_round(
+        idf_micro.cast("double") * w / F.lit(float(IDF_SCALE)), 6
+    ).cast("decimal(18,6)")
+
+
+def _w_expr_sql(tf: str = "tf", dl: str = "dl") -> str:
+    return (
+        f"(CAST({tf} AS DOUBLE) * {K1 + 1.0}) / "
+        f"(CAST({tf} AS DOUBLE) + {K1} * ({1.0 - B} + {B} * "
+        f"(CAST({dl} AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    )
+
+
+def _idf_expr_sql(df: str = "df") -> str:
+    return (
+        f"CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST({df} AS DOUBLE) + 0.5)"
+        f" / (CAST({df} AS DOUBLE) + 0.5)) * {float(IDF_SCALE)} + 0.5) AS BIGINT)"
+    )
+
+
+def _contrib_sql(idf: str, w: str) -> str:
+    return stable_round_sql(f"CAST({idf} AS DOUBLE) * {w} / {float(IDF_SCALE)}", 6)
+
+
+# TOKENS_SQL (ext/text.py) inlined per-query over the `documents` view
+_TOKS_CTE = "SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents"
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: tuple[str, ...] = DEFAULT_QUERY,
     k: int = 20,
+    exclude_doc_id: int | None = None,
 ) -> DataFrame:
     """Top-k documents by BM25(k1=1.2, b=0.75) for a bag of query terms.
 
     Returns (doc_id, n_terms, score) ordered by score DESC, doc_id —
-    the doc_id tiebreak makes the LIMIT boundary deterministic."""
-    terms = list(dict.fromkeys(query_terms))
+    the doc_id tiebreak makes the LIMIT boundary deterministic.
+    exclude_doc_id removes one doc from the CORPUS (stats included)
+    before scoring — the hybrid path's self-match exclusion, applied
+    here so it never eats a candidate slot."""
+    terms = _norm_terms(query_terms)
+    if exclude_doc_id is not None:
+        docs = docs.where(F.col("doc_id") != exclude_doc_id)
     toks = _tokens(docs)
 
     # corpus scalars: one row, broadcast via the 1-row cross join
@@ -93,28 +170,9 @@ def bm25_topk(
         .crossJoin(F.broadcast(stats))
         .withColumn("idf_micro", _idf_micro(F.col("n_docs"), F.col("df")))
         .withColumn(
-            "w",
-            (F.col("tf").cast("double") * F.lit(K1 + 1.0))
-            / (
-                F.col("tf").cast("double")
-                + F.lit(K1)
-                * (
-                    F.lit(1.0 - B)
-                    + F.lit(B)
-                    * (
-                        F.col("dl").cast("double")
-                        / (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
-                    )
-                )
-            ),
+            "w", _bm25_weight(F.col("tf"), F.col("dl"), F.col("sum_dl"), F.col("n_docs"))
         )
-        .withColumn(
-            "contrib",
-            stable_round(
-                F.col("idf_micro").cast("double") * F.col("w") / F.lit(float(IDF_SCALE)),
-                6,
-            ).cast("decimal(18,6)"),
-        )
+        .withColumn("contrib", _contrib(F.col("idf_micro"), F.col("w")))
     )
     return (
         scored.groupBy("doc_id")
@@ -127,25 +185,19 @@ def bm25_topk(
     )
 
 
-def bm25_topk_sql(query_terms: tuple[str, ...] = DEFAULT_QUERY, k: int = 20) -> str:
+def bm25_topk_sql(
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    k: int = 20,
+    exclude_doc_id: int | None = None,
+) -> str:
     """DuckDB oracle twin of bm25_topk (same expression shapes)."""
-    terms = list(dict.fromkeys(query_terms))
-    in_list = ", ".join(f"'{w}'" for w in terms)
-    w_expr = (
-        f"(CAST(tf AS DOUBLE) * {K1 + 1.0}) / "
-        f"(CAST(tf AS DOUBLE) + {K1} * ({1.0 - B} + {B} * "
-        f"(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
-    )
-    idf_expr = (
-        "CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
-        f" / (CAST(df AS DOUBLE) + 0.5)) * {float(IDF_SCALE)} + 0.5) AS BIGINT)"
-    )
-    contrib = stable_round_sql(
-        f"CAST({idf_expr} AS DOUBLE) * {w_expr} / {float(IDF_SCALE)}", 6
-    )
+    terms = _norm_terms(query_terms)
+    in_list = ", ".join(_sql_str(w) for w in terms)
+    excl = f" WHERE doc_id <> {int(exclude_doc_id)}" if exclude_doc_id is not None else ""
+    contrib = _contrib_sql(_idf_expr_sql(), _w_expr_sql())
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+  {_TOKS_CTE}{excl}
 ),
 stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS sum_dl FROM toks),
 hits AS (
@@ -175,16 +227,18 @@ def hybrid_search_topk(
     """Hybrid retrieval: lexical recall, semantic precision.
 
     Stage 1 takes the BM25 top-N as a candidate set (cheap, posting-
-    list-bounded); stage 2 re-ranks the N survivors by embedding cosine
-    to the query vector. Only N rows ever touch the vector kernel — at
-    100 TB the candidate stage is what scales (or swaps for the LSH/IVF
-    ANN index in ext/similarity.py), while the re-rank is a broadcast
-    join over a model-sized set. Returns (doc_id, bm25, cosine) ordered
-    by cosine DESC, doc_id."""
+    list-bounded) over the corpus MINUS the query doc (excluded before
+    the limit so the self-match never eats a candidate slot); stage 2
+    re-ranks the N survivors by embedding cosine to the query vector.
+    Only N rows ever touch the vector kernel — at 100 TB the candidate
+    stage is what scales (or swaps for the LSH/IVF ANN index in
+    ext/similarity.py), while the re-rank is a broadcast join over a
+    model-sized set. Returns (doc_id, bm25, cosine) ordered by cosine
+    DESC, doc_id."""
     from transferdb_spark.ext.similarity import cosine_expr
 
-    cands = bm25_topk(docs, query_terms, k=n_candidates).where(
-        F.col("doc_id") != query_vec_id
+    cands = bm25_topk(
+        docs, query_terms, k=n_candidates, exclude_doc_id=query_vec_id
     )
     q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec")
@@ -212,7 +266,7 @@ def hybrid_search_topk_sql(
 
     return f"""
 WITH bm AS MATERIALIZED (
-  SELECT * FROM ({bm25_topk_sql(query_terms, n_candidates)}) WHERE doc_id <> {query_vec_id}
+  {bm25_topk_sql(query_terms, n_candidates, exclude_doc_id=query_vec_id)}
 ),
 q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id})
 SELECT bm.doc_id,
@@ -224,19 +278,6 @@ LIMIT {k}
 """
 
 
-def _phrase_count_expr(m: int, eqs: str) -> str:
-    """Row-local phrase occurrence count over token array `t` — an
-    array expression, so phrase matching never shuffles positions:
-    count of i where toks[i..i+m-1] == phrase. Guarded for docs shorter
-    than the phrase (Spark's sequence(1, 0) DESCENDS; DuckDB's
-    generate_series(1, 0) is empty — the CASE keeps both at 0)."""
-    return (
-        f"CASE WHEN size(t) >= {m} THEN "
-        f"size(filter(sequence(1, size(t) - {m - 1}), i -> {eqs})) "
-        "ELSE 0 END"
-    )
-
-
 def bm25_phrase_topk(
     docs: DataFrame,
     phrase: tuple[str, ...] = ("table", "scan"),
@@ -245,22 +286,36 @@ def bm25_phrase_topk(
     """Exact-phrase retrieval: the phrase scores as ONE BM25 term whose
     tf is the row-local occurrence count (consecutive-token match) —
     positional matching costs zero shuffle; only docs containing the
-    phrase reach the df aggregation and the ordered take.
+    phrase reach the df aggregation and the ordered take. The match
+    predicate is built from Column literals (no string interpolation),
+    so phrase words with quotes are safe.
 
     Returns (doc_id, tf, score) ordered by score DESC, doc_id."""
-    m = len(phrase)
-    eqs = " AND ".join(
-        f"element_at(t, i + {j}) = '{w}'" for j, w in enumerate(phrase)
-    )
+    words = [w.strip().lower() for w in phrase if w.strip()]
+    if not words:
+        raise ValueError("empty phrase")
+    m = len(words)
+
+    def match(i: Column) -> Column:
+        cond = F.element_at("t", (i + F.lit(0)).cast("int")) == F.lit(words[0])
+        for j, w in enumerate(words[1:], start=1):
+            cond = cond & (F.element_at("t", (i + F.lit(j)).cast("int")) == F.lit(w))
+        return cond
+
+    # Spark's sequence(1, 0) DESCENDS where DuckDB's generate_series
+    # (1, 0) is empty — the when() keeps both at 0 for short docs
+    count = F.when(
+        F.size("t") >= m,
+        F.size(F.filter(F.sequence(F.lit(1), F.size("t") - F.lit(m - 1)), match)),
+    ).otherwise(F.lit(0))
+
     toks = _tokens(docs)
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("t")).alias("sum_dl"),
     )
     hits = toks.select(
-        "doc_id",
-        F.size("t").alias("dl"),
-        F.expr(_phrase_count_expr(m, eqs)).alias("tf"),
+        "doc_id", F.size("t").alias("dl"), count.alias("tf")
     ).where(F.col("tf") > 0)
     dfreq = hits.agg(F.count(F.lit(1)).alias("df"))
     scored = (
@@ -268,20 +323,7 @@ def bm25_phrase_topk(
         .crossJoin(F.broadcast(stats))
         .withColumn("idf_micro", _idf_micro(F.col("n_docs"), F.col("df")))
         .withColumn(
-            "w",
-            (F.col("tf").cast("double") * F.lit(K1 + 1.0))
-            / (
-                F.col("tf").cast("double")
-                + F.lit(K1)
-                * (
-                    F.lit(1.0 - B)
-                    + F.lit(B)
-                    * (
-                        F.col("dl").cast("double")
-                        / (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
-                    )
-                )
-            ),
+            "w", _bm25_weight(F.col("tf"), F.col("dl"), F.col("sum_dl"), F.col("n_docs"))
         )
     )
     return (
@@ -301,28 +343,18 @@ def bm25_phrase_topk(
 def bm25_phrase_topk_sql(
     phrase: tuple[str, ...] = ("table", "scan"), k: int = 20
 ) -> str:
-    m = len(phrase)
-    eqs = " AND ".join(f"t[i + {j}] = '{w}'" for j, w in enumerate(phrase))
+    words = [w.strip().lower() for w in phrase if w.strip()]
+    m = len(words)
+    eqs = " AND ".join(f"t[i + {j}] = {_sql_str(w)}" for j, w in enumerate(words))
     count_expr = (
         f"CASE WHEN len(t) >= {m} THEN "
         f"len(list_filter(generate_series(1, len(t) - {m - 1}), i -> {eqs})) "
         "ELSE 0 END"
     )
-    w_expr = (
-        f"(CAST(tf AS DOUBLE) * {K1 + 1.0}) / "
-        f"(CAST(tf AS DOUBLE) + {K1} * ({1.0 - B} + {B} * "
-        f"(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
-    )
-    idf_expr = (
-        "CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
-        f" / (CAST(df AS DOUBLE) + 0.5)) * {float(IDF_SCALE)} + 0.5) AS BIGINT)"
-    )
-    score = stable_round_sql(
-        f"CAST({idf_expr} AS DOUBLE) * {w_expr} / {float(IDF_SCALE)}", 6
-    )
+    score = _contrib_sql(_idf_expr_sql(), _w_expr_sql())
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+  {_TOKS_CTE}
 ),
 stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS sum_dl FROM toks),
 hits AS (

@@ -49,17 +49,21 @@ def _tokens(docs: DataFrame) -> DataFrame:
 
 
 def cms_sketch(docs: DataFrame) -> DataFrame:
-    """(row, col, cnt): the d×w Count-Min sketch of token occurrences."""
-    toks = _tokens(docs)
-    rows = [
-        toks.select(F.lit(r).alias("row"), _cell(r, F.col("term")).alias("col"))
-        for r in range(DEPTH)
-    ]
-    allcells = rows[0]
-    for r in rows[1:]:
-        allcells = allcells.unionByName(r)
+    """(row, col, cnt): the d×w Count-Min sketch of token occurrences.
+
+    ONE corpus scan: each token explodes into its DEPTH (row, col)
+    cells via an array-of-structs (the same shape the probe path
+    uses), not a DEPTH-way union of scans."""
+    cells = _tokens(docs).select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("row"), _cell(r, F.col("term")).alias("col"))
+                for r in range(DEPTH)
+            ])
+        ).alias("c")
+    )
     return (
-        allcells.groupBy("row", "col")
+        cells.groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("row", "col")
     )

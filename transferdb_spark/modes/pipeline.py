@@ -69,36 +69,53 @@ def build_training_corpus(
         )
     else:
         raise SystemExit(f"unknown --scorer {scorer!r}")
-    scores = scores.persist()  # global_ntile reads it three times
+    # every persist below registers here and the single outer finally
+    # releases whatever was still held when we leave — normally each
+    # stage frees its own cache as soon as the next one is
+    # materialized, so the finally is the error path
+    caches: list = []
+
+    def _done(df) -> None:
+        df.unpersist()
+        caches.remove(df)
+
     try:
+        scores = scores.persist()  # global_ntile reads it three times
+        caches.append(scores)
+        # pruned is persisted THROUGH the downstream stages: its
+        # lineage embeds the scorer + the two-phase ntile, which every
+        # later action (decontam joins, counts, BPE fit, encode) would
+        # otherwise re-execute from the scan
         ranked = global_ntile(scores, ["q_score", "doc_id"], k=10, num_partitions=8)
         kept_ids = ranked.filter(F.col("bucket") > 10 - keep_deciles).select("doc_id")
-        pruned = clean.join(kept_ids, "doc_id")
-        manifest["docs_pruned"] = pruned.count()
-    finally:
-        scores.unpersist()
+        pruned = clean.join(kept_ids, "doc_id").persist()
+        caches.append(pruned)
+        manifest["docs_pruned"] = pruned.count()  # materializes the cache
+        _done(scores)
 
-    # 3. split (narrow hash — assigned before decontam so the leakage
-    # rule can see which side of a pair is eval)
-    with_split = split_assign(pruned)
+        # 3. split (narrow hash — assigned before decontam so the
+        # leakage rule can see which side of a pair is eval)
+        with_split = split_assign(pruned)
 
-    # 4. decontam: drop the TRAIN member of any train<->eval near-dup.
-    # A val<->test cross-dup has no train side to sacrifice — dropping
-    # from an eval set silently changes its composition, so those are
-    # REPORTED in the manifest, never removed.
-    pairs = minhash_lsh_candidates(pruned, persist=False)
-    assign = with_split.select("doc_id", "split")
-    cross = (
-        pairs.join(
-            assign.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"}), "doc_a"
+        # 4. decontam: drop the TRAIN member of any train<->eval
+        # near-dup. A val<->test cross-dup has no train side to
+        # sacrifice — dropping from an eval set silently changes its
+        # composition, so those are REPORTED, never removed.
+        pairs = minhash_lsh_candidates(pruned, persist=False)
+        assign = with_split.select("doc_id", "split")
+        cross = (
+            pairs.join(
+                assign.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"}),
+                "doc_a",
+            )
+            .join(
+                assign.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"}),
+                "doc_b",
+            )
+            .filter(F.col("split_a") != F.col("split_b"))
+            .persist()  # read twice: the drop set and the report
         )
-        .join(
-            assign.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"}), "doc_b"
-        )
-        .filter(F.col("split_a") != F.col("split_b"))
-    )
-    cross = cross.persist()  # read twice: the drop set and the report
-    try:
+        caches.append(cross)
         leaky_train = (
             cross.filter(
                 (F.col("split_a") == "train") | (F.col("split_b") == "train")
@@ -110,27 +127,31 @@ def build_training_corpus(
             )
             .distinct()
         )
-        final = with_split.join(leaky_train, "doc_id", "left_anti")
-        manifest["docs_decontaminated"] = final.count()
+        # final feeds the count below, the BPE fit, and the encode
+        # join — persist so the LSH anti-join runs once
+        final = with_split.join(leaky_train, "doc_id", "left_anti").persist()
+        caches.append(final)
+        manifest["docs_decontaminated"] = final.count()  # materializes
         manifest["train_docs_dropped_for_leakage"] = (
             manifest["docs_pruned"] - manifest["docs_decontaminated"]
         )
         manifest["eval_cross_leak_pairs"] = cross.filter(
             (F.col("split_a") != "train") & (F.col("split_b") != "train")
         ).count()
-    finally:
-        cross.unpersist()
+        _done(cross)
+        _done(pruned)  # final is materialized; pruned's job is done
 
-    # 5. tokenizer: fit on train only, apply everywhere
-    train_docs = final.filter(F.col("split") == "train").select("doc_id", "text")
-    merges = train_bytes(train_docs, vocab_size=vocab_size)
-    manifest["bpe_vocab"] = 256 + len(merges)
+        # 5. tokenizer: fit on train only, apply everywhere
+        train_docs = final.filter(F.col("split") == "train").select("doc_id", "text")
+        merges = train_bytes(train_docs, vocab_size=vocab_size)
+        manifest["bpe_vocab"] = 256 + len(merges)
 
-    encoded = encode_ids_df(final.select("doc_id", "text"), merges).join(
-        final.select("doc_id", "split"), "doc_id"
-    )
-    encoded = encoded.persist()  # one packing pass per split below
-    try:
+        encoded = (
+            encode_ids_df(final.select("doc_id", "text"), merges)
+            .join(final.select("doc_id", "split"), "doc_id")
+            .persist()  # one packing pass per split below
+        )
+        caches.append(encoded)
         bins_dir = os.path.join(workdir, "training_bins")
         per_split: dict = {}
         for split in ("train", "val", "test"):
@@ -152,7 +173,8 @@ def build_training_corpus(
         manifest["bins"] = per_split
         manifest["bins_dir"] = bins_dir
     finally:
-        encoded.unpersist()
+        for df in caches:
+            df.unpersist()
 
     os.makedirs(workdir, exist_ok=True)
     path = os.path.join(workdir, "pipeline_manifest.json")

@@ -68,15 +68,41 @@ def sketch_current_state(spark: SparkSession, target_dir: str) -> DataFrame:
 
 
 def compact_sketch(spark: SparkSession, target_dir: str) -> int:
-    """Fold all landed partials into one batch_id=0 snapshot; returns
-    the number of batch directories removed. Read cost afterwards is
-    one d·w-row file however long the stream has run."""
-    merged = sketch_current_state(spark, target_dir).collect()  # <= d*w rows
-    batches = [d for d in os.listdir(target_dir) if d.startswith("batch_id=")]
-    snap = spark.createDataFrame(merged, "row int, col int, cnt bigint")
+    """Fold landed partials into one snapshot; returns the number of
+    batch directories folded. Read cost afterwards is one d·w-row file
+    however long the stream has run.
+
+    Same discipline as streaming/corpus.py compact_corpus: the batch
+    list is FROZEN first and only those directories are read, so a
+    batch landing mid-compaction is untouched (merged next time, never
+    dropped); folded dirs are renamed aside (underscore prefix — the
+    parquet reader skips them) before the snapshot takes the LOWEST
+    folded id, so no reader window ever double-counts, and a crash
+    leaves the aside dirs recoverable. On a table format this whole
+    swap is one atomic commit."""
+    batches = sorted(d for d in os.listdir(target_dir) if d.startswith("batch_id="))
+    if len(batches) <= 1:
+        return 0
+    min_bid = min(int(d.split("=", 1)[1]) for d in batches)
+    merged = (
+        spark.read.option("basePath", target_dir)
+        .parquet(*[os.path.join(target_dir, d) for d in batches])
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()  # <= d*w rows
+    )
+    snap = spark.createDataFrame(
+        [(int(r["row"]), int(r["col"]), int(r["cnt"])) for r in merged],
+        "row int, col int, cnt bigint",
+    )
     tmp = os.path.join(target_dir, "_compact_tmp")
     snap.coalesce(1).write.mode("overwrite").parquet(tmp)
+    aside = []
     for d in batches:
-        shutil.rmtree(os.path.join(target_dir, d))
-    os.rename(tmp, os.path.join(target_dir, "batch_id=0"))
+        dst = os.path.join(target_dir, f"_old_{d}")
+        os.rename(os.path.join(target_dir, d), dst)
+        aside.append(dst)
+    os.rename(tmp, os.path.join(target_dir, f"batch_id={min_bid}"))
+    for d in aside:
+        shutil.rmtree(d)
     return len(batches)
