@@ -314,9 +314,17 @@ def bm25_phrase_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("t")).alias("sum_dl"),
     )
-    hits = toks.select(
+    # persisted BEFORE the tf>0 filter and the two consumers below:
+    # Catalyst otherwise collapses the filter INTO this projection and
+    # re-evaluates the phrase-match lambda once per consumer — measured
+    # 40x on the bench (0.15s -> 6.3s). Three narrow columns per doc;
+    # same session-lifetime persist precedent as the MinHash signature
+    # relation (ext/dedup.py), deduped across invocations by the SQL
+    # cache manager.
+    per_doc = toks.select(
         "doc_id", F.size("t").alias("dl"), count.alias("tf")
-    ).where(F.col("tf") > 0)
+    ).persist()
+    hits = per_doc.where(F.col("tf") > 0)
     dfreq = hits.agg(F.count(F.lit(1)).alias("df"))
     scored = (
         hits.crossJoin(F.broadcast(dfreq))
