@@ -97,6 +97,8 @@ def main() -> int:
     out_path = ""
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            raise SystemExit("--out requires a file path argument")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     spark = get_spark("plan-lint")

@@ -1036,6 +1036,26 @@ def test_merge_snapshot_union_evolution(spark, sf_dir, tmp_path):
     assert img2.count() == n0
     assert img2.filter("o_flag = 'evolved'").count() == 10
 
+    # a merge whose TOUCHED set mixes a post-evolution file (low keys)
+    # and a pre-evolution file (high keys) must rewrite both with the
+    # merged schema: the evolved values in the rewritten low file
+    # survive (regression: the internal rewrite read lacked
+    # mergeSchema and could silently drop o_flag for every row of a
+    # touched evolved file)
+    keys = [r["o_orderkey"] for r in orders.orderBy("o_orderkey").limit(2).collect()]
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    batch3 = (
+        orders.filter(F.col("o_orderkey").isin([keys[1], hi]))
+        .withColumn("o_flag", F.lit("v3"))
+    )
+    v3 = merge_snapshot(spark, base, batch3, "o_orderkey", evolution="union")
+    img3 = read_snapshot(spark, base, v3)
+    assert img3.count() == n0
+    assert img3.filter("o_flag = 'v3'").count() == batch3.count()
+    surviving = img3.filter("o_flag = 'evolved'").count()
+    overwritten = batch3.filter(F.col("o_orderkey").isin(keys)).count()
+    assert surviving == 10 - overwritten, (surviving, overwritten)
+
     # strict default still refuses a drifted batch on a fresh store
     import pytest
 

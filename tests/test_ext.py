@@ -1140,17 +1140,28 @@ def test_gpt2_pretokenizer_parity_and_training(spark, docs):
         word_counts_gpt2,
     )
 
-    sample = docs.limit(40)
+    # adversarial rows: underscores (Python \w contains _, so a naive
+    # [^\s\w] punct class silently DELETES them — regression), mixed
+    # symbol runs, contractions, digits
+    extra = spark.createDataFrame(
+        [
+            (90001, "foo_bar snake_case_name __init__ a_1"),
+            (90002, "it's we've 3_4 _ __ #_# x"),
+        ],
+        "doc_id long, text string",
+    )
+    sample = docs.limit(40).select("doc_id", "text").unionByName(extra)
     texts = [r["text"] for r in sample.collect()]
 
     # 1. engine parity: identical token multisets, and tokens
-    # reconstruct the original text exactly (partition property)
+    # reconstruct the original text exactly (partition property —
+    # nothing may vanish)
     want = Counter(t for x in texts for t in gpt2_pre_tokenize(x))
     got = Counter(
         dict((r["word"], r["cnt"]) for r in word_counts_gpt2(sample).collect())
     )
     assert got == want
-    for x in texts[:10]:
+    for x in texts:
         assert "".join(gpt2_pre_tokenize(x)) == x
 
     # 2. training differential vs pure-Python Sennrich over the same

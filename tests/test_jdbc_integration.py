@@ -620,18 +620,21 @@ def test_cli_check_against_live_target(spark, sf_dir, tmp_path):
         return r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
 
     base = ["-m", "transferdb_spark", "--source-dir", sf_dir, "--workdir", wk,
-            "--tables", "region", "--jdbc-url", url, "--jdbc-driver", DERBY_DRIVER]
+            "--tables", "region,nation", "--jdbc-url", url, "--jdbc-driver", DERBY_DRIVER]
     # 1. create the live schema through the CLI
     rev = _json.loads(run(base + ["--mode", "reverse", "--dialect", "ansi", "--apply"]))
     assert rev["applied"] >= 1 and not rev["apply_failed"]
 
-    # 2. drift: drop a column (own JVM, releases the db on exit)
+    # 2. drift: drop a column AND flip a nullability (own JVM,
+    #    releases the db on exit) — the second check passing requires
+    #    the ANSI ALTER COLUMN [NOT] NULL fix, not just ADD COLUMN
     run(["-c", (
         "from transferdb_spark.session import get_spark\n"
         "from transferdb_spark.modes.apply import apply_sql\n"
         "from transferdb_spark.sources.jdbc import JdbcSink\n"
         f"s = get_spark('drift'); sink = JdbcSink(url={url!r}, table='', driver={DERBY_DRIVER!r})\n"
-        "r = apply_sql(s, sink, ['ALTER TABLE REGION DROP COLUMN R_NAME'])\n"
+        "r = apply_sql(s, sink, ['ALTER TABLE REGION DROP COLUMN R_NAME',\n"
+        "                        'ALTER TABLE NATION ALTER COLUMN N_NAME NOT NULL'])\n"
         "assert r.ok, r.failed\n"
     )])
 
@@ -703,3 +706,73 @@ def test_full_migrate_jdbc_with_chunk_resume(spark, sf_dir, tmp_path):
     # failed chunk repaired exactly; sentinel in the SUCCESS chunk survives
     assert live.filter("P_RETAILPRICE = -1").count() == 1
     assert live.groupBy("P_PARTKEY").count().filter("count > 1").count() == 0
+
+
+def test_cli_compare_apply_repairs_live_target(spark, sf_dir, tmp_path):
+    """CLI compare --apply end-to-end against Derby: the corrupted
+    live table receives ANSI-dialect fix SQL (no DELETE..LIMIT, no
+    backslash doubling) and afterwards matches the source as a
+    multiset — the round-5 verdict's compare->fix->re-compare loop,
+    exercised through the CLI surface where the dialect threading
+    lives."""
+    if not _derby_available(spark):
+        pytest.skip("no embedded Derby driver on the Spark classpath")
+    import json as _json
+    import subprocess
+    import sys
+
+    url = f"jdbc:derby:{tmp_path}/cmpdb;create=true"
+    wk = str(tmp_path / "wk")
+
+    def run(args_list):
+        r = subprocess.run(
+            [sys.executable, *args_list], capture_output=True, text=True, timeout=600
+        )
+        assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+        return r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+
+    base = ["-m", "transferdb_spark", "--source-dir", sf_dir, "--workdir", wk,
+            "--jdbc-url", url, "--jdbc-driver", DERBY_DRIVER]
+
+    # 1. seed Derby LINEITEM with the MUTATED fixture (the compare
+    #    CLI's default target is the same deterministic mutation, so
+    #    the file diff mirrors the live table's damage). Spark creates
+    #    the table unconstrained — the fixture's duplicate-PK rows
+    #    (see memory: fixture quirks) forbid the reverse DDL's PK here.
+    run(["-c", (
+        "from transferdb_spark.session import get_spark\n"
+        "from transferdb_spark.sources.registry import load_table\n"
+        "from transferdb_spark.operators.compare_fixture import mutated_target\n"
+        f"s = get_spark('seed'); src = load_table(s, {sf_dir!r}, 'lineitem')\n"
+        "tgt = mutated_target(src)\n"
+        "up = tgt.toDF(*[c.upper() for c in tgt.columns])\n"
+        "# Spark's default Derby mapping makes strings CLOB, which\n"
+        "# Derby cannot compare to literals — force VARCHAR\n"
+        "vc = ', '.join(f'{c.upper()} VARCHAR(256)' for c, t in tgt.dtypes if t == 'string')\n"
+        f"up.write.mode('overwrite').format('jdbc').option('url', {url!r})"
+        f".option('dbtable', 'LINEITEM').option('driver', {DERBY_DRIVER!r})"
+        ".option('createTableColumnTypes', vc).save()\n"
+    )])
+
+    # 2. compare + apply the ANSI fix SQL to the live target
+    first = _json.loads(run(base + ["--mode", "compare", "--apply"]))
+    assert first["equal"] is False
+    assert first["applied"] == first["insert_rows"] + first["delete_rows"]
+    assert not first["apply_failed"], first
+    # the emitted file must be ANSI: no MySQL LIMIT tail on deletes
+    fix_text = open(first["fix_sql"]).read()
+    assert "LIMIT 1" not in fix_text
+
+    # 3. the repaired live table equals the source as a multiset
+    run(["-c", (
+        "from transferdb_spark.session import get_spark\n"
+        "from transferdb_spark.sources.registry import load_table\n"
+        f"s = get_spark('verify')\n"
+        f"live = (s.read.format('jdbc').option('url', {url!r})"
+        f".option('dbtable', 'LINEITEM').option('driver', {DERBY_DRIVER!r}).load())\n"
+        f"src = load_table(s, {sf_dir!r}, 'lineitem')\n"
+        "live = live.toDF(*[c.lower() for c in live.columns])\n"
+        "live = live.select([live[c].cast(dict(src.dtypes)[c]) for c in src.columns])\n"
+        "a = live.exceptAll(src).count(); b = src.exceptAll(live).count()\n"
+        "assert a == 0 and b == 0, (a, b)\n"
+    )])

@@ -124,7 +124,11 @@ def main(argv: list[str] | None = None) -> int:
 
         cat = fixture_catalog(spark, args.source_dir)
         if tables:
-            cat = {k: v for k, v in cat.items() if k in tables}
+            # --tables is documented as include GLOBS (matching the
+            # load-based modes): 'line*' must select lineitem
+            from transferdb_spark.functions.scalars import glob_match
+
+            cat = {k: v for k, v in cat.items() if glob_match(tables, k)}
         if args.dialect == "tidb":
             res = reverse_tables_o2t(cat, case_policy=args.case_policy)
         elif args.dialect == "spark":
@@ -168,7 +172,11 @@ def main(argv: list[str] | None = None) -> int:
 
         cat = fixture_catalog(spark, args.source_dir)
         if tables:
-            cat = {k: v for k, v in cat.items() if k in tables}
+            # --tables is documented as include GLOBS (matching the
+            # load-based modes): 'line*' must select lineitem
+            from transferdb_spark.functions.scalars import glob_match
+
+            cat = {k: v for k, v in cat.items() if glob_match(tables, k)}
         if args.jdbc_url:
             # LIVE check: introspect the target over JDBC, diff in the
             # ANSI dialect, optionally apply the fix-SQL in place
@@ -215,7 +223,15 @@ def main(argv: list[str] | None = None) -> int:
         tgt = (
             spark.read.parquet(args.target_dir) if args.target_dir else mutated_target(src)
         )
-        r = compare_tables(spark, src, tgt, "lineitem", args.workdir, n_chunks=args.chunks)
+        # fix-SQL dialect must match the APPLY target: the live-apply
+        # path is the ANSI/Derby one (DELETE has no LIMIT there; ANSI
+        # strings don't unescape backslashes) — same rule check --apply
+        # hardcodes. File-only runs keep the reference's MySQL dialect
+        # unless --dialect overrides.
+        r = compare_tables(
+            spark, src, tgt, "lineitem", args.workdir, n_chunks=args.chunks,
+            dialect="ansi" if args.apply else args.dialect,
+        )
         out.update(
             equal=r.is_equal,
             mismatched_chunks=r.mismatched_chunks,

@@ -279,11 +279,17 @@ _ARR_INT = T.ArrayType(T.IntegerType())
 # space-prefixed number runs, space-prefixed punctuation runs, then
 # whitespace (trailing-run lookahead keeps a final newline separate).
 # Two renderings of the SAME pattern: Java regex for the Spark side
-# (\p{L}/\p{N} property classes), Python stdlib re for the encode /
-# differential side ([^\W\d_] is re's unicode-letter idiom).
-GPT2_PRETOK_JAVA = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+# (\p{L}/\p{Nd} property classes), Python stdlib re for the encode /
+# differential side ([^\W\d_] is re's unicode-letter idiom). Parity
+# notes: the punct class must explicitly re-admit '_' in Python
+# (\w contains it, so a bare [^\s\w] silently DROPS underscores —
+# characters matching no alternative vanish from re.findall); digits
+# align on \p{Nd} == \d (upstream GPT-2 uses \p{N}, whose extra
+# Nl/No members would land in different branches across the two
+# engines — a deliberate, documented deviation on those rare chars).
+GPT2_PRETOK_JAVA = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{Nd}+| ?[^\s\p{L}\p{Nd}]+|\s+(?!\S)|\s+"
 GPT2_PRETOK_PY = (
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
 )
 
 

@@ -521,11 +521,9 @@ def encode_png_indexed(
         padded_w = -(-w // per_byte) * per_byte
         padded = np.zeros((h, padded_w), dtype=np.uint8)
         padded[:, :w] = idx
-        weights = 1 << np.arange(depth - 1, -1, -1)
         bits = ((padded[:, :, None] >> (depth - 1 - np.arange(depth))) & 1).astype(
             np.uint8
         )
-        del weights
         rows = np.packbits(bits.reshape(h, padded_w * depth), axis=1)
     lines = bytearray()
     for y in range(h):

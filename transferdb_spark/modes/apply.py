@@ -102,14 +102,10 @@ def apply_transactions(
     (recorded in ApplyResult.skipped), so a redelivered log replays
     idempotently. ApplyResult.high_scn is the new checkpoint to
     persist AFTER the run (max applied commit_scn)."""
+    from transferdb_spark.catalog.jdbc_catalog import _connect
+
     res = ApplyResult()
-    jvm = spark._jvm
-    if sink.driver:
-        jvm.java.lang.Class.forName(sink.driver)
-    if sink.user:
-        conn = jvm.java.sql.DriverManager.getConnection(sink.url, sink.user, sink.password)
-    else:
-        conn = jvm.java.sql.DriverManager.getConnection(sink.url)
+    conn = _connect(spark, sink.url, sink.driver, sink.user, sink.password)
     try:
         conn.setAutoCommit(False)
         for xid, stmts in txns:

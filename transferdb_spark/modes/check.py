@@ -139,6 +139,20 @@ def check_table(
         t_null = t.nullable and name not in tpk_set
         if s_null != t_null:
             r.nullability_mismatches.append((name, s_null, t_null))
+            if ansi:
+                # SET DATA TYPE never changes nullability — Derby's
+                # ALTER COLUMN [NOT] NULL is the dedicated statement
+                r.fix_sql.append(
+                    f"ALTER TABLE {tname_q} ALTER COLUMN {qi(name)} "
+                    f"{'NULL' if s_null else 'NOT NULL'};"
+                )
+            elif expected == actual:
+                # the type-mismatch MODIFY above already carries the
+                # source nullability; matched types need their own
+                r.fix_sql.append(
+                    f"ALTER TABLE {tname_q} MODIFY COLUMN {qi(name)} "
+                    f"{expected}{'' if s_null else ' NOT NULL'};"
+                )
 
     tpk = tuple(tgt.primary_key.columns) if tgt.primary_key else ()
     if spk != tpk:

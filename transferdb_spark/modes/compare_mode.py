@@ -62,6 +62,7 @@ def compare_tables(
     n_chunks: int = 32,
     only_rows: bool = False,
     incremental: bool = False,
+    dialect: str = "mysql",
 ) -> CompareReport:
     """Compare src vs tgt; emit fix-SQL for divergent rows.
 
@@ -126,7 +127,7 @@ def compare_tables(
 
     # render INSERT/DELETE statements executor-side; the driver sees
     # only the (kind → count) rollup — never the repair rows
-    stmts = repair_statements(ins_df, del_df, table).persist()
+    stmts = repair_statements(ins_df, del_df, table, dialect=dialect).persist()
     counts = {
         r["kind"]: r["n"]
         for r in stmts.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -289,6 +289,13 @@ def full_migrate_table_jdbc(
     part = up.filter(
         pred.replace(key, ukey) if key != ukey else pred
     ).repartitionByRange(max(1, len(pending)), F.col(ukey))
+    # row count observed DURING the write action — a post-write
+    # .count() would re-run the whole source scan + range repartition
+    # a second time just for the report
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    part = part.observe(obs, F.count(F.lit(1)).alias("n"))
     try:
         tsink.write(part, mode="append")
     except Exception as e:
@@ -297,7 +304,7 @@ def full_migrate_table_jdbc(
         raise
     for c in pending:
         store.mark(table, c.chunk_id, SUCCESS)
-    n = part.count()
+    n = int(obs.get["n"])
     return {"written": n, "chunks": len(pending), "resumed": len(pending) < len(chunks)}
 
 

@@ -160,12 +160,17 @@ def repair_sql(
     return out
 
 
-def _sql_literal_col(name: str, dtype) -> F.Column:
+def _sql_literal_col(name: str, dtype, dialect: str = "mysql") -> F.Column:
     """Render one column as a SQL literal, executor-side.
 
-    Same escaping contract as repair_sql's driver-side `lit` (quotes and
-    backslashes doubled, common/strings.go:453-472 semantics); numerics
-    and booleans pass through unquoted, NULL renders as the keyword."""
+    mysql: quotes AND backslashes doubled (the reference's
+    common/strings.go:453-472 semantics — MySQL string literals
+    backslash-unescape). ansi: quote doubling ONLY — standard SQL
+    strings (Derby, DuckDB, ...) do not process backslashes, so
+    doubling them would corrupt the value. Numerics and booleans pass
+    through unquoted (Spark's double->string is shortest-round-trip,
+    which ANSI targets parse back exactly); NULL renders as the
+    keyword."""
     from pyspark.sql import types as T
 
     col = F.col(name)
@@ -175,7 +180,9 @@ def _sql_literal_col(name: str, dtype) -> F.Column:
     )
     if isinstance(dtype, unquoted):
         return F.when(col.isNull(), F.lit("NULL")).otherwise(col.cast("string"))
-    esc = F.replace(col.cast("string"), F.lit("\\"), F.lit("\\\\"))
+    esc = col.cast("string")
+    if dialect != "ansi":
+        esc = F.replace(esc, F.lit("\\"), F.lit("\\\\"))
     esc = F.replace(esc, F.lit("'"), F.lit("''"))
     return F.when(col.isNull(), F.lit("NULL")).otherwise(
         F.concat(F.lit("'"), esc, F.lit("'"))
@@ -197,7 +204,9 @@ def repair_statements(
     cols = insert_df.columns
     col_list = ", ".join(cols)
 
-    ins_vals = [_sql_literal_col(f.name, f.dataType) for f in insert_df.schema.fields]
+    ins_vals = [
+        _sql_literal_col(f.name, f.dataType, dialect) for f in insert_df.schema.fields
+    ]
     ins = insert_df.select(
         F.lit("INSERT").alias("kind"),
         F.concat(
@@ -209,7 +218,9 @@ def repair_statements(
 
     del_conds = [
         F.when(F.col(f.name).isNull(), F.lit(f"{f.name} IS NULL")).otherwise(
-            F.concat(F.lit(f"{f.name} = "), _sql_literal_col(f.name, f.dataType))
+            F.concat(
+                F.lit(f"{f.name} = "), _sql_literal_col(f.name, f.dataType, dialect)
+            )
         )
         for f in delete_df.schema.fields
     ]

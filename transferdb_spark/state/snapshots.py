@@ -268,7 +268,13 @@ def merge_snapshot(
     if files:
         import pyarrow.parquet as pq
 
-        stored_cols = set(pq.ParquetFile(files[0]).schema_arrow.names)
+        # the UNION over every footer, not files[0]: after a union
+        # evolution the image legitimately mixes old- and new-schema
+        # files, and sampling one makes the strict-mode accept/reject
+        # depend on file ordering (footer reads are manifest-sized)
+        stored_cols: set = set()
+        for f in files:
+            stored_cols |= set(pq.ParquetFile(f).schema_arrow.names)
         batch_cols = set(batch.columns)
         if batch_cols != stored_cols:
             if evolution != "union":
@@ -320,7 +326,15 @@ def merge_snapshot(
     untouched = [f for f in files if f not in touched_set]
 
     if touched:
-        old = spark.read.parquet(*touched)
+        # mergeSchema when the image has evolved: the touched set can
+        # mix pre- and post-evolution files, and a plain read infers
+        # from one footer — silently dropping the evolved column from
+        # rewritten rows (read_snapshot already does this; the internal
+        # rewrite read must too)
+        reader = spark.read
+        if evolved:
+            reader = reader.option("mergeSchema", "true")
+        old = reader.parquet(*touched)
         if not evolved:
             old = old.select(*batch.columns)
         if scn_col is None:
