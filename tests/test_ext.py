@@ -1730,3 +1730,66 @@ def test_png_adam7_sub_byte_depths(spark):
             px = _decode_png(build(idx, plte, depth))
             assert px.shape == (h, w, 3)
             assert np.array_equal(px, plte[idx]), (depth, h, w)
+
+
+def test_mp4_probe_extracts_container_metadata(spark):
+    """ISO-BMFF probing: a hand-built minimal MP4 (ftyp/moov/mvhd/
+    trak/tkhd/mdhd/hdlr/stsd, v0 and v1 header variants, a 64-bit
+    largesize box) yields brand, durations, per-track kind/codec and
+    video dimensions; torn bytes raise ValueError."""
+    import struct
+
+    import pytest
+
+    from transferdb_spark.ext.multimodal import probe_mp4
+
+    def box(t, payload, large=False):
+        if large:
+            return struct.pack(">I", 1) + t + struct.pack(">Q", 16 + len(payload)) + payload
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    def tkhd(w, h, v1=False):
+        if v1:
+            head = bytes([1, 0, 0, 0]) + struct.pack(">QQIIQ", 0, 0, 1, 0, 450000)
+        else:
+            head = bytes(4) + struct.pack(">IIIII", 0, 0, 1, 0, 5000)
+        return box(b"tkhd", head + bytes(8 + 2 + 2 + 2 + 2 + 36)
+                   + struct.pack(">II", w << 16, h << 16))
+
+    def mdhd(ts, dur):
+        return box(b"mdhd", bytes(4) + struct.pack(">IIII", 0, 0, ts, dur) + bytes(4))
+
+    def hdlr(handler):
+        return box(b"hdlr", bytes(4) + bytes(4) + handler + bytes(12))
+
+    def stsd(codec):
+        entry = struct.pack(">I", 16) + codec + bytes(8)
+        return box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+
+    vide = box(b"trak", tkhd(320, 240) + box(
+        b"mdia", mdhd(90000, 450000) + hdlr(b"vide")
+        + box(b"minf", box(b"stbl", stsd(b"avc1")))))
+    soun = box(b"trak", tkhd(0, 0, v1=True) + box(
+        b"mdia", mdhd(48000, 96000) + hdlr(b"soun")
+        + box(b"minf", box(b"stbl", stsd(b"mp4a")))))
+    mvhd = box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, 1000, 5000) + bytes(76))
+    moov = box(b"moov", mvhd + vide + soun, large=True)  # exercise largesize
+    buf = box(b"ftyp", b"isom" + bytes(4) + b"isomavc1") + moov + box(b"mdat", b"\x00" * 32)
+
+    meta = probe_mp4(buf)
+    assert meta["brand"] == "isom"
+    assert meta["duration_ms"] == 5000
+    assert meta["n_tracks"] == 2
+    v, a = meta["tracks"]
+    assert v == {"kind": "video", "codec": "avc1", "width": 320, "height": 240,
+                 "duration_ms": 5000}
+    assert a["kind"] == "audio" and a["codec"] == "mp4a"
+    assert a["duration_ms"] == 2000 and a["width"] == 0
+
+    # len(buf)-45 cuts INTO moov (removing exactly the 40-byte mdat
+    # would still be a complete, valid file)
+    for cut in (3, 10, 40, len(buf) - 45):
+        with pytest.raises(ValueError):
+            probe_mp4(buf[:cut])
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00" * 64)

@@ -834,3 +834,119 @@ def synthetic_raw_video(w: int = 8, h: int = 6, n_frames: int = 20) -> bytes:
     return b"".join(
         np.full((h, w, 3), k % 256, dtype=np.uint8).tobytes() for k in range(n_frames)
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container probing (metadata, no codec decode)
+
+
+def probe_mp4(content: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) container metadata, stdlib-only: brand,
+    movie duration, and per-track (kind, codec, width, height,
+    duration_ms) from ftyp/mvhd/tkhd/mdhd/hdlr/stsd.
+
+    This is the filter-before-decode stage a 100 TB media corpus
+    needs — resolution/duration/codec gating costs a header parse
+    (box walk over a few KB), while frame decode stays behind the
+    NotImplementedError dispatch for an ffmpeg-class library. Torn
+    or non-BMFF bytes raise ValueError (ingestion contract)."""
+    try:
+        return _probe_mp4(content)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated or corrupt MP4: {exc!r}") from exc
+
+
+def _boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) at one nesting level."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        btype = buf[pos + 4 : pos + 8]
+        head = 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            head = 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < head or pos + size > end:
+            raise ValueError(f"malformed box {btype!r} at {pos}")
+        yield btype, pos + head, pos + size
+        pos += size
+
+
+def _find(buf: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _boxes(buf, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _probe_mp4(buf: bytes) -> dict:
+    top = list(_boxes(buf, 0, len(buf)))
+    types = [t for t, _, _ in top]
+    if b"ftyp" not in types or b"moov" not in types:
+        raise ValueError("not an ISO-BMFF file (no ftyp/moov)")
+    out: dict = {"tracks": []}
+    for t, s, e in top:
+        if t == b"ftyp":
+            out["brand"] = buf[s : s + 4].decode("latin1")
+        elif t == b"moov":
+            mv = _find(buf, s, e, b"mvhd")
+            if mv:
+                ms, _me = mv
+                ver = buf[ms]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", buf, ms + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", buf, ms + 4 + 8)
+                out["duration_ms"] = int(dur * 1000 // ts) if ts else None
+            for tt, tss, tee in _boxes(buf, s, e):
+                if tt != b"trak":
+                    continue
+                trk: dict = {"kind": None, "codec": None, "width": None, "height": None}
+                tk = _find(buf, tss, tee, b"tkhd")
+                if tk:
+                    ks, _ke = tk
+                    ver = buf[ks]
+                    # width/height are the LAST two 16.16 fixed-point
+                    # fields of tkhd (after matrix), same offset from
+                    # the end for v0 and v1
+                    base = ks + 4 + (32 if ver == 1 else 20) + 8 + 2 + 2 + 2 + 2 + 36
+                    wq, hq = struct.unpack_from(">II", buf, base)
+                    trk["width"], trk["height"] = wq >> 16, hq >> 16
+                md = _find(buf, tss, tee, b"mdia")
+                if md:
+                    mds, mde = md
+                    mh = _find(buf, mds, mde, b"mdhd")
+                    if mh:
+                        hs, _he = mh
+                        ver = buf[hs]
+                        if ver == 1:
+                            mts, mdur = struct.unpack_from(">IQ", buf, hs + 4 + 16)
+                        else:
+                            mts, mdur = struct.unpack_from(">II", buf, hs + 4 + 8)
+                        trk["duration_ms"] = int(mdur * 1000 // mts) if mts else None
+                    hd = _find(buf, mds, mde, b"hdlr")
+                    if hd:
+                        hls, _hle = hd
+                        handler = buf[hls + 8 : hls + 12]
+                        trk["kind"] = {b"vide": "video", b"soun": "audio"}.get(
+                            handler, handler.decode("latin1").strip()
+                        )
+                    mi = _find(buf, mds, mde, b"minf")
+                    if mi:
+                        sb = _find(buf, mi[0], mi[1], b"stbl")
+                        if sb:
+                            sd = _find(buf, sb[0], sb[1], b"stsd")
+                            if sd:
+                                # stsd: ver/flags u32, entry_count u32,
+                                # then the first sample entry's 4cc
+                                sds, _sde = sd
+                                n = struct.unpack_from(">I", buf, sds + 4)[0]
+                                if n >= 1:
+                                    trk["codec"] = buf[sds + 12 : sds + 16].decode(
+                                        "latin1"
+                                    )
+                out["tracks"].append(trk)
+    out["n_tracks"] = len(out["tracks"])
+    return out
