@@ -1793,3 +1793,35 @@ def test_mp4_probe_extracts_container_metadata(spark):
             probe_mp4(buf[:cut])
     with pytest.raises(ValueError):
         probe_mp4(b"\x00" * 64)
+
+
+def test_mp4_rides_feature_extraction_path(spark):
+    """kind=video MP4 payloads flow through the real (fake=False)
+    mapInPandas feature path using container-probe features —
+    duration/track-count/dimensions — with no frame decode."""
+    import struct
+
+    import numpy as np
+
+    from transferdb_spark.ext.multimodal import MEDIA_SCHEMA, extract_features
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    tkhd = box(b"tkhd", bytes(4) + struct.pack(">IIIII", 0, 0, 1, 0, 7000)
+               + bytes(52) + struct.pack(">II", 640 << 16, 360 << 16))
+    mdia = box(b"mdia", box(b"mdhd", bytes(4) + struct.pack(">IIII", 0, 0, 1000, 7000)
+                            + bytes(4))
+               + box(b"hdlr", bytes(8) + b"vide" + bytes(12)))
+    moov = box(b"moov", box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, 1000, 7000)
+                            + bytes(76))
+               + box(b"trak", tkhd + mdia))
+    buf = box(b"ftyp", b"isom" + bytes(4)) + moov
+
+    media = spark.createDataFrame(
+        [(1, "video", buf, ("video/mp4", 640, 360, 7000))], MEDIA_SCHEMA
+    )
+    row = extract_features(media, fake=False).collect()[0]
+    f = np.array(row["features"])
+    assert f[0] == 7000.0 and f[1] == 1.0 and f[2] == 640.0 and f[3] == 360.0
+    assert row["n_bytes"] == len(buf)

@@ -710,6 +710,20 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     feats.append([0.0] * FEATURE_DIM)
                 elif kind == "audio":
                     feats.append(audio_features(*decode_wav(bytes(c))))
+                elif kind == "video" and bytes(c)[4:8] == b"ftyp":
+                    # MP4: container-level features from the box walk
+                    # (frame decode stays behind NotImplementedError)
+                    m = probe_mp4(bytes(c))
+                    v = next(
+                        (t for t in m["tracks"] if t.get("kind") == "video"), {}
+                    )
+                    f = [
+                        float(m.get("duration_ms") or 0),
+                        float(m["n_tracks"]),
+                        float(v.get("width") or 0),
+                        float(v.get("height") or 0),
+                    ]
+                    feats.append(f + [0.0] * (FEATURE_DIM - len(f)))
                 else:
                     feats.append(image_features(decode_image(bytes(c))))
             yield pd.DataFrame(
