@@ -277,3 +277,16 @@ def test_cli_search_mode(tmp_path, capsys, spark):
     )
     assert out["hybrid"] is True and out["hits"] == 10
     assert {"doc_id", "bm25", "cosine"} <= set(out["results"][0])
+
+
+def test_cli_pipeline_mode(tmp_path, capsys, spark):
+    wd = str(tmp_path / "wd")
+    out = run_cli(
+        ["--mode", "pipeline", "--workdir", wd, "--budget", "64"], capsys
+    )
+    assert out["docs_raw"] >= out["docs_clean"] >= out["docs_pruned"] > 0
+    assert set(out["bins"]) == {"train", "val", "test"}
+    import os
+
+    assert os.path.isdir(os.path.join(out["bins_dir"], "split=train"))
+    assert os.path.exists(out["manifest_path"])
