@@ -3033,6 +3033,28 @@ def hybrid_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_proximity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-boosted BM25 (Rasolofo & Savoy 2003): bag score plus
+    min(idf)/d² for query-term pairs within 8 tokens — the whole
+    per-doc feature block (tf via position arrays + pairwise minimum
+    distances) is one zero-shuffle projection — see ext/retrieval.py."""
+    from transferdb_spark.ext.retrieval import bm25_proximity_topk
+
+    return bm25_proximity_topk(_t(spark, sf_dir, "documents"))
+
+
+def rrf_fusion_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the BM25 top-N
+    and the cosine top-N: rank-based, score-normalization-free hybrid;
+    ranks via bounded count-joins (no single-partition window) — see
+    ext/retrieval.py."""
+    from transferdb_spark.ext.retrieval import rrf_fusion_topk
+
+    return rrf_fusion_topk(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
 def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch heavy hitters over tokens: d x w mergeable
     sketch, broadcast probe, exact count + one-sided overestimate
@@ -3057,6 +3079,14 @@ def quality_classifier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.classifier import score_topk
 
     return score_topk(_t(spark, sf_dir, "documents"))
+
+
+def quality_classifier_bigram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier rung 2: hashed unigram + bigram features (disjoint
+    bucket spaces), same oracle-replayable GD — see ext/classifier.py."""
+    from transferdb_spark.ext.classifier import score_topk
+
+    return score_topk(_t(spark, sf_dir, "documents"), bigrams=True)
 
 
 def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4344,8 +4374,11 @@ def _ext_oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _cms_sql(),
         "hybrid_search_topk": _hybrid_sql(),
         "bm25_phrase_topk": _phrase_sql(),
+        "bm25_proximity_topk": _proximity_sql(),
+        "rrf_fusion_topk": _rrf_sql(),
         "quality_classifier_weights": _classifier_sql()[0],
         "quality_classifier_topk": _classifier_sql()[1],
+        "quality_classifier_bigram_topk": _classifier_bigram_sql(),
         "dsir_doc_scores": _dsir_sql()[0],
         "dsir_select_top": _dsir_sql()[1],
         "pack_sequences": _packing_sql()[0],
@@ -4400,6 +4433,24 @@ def _phrase_sql() -> str:
     from transferdb_spark.ext.retrieval import bm25_phrase_topk_sql
 
     return bm25_phrase_topk_sql()
+
+
+def _proximity_sql() -> str:
+    from transferdb_spark.ext.retrieval import bm25_proximity_topk_sql
+
+    return bm25_proximity_topk_sql()
+
+
+def _rrf_sql() -> str:
+    from transferdb_spark.ext.retrieval import rrf_fusion_topk_sql
+
+    return rrf_fusion_topk_sql()
+
+
+def _classifier_bigram_sql() -> str:
+    from transferdb_spark.ext.classifier import score_topk_sql
+
+    return score_topk_sql(bigrams=True)
 
 
 def _hybrid_sql() -> str:
@@ -4576,6 +4627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": range_join_windows,
         "multires_rollup": multires_rollup,
         "pipeline_clean_corpus": pipeline_clean_corpus,
+        # ---------------- below the driver's 50-query fold ----------------
         "dsir_select_top": dsir_select_top,
         "setop_customers_with_orders": setop_customers_with_orders,
         "doc_fingerprint": doc_fingerprint,
@@ -4592,9 +4644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": pii_redaction,
         "repetition_ratio": repetition_ratio,
         "domain_mix_sample": domain_mix_sample,
-        # -- fill to 50
+        "rrf_fusion_topk": rrf_fusion_topk_q,
         "deterministic_sample": deterministic_sample,
-        # ---------------- below the driver's 50-query fold ----------------
+        "bm25_proximity_topk": bm25_proximity_topk_q,
+        "quality_classifier_bigram_topk": quality_classifier_bigram_topk_q,
         "weighted_sample_topk": weighted_sample_topk,
         "stratified_sample": stratified_sample,
         "assess_ndv_sketch": assess_ndv_sketch,

@@ -1825,3 +1825,78 @@ def test_mp4_rides_feature_extraction_path(spark):
     f = np.array(row["features"])
     assert f[0] == 7000.0 and f[1] == 1.0 and f[2] == 640.0 and f[3] == 360.0
     assert row["n_bytes"] == len(buf)
+
+
+def test_bm25_proximity_boost_reorders(spark):
+    """Two docs with IDENTICAL bags of the query terms: the one where
+    the rare pair sits adjacent outranks the scattered one; a pair
+    farther apart than PROX_WINDOW earns no boost (scores tie); docs
+    with a single query term get the plain bag score."""
+    from transferdb_spark.ext.retrieval import PROX_WINDOW, bm25_proximity_topk
+
+    filler = " ".join(f"f{i}" for i in range(PROX_WINDOW + 2))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {filler}"),            # adjacent: boost
+            (2, f"alpha {filler} beta"),            # > window: no boost
+            (3, f"beta {filler} alpha"),            # > window: no boost
+            (4, f"alpha {filler} {filler}"),        # one term only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bm25_proximity_topk(docs, ("alpha", "beta"), k=10).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["n_terms"] == 2 and got[4]["n_terms"] == 1
+    # same dl + same tf everywhere for 1-3, so bag scores are equal;
+    # only doc 1 carries the proximity term
+    assert got[1]["score"] > got[2]["score"]
+    assert got[2]["score"] == got[3]["score"]
+
+
+def test_rrf_fusion_matches_python_reference(spark, docs, emb):
+    """RRF == reference fusion computed in Python from the two top-N
+    lists (rank = position in the deterministically ordered list),
+    including docs present in only one list."""
+    from transferdb_spark.ext.retrieval import RRF_K, bm25_topk, rrf_fusion_topk
+    from transferdb_spark.ext.similarity import topk_bruteforce
+
+    n, k = 20, 10
+    lex = [r["doc_id"] for r in bm25_topk(docs, k=n, exclude_doc_id=0).collect()]
+    sem = [r["vec_id"] for r in topk_bruteforce(emb, 0, k=n).collect()]
+    expected = {}
+    for rank, d in enumerate(lex, start=1):
+        expected[d] = expected.get(d, 0.0) + 1.0 / (RRF_K + rank)
+    for rank, d in enumerate(sem, start=1):
+        expected[d] = expected.get(d, 0.0) + 1.0 / (RRF_K + rank)
+    want = sorted(expected.items(), key=lambda t: (-round(t[1], 6), t[0]))[:k]
+
+    got = rrf_fusion_topk(docs, emb, k=k).collect()
+    assert [(r["doc_id"], r["rrf"]) for r in got] == [
+        (d, round(v, 6)) for d, v in want
+    ]
+    for r in got:
+        lr = lex.index(r["doc_id"]) + 1 if r["doc_id"] in lex else None
+        sr = sem.index(r["doc_id"]) + 1 if r["doc_id"] in sem else None
+        assert (r["lex_rank"], r["sem_rank"]) == (lr, sr)
+
+
+def test_classifier_bigrams_separate_order_sensitive_classes(spark):
+    """Classes with IDENTICAL unigram bags but different token ORDER:
+    the unigram model scores every doc identically (cannot separate);
+    the bigram model ranks every target doc above every non-target."""
+    from transferdb_spark.ext.classifier import classifier_scores
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "src0", "a b a b a b"))
+        rows.append((100 + i, "src1", "b a b a b a"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    uni = classifier_scores(docs, bigrams=False).collect()
+    assert len({r["score"] for r in uni}) == 1
+
+    bi = classifier_scores(docs, bigrams=True).collect()
+    t = [r["score"] for r in bi if r["y"] == 1]
+    o = [r["score"] for r in bi if r["y"] == 0]
+    assert len(t) == 8 and len(o) == 8
+    assert min(t) > max(o)

@@ -51,26 +51,51 @@ TARGET_SOURCE = "src0"  # same weak label as ext/dsir.py
 _Q = 9  # contribution quantization digits (DECIMAL(28,9) headroom)
 
 
-def _hits(docs: DataFrame) -> DataFrame:
-    """(doc_id, y, bucket, x): hashed-unigram counts + the bias row."""
+# bigram rung: unigram buckets live in [0, D), bigram buckets in
+# [D, 2D), bias at 2D — disjoint hash spaces so a unigram and a bigram
+# never collide into the same weight. The bigram list is built with
+# zip_with over two slices of a bound `toks` column (O(n); see the
+# dsir.py note — element_at(<split>, i) inside a lambda re-evaluates
+# the split per index).
+_BIGRAMS = (
+    "zip_with(slice(toks, 1, size(toks) - 1), "
+    "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))"
+)
+
+
+def _dim(bigrams: bool) -> int:
+    """Bias bucket index == feature-space size."""
+    return 2 * D if bigrams else D
+
+
+def _hits(docs: DataFrame, bigrams: bool = False) -> DataFrame:
+    """(doc_id, y, bucket, x): hashed n-gram counts + the bias row."""
+    dim = _dim(bigrams)
     base = docs.select(
         "doc_id",
         (F.col("source") == TARGET_SOURCE).cast("int").alias("y"),
     )
-    tf = (
-        docs.select(
-            "doc_id", F.explode(F.expr(TOKENS)).alias("term")
-        )
-        .select(
-            "doc_id",
-            F.pmod(portable_hash64(F.col("term")), F.lit(D)).cast("int").alias("bucket"),
-        )
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("x"))
+    uni = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("term")).select(
+        "doc_id",
+        F.pmod(portable_hash64(F.col("term")), F.lit(D)).cast("int").alias("bucket"),
     )
+    grams = uni
+    if bigrams:
+        bi = (
+            docs.select("doc_id", F.expr(TOKENS).alias("toks"))
+            .select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("term"))
+            .select(
+                "doc_id",
+                (F.pmod(portable_hash64(F.col("term")), F.lit(D)) + F.lit(D))
+                .cast("int")
+                .alias("bucket"),
+            )
+        )
+        grams = uni.unionByName(bi)
+    tf = grams.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("x"))
     feats = base.join(tf, "doc_id").select("doc_id", "y", "bucket", "x")
     bias = base.select(
-        "doc_id", "y", F.lit(D).alias("bucket"), F.lit(1).cast("long").alias("x")
+        "doc_id", "y", F.lit(dim).alias("bucket"), F.lit(1).cast("long").alias("x")
     )
     return feats.unionByName(bias)
 
@@ -79,14 +104,16 @@ def _dec(col):
     return stable_round(col, _Q).cast(f"decimal(28,{_Q})")
 
 
-def train_weights(docs: DataFrame, iters: int = ITERS, lr: float = LR) -> DataFrame:
-    """T full-batch GD iterations; returns (bucket, weight) — D+1 rows.
+def train_weights(
+    docs: DataFrame, iters: int = ITERS, lr: float = LR, bigrams: bool = False
+) -> DataFrame:
+    """T full-batch GD iterations; returns (bucket, weight) — dim+1 rows.
 
     weight is stable_round(·, 6)-quantized at the output boundary."""
     spark = docs.sparkSession
-    hits = _hits(docs)
+    hits = _hits(docs, bigrams)
     n_docs = docs.count()  # scalar, driver-side like the SQL twin's CROSS JOIN n
-    w = {b: 0.0 for b in range(D + 1)}
+    w = {b: 0.0 for b in range(_dim(bigrams) + 1)}
     for _ in range(iters):
         wdf = spark.createDataFrame(
             [(b, float(v)) for b, v in sorted(w.items())], "bucket int, w double"
@@ -108,7 +135,7 @@ def train_weights(docs: DataFrame, iters: int = ITERS, lr: float = LR) -> DataFr
             hits.join(err, "doc_id")
             .groupBy("bucket")
             .agg(F.sum(_dec(F.col("err") * F.col("x"))).cast("double").alias("g"))
-            .collect()  # <= D+1 rows: model-sized, corpus-independent
+            .collect()  # <= dim+1 rows: model-sized, corpus-independent
         )
         for r in grads:
             w[r["bucket"]] = w[r["bucket"]] - lr * (r["g"] / float(n_docs))
@@ -119,13 +146,15 @@ def train_weights(docs: DataFrame, iters: int = ITERS, lr: float = LR) -> DataFr
     ).orderBy("bucket")
 
 
-def classifier_scores(docs: DataFrame, iters: int = ITERS, lr: float = LR) -> DataFrame:
+def classifier_scores(
+    docs: DataFrame, iters: int = ITERS, lr: float = LR, bigrams: bool = False
+) -> DataFrame:
     """(doc_id, y, score) for EVERY document: the trained-classifier
     logit. The logit (not the sigmoid) is the exposed score — monotone
     in it, and exact across engines without touching exp()."""
-    w = train_weights(docs, iters, lr)
+    w = train_weights(docs, iters, lr, bigrams)
     scored = (
-        _hits(docs)
+        _hits(docs, bigrams)
         .join(F.broadcast(w), "bucket")
         .groupBy("doc_id", "y")
         .agg(
@@ -136,11 +165,15 @@ def classifier_scores(docs: DataFrame, iters: int = ITERS, lr: float = LR) -> Da
 
 
 def score_topk(
-    docs: DataFrame, iters: int = ITERS, lr: float = LR, k: int = 20
+    docs: DataFrame,
+    iters: int = ITERS,
+    lr: float = LR,
+    k: int = 20,
+    bigrams: bool = False,
 ) -> DataFrame:
     """(doc_id, y, score): top-k docs by trained-classifier logit."""
     return (
-        classifier_scores(docs, iters, lr)
+        classifier_scores(docs, iters, lr, bigrams)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
@@ -158,8 +191,24 @@ def _dec_sql(expr: str) -> str:
     return f"CAST({stable_round_sql(expr, _Q)} AS DECIMAL(28,{_Q}))"
 
 
-def _train_ctes(iters: int = ITERS, lr: float = LR) -> str:
+def _train_ctes(iters: int = ITERS, lr: float = LR, bigrams: bool = False) -> str:
     """hits/n + w0..w{iters} CTEs; w{iters} is the trained model."""
+    dim = _dim(bigrams)
+    bigram_branch = ""
+    if bigrams:
+        # bigram grams offset into [D, 2D) — DuckDB twin of _BIGRAMS
+        bigram_branch = f"""
+    UNION ALL
+    SELECT doc_id,
+           CASE WHEN source = '{TARGET_SOURCE}' THEN 1 ELSE 0 END AS y,
+           {_bucket_sql("u.tok")} + {D} AS bucket
+    FROM (SELECT doc_id, source,
+                 CASE WHEN len({TOKENS_SQL}) >= 2 THEN
+                   list_transform(generate_series(1, len({TOKENS_SQL}) - 1),
+                                  i -> ({TOKENS_SQL})[i] || ' ' || ({TOKENS_SQL})[i + 1])
+                 ELSE [] END AS t
+          FROM documents),
+         UNNEST(t) AS u(tok)"""
     parts = [
         f"""hits AS MATERIALIZED (
   SELECT doc_id, y, bucket, COUNT(*) AS x FROM (
@@ -167,15 +216,15 @@ def _train_ctes(iters: int = ITERS, lr: float = LR) -> str:
            CASE WHEN source = '{TARGET_SOURCE}' THEN 1 ELSE 0 END AS y,
            {_bucket_sql("u.tok")} AS bucket
     FROM (SELECT doc_id, source, {TOKENS_SQL} AS t FROM documents),
-         UNNEST(t) AS u(tok)
+         UNNEST(t) AS u(tok){bigram_branch}
   ) GROUP BY 1, 2, 3
   UNION ALL
-  SELECT doc_id, CASE WHEN source = '{TARGET_SOURCE}' THEN 1 ELSE 0 END, {D}, 1
+  SELECT doc_id, CASE WHEN source = '{TARGET_SOURCE}' THEN 1 ELSE 0 END, {dim}, 1
   FROM documents
 ),
 n AS (SELECT COUNT(*) AS n FROM documents),
 w0 AS MATERIALIZED (SELECT u.b AS bucket, 0.0::DOUBLE AS w
-       FROM UNNEST(generate_series(0, {D})) AS u(b))"""
+       FROM UNNEST(generate_series(0, {dim})) AS u(b))"""
     ]
     for i in range(iters):
         parts.append(f"""z{i} AS (
@@ -203,18 +252,22 @@ w{i + 1} AS MATERIALIZED (
     return ",\n".join(parts)
 
 
-def train_weights_sql(iters: int = ITERS, lr: float = LR) -> str:
+def train_weights_sql(
+    iters: int = ITERS, lr: float = LR, bigrams: bool = False
+) -> str:
     return f"""
-WITH {_train_ctes(iters, lr)}
+WITH {_train_ctes(iters, lr, bigrams)}
 SELECT bucket, CAST({stable_round_sql("w", 6)} AS DOUBLE) AS weight
 FROM w{iters}
 ORDER BY bucket
 """
 
 
-def score_topk_sql(iters: int = ITERS, lr: float = LR, k: int = 20) -> str:
+def score_topk_sql(
+    iters: int = ITERS, lr: float = LR, k: int = 20, bigrams: bool = False
+) -> str:
     return f"""
-WITH {_train_ctes(iters, lr)},
+WITH {_train_ctes(iters, lr, bigrams)},
 sc AS (
   SELECT h.doc_id, h.y,
          CAST(SUM({_dec_sql("w.w * h.x")}) AS DOUBLE) AS s

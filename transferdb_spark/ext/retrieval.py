@@ -278,6 +278,314 @@ LIMIT {k}
 """
 
 
+PROX_WINDOW = 8  # max token distance that earns a proximity boost
+
+
+def _pairs(terms: list[str]) -> list[tuple[str, str]]:
+    return [(a, b) for i, a in enumerate(terms) for b in terms[i + 1 :]]
+
+
+def bm25_proximity_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 + term-proximity boost (Rasolofo & Savoy 2003 shape).
+
+    The bag score is the same BM25 as bm25_topk, but computed WITHOUT
+    an explode: per-term tf comes from row-local position arrays
+    (filter over sequence(1, len)), so the whole per-doc feature block
+    — every tf, dl, and every pairwise minimum token distance — is one
+    narrow projection with zero shuffle. For each unordered pair of
+    query terms co-occurring within PROX_WINDOW tokens, the boost adds
+    min(idf_a, idf_b) / d² (d = minimum absolute position distance) —
+    documents where rare query terms sit NEAR each other outrank
+    bag-equal documents where they are scattered.
+
+    Scale: the per-doc block is O(dl · m) row-local work (m = #terms,
+    ≤ a handful); the only aggregation is the 1-row corpus-stats
+    relation (n_docs, sum_dl, per-term df) broadcast back. Candidate
+    rows (≥1 term present) flow straight to TakeOrderedAndProject.
+    Exactness: every summand is built in ONE fixed expression order
+    per row (no order-sensitive SUM anywhere), idf is micro-quantized
+    at the ln boundary, and the result is stable_round(·, 6).
+
+    Returns (doc_id, n_terms, score) ordered by score DESC, doc_id.
+    """
+    terms = _norm_terms(query_terms)
+    m = len(terms)
+    toks = _tokens(docs)
+
+    def positions(w: str) -> Column:
+        return F.filter(
+            F.sequence(F.lit(1), F.size("t")),
+            lambda i: F.element_at("t", i.cast("int")) == F.lit(w),
+        )
+
+    cols = [F.col("doc_id"), F.size("t").alias("dl")]
+    cols += [positions(w).alias(f"p{i}") for i, w in enumerate(terms)]
+    # persisted before the two consumers (stats agg + scored filter):
+    # same Catalyst filter-collapse hazard as the phrase path above —
+    # without it the position lambdas re-evaluate once per consumer.
+    per_doc = toks.select(*cols).persist()
+
+    stats_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ] + [
+        F.sum((F.size(f"p{i}") > 0).cast("long")).alias(f"df{i}") for i in range(m)
+    ]
+    stats = per_doc.agg(*stats_aggs)
+
+    any_hit = None
+    for i in range(m):
+        c = F.size(f"p{i}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    hits = per_doc.where(any_hit).crossJoin(F.broadcast(stats))
+
+    idf = {i: _idf_micro(F.col("n_docs"), F.col(f"df{i}")) for i in range(m)}
+    bag = None
+    n_terms = None
+    for i in range(m):
+        tf = F.size(f"p{i}").cast("long")
+        contrib = F.when(
+            tf > 0,
+            _contrib(idf[i], _bm25_weight(tf, F.col("dl"), F.col("sum_dl"), F.col("n_docs"))).cast(
+                "double"
+            ),
+        ).otherwise(F.lit(0.0))
+        bag = contrib if bag is None else bag + contrib
+        present = (tf > 0).cast("int")
+        n_terms = present if n_terms is None else n_terms + present
+
+    def _min_dist(pi: str, pj: str) -> Column:
+        # the outer lambda MUST stay single-argument: F.transform
+        # dispatches on lambda arity, and a second (even defaulted)
+        # parameter selects the (element, index) form
+        return F.array_min(
+            F.flatten(
+                F.transform(pi, lambda p: F.transform(pj, lambda q: F.abs(p - q)))
+            )
+        )
+
+    prox = F.lit(0.0)
+    for i in range(m):
+        for j in range(i + 1, m):
+            d = _min_dist(f"p{i}", f"p{j}")
+            pair_idf = F.least(idf[i], idf[j]).cast("double") / F.lit(float(IDF_SCALE))
+            prox = prox + F.when(
+                d.isNotNull() & (d <= F.lit(PROX_WINDOW)),
+                pair_idf / (d.cast("double") * d.cast("double")),
+            ).otherwise(F.lit(0.0))
+
+    return (
+        hits.select(
+            "doc_id",
+            n_terms.alias("n_terms"),
+            stable_round(bag + prox, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_proximity_topk_sql(
+    query_terms: tuple[str, ...] = DEFAULT_QUERY, k: int = 20
+) -> str:
+    """DuckDB oracle twin of bm25_proximity_topk (identical expression
+    shapes: position arrays, fixed-order summands, micro-quantized idf)."""
+    terms = _norm_terms(query_terms)
+    m = len(terms)
+    pos = ",\n         ".join(
+        f"list_filter(generate_series(1, len(t)), i -> t[i] = {_sql_str(w)}) AS p{i}"
+        for i, w in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN len(p{i}) > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(m)
+    )
+    idf = {i: _idf_expr_sql(f"df{i}") for i in range(m)}
+    bag_parts = []
+    for i in range(m):
+        w = _w_expr_sql(tf=f"len(p{i})")
+        bag_parts.append(
+            f"CASE WHEN len(p{i}) > 0 THEN "
+            f"CAST(CAST({_contrib_sql(idf[i], w)} AS DECIMAL(18,6)) AS DOUBLE) ELSE 0.0 END"
+        )
+    bag = " + ".join(bag_parts)
+    n_terms = " + ".join(f"CASE WHEN len(p{i}) > 0 THEN 1 ELSE 0 END" for i in range(m))
+    prox_parts = []
+    for i in range(m):
+        for j in range(i + 1, m):
+            d = (
+                f"list_min(flatten(list_transform(p{i}, "
+                f"p -> list_transform(p{j}, q -> abs(p - q)))))"
+            )
+            pair_idf = f"CAST(least({idf[i]}, {idf[j]}) AS DOUBLE) / {float(IDF_SCALE)}"
+            prox_parts.append(
+                f"CASE WHEN {d} IS NOT NULL AND {d} <= {PROX_WINDOW} "
+                f"THEN ({pair_idf}) / (CAST({d} AS DOUBLE) * CAST({d} AS DOUBLE)) "
+                "ELSE 0.0 END"
+            )
+    prox = " + ".join(prox_parts)
+    any_hit = " OR ".join(f"len(p{i}) > 0" for i in range(m))
+    return f"""
+WITH toks AS (
+  {_TOKS_CTE}
+),
+per_doc AS MATERIALIZED (
+  SELECT doc_id, len(t) AS dl,
+         {pos}
+  FROM toks
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {dfs} FROM per_doc)
+SELECT doc_id,
+       CAST({n_terms} AS INT) AS n_terms,
+       CAST({stable_round_sql(f"({bag}) + ({prox})", 6)} AS DOUBLE) AS score
+FROM per_doc CROSS JOIN stats
+WHERE {any_hit}
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+RRF_K = 60  # Cormack et al. 2009 constant
+
+
+def _rank_by_count(df: DataFrame, score_col: str) -> DataFrame:
+    """rank = 1 + |strict predecessors| under (score DESC, doc_id ASC).
+
+    The input is a top-N relation (N = model-sized candidate count), so
+    the inequality self-join is a broadcast nested-loop over N×N rows —
+    bounded by the candidate budget, never the corpus — and avoids the
+    Exchange-SinglePartition Window funnel a row_number() would compile
+    to. The (score, doc_id) order is a strict total order, so ranks are
+    dense and deterministic."""
+    left = df.select(
+        F.col("doc_id").alias("_id"), F.col(score_col).alias("_s")
+    )
+    right = df.select(
+        F.col("doc_id").alias("_id2"), F.col(score_col).alias("_s2")
+    )
+    pred = (F.col("_s2") > F.col("_s")) | (
+        (F.col("_s2") == F.col("_s")) & (F.col("_id2") < F.col("_id"))
+    )
+    return (
+        left.join(F.broadcast(right), pred, "left")
+        .groupBy("_id", "_s")
+        .agg((F.count("_id2") + F.lit(1)).cast("int").alias("rank"))
+        .select(F.col("_id").alias("doc_id"), F.col("_s").alias(score_col), "rank")
+    )
+
+
+def rrf_fusion_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    n_candidates: int = 20,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of the
+    lexical BM25 top-N and the semantic cosine top-N:
+
+        rrf(d) = Σ_lists 1 / (rrf_k + rank_list(d))    (missing → 0)
+
+    Rank-based fusion needs no score normalization across the two
+    heterogeneous scorers, and — because ranks are small integers —
+    the fused score is two correctly-rounded divides added in a fixed
+    order: trivially exact across engines. This is the production
+    hybrid shape at corpus scale: each list is an independent top-N
+    (posting-bounded BM25; brute-force here, the LSH/IVF index in
+    ext/ann_index.py when the corpus outgrows it — the fusion is
+    list-source-agnostic), and the fusion itself touches only 2N rows.
+
+    Returns (doc_id, lex_rank, sem_rank, rrf) ordered by rrf DESC,
+    doc_id; the query doc is excluded from BOTH lists."""
+    from transferdb_spark.ext.similarity import topk_bruteforce
+
+    lex = _rank_by_count(
+        bm25_topk(docs, query_terms, k=n_candidates, exclude_doc_id=query_vec_id),
+        "score",
+    ).select("doc_id", F.col("rank").alias("lex_rank"))
+    # topk_bruteforce excludes the query row itself (self-match)
+    sem = _rank_by_count(
+        topk_bruteforce(emb, query_vec_id, k=n_candidates).withColumnRenamed(
+            "vec_id", "doc_id"
+        ),
+        "cosine",
+    ).select("doc_id", F.col("rank").alias("sem_rank"))
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("sem_rank").cast("int").alias("sem_rank"),
+        stable_round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank").cast("double")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)
+
+
+def rrf_fusion_topk_sql(
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    n_candidates: int = 20,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> str:
+    """DuckDB oracle twin of rrf_fusion_topk — same count-based rank
+    (not row_number) so tie semantics are expression-identical."""
+    from transferdb_spark.ext.similarity import cosine_sql
+
+    bm = bm25_topk_sql(query_terms, n_candidates, exclude_doc_id=query_vec_id)
+    return f"""
+WITH lex0 AS MATERIALIZED (
+  {bm}
+),
+sem0 AS MATERIALIZED (
+  SELECT e.vec_id AS doc_id,
+         CAST({cosine_sql('e.embedding', 'q.qvec')} AS DOUBLE) AS cosine
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}) q
+  WHERE e.vec_id <> {query_vec_id}
+  ORDER BY cosine DESC, doc_id
+  LIMIT {n_candidates}
+),
+lex AS (
+  SELECT a.doc_id,
+         CAST(1 + COUNT(b.doc_id) AS INT) AS lex_rank
+  FROM lex0 a LEFT JOIN lex0 b
+    ON b.score > a.score OR (b.score = a.score AND b.doc_id < a.doc_id)
+  GROUP BY a.doc_id
+),
+sem AS (
+  SELECT a.doc_id,
+         CAST(1 + COUNT(b.doc_id) AS INT) AS sem_rank
+  FROM sem0 a LEFT JOIN sem0 b
+    ON b.cosine > a.cosine OR (b.cosine = a.cosine AND b.doc_id < a.doc_id)
+  GROUP BY a.doc_id
+)
+SELECT doc_id,
+       lex_rank, sem_rank,
+       CAST({stable_round_sql(
+           f"COALESCE(1.0 / ({float(rrf_k)} + CAST(lex_rank AS DOUBLE)), 0.0)"
+           f" + COALESCE(1.0 / ({float(rrf_k)} + CAST(sem_rank AS DOUBLE)), 0.0)",
+           6,
+       )} AS DOUBLE) AS rrf
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT {k}
+"""
+
+
 def bm25_phrase_topk(
     docs: DataFrame,
     phrase: tuple[str, ...] = ("table", "scan"),
