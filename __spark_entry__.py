@@ -3055,6 +3055,18 @@ def rrf_fusion_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rrf_fusion_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale RRF: the semantic list comes from the auto-sized
+    multi-probe LSH index instead of the brute-force scan — same
+    fusion, sub-scan candidate stages on BOTH sides — see
+    ext/retrieval.py."""
+    from transferdb_spark.ext.retrieval import rrf_fusion_ann_topk
+
+    return rrf_fusion_ann_topk(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
 def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch heavy hitters over tokens: d x w mergeable
     sketch, broadcast probe, exact count + one-sided overestimate
@@ -4376,6 +4388,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_proximity_topk": _proximity_sql(),
         "rrf_fusion_topk": _rrf_sql(),
+        "rrf_fusion_ann_topk": _rrf_ann_sql(),
         "quality_classifier_weights": _classifier_sql()[0],
         "quality_classifier_topk": _classifier_sql()[1],
         "quality_classifier_bigram_topk": _classifier_bigram_sql(),
@@ -4445,6 +4458,12 @@ def _rrf_sql() -> str:
     from transferdb_spark.ext.retrieval import rrf_fusion_topk_sql
 
     return rrf_fusion_topk_sql()
+
+
+def _rrf_ann_sql() -> str:
+    from transferdb_spark.ext.retrieval import rrf_fusion_ann_topk_sql
+
+    return rrf_fusion_ann_topk_sql()
 
 
 def _classifier_bigram_sql() -> str:
@@ -4647,6 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion_topk": rrf_fusion_topk_q,
         "deterministic_sample": deterministic_sample,
         "bm25_proximity_topk": bm25_proximity_topk_q,
+        "rrf_fusion_ann_topk": rrf_fusion_ann_topk_q,
         "quality_classifier_bigram_topk": quality_classifier_bigram_topk_q,
         "weighted_sample_topk": weighted_sample_topk,
         "stratified_sample": stratified_sample,

@@ -1900,3 +1900,24 @@ def test_classifier_bigrams_separate_order_sensitive_classes(spark):
     o = [r["score"] for r in bi if r["y"] == 0]
     assert len(t) == 8 and len(o) == 8
     assert min(t) > max(o)
+
+
+def test_rrf_fusion_ann_uses_index_list(spark, docs, emb):
+    """The ANN-fused RRF is exactly rrf fusion with the multi-probe
+    LSH top-N as the semantic list: recompute the expected fusion in
+    Python from the two source lists."""
+    from transferdb_spark.ext.retrieval import RRF_K, bm25_topk, rrf_fusion_ann_topk
+    from transferdb_spark.ext.similarity import ann_topk_multiprobe_auto
+
+    n, k = 20, 10
+    lex = [r["doc_id"] for r in bm25_topk(docs, k=n, exclude_doc_id=0).collect()]
+    sem = [r["vec_id"] for r in ann_topk_multiprobe_auto(emb, 0, k=n).collect()]
+    expected = {}
+    for rank, d in enumerate(lex, start=1):
+        expected[d] = expected.get(d, 0.0) + 1.0 / (RRF_K + rank)
+    for rank, d in enumerate(sem, start=1):
+        expected[d] = expected.get(d, 0.0) + 1.0 / (RRF_K + rank)
+    want = sorted(expected.items(), key=lambda t: (-round(t[1], 6), t[0]))[:k]
+
+    got = rrf_fusion_ann_topk(docs, emb, k=k).collect()
+    assert [(r["doc_id"], r["rrf"]) for r in got] == [(d, round(v, 6)) for d, v in want]

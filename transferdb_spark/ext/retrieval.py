@@ -515,6 +515,11 @@ def rrf_fusion_topk(
         ),
         "cosine",
     ).select("doc_id", F.col("rank").alias("sem_rank"))
+    return _rrf_fuse(lex, sem, k, rrf_k)
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame, k: int, rrf_k: int) -> DataFrame:
+    """Full-outer fuse of two ranked lists (missing list → 0 term)."""
     fused = lex.join(sem, "doc_id", "full_outer").select(
         "doc_id",
         F.col("lex_rank").cast("int").alias("lex_rank"),
@@ -532,6 +537,92 @@ def rrf_fusion_topk(
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)
+
+
+def rrf_fusion_ann_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    n_candidates: int = 20,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """rrf_fusion_topk with the CORPUS-SCALE semantic list: the cosine
+    top-N comes from the auto-sized multi-probe LSH index
+    (ext/similarity.ann_topk_multiprobe_auto) instead of the
+    brute-force scan — the fusion itself is identical, proving the
+    list-source-agnostic claim with an oracle-checked query. At 100 TB
+    both lists are sub-scans: BM25 is posting-bounded, the ANN side
+    touches (1+planes)/2^planes of the embedding table."""
+    from transferdb_spark.ext.similarity import ann_topk_multiprobe_auto
+
+    lex = _rank_by_count(
+        bm25_topk(docs, query_terms, k=n_candidates, exclude_doc_id=query_vec_id),
+        "score",
+    ).select("doc_id", F.col("rank").alias("lex_rank"))
+    sem = _rank_by_count(
+        ann_topk_multiprobe_auto(emb, query_vec_id, k=n_candidates).withColumnRenamed(
+            "vec_id", "doc_id"
+        ),
+        "cosine",
+    ).select("doc_id", F.col("rank").alias("sem_rank"))
+    return _rrf_fuse(lex, sem, k, rrf_k)
+
+
+def rrf_fusion_ann_topk_sql(
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    n_candidates: int = 20,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> str:
+    """Oracle twin: the semantic CTE is the multi-probe-auto SQL (same
+    derived plane count and probe set), the fusion text is shared."""
+    from transferdb_spark.ext.similarity import ann_topk_multiprobe_auto_sql
+
+    bm = bm25_topk_sql(query_terms, n_candidates, exclude_doc_id=query_vec_id)
+    sem = ann_topk_multiprobe_auto_sql(query_vec_id, n_candidates)
+    return f"""
+WITH lex0 AS MATERIALIZED (
+  {bm}
+),
+sem0 AS MATERIALIZED (
+  SELECT vec_id AS doc_id, cosine FROM ({sem})
+),
+{_rrf_tail_sql(rrf_k, k)}
+"""
+
+
+def _rrf_tail_sql(rrf_k: int, k: int) -> str:
+    """Count-based rank CTEs + fusion select, shared by both RRF
+    twins (the Spark side shares _rank_by_count/_rrf_fuse the same
+    way — list sources vary, fusion text does not)."""
+    rrf = stable_round_sql(
+        f"COALESCE(1.0 / ({float(rrf_k)} + CAST(lex_rank AS DOUBLE)), 0.0)"
+        f" + COALESCE(1.0 / ({float(rrf_k)} + CAST(sem_rank AS DOUBLE)), 0.0)",
+        6,
+    )
+    return f"""lex AS (
+  SELECT a.doc_id,
+         CAST(1 + COUNT(b.doc_id) AS INT) AS lex_rank
+  FROM lex0 a LEFT JOIN lex0 b
+    ON b.score > a.score OR (b.score = a.score AND b.doc_id < a.doc_id)
+  GROUP BY a.doc_id
+),
+sem AS (
+  SELECT a.doc_id,
+         CAST(1 + COUNT(b.doc_id) AS INT) AS sem_rank
+  FROM sem0 a LEFT JOIN sem0 b
+    ON b.cosine > a.cosine OR (b.cosine = a.cosine AND b.doc_id < a.doc_id)
+  GROUP BY a.doc_id
+)
+SELECT doc_id,
+       lex_rank, sem_rank,
+       CAST({rrf} AS DOUBLE) AS rrf
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT {k}"""
 
 
 def rrf_fusion_topk_sql(
@@ -559,30 +650,7 @@ sem0 AS MATERIALIZED (
   ORDER BY cosine DESC, doc_id
   LIMIT {n_candidates}
 ),
-lex AS (
-  SELECT a.doc_id,
-         CAST(1 + COUNT(b.doc_id) AS INT) AS lex_rank
-  FROM lex0 a LEFT JOIN lex0 b
-    ON b.score > a.score OR (b.score = a.score AND b.doc_id < a.doc_id)
-  GROUP BY a.doc_id
-),
-sem AS (
-  SELECT a.doc_id,
-         CAST(1 + COUNT(b.doc_id) AS INT) AS sem_rank
-  FROM sem0 a LEFT JOIN sem0 b
-    ON b.cosine > a.cosine OR (b.cosine = a.cosine AND b.doc_id < a.doc_id)
-  GROUP BY a.doc_id
-)
-SELECT doc_id,
-       lex_rank, sem_rank,
-       CAST({stable_round_sql(
-           f"COALESCE(1.0 / ({float(rrf_k)} + CAST(lex_rank AS DOUBLE)), 0.0)"
-           f" + COALESCE(1.0 / ({float(rrf_k)} + CAST(sem_rank AS DOUBLE)), 0.0)",
-           6,
-       )} AS DOUBLE) AS rrf
-FROM lex FULL OUTER JOIN sem USING (doc_id)
-ORDER BY rrf DESC, doc_id
-LIMIT {k}
+{_rrf_tail_sql(rrf_k, k)}
 """
 
 
