@@ -2851,6 +2851,21 @@ def bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded_length_histogram(_t(spark, sf_dir, "documents"), n_merges=5)
 
 
+def unigram_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018),
+    the top-down rung next to bottom-up BPE: seed with substring
+    counts, hard-EM (integer-score Viterbi segmentation) re-estimate,
+    prune to the target vocab. No oracle_sql twin — the scores pass
+    through ln() whose last ulp differs across engines (rationale in
+    ext/unigram_lm.py); exactness is pinned by a differential pytest
+    against a pure-Python reference sharing the driver's libm."""
+    from transferdb_spark.ext.unigram_lm import unigram_vocab
+
+    return unigram_vocab(
+        _t(spark, sf_dir, "documents"), vocab_size=150, seed_size=600, iters=3
+    )
+
+
 def _text_html_clean_sql() -> str:
     from transferdb_spark.ext.text import html_clean_roundtrip_sql
 
@@ -4668,6 +4683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_proximity_topk": bm25_proximity_topk_q,
         "rrf_fusion_ann_topk": rrf_fusion_ann_topk_q,
         "quality_classifier_bigram_topk": quality_classifier_bigram_topk_q,
+        "unigram_vocab": unigram_vocab_q,
         "weighted_sample_topk": weighted_sample_topk,
         "stratified_sample": stratified_sample,
         "assess_ndv_sketch": assess_ndv_sketch,

@@ -49,8 +49,11 @@ BENCH_QUERIES = [
     "similarity_topk",
     "bm25_topk",
     "bm25_phrase_topk",
+    "bm25_proximity_topk",
     "hybrid_search_topk",
+    "rrf_fusion_ann_topk",
     "cms_heavy_hitters",
+    "unigram_vocab",
     "weighted_sample_topk",
     "ann_topk_lsh",
     "embedding_neardup",

@@ -1921,3 +1921,91 @@ def test_rrf_fusion_ann_uses_index_list(spark, docs, emb):
 
     got = rrf_fusion_ann_topk(docs, emb, k=k).collect()
     assert [(r["doc_id"], r["rrf"]) for r in got] == [(d, round(v, 6)) for d, v in want]
+
+
+def test_viterbi_segment_rules():
+    """DP semantics: strict-greater replacement (ties keep the
+    shortest piece), unknown chars take the UNK floor, empty word."""
+    from transferdb_spark.ext.unigram_lm import SCALE, viterbi_segment
+
+    scores = {"a": -10, "b": -10, "ab": -15, "abc": -50, "c": -10}
+    # "ab" (-15) beats "a"+"b" (-20)
+    assert viterbi_segment("ab", scores) == ["ab"]
+    # abc: best of abc(-50), ab+c(-25), a+b+c(-30) -> ab+c
+    assert viterbi_segment("abc", scores) == ["ab", "c"]
+    # tie: make ab == a+b; shortest-first scan keeps a+b
+    t = {"a": -10, "b": -10, "ab": -20}
+    assert viterbi_segment("ab", t) == ["a", "b"]
+    # unknown char x: still segments, via the UNK floor
+    got = viterbi_segment("axb", scores)
+    assert got == ["a", "x", "b"]
+    # UNK floor is worse than any real piece
+    assert min(scores.values()) - SCALE < min(scores.values())
+    assert viterbi_segment("", scores) == []
+
+
+def test_unigram_lm_matches_python_reference(spark, docs):
+    """Differential: the distributed trainer == a pure-Python
+    reference (same seed/EM/prune rules) run over the collected
+    corpus — every piece, count, and quantized score identical."""
+    from collections import Counter
+
+    from transferdb_spark.ext.text import TOKENS
+    from transferdb_spark.ext.unigram_lm import (
+        _prune,
+        _scores,
+        train_unigram,
+        viterbi_segment,
+    )
+
+    kw = dict(vocab_size=120, seed_size=400, max_piece_len=4, iters=3)
+
+    # ---- pure-Python reference over the collected token stream ----
+    words = Counter()
+    for r in docs.select(F.expr(TOKENS).alias("t")).collect():
+        for w in r["t"]:
+            if w:
+                words[w] += 1
+    seed = Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(4, len(w) - i) + 1):
+                seed[w[i : i + l]] += c
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = dict(
+        sorted(
+            ((p, c) for p, c in seed.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[: kw["seed_size"]]
+    )
+    counts = dict(chars)
+    counts.update(multi)
+    for _ in range(kw["iters"]):
+        scores = _scores(counts)
+        new = Counter()
+        for w, c in words.items():
+            for piece in viterbi_segment(w, scores, kw["max_piece_len"]):
+                new[piece] += c
+        new_counts = dict(new)
+        for p in counts:
+            if len(p) == 1 and p not in new_counts:
+                new_counts[p] = 0
+        counts = _prune(new_counts, kw["vocab_size"], 0.25)
+    scores = _scores(counts)
+    want = {p: (counts[p], scores[p]) for p in scores}
+
+    got = train_unigram(docs, **kw)
+    assert got == want
+    assert len(got) <= max(kw["vocab_size"], len([p for p in got if len(p) == 1]))
+
+
+def test_unigram_encode_stats_shape(spark, docs):
+    """Encode pass: piece counts are >= word counts (a word is >= 1
+    piece) and the top-k ordering is (n_pieces DESC, doc_id)."""
+    from transferdb_spark.ext.unigram_lm import unigram_encode_stats
+
+    got = unigram_encode_stats(docs, vocab_size=120, seed_size=400, k=10).collect()
+    assert len(got) == 10
+    assert all(r["n_pieces"] >= r["n_words"] > 0 for r in got)
+    keys = [(-r["n_pieces"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
