@@ -3070,6 +3070,18 @@ def rrf_fusion_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_multiphrase_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval rung 3: multi-phrase BM25 over POSITIONAL POSTINGS —
+    postings for the union of phrase words extracted row-locally (no
+    token explode), each phrase an m-way doc_id join of posting lists
+    with row-local (p, p+1, …) adjacency intersection; shuffle bounded
+    by query-word posting sizes, never the corpus — see
+    ext/retrieval.py positional_postings."""
+    from transferdb_spark.ext.retrieval import bm25_multiphrase_topk
+
+    return bm25_multiphrase_topk(_t(spark, sf_dir, "documents"))
+
+
 def rrf_fusion_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale RRF: the semantic list comes from the auto-sized
     multi-probe LSH index instead of the brute-force scan — same
@@ -4401,6 +4413,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _cms_sql(),
         "hybrid_search_topk": _hybrid_sql(),
         "bm25_phrase_topk": _phrase_sql(),
+        "bm25_multiphrase_topk": _multiphrase_sql(),
         "bm25_proximity_topk": _proximity_sql(),
         "rrf_fusion_topk": _rrf_sql(),
         "rrf_fusion_ann_topk": _rrf_ann_sql(),
@@ -4461,6 +4474,12 @@ def _phrase_sql() -> str:
     from transferdb_spark.ext.retrieval import bm25_phrase_topk_sql
 
     return bm25_phrase_topk_sql()
+
+
+def _multiphrase_sql() -> str:
+    from transferdb_spark.ext.retrieval import bm25_multiphrase_topk_sql
+
+    return bm25_multiphrase_topk_sql()
 
 
 def _proximity_sql() -> str:
@@ -4681,6 +4700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion_topk": rrf_fusion_topk_q,
         "deterministic_sample": deterministic_sample,
         "bm25_proximity_topk": bm25_proximity_topk_q,
+        "bm25_multiphrase_topk": bm25_multiphrase_topk_q,
         "rrf_fusion_ann_topk": rrf_fusion_ann_topk_q,
         "quality_classifier_bigram_topk": quality_classifier_bigram_topk_q,
         "unigram_vocab": unigram_vocab_q,

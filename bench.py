@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "bm25_phrase_topk",
     "bm25_proximity_topk",
+    "bm25_multiphrase_topk",
     "hybrid_search_topk",
     "rrf_fusion_ann_topk",
     "cms_heavy_hitters",

@@ -2009,3 +2009,74 @@ def test_unigram_encode_stats_shape(spark, docs):
     assert all(r["n_pieces"] >= r["n_words"] > 0 for r in got)
     keys = [(-r["n_pieces"], r["doc_id"]) for r in got]
     assert keys == sorted(keys)
+
+
+def test_positional_postings_probe_equals_build(spark, docs):
+    """The probe shape (row-local, terms given) and the build shape
+    (posexplode + groupBy, full index) agree exactly on the probed
+    terms — same (term, doc_id, dl, sorted 1-based positions)."""
+    from transferdb_spark.ext.retrieval import positional_postings
+
+    terms = ("table", "scan", "window")
+    probe = {
+        (r["term"], r["doc_id"]): (r["dl"], list(r["positions"]))
+        for r in positional_postings(docs, terms=terms).collect()
+    }
+    full = {
+        (r["term"], r["doc_id"]): (r["dl"], list(r["positions"]))
+        for r in positional_postings(docs)
+        .where(F.col("term").isin(*terms))
+        .collect()
+    }
+    assert probe == full
+    assert probe  # fixture corpus contains the terms
+    assert all(p == sorted(p) and p[0] >= 1 for _, (_, p) in probe.items())
+
+
+def test_bm25_multiphrase_rules(spark):
+    """Adjacency, per-phrase df/tf, and decimal-exact summation: a
+    single-phrase call must equal bm25_phrase_topk's score column,
+    and a two-phrase call sums per-phrase contributions with
+    n_phrases counting matched phrases only."""
+    from transferdb_spark.ext.retrieval import bm25_multiphrase_topk, bm25_phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan merge table scan"),
+            (2, "table merge scan window merge"),
+            (3, "scan table window merge"),
+            (4, "table scan window merge"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    single = {
+        r["doc_id"]: r["score"]
+        for r in bm25_phrase_topk(docs, ("table", "scan")).collect()
+    }
+    got1 = {
+        r["doc_id"]: (r["n_phrases"], r["score"])
+        for r in bm25_multiphrase_topk(docs, (("table", "scan"),)).collect()
+    }
+    assert {d: s for d, (_, s) in got1.items()} == single
+    assert all(n == 1 for n, _ in got1.values())
+
+    both = {
+        r["doc_id"]: (r["n_phrases"], r["score"])
+        for r in bm25_multiphrase_topk(
+            docs, (("table", "scan"), ("window", "merge"))
+        ).collect()
+    }
+    ws = {
+        r["doc_id"]: r["score"]
+        for r in bm25_phrase_topk(docs, ("window", "merge")).collect()
+    }
+    assert set(both) == set(single) | set(ws)
+    for d, (n, s) in both.items():
+        assert n == (d in single) + (d in ws)
+        assert s == pytest.approx(single.get(d, 0.0) + ws.get(d, 0.0), abs=2e-6)
+
+    with pytest.raises(ValueError):
+        bm25_multiphrase_topk(docs, ())
+    with pytest.raises(ValueError):
+        bm25_multiphrase_topk(docs, ((" ",),))

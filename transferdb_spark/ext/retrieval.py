@@ -752,3 +752,235 @@ FROM ph CROSS JOIN dfreq CROSS JOIN stats
 ORDER BY score DESC, doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Positional postings + multi-phrase retrieval (retrieval rung 3)
+# ---------------------------------------------------------------------------
+
+DEFAULT_PHRASES = (("table", "scan"), ("window", "merge"), ("big", "query", "value"))
+
+
+def _phrase_words(phrase: tuple[str, ...]) -> list[str]:
+    words = [w.strip().lower() for w in phrase if w.strip()]
+    if not words:
+        raise ValueError("empty phrase")
+    return words
+
+
+def positional_postings(
+    docs: DataFrame, terms: tuple[str, ...] | None = None
+) -> DataFrame:
+    """(term, doc_id, dl, positions) — the positional inverted index;
+    positions are 1-based, ascending.
+
+    Two shapes, one output contract:
+    - terms given (QUERY-TIME PROBE): positions are extracted row-
+      locally (one array filter per term — O(dl·|terms|), no token
+      explode), so at most |terms| narrow rows per document leave the
+      scan and the groupBy shuffle DOES NOT EXIST — the output is a
+      pure projection. This is what the multi-phrase scorer uses: the
+      corpus is touched once, and only query-term postings move.
+    - terms=None (INDEX BUILD): the full index via posexplode +
+      groupBy(term, doc_id) — ONE corpus-wide shuffle, amortized
+      across every future query by materializing the result (e.g.
+      state.snapshots.write_snapshot, or bucketBy(term) so probes
+      are shuffle-free joins). Build-once/probe-many is the 100-TB
+      shape; the probe path above is its zero-infrastructure twin.
+    """
+    toks = _tokens(docs)
+    if terms is not None:
+        words = sorted({w.strip().lower() for w in terms if w.strip()})
+
+        def is_word(w: str):
+            # single-argument lambda REQUIRED: a second (even
+            # defaulted) parameter flips F.filter to the (element,
+            # index) form and the index column shadows the bound word
+            def pred(i: Column) -> Column:
+                return F.element_at("t", i.cast("int")) == F.lit(w)
+
+            return pred
+
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(w).alias("term"),
+                    F.filter(
+                        F.sequence(F.lit(1), F.size("t")), is_word(w)
+                    ).alias("positions"),
+                )
+                for w in words
+            ]
+        )
+        flat = toks.select(
+            "doc_id", F.size("t").alias("dl"), F.inline(entries)
+        )
+        return flat.where(F.size("positions") > 0).select(
+            "term", "doc_id", "dl", "positions"
+        )
+    per = toks.select(
+        "doc_id", F.size("t").alias("dl"), F.posexplode("t").alias("pos0", "term")
+    )
+    return (
+        per.select("term", "doc_id", "dl", (F.col("pos0") + F.lit(1)).alias("pos"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def bm25_multiphrase_topk(
+    docs: DataFrame,
+    phrases: tuple[tuple[str, ...], ...] = DEFAULT_PHRASES,
+    k: int = 20,
+) -> DataFrame:
+    """Multi-phrase BM25 over positional postings: each phrase scores
+    as one BM25 term (tf = exact consecutive-occurrence count, df =
+    docs containing the phrase), and a document's score is the sum of
+    its phrase contributions.
+
+    This is the postings-probe design the single-phrase scanner
+    (bm25_phrase_topk) grows into at corpus scale: instead of
+    re-walking every document's token array per phrase, the probe
+    extracts postings for the UNION of phrase words once (row-local,
+    see positional_postings), then each phrase is an m-way doc_id join
+    of its words' posting lists — shuffle bounded by the posting
+    sizes of the query's words, never the corpus — and adjacency is a
+    row-local position intersection (p, p+1, …, p+m−1). Per-phrase
+    dfs and corpus stats are 1-row broadcasts.
+
+    Exactness: contributions are micro-quantized-idf × weight,
+    stable_round'ed to DECIMAL(18,6) per phrase, then summed as
+    decimals (exact, order-free) and cast to DOUBLE only at the
+    output boundary.
+
+    Returns (doc_id, n_phrases, score) ordered by score DESC, doc_id.
+    """
+    plist = [_phrase_words(p) for p in phrases]
+    if not plist:
+        raise ValueError("no phrases")
+    all_words = tuple(sorted({w for ws in plist for w in ws}))
+
+    toks = _tokens(docs)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).alias("sum_dl"),
+    )
+    # persisted: consumed once per distinct phrase word below, and
+    # Catalyst would otherwise re-run the position extraction per
+    # consumer (same collapse hazard as the phrase/proximity paths).
+    post = positional_postings(docs, terms=all_words).persist()
+
+    per_phrase = []
+    for words in plist:
+        side = (
+            post.where(F.col("term") == words[0])
+            .select("doc_id", "dl", F.col("positions").alias("q0"))
+        )
+        for j, w in enumerate(words[1:], start=1):
+            nxt = post.where(F.col("term") == w).select(
+                "doc_id", F.col("positions").alias(f"q{j}")
+            )
+            side = side.join(nxt, "doc_id")
+
+        def make_adjacent(m: int):
+            # the lambda handed to F.filter MUST be single-argument:
+            # arity dispatch would otherwise select the (element,
+            # index) form (same trap as _min_dist above)
+            def adjacent(p: Column) -> Column:
+                cond = F.lit(True)
+                for j in range(1, m):
+                    cond = cond & F.array_contains(F.col(f"q{j}"), p + F.lit(j))
+                return cond
+
+            return adjacent
+
+        tf = F.size(F.filter("q0", make_adjacent(len(words)))).cast("long")
+        hits = (
+            side.select("doc_id", "dl", tf.alias("tf")).where(F.col("tf") > 0)
+        )
+        dfreq = hits.agg(F.count(F.lit(1)).alias("df"))
+        scored = (
+            hits.crossJoin(F.broadcast(dfreq))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                _contrib(
+                    _idf_micro(F.col("n_docs"), F.col("df")),
+                    _bm25_weight(
+                        F.col("tf"), F.col("dl"), F.col("sum_dl"), F.col("n_docs")
+                    ),
+                ).alias("contrib"),
+            )
+        )
+        per_phrase.append(scored)
+
+    allp = per_phrase[0]
+    for s in per_phrase[1:]:
+        allp = allp.unionByName(s)
+    return (
+        allp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_phrases"),
+            F.sum("contrib").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_multiphrase_topk_sql(
+    phrases: tuple[tuple[str, ...], ...] = DEFAULT_PHRASES, k: int = 20
+) -> str:
+    plist = [_phrase_words(p) for p in phrases]
+    all_words = sorted({w for ws in plist for w in ws})
+    in_list = ", ".join(_sql_str(w) for w in all_words)
+
+    phrase_ctes = []
+    unions = []
+    for n, words in enumerate(plist):
+        joins = f"(SELECT doc_id, dl, positions AS q0 FROM plist WHERE term = {_sql_str(words[0])}) p0"
+        for j, w in enumerate(words[1:], start=1):
+            joins += (
+                f"\n    JOIN (SELECT doc_id, positions AS q{j} FROM plist "
+                f"WHERE term = {_sql_str(w)}) p{j} USING (doc_id)"
+            )
+        adj = " AND ".join(
+            f"list_contains(q{j}, p + {j})" for j in range(1, len(words))
+        ) or "TRUE"
+        score = _contrib_sql(_idf_expr_sql(), _w_expr_sql())
+        phrase_ctes.append(
+            f"""ph{n} AS (
+  SELECT doc_id, dl, len(list_filter(q0, p -> {adj})) AS tf
+  FROM {joins}
+),
+hits{n} AS (SELECT doc_id, dl, tf FROM ph{n} WHERE tf > 0),
+df{n} AS (SELECT COUNT(*) AS df FROM hits{n}),
+sc{n} AS (
+  SELECT doc_id, CAST({score} AS DECIMAL(18,6)) AS contrib
+  FROM hits{n} CROSS JOIN df{n} CROSS JOIN stats
+)"""
+        )
+        unions.append(f"SELECT * FROM sc{n}")
+    ctes = ",\n".join(phrase_ctes)
+    union_sql = " UNION ALL ".join(unions)
+    return f"""
+WITH toks AS (
+  {_TOKS_CTE}
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS sum_dl FROM toks),
+post AS (
+  SELECT doc_id, len(t) AS dl, g.i AS pos, t[g.i] AS term
+  FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+  WHERE t[g.i] IN ({in_list})
+),
+plist AS (
+  SELECT term, doc_id, dl, list_sort(list(pos)) AS positions
+  FROM post GROUP BY term, doc_id, dl
+),
+{ctes}
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_phrases, CAST(SUM(contrib) AS DOUBLE) AS score
+FROM ({union_sql}) u
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
