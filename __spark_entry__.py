@@ -3082,6 +3082,16 @@ def bm25_multiphrase_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_multiphrase_topk(_t(spark, sf_dir, "documents"))
 
 
+def bm25_slop_phrase_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-window (slop) phrase retrieval: greedy strictly-
+    increasing chain through the words' posting lists, exact existence
+    within m-1+slop tokens; slop=0 degenerates to the consecutive
+    match (pytest-pinned) — see ext/retrieval.py."""
+    from transferdb_spark.ext.retrieval import bm25_slop_phrase_topk
+
+    return bm25_slop_phrase_topk(_t(spark, sf_dir, "documents"))
+
+
 def rrf_fusion_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale RRF: the semantic list comes from the auto-sized
     multi-probe LSH index instead of the brute-force scan — same
@@ -4414,6 +4424,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "hybrid_search_topk": _hybrid_sql(),
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_multiphrase_topk": _multiphrase_sql(),
+        "bm25_slop_phrase_topk": _slop_phrase_sql(),
         "bm25_proximity_topk": _proximity_sql(),
         "rrf_fusion_topk": _rrf_sql(),
         "rrf_fusion_ann_topk": _rrf_ann_sql(),
@@ -4480,6 +4491,12 @@ def _multiphrase_sql() -> str:
     from transferdb_spark.ext.retrieval import bm25_multiphrase_topk_sql
 
     return bm25_multiphrase_topk_sql()
+
+
+def _slop_phrase_sql() -> str:
+    from transferdb_spark.ext.retrieval import bm25_slop_phrase_topk_sql
+
+    return bm25_slop_phrase_topk_sql()
 
 
 def _proximity_sql() -> str:
@@ -4701,6 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": deterministic_sample,
         "bm25_proximity_topk": bm25_proximity_topk_q,
         "bm25_multiphrase_topk": bm25_multiphrase_topk_q,
+        "bm25_slop_phrase_topk": bm25_slop_phrase_topk_q,
         "rrf_fusion_ann_topk": rrf_fusion_ann_topk_q,
         "quality_classifier_bigram_topk": quality_classifier_bigram_topk_q,
         "unigram_vocab": unigram_vocab_q,

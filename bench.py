@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "bm25_phrase_topk",
     "bm25_proximity_topk",
     "bm25_multiphrase_topk",
+    "bm25_slop_phrase_topk",
     "hybrid_search_topk",
     "rrf_fusion_ann_topk",
     "cms_heavy_hitters",

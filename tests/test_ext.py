@@ -2080,3 +2080,69 @@ def test_bm25_multiphrase_rules(spark):
         bm25_multiphrase_topk(docs, ())
     with pytest.raises(ValueError):
         bm25_multiphrase_topk(docs, ((" ",),))
+
+
+def test_bm25_slop_phrase_semantics(spark, docs):
+    """slop=0 == the consecutive-match scorer (greedy chain reaching
+    p+m-1 forces every gap to 1); growing slop only ADDS hits; the
+    window bound is exact (first-to-last distance m-1+slop)."""
+    from transferdb_spark.ext.retrieval import (
+        bm25_phrase_topk,
+        bm25_slop_phrase_topk,
+    )
+
+    phrase = ("table", "scan")
+    exact = {
+        r["doc_id"]: r["tf"]
+        for r in bm25_phrase_topk(docs, phrase, k=10**6).collect()
+    }
+    slop0 = {
+        r["doc_id"]: r["tf"]
+        for r in bm25_slop_phrase_topk(docs, phrase, slop=0, k=10**6).collect()
+    }
+    assert slop0 == exact and exact
+
+    s2 = {
+        r["doc_id"]: r["tf"]
+        for r in bm25_slop_phrase_topk(docs, phrase, slop=2, k=10**6).collect()
+    }
+    assert set(s2) >= set(slop0)
+    assert all(s2[d] >= tf for d, tf in slop0.items())
+
+    tiny = spark.createDataFrame(
+        [
+            (1, "a x b x c"),      # chain 1->3->5: span 4 = 2+slop(2)
+            (2, "a x x b c"),      # chain 1->4->5: span 4
+            (3, "a b x x c"),      # chain 1->2->5: span 4
+            (4, "a x x x b c"),    # span 5 > 4: no hit at slop=2
+            (5, "c b a"),          # wrong order
+            (6, "a b c a x b x c"),  # two starts: spans 2 and 4
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["tf"]
+        for r in bm25_slop_phrase_topk(tiny, ("a", "b", "c"), slop=2, k=100).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 6: 2}
+    with pytest.raises(ValueError):
+        bm25_slop_phrase_topk(tiny, ("a", "b"), slop=-1)
+
+
+def test_multiphrase_probes_materialized_index(spark, docs, tmp_path):
+    """Build-once/probe-many: a full positional index written to
+    parquet and read back yields byte-identical multi-phrase results
+    to the row-local probe path."""
+    from transferdb_spark.ext.retrieval import (
+        bm25_multiphrase_topk,
+        positional_postings,
+    )
+
+    p = str(tmp_path / "postings")
+    positional_postings(docs).write.parquet(p)
+    idx = spark.read.parquet(p)
+
+    phrases = (("table", "scan"), ("window", "merge"))
+    via_probe = bm25_multiphrase_topk(docs, phrases).collect()
+    via_index = bm25_multiphrase_topk(docs, phrases, index=idx).collect()
+    assert [tuple(r) for r in via_index] == [tuple(r) for r in via_probe]

@@ -832,6 +832,7 @@ def bm25_multiphrase_topk(
     docs: DataFrame,
     phrases: tuple[tuple[str, ...], ...] = DEFAULT_PHRASES,
     k: int = 20,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-phrase BM25 over positional postings: each phrase scores
     as one BM25 term (tf = exact consecutive-occurrence count, df =
@@ -853,6 +854,14 @@ def bm25_multiphrase_topk(
     decimals (exact, order-free) and cast to DOUBLE only at the
     output boundary.
 
+    Build-once/probe-many: pass ``index`` (a MATERIALIZED full
+    positional_postings(docs) relation — e.g. read back from a
+    snapshot, or a bucketBy("term") table so probes join shuffle-free)
+    and the corpus text is never re-tokenized; only the filter on the
+    query's words touches the index (term-predicate pushdown prunes
+    the scan). Without it, postings are extracted row-locally from
+    the corpus (the zero-infrastructure twin).
+
     Returns (doc_id, n_phrases, score) ordered by score DESC, doc_id.
     """
     plist = [_phrase_words(p) for p in phrases]
@@ -868,7 +877,10 @@ def bm25_multiphrase_topk(
     # persisted: consumed once per distinct phrase word below, and
     # Catalyst would otherwise re-run the position extraction per
     # consumer (same collapse hazard as the phrase/proximity paths).
-    post = positional_postings(docs, terms=all_words).persist()
+    if index is not None:
+        post = index.where(F.col("term").isin(*all_words)).persist()
+    else:
+        post = positional_postings(docs, terms=all_words).persist()
 
     per_phrase = []
     for words in plist:
@@ -981,6 +993,144 @@ plist AS (
 SELECT doc_id, CAST(COUNT(*) AS INT) AS n_phrases, CAST(SUM(contrib) AS DOUBLE) AS score
 FROM ({union_sql}) u
 GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+def bm25_slop_phrase_topk(
+    docs: DataFrame,
+    phrase: tuple[str, ...] = ("table", "merge"),
+    slop: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Ordered-window ("slop") phrase retrieval over positional
+    postings: a hit at position p of the first word exists when the
+    words appear IN ORDER with at most ``slop`` extra tokens between
+    the first and last match — i.e. the greedy strictly-increasing
+    chain n₁ = min{x ∈ q₁ : x > p}, n₂ = min{x ∈ q₂ : x > n₁}, …
+    ends with n_{m−1} − p ≤ (m−1) + slop. The greedy-min chain has
+    the minimal possible end, so the test is EXACT existence, not a
+    heuristic; with slop=0 it reduces to the consecutive-match tf of
+    bm25_phrase_topk (m−1 strictly-increasing steps reach p+m−1 only
+    when every gap is 1), which a differential pytest pins.
+
+    tf = number of such starting positions; the phrase then scores as
+    one BM25 term exactly like bm25_phrase_topk. Same postings-probe
+    scale shape as bm25_multiphrase_topk: only the phrase's words
+    leave the scan, the m-way doc_id join is bounded by posting sizes,
+    and the chain walk is row-local array math.
+
+    Returns (doc_id, tf, score) ordered by score DESC, doc_id."""
+    words = _phrase_words(phrase)
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    m = len(words)
+
+    toks = _tokens(docs)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).alias("sum_dl"),
+    )
+    post = positional_postings(docs, terms=tuple(words)).persist()
+    side = post.where(F.col("term") == words[0]).select(
+        "doc_id", "dl", F.col("positions").alias("q0")
+    )
+    for j, w in enumerate(words[1:], start=1):
+        nxt = post.where(F.col("term") == w).select(
+            "doc_id", F.col("positions").alias(f"q{j}")
+        )
+        side = side.join(nxt, "doc_id")
+
+    def chain_hit(p: Column) -> Column:
+        # nested higher-order functions capture the outer lambda
+        # variable; array_min(empty) is NULL, which null-propagates
+        # through > and the final comparison (filter drops non-true)
+        prev = p
+        for j in range(1, m):
+            prev = F.array_min(
+                F.filter(F.col(f"q{j}"), _gt(prev))
+            )
+        return prev - p <= F.lit(m - 1 + slop)
+
+    tf = (
+        F.size(F.filter("q0", chain_hit)).cast("long")
+        if m > 1
+        else F.size("q0").cast("long")
+    )
+    hits = side.select("doc_id", "dl", tf.alias("tf")).where(F.col("tf") > 0)
+    dfreq = hits.agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.crossJoin(F.broadcast(dfreq))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+            stable_round(
+                _idf_micro(F.col("n_docs"), F.col("df")).cast("double")
+                * _bm25_weight(F.col("tf"), F.col("dl"), F.col("sum_dl"), F.col("n_docs"))
+                / F.lit(float(IDF_SCALE)),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+
+
+def _gt(prev: Column):
+    # single-argument lambda factory (arity-dispatch trap, see above)
+    def pred(x: Column) -> Column:
+        return x > prev
+
+    return pred
+
+
+def bm25_slop_phrase_topk_sql(
+    phrase: tuple[str, ...] = ("table", "merge"), slop: int = 3, k: int = 20
+) -> str:
+    words = _phrase_words(phrase)
+    m = len(words)
+    in_list = ", ".join(_sql_str(w) for w in sorted(set(words)))
+
+    joins = f"(SELECT doc_id, dl, positions AS q0 FROM plist WHERE term = {_sql_str(words[0])}) p0"
+    for j, w in enumerate(words[1:], start=1):
+        joins += (
+            f"\n    JOIN (SELECT doc_id, positions AS q{j} FROM plist "
+            f"WHERE term = {_sql_str(w)}) p{j} USING (doc_id)"
+        )
+    # unrolled greedy chain, innermost-first: n1 = min(q1 > p), ...
+    chain = "p"
+    for j in range(1, m):
+        chain = f"list_min(list_filter(q{j}, x{j} -> x{j} > {chain}))"
+    if m > 1:
+        tf_expr = (
+            f"len(list_filter(q0, p -> coalesce({chain} - p <= {m - 1 + slop}, false)))"
+        )
+    else:
+        tf_expr = "len(q0)"
+    score = _contrib_sql(_idf_expr_sql(), _w_expr_sql())
+    return f"""
+WITH toks AS (
+  {_TOKS_CTE}
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS sum_dl FROM toks),
+post AS (
+  SELECT doc_id, len(t) AS dl, g.i AS pos, t[g.i] AS term
+  FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+  WHERE t[g.i] IN ({in_list})
+),
+plist AS (
+  SELECT term, doc_id, dl, list_sort(list(pos)) AS positions
+  FROM post GROUP BY term, doc_id, dl
+),
+ph AS (
+  SELECT doc_id, dl, {tf_expr} AS tf
+  FROM {joins}
+),
+hits AS (SELECT doc_id, dl, tf FROM ph WHERE tf > 0),
+dfreq AS (SELECT COUNT(*) AS df FROM hits)
+SELECT doc_id, CAST(tf AS INT) AS tf, CAST({score} AS DOUBLE) AS score
+FROM hits CROSS JOIN dfreq CROSS JOIN stats
 ORDER BY score DESC, doc_id
 LIMIT {k}
 """
