@@ -3104,6 +3104,18 @@ def rrf_fusion_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rrf_fusion_phrase_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval rung 4: THREE-list RRF — multi-phrase BM25 (positional
+    postings), bag-of-terms BM25, and the multi-probe-LSH cosine list —
+    rank-based fusion needs no cross-scorer calibration, and each list
+    stays independently top-N-bounded — see ext/retrieval.py."""
+    from transferdb_spark.ext.retrieval import rrf_fusion_phrase_topk
+
+    return rrf_fusion_phrase_topk(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
 def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch heavy hitters over tokens: d x w mergeable
     sketch, broadcast probe, exact count + one-sided overestimate
@@ -4428,6 +4440,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "bm25_proximity_topk": _proximity_sql(),
         "rrf_fusion_topk": _rrf_sql(),
         "rrf_fusion_ann_topk": _rrf_ann_sql(),
+        "rrf_fusion_phrase_topk": _rrf_phrase_sql(),
         "quality_classifier_weights": _classifier_sql()[0],
         "quality_classifier_topk": _classifier_sql()[1],
         "quality_classifier_bigram_topk": _classifier_bigram_sql(),
@@ -4515,6 +4528,12 @@ def _rrf_ann_sql() -> str:
     from transferdb_spark.ext.retrieval import rrf_fusion_ann_topk_sql
 
     return rrf_fusion_ann_topk_sql()
+
+
+def _rrf_phrase_sql() -> str:
+    from transferdb_spark.ext.retrieval import rrf_fusion_phrase_topk_sql
+
+    return rrf_fusion_phrase_topk_sql()
 
 
 def _classifier_bigram_sql() -> str:
@@ -4720,6 +4739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multiphrase_topk": bm25_multiphrase_topk_q,
         "bm25_slop_phrase_topk": bm25_slop_phrase_topk_q,
         "rrf_fusion_ann_topk": rrf_fusion_ann_topk_q,
+        "rrf_fusion_phrase_topk": rrf_fusion_phrase_topk_q,
         "quality_classifier_bigram_topk": quality_classifier_bigram_topk_q,
         "unigram_vocab": unigram_vocab_q,
         "weighted_sample_topk": weighted_sample_topk,

@@ -1923,6 +1923,70 @@ def test_rrf_fusion_ann_uses_index_list(spark, docs, emb):
     assert [(r["doc_id"], r["rrf"]) for r in got] == [(d, round(v, 6)) for d, v in want]
 
 
+def test_rrf_fusion_phrase_three_lists(spark, docs, emb):
+    """Rung-4 fusion == Python reference over the THREE source lists
+    (multi-phrase BM25, term BM25, multi-probe ANN), including docs
+    present in only a subset of the lists and per-list rank columns."""
+    from transferdb_spark.ext.retrieval import (
+        RRF_K,
+        bm25_multiphrase_topk,
+        bm25_topk,
+        rrf_fusion_phrase_topk,
+    )
+    from transferdb_spark.ext.similarity import ann_topk_multiprobe_auto
+
+    n, k = 20, 10
+    phr = [
+        r["doc_id"]
+        for r in bm25_multiphrase_topk(docs, k=n, exclude_doc_id=0).collect()
+    ]
+    lex = [r["doc_id"] for r in bm25_topk(docs, k=n, exclude_doc_id=0).collect()]
+    sem = [r["vec_id"] for r in ann_topk_multiprobe_auto(emb, 0, k=n).collect()]
+    expected = {}
+    for lst in (phr, lex, sem):
+        for rank, d in enumerate(lst, start=1):
+            expected[d] = expected.get(d, 0.0) + 1.0 / (RRF_K + rank)
+    want = sorted(expected.items(), key=lambda t: (-round(t[1], 6), t[0]))[:k]
+
+    got = rrf_fusion_phrase_topk(docs, emb, k=k).collect()
+    assert [(r["doc_id"], r["rrf"]) for r in got] == [
+        (d, round(v, 6)) for d, v in want
+    ]
+    for r in got:
+        pr = phr.index(r["doc_id"]) + 1 if r["doc_id"] in phr else None
+        lr = lex.index(r["doc_id"]) + 1 if r["doc_id"] in lex else None
+        sr = sem.index(r["doc_id"]) + 1 if r["doc_id"] in sem else None
+        assert (r["phr_rank"], r["lex_rank"], r["sem_rank"]) == (pr, lr, sr)
+
+
+def test_multiphrase_exclude_doc_removes_from_corpus(spark):
+    """exclude_doc_id drops the doc BEFORE stats/df, matching the
+    bm25_topk corpus-exclusion contract (df shifts, not just a
+    post-filter of the hit list)."""
+    from transferdb_spark.ext.retrieval import bm25_multiphrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "table scan table scan"),
+            (1, "table scan filler words here"),
+            (2, "no phrase at all in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    base = bm25_multiphrase_topk(docs, (("table", "scan"),), k=10).collect()
+    assert {r["doc_id"] for r in base} == {0, 1}
+    excl = bm25_multiphrase_topk(
+        docs, (("table", "scan"),), k=10, exclude_doc_id=0
+    ).collect()
+    assert {r["doc_id"] for r in excl} == {1}
+    # with doc 0 gone, doc 1 is the only phrase-bearing doc of a
+    # 2-doc corpus: df=1, n_docs=2 — score must differ from the
+    # 3-doc/df=2 run, proving corpus-level (not post-hoc) exclusion
+    s1_base = next(r["score"] for r in base if r["doc_id"] == 1)
+    s1_excl = excl[0]["score"]
+    assert s1_base != s1_excl
+
+
 def test_viterbi_segment_rules():
     """DP semantics: strict-greater replacement (ties keep the
     shortest piece), unknown chars take the UNK floor, empty word."""

@@ -833,6 +833,7 @@ def bm25_multiphrase_topk(
     phrases: tuple[tuple[str, ...], ...] = DEFAULT_PHRASES,
     k: int = 20,
     index: DataFrame | None = None,
+    exclude_doc_id: int | None = None,
 ) -> DataFrame:
     """Multi-phrase BM25 over positional postings: each phrase scores
     as one BM25 term (tf = exact consecutive-occurrence count, df =
@@ -869,6 +870,11 @@ def bm25_multiphrase_topk(
         raise ValueError("no phrases")
     all_words = tuple(sorted({w for ws in plist for w in ws}))
 
+    if exclude_doc_id is not None:
+        # corpus-level exclusion (stats included) — same contract as
+        # bm25_topk: the fusion path's self-match removal must not eat
+        # a candidate slot or skew df/sum_dl vs the other lists
+        docs = docs.where(F.col("doc_id") != exclude_doc_id)
     toks = _tokens(docs)
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -878,6 +884,8 @@ def bm25_multiphrase_topk(
     # Catalyst would otherwise re-run the position extraction per
     # consumer (same collapse hazard as the phrase/proximity paths).
     if index is not None:
+        if exclude_doc_id is not None:
+            index = index.where(F.col("doc_id") != exclude_doc_id)
         post = index.where(F.col("term").isin(*all_words)).persist()
     else:
         post = positional_postings(docs, terms=all_words).persist()
@@ -941,11 +949,16 @@ def bm25_multiphrase_topk(
 
 
 def bm25_multiphrase_topk_sql(
-    phrases: tuple[tuple[str, ...], ...] = DEFAULT_PHRASES, k: int = 20
+    phrases: tuple[tuple[str, ...], ...] = DEFAULT_PHRASES,
+    k: int = 20,
+    exclude_doc_id: int | None = None,
 ) -> str:
     plist = [_phrase_words(p) for p in phrases]
     all_words = sorted({w for ws in plist for w in ws})
     in_list = ", ".join(_sql_str(w) for w in all_words)
+    excl = (
+        f" WHERE doc_id <> {int(exclude_doc_id)}" if exclude_doc_id is not None else ""
+    )
 
     phrase_ctes = []
     unions = []
@@ -977,7 +990,7 @@ sc{n} AS (
     union_sql = " UNION ALL ".join(unions)
     return f"""
 WITH toks AS (
-  {_TOKS_CTE}
+  {_TOKS_CTE}{excl}
 ),
 stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS sum_dl FROM toks),
 post AS (
@@ -1132,5 +1145,148 @@ dfreq AS (SELECT COUNT(*) AS df FROM hits)
 SELECT doc_id, CAST(tf AS INT) AS tf, CAST({score} AS DOUBLE) AS score
 FROM hits CROSS JOIN dfreq CROSS JOIN stats
 ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Three-list RRF: phrase + term + semantic (retrieval rung 4)
+# ---------------------------------------------------------------------------
+
+
+def rrf_fusion_phrase_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    phrases: tuple[tuple[str, ...], ...] = DEFAULT_PHRASES,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    n_candidates: int = 20,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of THREE independent top-N lists:
+
+      1. phrase  — multi-phrase BM25 over positional postings
+                   (bm25_multiphrase_topk: exact adjacency, postings-
+                   bounded joins),
+      2. lexical — bag-of-terms BM25 (bm25_topk: posting-bounded),
+      3. semantic — cosine top-N from the auto-sized multi-probe LSH
+                   index (sub-scan of the embedding table).
+
+    RRF needs no score normalization, so a third scorer slots in
+    without calibrating phrase-BM25 against term-BM25 against cosine —
+    that is exactly why production hybrid stacks fuse by rank
+    (Cormack, Clarke & Büttcher 2009). Each list is independently
+    top-N-bounded and the fusion touches ≤ 3N rows: adding the phrase
+    list costs one more postings probe, not a corpus pass. The query
+    doc is excluded from ALL three lists at the corpus level (never
+    eats a candidate slot).
+
+    Returns (doc_id, phr_rank, lex_rank, sem_rank, rrf) ordered by
+    rrf DESC, doc_id; a doc missing from a list contributes 0 for it.
+    """
+    from transferdb_spark.ext.similarity import ann_topk_multiprobe_auto
+
+    phr = _rank_by_count(
+        bm25_multiphrase_topk(
+            docs, phrases, k=n_candidates, exclude_doc_id=query_vec_id
+        ),
+        "score",
+    ).select("doc_id", F.col("rank").alias("phr_rank"))
+    lex = _rank_by_count(
+        bm25_topk(docs, query_terms, k=n_candidates, exclude_doc_id=query_vec_id),
+        "score",
+    ).select("doc_id", F.col("rank").alias("lex_rank"))
+    sem = _rank_by_count(
+        ann_topk_multiprobe_auto(emb, query_vec_id, k=n_candidates).withColumnRenamed(
+            "vec_id", "doc_id"
+        ),
+        "cosine",
+    ).select("doc_id", F.col("rank").alias("sem_rank"))
+
+    def term(col: str) -> Column:
+        return F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(col).cast("double")),
+            F.lit(0.0),
+        )
+
+    fused = (
+        phr.join(lex, "doc_id", "full_outer")
+        .join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("phr_rank").cast("int").alias("phr_rank"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+            stable_round(
+                term("phr_rank") + term("lex_rank") + term("sem_rank"), 6
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)
+
+
+def rrf_fusion_phrase_topk_sql(
+    phrases: tuple[tuple[str, ...], ...] = DEFAULT_PHRASES,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    n_candidates: int = 20,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> str:
+    """Oracle twin: all three list CTEs are the already-hash-checked
+    SQL twins of their scorers; ranks are the same count-joins and
+    the fused score the same fixed-order coalesced sum."""
+    from transferdb_spark.ext.similarity import ann_topk_multiprobe_auto_sql
+
+    phr = bm25_multiphrase_topk_sql(
+        phrases, k=n_candidates, exclude_doc_id=query_vec_id
+    )
+    bm = bm25_topk_sql(query_terms, n_candidates, exclude_doc_id=query_vec_id)
+    sem = ann_topk_multiprobe_auto_sql(query_vec_id, n_candidates)
+    rrf = stable_round_sql(
+        f"COALESCE(1.0 / ({float(rrf_k)} + CAST(phr_rank AS DOUBLE)), 0.0)"
+        f" + COALESCE(1.0 / ({float(rrf_k)} + CAST(lex_rank AS DOUBLE)), 0.0)"
+        f" + COALESCE(1.0 / ({float(rrf_k)} + CAST(sem_rank AS DOUBLE)), 0.0)",
+        6,
+    )
+    return f"""
+WITH phr0 AS MATERIALIZED (
+  SELECT doc_id, score FROM ({phr})
+),
+lex0 AS MATERIALIZED (
+  {bm}
+),
+sem0 AS MATERIALIZED (
+  SELECT vec_id AS doc_id, cosine FROM ({sem})
+),
+phr AS (
+  SELECT a.doc_id,
+         CAST(1 + COUNT(b.doc_id) AS INT) AS phr_rank
+  FROM phr0 a LEFT JOIN phr0 b
+    ON b.score > a.score OR (b.score = a.score AND b.doc_id < a.doc_id)
+  GROUP BY a.doc_id
+),
+lex AS (
+  SELECT a.doc_id,
+         CAST(1 + COUNT(b.doc_id) AS INT) AS lex_rank
+  FROM lex0 a LEFT JOIN lex0 b
+    ON b.score > a.score OR (b.score = a.score AND b.doc_id < a.doc_id)
+  GROUP BY a.doc_id
+),
+sem AS (
+  SELECT a.doc_id,
+         CAST(1 + COUNT(b.doc_id) AS INT) AS sem_rank
+  FROM sem0 a LEFT JOIN sem0 b
+    ON b.cosine > a.cosine OR (b.cosine = a.cosine AND b.doc_id < a.doc_id)
+  GROUP BY a.doc_id
+)
+SELECT doc_id,
+       phr_rank, lex_rank, sem_rank,
+       CAST({rrf} AS DOUBLE) AS rrf
+FROM phr
+FULL OUTER JOIN lex USING (doc_id)
+FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id
 LIMIT {k}
 """
