@@ -860,6 +860,97 @@ def test_jpeg_progressive_truncation_never_indexerrors(spark):
             pytest.fail(f"Index/KeyError escaped decode_jpeg at cut={cut}")
 
 
+def test_jpeg_12bit_roundtrip_and_precision_gain():
+    """12-bit extended sequential (SOF1, 16-bit DQT): the native decode
+    recovers smooth content above 44 dB PSNR in the 0..4095 scale AND
+    beats the 8-bit twin's relative fidelity on the same image — the 4
+    extra sample bits must actually survive the codec, not just parse."""
+    import numpy as np
+    from transferdb_spark.ext.jpeg import (
+        decode_jpeg,
+        decode_jpeg_native,
+        encode_jpeg,
+        encode_jpeg_12bit,
+    )
+
+    xx, yy = np.meshgrid(np.linspace(0, 4095, 45), np.linspace(0, 4095, 37))
+    img12 = np.stack([xx, yy, (xx + yy) / 2], axis=2).astype(np.uint16)
+    buf = encode_jpeg_12bit(img12)
+    assert b"\xff\xc1" in buf  # SOF1 extended sequential
+    # Pq=1 16-bit DQT: segment length 131, table spec byte 0x10|tid
+    assert b"\xff\xdb\x00\x83\x10" in buf
+
+    out16 = decode_jpeg_native(buf)
+    assert out16.dtype == np.uint16 and out16.shape == img12.shape
+    err = out16.astype(float) - img12.astype(float)
+    psnr12 = 10 * np.log10(4095**2 / max((err**2).mean(), 1e-9))
+    assert psnr12 > 44.0, psnr12
+
+    img8 = (img12 >> 4).astype(np.uint8)
+    err8 = decode_jpeg(encode_jpeg(img8)).astype(float) - img8.astype(float)
+    psnr8 = 10 * np.log10(255**2 / max((err8**2).mean(), 1e-9))
+    assert psnr12 > psnr8 + 3.0, (psnr12, psnr8)
+
+    # the uint8 corpus contract folds 0..4095 down with rounding
+    out8 = decode_jpeg(buf)
+    assert out8.dtype == np.uint8
+    fold = out16.astype(float) * 255.0 / 4095.0
+    assert np.abs(out8.astype(float) - fold).max() < 1.0
+
+
+def test_jpeg_12bit_contracts_and_torn_streams():
+    """Encoder input validation (range/shape), the SOF0-claims-12-bit
+    conformance error, and the ingestion contract on torn/corrupt
+    12-bit streams (no raw IndexError/KeyError escapes)."""
+    import numpy as np
+    import pytest
+    from transferdb_spark.ext.jpeg import (
+        decode_jpeg,
+        decode_jpeg_native,
+        encode_jpeg_12bit,
+    )
+
+    flat = np.full((16, 16, 3), 1234, dtype=np.uint16)
+    rt = decode_jpeg_native(encode_jpeg_12bit(flat))
+    assert np.abs(rt.astype(int) - 1234).max() <= 2  # DC-only blocks
+
+    with pytest.raises(ValueError):
+        encode_jpeg_12bit(np.full((8, 8, 3), 4096, dtype=np.uint16))
+    with pytest.raises(ValueError):
+        encode_jpeg_12bit(np.zeros((8, 8), dtype=np.uint16))
+
+    rng = np.random.default_rng(5)
+    xx, yy = np.meshgrid(np.linspace(0, 4095, 45), np.linspace(0, 4095, 37))
+    smooth = np.stack([xx, yy, (xx + yy) / 2], axis=2)
+    noisy = np.clip(smooth + rng.normal(0, 600, smooth.shape), 0, 4095)
+    buf = encode_jpeg_12bit(noisy.astype(np.uint16))
+
+    # a baseline SOF0 frame claiming 12-bit samples is non-conformant
+    bad = buf.replace(b"\xff\xc1", b"\xff\xc0", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+
+    cuts = [3, 20, len(buf) - 3] + [int(len(buf) * f) for f in (0.25, 0.5, 0.9)]
+    for cut in cuts:
+        try:
+            out = decode_jpeg(buf[:cut])
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+        except (IndexError, KeyError):
+            pytest.fail(f"Index/KeyError escaped decode_jpeg at cut={cut}")
+    for i in range(40):
+        b = bytearray(buf)
+        for _ in range(int(rng.integers(1, 6))):
+            b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+        except (IndexError, KeyError):
+            pytest.fail(f"Index/KeyError escaped decode_jpeg on fuzz #{i}")
+
+
 def test_jpeg_decodes_real_world_files(spark):
     """Spec fidelity: JPEGs produced by other encoders (incl. a 4:2:0
     photo) decode at their declared dimensions with contentful stats."""

@@ -3,9 +3,12 @@
 Decoder: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2,
 ITU T.81 Annex G: spectral selection, successive approximation, DC/AC
 first and refinement scans, EOB runs), Huffman entropy coding, 8-bit
-samples, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling,
-restart markers. Arithmetic coding and 12-bit precision route to
-NotImplementedError — the one dispatch point an imaging library
+AND 12-bit samples (extended sequential SOF1 / progressive SOF2 with
+16-bit DQT, T.81 table B.2 Pq=1; level shift 2^(P-1), `decode_jpeg`
+folds 12-bit output to the uint8 corpus contract, `decode_jpeg_native`
+keeps the full range as uint16), grayscale or YCbCr with 4:4:4 /
+4:2:2 / 4:2:0 subsampling, restart markers. Arithmetic coding routes
+to NotImplementedError — the one dispatch point an imaging library
 replaces in production.
 
 Encoder: the test-side twin (4:4:4, ITU T.81 Annex K quantization and
@@ -201,7 +204,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """bytes → (h, w, 3) uint8 RGB (grayscale replicated).
+    """bytes → (h, w, 3) uint8 RGB (grayscale replicated; 12-bit
+    streams are rescaled 0..4095 → 0..255 at this boundary).
 
     Boundary contract for corpus ingestion: arbitrary torn/corrupt
     bytes raise ValueError (or NotImplementedError for unsupported
@@ -212,7 +216,18 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         raise ValueError(f"truncated or corrupt JPEG: {exc!r}") from exc
 
 
-def _decode_jpeg(buf: bytes) -> np.ndarray:
+def decode_jpeg_native(buf: bytes) -> np.ndarray:
+    """Like decode_jpeg but keeps the stream's sample precision:
+    (h, w, 3) uint8 for 8-bit streams, uint16 with samples 0..4095 for
+    12-bit — the feature-extraction path that must not throw away the
+    4 extra bits a scientific/medical corpus carries."""
+    try:
+        return _decode_jpeg(buf, native=True)
+    except (IndexError, KeyError) as exc:
+        raise ValueError(f"truncated or corrupt JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG (no SOI)")
     pos = 2
@@ -239,10 +254,14 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             s = 0
             while s < len(seg):
                 prec, tid = seg[s] >> 4, seg[s] & 0x0F
-                if prec != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                qt[tid] = np.frombuffer(seg, np.uint8, 64, s + 1).astype(np.int32)
-                s += 65
+                if prec == 0:
+                    qt[tid] = np.frombuffer(seg, np.uint8, 64, s + 1).astype(np.int32)
+                    s += 65
+                elif prec == 1:  # Pq=1: 16-bit big-endian entries (12-bit frames)
+                    qt[tid] = np.frombuffer(seg, ">u2", 64, s + 1).astype(np.int32)
+                    s += 129
+                else:
+                    raise ValueError(f"invalid DQT precision {prec}")
         elif marker == 0xC4:  # DHT
             s = 0
             while s < len(seg):
@@ -254,13 +273,22 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                 s += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
+            if prec == 12 and marker == 0xC0:
+                # T.81: baseline DCT is 8-bit only; 12-bit needs SOF1/SOF2
+                raise ValueError("corrupt JPEG: SOF0 frame claims 12-bit samples")
             comps = []
             for i in range(nc):
                 cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
-            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+                "prec": prec,
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
         elif marker == 0xDD:  # DRI
@@ -276,7 +304,8 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             data_pos = pos + 2 + seg_len
             if not frame["progressive"]:
                 return _decode_scan(
-                    buf, data_pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
+                    buf, data_pos, frame, scan_sel, qt, huff_dc, huff_ac,
+                    restart_interval, native,
                 )
             # progressive: each SOS deposits one band/bit layer into the
             # per-component coefficient store; pixels come at EOI
@@ -293,13 +322,16 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             continue
         pos += 2 + seg_len
     if frame is not None and frame.get("progressive") and scans_done:
-        return _reconstruct_progressive(frame, coef, qt)
+        return _reconstruct_progressive(frame, coef, qt, native)
     raise ValueError("no scan data found")
 
 
-def _decode_scan(buf, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval):
+def _decode_scan(
+    buf, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval, native=False
+):
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
+    shift = float(1 << (frame.get("prec", 8) - 1))
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -339,7 +371,7 @@ def _decode_scan(buf, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interv
                             pred[ci] = block[0]
                             deq = np.zeros(64, dtype=np.float64)
                             deq[_ZIGZAG] = block * qt[c["q"]]
-                            px = _A.T @ deq.reshape(8, 8) @ _A + 128.0
+                            px = _A.T @ deq.reshape(8, 8) @ _A + shift
                             y0 = (my * c["v"] + by) * 8
                             x0 = (mx * c["h"] + bx) * 8
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
@@ -364,19 +396,32 @@ def _decode_scan(buf, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interv
         p = planes[ci]
         p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         full.append(p[:h, :w])
-    return _planes_to_rgb(full)
+    return _planes_to_rgb(full, frame.get("prec", 8), native)
 
 
-def _planes_to_rgb(full: list[np.ndarray]) -> np.ndarray:
-    """Full-resolution component planes → (h, w, 3) uint8 RGB."""
+def _planes_to_rgb(full: list[np.ndarray], prec: int = 8, native: bool = False) -> np.ndarray:
+    """Full-resolution component planes → (h, w, 3) RGB.
+
+    8-bit keeps the historical clip+truncate uint8 path bit-for-bit
+    (the progressive==baseline differential depends on it); 12-bit
+    clips to 0..4095 then either stays uint16 (native) or folds to
+    uint8 with a rounding rescale."""
+    maxv = float((1 << prec) - 1)
+    half = float(1 << (prec - 1))
     if len(full) == 1:
-        g = np.clip(full[0], 0, 255).astype(np.uint8)
-        return np.stack([g, g, g], axis=2)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+        rgb = np.stack([full[0]] * 3, axis=2)
+    else:
+        y, cb, cr = full[0], full[1] - half, full[2] - half
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=2)
+    rgb = np.clip(rgb, 0, maxv)
+    if prec == 8:
+        return rgb.astype(np.uint8)
+    if native:
+        return np.rint(rgb).astype(np.uint16)
+    return np.rint(rgb * (255.0 / maxv)).astype(np.uint8)
 
 
 def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
@@ -606,9 +651,10 @@ def _prog_ac_refine(reader, blk, ac_table, state, ss, se, al):
         state["eobrun"] -= 1
 
 
-def _reconstruct_progressive(frame, coef, qt):
+def _reconstruct_progressive(frame, coef, qt, native=False):
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
+    shift = float(1 << (frame.get("prec", 8) - 1))
     hmax, vmax, _, _ = _mcu_geometry(frame)
     full = []
     for ci, c in enumerate(comps):
@@ -618,11 +664,11 @@ def _reconstruct_progressive(frame, coef, qt):
             raise ValueError(f"missing quantization table {c['q']}")
         nat = np.zeros((bh, bw, 64), dtype=np.float64)
         nat[:, :, _ZIGZAG] = cz * qt[c["q"]].astype(np.float64)
-        px = np.einsum("ij,abjk,kl->abil", _A.T, nat.reshape(bh, bw, 8, 8), _A) + 128.0
+        px = np.einsum("ij,abjk,kl->abil", _A.T, nat.reshape(bh, bw, 8, 8), _A) + shift
         plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         plane = plane.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         full.append(plane[:h, :w])
-    return _planes_to_rgb(full)
+    return _planes_to_rgb(full, frame.get("prec", 8), native)
 
 
 # ---------------------------------------------------------------------------
@@ -675,23 +721,27 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, code
 
 
-def _coef_blocks(px: np.ndarray) -> list[np.ndarray]:
-    """(h, w, 3) uint8 → per-component (bh, bw, 64) int32 quantized DCT
-    coefficients in zigzag order — the ONE quantizer both encoders
+def _coef_blocks(px: np.ndarray, prec: int = 8) -> list[np.ndarray]:
+    """(h, w, 3) samples → per-component (bh, bw, 64) int32 quantized
+    DCT coefficients in zigzag order — the ONE quantizer all encoders
     share, so a progressive stream carries bit-identical coefficients
     to the baseline stream of the same image (zz[k] = natural index
-    _ZIGZAG[k], the inverse of the decoder's deq[_ZIGZAG] scatter)."""
+    _ZIGZAG[k], the inverse of the decoder's deq[_ZIGZAG] scatter).
+    prec parameterizes the level shift / chroma midpoint (2^(P-1)) and
+    the 12-bit quantizer scale."""
     px = px.astype(np.float64)
     h, w = px.shape[:2]
+    half = float(1 << (prec - 1))
+    qscale = _QSCALE_12 if prec == 12 else 1
     r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    qts = [_QT_LUMA.reshape(8, 8), _QT_CHROMA.reshape(8, 8)]
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
+    qts = [_QT_LUMA.reshape(8, 8) * qscale, _QT_CHROMA.reshape(8, 8) * qscale]
     bh, bw = (h + 7) // 8, (w + 7) // 8
     coefs = []
     for ci, plane in enumerate((y, cb, cr)):
-        p = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+        p = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - half
         blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
         coef = np.einsum("ij,abjk,kl->abil", _A, blocks, _A.T)
         q = np.round(coef / qts[0 if ci == 0 else 1]).astype(np.int32)
@@ -699,19 +749,29 @@ def _coef_blocks(px: np.ndarray) -> list[np.ndarray]:
     return coefs
 
 
-def _dqt_segments() -> bytes:
+# 12-bit frames quantize with Annex K × 4: finer steps relative to the
+# 16× wider sample range (so 2 extra bits of fidelity survive), and the
+# scaled entries exceed 255, forcing the Pq=1 16-bit DQT path.
+_QSCALE_12 = 4
+
+
+def _dqt_segments(prec: int = 8) -> bytes:
     """DQT carries the natural-order table serialized in zigzag order."""
     out = bytearray()
     for tid, qtab in ((0, _QT_LUMA), (1, _QT_CHROMA)):
         zz = qtab.reshape(8, 8).flatten()[_ZIGZAG]
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
-            int(v) for v in zz
-        )
+        if prec == 8:
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+                int(v) for v in zz
+            )
+        else:
+            out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10 | tid])
+            out += b"".join(struct.pack(">H", int(v) * _QSCALE_12) for v in zz)
     return bytes(out)
 
 
-def _sof_segment(marker: int, h: int, w: int) -> bytes:
-    out = bytearray(bytes([0xFF, marker]) + struct.pack(">HBHHB", 17, 8, h, w, 3))
+def _sof_segment(marker: int, h: int, w: int, prec: int = 8) -> bytes:
+    out = bytearray(bytes([0xFF, marker]) + struct.pack(">HBHHB", 17, prec, h, w, 3))
     for cid, qid in ((1, 0), (2, 1), (3, 1)):
         out += bytes([cid, 0x11, qid])  # 4:4:4
     return bytes(out)
@@ -742,6 +802,26 @@ def encode_jpeg(px: np.ndarray) -> bytes:
     ac_enc = [_encode_codes(*_AC_LUMA), _encode_codes(*_AC_CHROMA)]
 
     wtr = _BitWriter()
+    for op in _seq_ops(coefs):
+        if op[0] == "s":
+            _, cls, tsel, sym = op
+            hc, hl = (dc_enc if cls == 0 else ac_enc)[tsel][sym]
+            wtr.write(hc, hl)
+        else:
+            wtr.write(op[1], op[2])
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _seq_ops(coefs: list[np.ndarray]) -> list[tuple]:
+    """One interleaved sequential scan as an op list (('s', cls, tsel,
+    symbol) | ('b', value, nbits)) — shared by the 8-bit encoder
+    (Annex K tables) and the 12-bit encoder (tables derived from the
+    symbols actually used, since Annex K's categories only cover 8-bit
+    magnitudes)."""
+    ops: list[tuple] = []
     pred = [0, 0, 0]
     bh, bw = coefs[0].shape[:2]
     for by in range(bh):
@@ -752,10 +832,9 @@ def encode_jpeg(px: np.ndarray) -> bytes:
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
                 t, code = _magnitude(diff)
-                hc, hl = dc_enc[tsel][t]
-                wtr.write(hc, hl)
+                ops.append(("s", 0, tsel, t))
                 if t:
-                    wtr.write(code, t)
+                    ops.append(("b", code, t))
                 k = 1
                 run = 0
                 last_nz = max([i for i in range(1, 64) if zz[i]] or [0])
@@ -766,18 +845,62 @@ def encode_jpeg(px: np.ndarray) -> bytes:
                         k += 1
                         continue
                     while run > 15:
-                        hc, hl = ac_enc[tsel][0xF0]
-                        wtr.write(hc, hl)
+                        ops.append(("s", 1, tsel, 0xF0))
                         run -= 16
                     t, code = _magnitude(v)
-                    hc, hl = ac_enc[tsel][(run << 4) | t]
-                    wtr.write(hc, hl)
-                    wtr.write(code, t)
+                    ops.append(("s", 1, tsel, (run << 4) | t))
+                    ops.append(("b", code, t))
                     run = 0
                     k += 1
                 if last_nz < 63:
-                    hc, hl = ac_enc[tsel][0x00]  # EOB
-                    wtr.write(hc, hl)
+                    ops.append(("s", 1, tsel, 0x00))  # EOB
+    return ops
+
+
+def encode_jpeg_12bit(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint16 RGB with samples 0..4095 → 12-bit extended
+    sequential JPEG (SOF1, 4:4:4, 16-bit DQT): the test-side twin for
+    the decoder's 12-bit path. Huffman tables are canonical flat codes
+    built from the symbols each (class, destination) actually uses —
+    Annex K's tables stop at 8-bit magnitude categories, and
+    compression is not the point of the twin."""
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB samples")
+    if int(px.max(initial=0)) > 4095 or int(px.min(initial=0)) < 0:
+        raise ValueError("12-bit samples must lie in 0..4095")
+    h, w = px.shape[:2]
+    coefs = _coef_blocks(px, prec=12)
+    ops = _seq_ops(coefs)
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segments(prec=12)
+    out += _sof_segment(0xC1, h, w, prec=12)
+
+    enc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    for cls in (0, 1):
+        for tsel in (0, 1):
+            syms = sorted(
+                {op[3] for op in ops if op[0] == "s" and op[1] == cls and op[2] == tsel}
+            )
+            if not syms:
+                syms = [0]  # unused destination: any valid 1-entry table
+            bits, vals = _flat_table(syms)
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(cls << 4) | tsel]) + bytes(bits) + bytes(vals)
+            enc[(cls, tsel)] = _encode_codes(bits, vals)
+
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tids in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tids])
+    out += b"\x00\x3f\x00"
+
+    wtr = _BitWriter()
+    for op in ops:
+        if op[0] == "s":
+            hc, hl = enc[(op[1], op[2])][op[3]]
+            wtr.write(hc, hl)
+        else:
+            wtr.write(op[1], op[2])
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"
