@@ -951,6 +951,103 @@ def test_jpeg_12bit_contracts_and_torn_streams():
             pytest.fail(f"Index/KeyError escaped decode_jpeg on fuzz #{i}")
 
 
+def test_jpeg_arithmetic_matches_huffman_bit_for_bit():
+    """Differential: the arithmetic-coded stream (SOF9, T.81 Annex D
+    QM-coder + Annex F conditioning) decodes to EXACTLY the pixels of
+    the Huffman stream of the same image — both encoders share one
+    quantizer, so the entropy layers must be lossless re-codings of
+    identical coefficients. Smooth and noisy content exercise the
+    EOB/zero-run/magnitude trees and the adaptive state machine along
+    different paths; 8-bit and 12-bit both pinned."""
+    import numpy as np
+    from transferdb_spark.ext.jpeg import (
+        decode_jpeg,
+        decode_jpeg_native,
+        encode_jpeg,
+        encode_jpeg_12bit,
+    )
+    from transferdb_spark.ext.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.default_rng(7)
+    xx, yy = np.meshgrid(np.linspace(0, 255, 45), np.linspace(0, 255, 37))
+    smooth = np.stack([xx, yy, (xx + yy) / 2], axis=2)
+    noisy = np.clip(smooth + rng.normal(0, 40, smooth.shape), 0, 255)
+    for img in (smooth.astype(np.uint8), noisy.astype(np.uint8)):
+        abuf = encode_jpeg_arith(img)
+        assert b"\xff\xc9" in abuf and b"\xff\xcc" in abuf  # SOF9 + DAC
+        assert np.array_equal(decode_jpeg(abuf), decode_jpeg(encode_jpeg(img)))
+
+    xx12, yy12 = np.meshgrid(np.linspace(0, 4095, 45), np.linspace(0, 4095, 37))
+    img12 = np.stack([xx12, yy12, (xx12 + yy12) / 2], axis=2).astype(np.uint16)
+    assert np.array_equal(
+        decode_jpeg_native(encode_jpeg_arith(img12, prec=12)),
+        decode_jpeg_native(encode_jpeg_12bit(img12)),
+    )
+
+
+def test_jpeg_arithmetic_qm_coder_random_roundtrips():
+    """The QM-coder state machine round-trips arbitrary biased binary
+    decision streams over shared adaptive contexts — this exercises
+    MPS/LPS conditional-exchange and renormalization paths that JPEG's
+    own statistical models hit only sparsely."""
+    import numpy as np
+    from transferdb_spark.ext.jpeg_arith import _ArithDecoder, _ArithEncoder
+
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        n_ctx = int(rng.integers(1, 8))
+        n = int(rng.integers(1, 1500))
+        p = rng.uniform(0.01, 0.99)
+        syms = (rng.random(n) < p).astype(int).tolist()
+        ctxs = rng.integers(0, n_ctx, n).tolist()
+        enc = _ArithEncoder()
+        st = bytearray(n_ctx)
+        for s, c in zip(syms, ctxs):
+            enc.encode(st, c, s)
+        dec = _ArithDecoder(enc.finish(), 0)
+        st = bytearray(n_ctx)
+        assert [dec.decode(st, c) for c in ctxs] == syms
+
+
+def test_jpeg_arithmetic_torn_streams_contract():
+    """Torn/corrupt arithmetic streams surface as decode errors or
+    bounded partial images, never raw IndexError/KeyError — the same
+    ingestion contract as the Huffman paths (the decoder treats
+    running off the end as a marker and feeds 1-bits)."""
+    import numpy as np
+    import pytest
+    from transferdb_spark.ext.jpeg import decode_jpeg
+    from transferdb_spark.ext.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.default_rng(9)
+    xx, yy = np.meshgrid(np.linspace(0, 255, 45), np.linspace(0, 255, 37))
+    img = np.clip(
+        np.stack([xx, yy, (xx + yy) / 2], axis=2) + rng.normal(0, 40, (37, 45, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    buf = encode_jpeg_arith(img)
+    cuts = [3, 20, len(buf) // 4, len(buf) // 2, len(buf) - 3]
+    for cut in cuts:
+        try:
+            out = decode_jpeg(buf[:cut])
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+        except (IndexError, KeyError):
+            pytest.fail(f"Index/KeyError escaped decode_jpeg at cut={cut}")
+    for i in range(40):
+        b = bytearray(buf)
+        for _ in range(int(rng.integers(1, 6))):
+            b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+        except (IndexError, KeyError):
+            pytest.fail(f"Index/KeyError escaped decode_jpeg on fuzz #{i}")
+
+
 def test_jpeg_decodes_real_world_files(spark):
     """Spec fidelity: JPEGs produced by other encoders (incl. a 4:2:0
     photo) decode at their declared dimensions with contentful stats."""

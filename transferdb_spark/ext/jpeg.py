@@ -7,9 +7,11 @@ AND 12-bit samples (extended sequential SOF1 / progressive SOF2 with
 16-bit DQT, T.81 table B.2 Pq=1; level shift 2^(P-1), `decode_jpeg`
 folds 12-bit output to the uint8 corpus contract, `decode_jpeg_native`
 keeps the full range as uint16), grayscale or YCbCr with 4:4:4 /
-4:2:2 / 4:2:0 subsampling, restart markers. Arithmetic coding routes
-to NotImplementedError — the one dispatch point an imaging library
-replaces in production.
+4:2:2 / 4:2:0 subsampling, restart markers. Arithmetic-coded
+sequential frames (SOF9 + DAC conditioning) decode via the Annex D
+QM-coder in ext/jpeg_arith.py; arithmetic progressive (SOF10) and the
+other hierarchical/lossless SOF modes route to NotImplementedError —
+the one dispatch point an imaging library replaces in production.
 
 Encoder: the test-side twin (4:4:4, ITU T.81 Annex K quantization and
 Huffman tables) so round-trips exercise the full marker → Huffman →
@@ -234,6 +236,8 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     frame = None
     restart_interval = 0
     coef = None  # progressive only: per-comp zigzag coefficient blocks
@@ -271,12 +275,13 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 vals = list(seg[s + 17 : s + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = _build_huffman(bits, vals)
                 s += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic sequential
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
             if prec == 12 and marker == 0xC0:
-                # T.81: baseline DCT is 8-bit only; 12-bit needs SOF1/SOF2
+                # T.81: baseline DCT is 8-bit only; 12-bit needs SOF1/SOF2/SOF9
                 raise ValueError("corrupt JPEG: SOF0 frame claims 12-bit samples")
             comps = []
             for i in range(nc):
@@ -287,10 +292,21 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 "w": w,
                 "comps": comps,
                 "progressive": marker == 0xC2,
+                "arith": marker == 0xC9,
                 "prec": prec,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            s = 0
+            while s + 1 < len(seg):
+                cls, tid = seg[s] >> 4, seg[s] & 0x0F
+                val = seg[s + 1]
+                if cls == 0:
+                    dc_cond[tid] = (val & 0x0F, val >> 4)  # (L, U)
+                else:
+                    ac_cond[tid] = val  # Kx
+                s += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -302,6 +318,13 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 cid, tids = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_sel.append({"id": cid, "dc": tids >> 4, "ac": tids & 0x0F})
             data_pos = pos + 2 + seg_len
+            if frame.get("arith"):
+                from transferdb_spark.ext.jpeg_arith import decode_arith_scan
+
+                return decode_arith_scan(
+                    buf, data_pos, frame, scan_sel, qt, dc_cond, ac_cond,
+                    restart_interval, native,
+                )
             if not frame["progressive"]:
                 return _decode_scan(
                     buf, data_pos, frame, scan_sel, qt, huff_dc, huff_ac,
