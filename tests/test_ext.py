@@ -2398,3 +2398,110 @@ def test_multiphrase_probes_materialized_index(spark, docs, tmp_path):
     via_probe = bm25_multiphrase_topk(docs, phrases).collect()
     via_index = bm25_multiphrase_topk(docs, phrases, index=idx).collect()
     assert [tuple(r) for r in via_index] == [tuple(r) for r in via_probe]
+
+
+def _mjpeg_fixture_frames(n=6, w=24, h=16):
+    """Deterministic JPEG frames with frame-dependent brightness so
+    motion between consecutive frames is measurable."""
+    import numpy as np
+
+    from transferdb_spark.ext.jpeg import encode_jpeg
+
+    frames_px, frames_jpg = [], []
+    for k in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [(xx * 9 + k * 40) % 256, (yy * 13 + k * 40) % 256,
+             ((xx + yy) * 5 + k * 40) % 256], axis=-1,
+        ).astype(np.uint8)
+        frames_px.append(px)
+        frames_jpg.append(encode_jpeg(px))
+    return frames_px, frames_jpg
+
+
+def test_mjpeg_mp4_demux_roundtrip_exact():
+    """Mux → demux is byte-exact for every sample across stsc run
+    shapes (uneven chunking), the fixed-size stsz form (identical
+    frames), and 64-bit co64 offsets; sample timestamps follow stts."""
+    import pytest
+
+    from transferdb_spark.ext.mp4 import demux_samples, mux_mjpeg, sample_table
+
+    _, jpgs = _mjpeg_fixture_frames(7)
+    for pattern, co64 in (((1,), False), ((3, 2), False), ((2,), True)):
+        buf = mux_mjpeg(jpgs, fps=5, width=24, height=16,
+                        chunk_pattern=pattern, co64=co64)
+        assert demux_samples(buf) == jpgs, (pattern, co64)
+        st = sample_table(buf)
+        assert st["codec"] == "jpeg"
+        assert st["times_ms"] == [i * 200 for i in range(7)]  # fps=5
+
+    # identical frames -> muxer emits fixed-size stsz; still demuxes
+    fixed = mux_mjpeg([jpgs[0]] * 4, fps=10)
+    assert demux_samples(fixed) == [jpgs[0]] * 4
+
+    buf = mux_mjpeg(jpgs, chunk_pattern=(3, 2))
+    for cut in (10, 60, len(buf) // 2):
+        with pytest.raises(ValueError):
+            demux_samples(buf[:cut])
+    with pytest.raises(ValueError):
+        sample_table(b"\x00" * 64)
+
+
+def test_mjpeg_mp4_frames_decode_via_repo_jpeg():
+    """decode_mjpeg_frames returns real pixel arrays close to the
+    encoder inputs (JPEG-lossy tolerance); stride/max_frames subsample
+    without touching skipped samples; non-MJPEG codecs keep the
+    NotImplementedError dispatch."""
+    import numpy as np
+    import pytest
+
+    from transferdb_spark.ext.mp4 import decode_mjpeg_frames, mux_mjpeg
+
+    px, jpgs = _mjpeg_fixture_frames(6)
+    buf = mux_mjpeg(jpgs, fps=5, width=24, height=16, chunk_pattern=(2, 1))
+    frames = decode_mjpeg_frames(buf)
+    assert len(frames) == 6
+    for got, want in zip(frames, px):
+        assert got.shape == want.shape
+        assert float(np.mean(np.abs(got.astype(int) - want.astype(int)))) < 12.0
+
+    assert len(decode_mjpeg_frames(buf, every=2)) == 3
+    assert len(decode_mjpeg_frames(buf, max_frames=2)) == 2
+
+    avc = bytearray(mux_mjpeg(jpgs[:2]))
+    i = avc.find(b"jpeg", avc.find(b"stsd"))
+    avc[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError):
+        decode_mjpeg_frames(bytes(avc))
+
+
+def test_mjpeg_mp4_feature_and_frame_sampling(spark):
+    """End-to-end Spark plumbing: an MJPEG MP4 rides extract_features
+    (fake=False) with real decoded-frame stats appended after the
+    container features, and sample_frames yields the exact JPEG sample
+    bytes for each offset via the stts timeline."""
+    import numpy as np
+
+    from transferdb_spark.ext.mp4 import mux_mjpeg
+    from transferdb_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        sample_frames,
+    )
+
+    _, jpgs = _mjpeg_fixture_frames(5)
+    buf = mux_mjpeg(jpgs, fps=2, width=24, height=16, chunk_pattern=(2,))
+    media = spark.createDataFrame(
+        [(7, "video", buf, ("video/mp4", 24, 16, 2500))], MEDIA_SCHEMA
+    )
+
+    f = np.array(extract_features(media, fake=False).collect()[0]["features"])
+    assert f[0] == 2500.0 and f[1] == 1.0 and f[2] == 24.0 and f[3] == 16.0
+    assert f[4] > 0.0  # mean luminance of decoded frames
+    assert f[6] > 0.0  # motion energy across frames
+
+    rows = sample_frames(media, every_ms=500, fps=2).collect()
+    by_off = {r["offset_ms"]: bytes(r["frame"]) for r in rows}
+    # fps=2 -> samples at 0/500/1000/1500/2000 ms map 1:1 to frames
+    assert by_off[0] == jpgs[0] and by_off[1000] == jpgs[2] and by_off[2000] == jpgs[4]

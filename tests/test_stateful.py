@@ -58,3 +58,50 @@ def test_state_accumulates_across_batches(spark, sf_dir, tmp_path):
         for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert latest == expected
+
+
+def test_streaming_dedup_first_seen_wins(spark, sf_dir, tmp_path):
+    """Exact dedup over a document stream: duplicates WITHIN a batch
+    collapse to the min doc_id, and duplicates of content seen in an
+    earlier micro-batch are suppressed entirely. Survivor set equals
+    the batch dedup_exact result because batch-1 ids < batch-2 ids."""
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.streaming.stateful import run_dedup_to_memory
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    # second batch: fresh odd-id docs PLUS re-submissions of batch-1
+    # texts under new (higher) ids — cross-batch duplicates
+    resub = first.limit(30).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    # offset ALL batch-2 ids above batch-1's so first-seen-wins and
+    # global min-id dedup agree even for natural dups straddling the
+    # batch boundary
+    second = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+        .unionByName(resub)
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    q = run_dedup_to_memory(spark, src, ckpt, name="t_dedup", max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.sql("SELECT doc_id, text FROM t_dedup").collect()
+    }
+    expected = {
+        (r["doc_id"], r["text"])
+        for r in first.unionByName(second)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert got == expected
+    assert len(got) < first.count() + second.count()  # something was deduped

@@ -13,10 +13,14 @@ codec work for every format decodable with the stdlib + numpy:
 - **raw RGB24 video** (concatenated frames): frame slicing by
   width×height×3 stride — real frame sampling.
 
-Compressed codecs (JPEG/PNG/MP4/...) genuinely need external
-libraries the container does not ship; those raise a clearly-marked
-`NotImplementedError` from the same dispatch point, so wiring
-Pillow/ffmpeg in production replaces one function.
+Compressed codecs decode in-repo where the stdlib + numpy can carry
+them: JPEG (baseline/progressive/12-bit/arithmetic — ext/jpeg.py),
+PNG (incl. Adam7/sub-byte), GIF (incl. interlaced), and MJPEG video
+inside MP4 (ext/mp4.py sample-table demux). Inter-frame video codecs
+(H.264-class) genuinely need external libraries the container does
+not ship; those raise a clearly-marked `NotImplementedError` from
+the same dispatch point, so wiring ffmpeg in production replaces one
+function.
 
 Scale design: media bytes never pass through Python row-at-a-time —
 `mapInPandas` streams Arrow record batches; partition counts follow
@@ -711,8 +715,10 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 elif kind == "audio":
                     feats.append(audio_features(*decode_wav(bytes(c))))
                 elif kind == "video" and bytes(c)[4:8] == b"ftyp":
-                    # MP4: container-level features from the box walk
-                    # (frame decode stays behind NotImplementedError)
+                    # MP4: container-level features from the box walk;
+                    # MJPEG tracks additionally decode real frames
+                    # (other codecs keep the NotImplementedError
+                    # dispatch inside decode_mjpeg_frames)
                     m = probe_mp4(bytes(c))
                     v = next(
                         (t for t in m["tracks"] if t.get("kind") == "video"), {}
@@ -723,6 +729,16 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                         float(v.get("width") or 0),
                         float(v.get("height") or 0),
                     ]
+                    from transferdb_spark.ext.mp4 import (
+                        MJPEG_CODECS,
+                        decode_mjpeg_frames,
+                        mjpeg_video_features,
+                    )
+
+                    if v.get("codec") in MJPEG_CODECS:
+                        f += mjpeg_video_features(
+                            decode_mjpeg_frames(bytes(c), max_frames=8)
+                        )
                     feats.append(f + [0.0] * (FEATURE_DIM - len(f)))
                 else:
                     feats.append(image_features(decode_image(bytes(c))))
@@ -786,12 +802,15 @@ _FRAME_SCHEMA = T.StructType(
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, fps: int = 10) -> DataFrame:
     """Video frame sampling with REAL frame extraction for raw RGB24
-    streams (mime video/raw-rgb24: concatenated width×height×3 frames —
-    the uncompressed layout container-format decoders emit). Each
-    sampled offset slices its frame bytes; compressed containers yield
-    NULL frames (decoder hook point)."""
+    streams (mime video/raw-rgb24: concatenated width×height×3 frames)
+    and MJPEG MP4s (intra-only: each sampled offset slices exactly its
+    own JPEG sample via the stts timestamps — no other sample is read,
+    the point of frame sampling a 100 TB video corpus). Other
+    compressed containers yield NULL frames (decoder hook point)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from transferdb_spark.ext.mp4 import MJPEG_CODECS, sample_table
+
         for pdf in batches:
             rows = []
             for mid, c, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
@@ -801,11 +820,30 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fps: int = 10) -> Data
                 raw = meta.get("mime") == "video/raw-rgb24" and c is not None and w and h
                 fsize = w * h * 3
                 n_frames = len(c) // fsize if raw else 0
+                st = None
+                if c is not None and bytes(c)[4:8] == b"ftyp":
+                    try:
+                        st = sample_table(bytes(c), "video")
+                        if st["codec"] not in MJPEG_CODECS:
+                            st = None
+                        elif not dur:
+                            dur = st["times_ms"][-1]
+                    except ValueError:
+                        st = None
                 for off in range(0, dur + 1, every_ms):
                     frame = None
                     if raw:
                         idx = min(off * fps // 1000, max(n_frames - 1, 0))
                         frame = bytes(c[idx * fsize : (idx + 1) * fsize]) or None
+                    elif st is not None:
+                        # last sample whose decode time is <= off
+                        idx = max(
+                            (i for i, t in enumerate(st["times_ms"]) if t <= off),
+                            default=0,
+                        )
+                        o, sz = st["offsets"][idx], st["sizes"][idx]
+                        if o + sz <= len(c):
+                            frame = bytes(c[o : o + sz])
                     rows.append((mid, off, frame))
             yield pd.DataFrame(rows, columns=["media_id", "offset_ms", "frame"])
 

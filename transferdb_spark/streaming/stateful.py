@@ -5,10 +5,12 @@ is the SCN checkpoint). This is the Spark-native extension point for
 them: arbitrary per-key state evolved across micro-batches with
 exactly-once semantics from the streaming checkpoint.
 
-Operator: running per-user activity profile over the event stream —
-event count, value sum, last-seen timestamp — emitted as an update
-stream. At scale, state is partitioned by key across executors and
-bounded by the key count (plus optional timeouts for eviction).
+Operators: (1) running per-user activity profile over the event
+stream — count, value sum, last-seen timestamp — as an update stream;
+(2) streaming exact dedup — first-seen-wins survivor emission keyed
+by content hash, the streaming twin of ext/dedup.dedup_exact. At
+scale, state is partitioned by key across executors and bounded by
+the key count (plus optional timeouts for eviction).
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -64,6 +67,80 @@ def user_activity_profile(stream: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+DEDUP_STATE_SCHEMA = "first_id LONG, n_dups LONG"
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _dedup_first_seen(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if state.exists:
+        first_id, n_dups = state.get
+        state.update((first_id, n_dups + len(rows)))
+        return  # hash already emitted in an earlier batch: all dups
+    # first sighting of this content hash: min doc_id wins the tie so
+    # the survivor is deterministic within the batch too
+    w = rows.loc[rows["doc_id"].idxmin()]
+    state.update((int(w["doc_id"]), len(rows) - 1))
+    yield pd.DataFrame({"doc_id": [int(w["doc_id"])], "text": [w["text"]]})
+
+
+def streaming_dedup(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup over a document STREAM — first-seen-wins across
+    micro-batches (the streaming twin of ext/dedup.dedup_exact).
+
+    State is one (first_id, n_dups) pair per distinct content hash,
+    partitioned by hash across executors; the emitted stream is the
+    survivor corpus in append mode. At 100 TB the state size is
+    bounded by distinct-content count × 16 bytes, and exactly-once
+    replay comes from the streaming checkpoint (a replayed batch
+    re-yields the same survivors, which the idempotent sink dedups by
+    batch id — same stance as streaming/incr.py's MERGE landing)."""
+    hashed = stream.withColumn("__h", F.xxhash64(F.col(text_col)))
+    return (
+        hashed.select("__h", F.col("doc_id").cast("long").alias("doc_id"), text_col)
+        .groupBy("__h")
+        .applyInPandasWithState(
+            _dedup_first_seen,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_dedup_to_memory(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    name: str = "dedup_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Documents parquet dir → streaming dedup → in-memory survivor
+    table (availableNow drains the backlog then stops)."""
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    return (
+        streaming_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
