@@ -3188,6 +3188,16 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def rm3_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001): BM25
+    feedback docs elect integer-quantized expansion terms, then a
+    second posting-bounded BM25 pass scores the interpolated query
+    (originals 1.0, expansions 0.5) — see ext/retrieval.py."""
+    from transferdb_spark.ext.retrieval import rm3_bm25_topk
+
+    return rm3_bm25_topk(_t(spark, sf_dir, "documents"))
+
+
 def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM quality score (perplexity-filter
     analogue) — see ext/text.py bigram_lm_score."""
@@ -4578,6 +4588,12 @@ def _ann_recall_sql() -> str:
     return ann_recall_eval_sql(8, 10)
 
 
+def _rm3_sql() -> str:
+    from transferdb_spark.ext.retrieval import rm3_bm25_topk_sql
+
+    return rm3_bm25_topk_sql()
+
+
 def _bm25_sql() -> str:
     from transferdb_spark.ext.retrieval import bm25_topk_sql
 
@@ -4705,6 +4721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "similarity_topk": similarity_topk,
         "bm25_topk": bm25_topk_q,
+        "rm3_bm25_topk": rm3_bm25_topk_q,
         "ann_topk_lsh": ann_topk_lsh_q,
         "ann_topk_multiprobe": ann_topk_multiprobe,
         "text_token_stats": text_token_stats,
@@ -4902,6 +4919,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": Q11_SQL,
         "q21_last_shippers": Q21_SQL,
         "bm25_topk": _bm25_sql(),
+        "rm3_bm25_topk": _rm3_sql(),
         "weighted_sample_topk": WEIGHTED_SAMPLE_SQL,
         "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,

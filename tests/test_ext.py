@@ -2505,3 +2505,31 @@ def test_mjpeg_mp4_feature_and_frame_sampling(spark):
     by_off = {r["offset_ms"]: bytes(r["frame"]) for r in rows}
     # fps=2 -> samples at 0/500/1000/1500/2000 ms map 1:1 to frames
     assert by_off[0] == jpgs[0] and by_off[1000] == jpgs[2] and by_off[2000] == jpgs[4]
+
+
+def test_rm3_expansion_changes_ranking(spark, docs):
+    """RM3: expansion terms are elected from the BM25 feedback docs by
+    integer relevance-model weight (no originals, no short tokens),
+    and the expanded query surfaces docs the literal query missed —
+    while lam=0 degenerates to plain BM25 ordering."""
+    from transferdb_spark.ext.retrieval import (
+        bm25_topk,
+        rm3_bm25_topk,
+        rm3_expansion_terms,
+    )
+
+    q = ("table", "scan")
+    exp = rm3_expansion_terms(docs, q, n_fb=5, n_exp=4)
+    assert 0 < len(exp) <= 4
+    assert all(len(w) >= 3 and w not in q for w in exp)
+
+    plain = [r["doc_id"] for r in bm25_topk(docs, q, k=10).collect()]
+    rm3 = rm3_bm25_topk(docs, q, n_fb=5, n_exp=4, k=10).collect()
+    assert [r["doc_id"] for r in rm3] != plain  # expansion reordered
+
+    # lam=0: expansion contributions vanish -> plain BM25 ranking (the
+    # n_terms column may still count matched expansion terms)
+    degenerate = [
+        r["doc_id"] for r in rm3_bm25_topk(docs, q, n_fb=5, n_exp=4, lam=0.0, k=10).collect()
+    ]
+    assert degenerate == plain

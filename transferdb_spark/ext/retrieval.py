@@ -1290,3 +1290,186 @@ FULL OUTER JOIN sem USING (doc_id)
 ORDER BY rrf DESC, doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+# models; the RM3 interpolation popularized by the Indri/Anserini
+# baselines — public IR literature)
+
+RM3_N_FB = 10  # feedback depth
+RM3_N_EXP = 5  # expansion terms
+RM3_LAMBDA = 0.5  # weight of an expansion term relative to an original
+RM_SCALE = 1_000_000  # P(w|d) quantization (integer micro-units)
+
+
+def rm3_expansion_terms(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    n_fb: int = RM3_N_FB,
+    n_exp: int = RM3_N_EXP,
+) -> list[str]:
+    """Expansion vocabulary from the BM25 top-n_fb feedback docs.
+
+    Relevance-model weight per candidate term w is
+    Σ_{d∈F} (tf(w,d)·10⁶ div dl(d)) — the per-doc term likelihood
+    P(w|d) quantized to integer micro-units BEFORE the sum, so term
+    election is pure integer arithmetic and bit-identical across
+    engines (same stance as IDF_SCALE above). Original query terms and
+    tokens shorter than 3 chars (stopword guard) are excluded; ties
+    break on the term itself. Returns ≤ n_exp terms.
+
+    The returned list is a driver-side value on purpose: n_exp is
+    model-sized (≤ tens), and inlining the terms as literals lets the
+    final scoring pass keep the filter-before-explode posting-list
+    bound — the whole point of the BM25 scan shape at 100 TB."""
+    terms = _norm_terms(query_terms)
+    fb_ids = bm25_topk(docs, tuple(terms), k=n_fb).select("doc_id")
+    fbtf = (
+        _tokens(docs)
+        .join(F.broadcast(fb_ids), "doc_id")
+        .select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cand = (
+        fbtf.where(~F.col("term").isin(terms) & (F.length("term") >= 3))
+        .withColumn("rm", F.expr(f"tf * {RM_SCALE} div dl"))
+        .groupBy("term")
+        .agg(F.sum("rm").alias("rm_micro"))
+        .orderBy(F.col("rm_micro").desc(), "term")
+        .limit(n_exp)
+    )
+    return [r["term"] for r in cand.collect()]
+
+
+def rm3_bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    n_fb: int = RM3_N_FB,
+    n_exp: int = RM3_N_EXP,
+    lam: float = RM3_LAMBDA,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 re-scored with the RM3-expanded query: original terms
+    weigh 1.0, expansion terms weigh ``lam``. Two posting-bounded
+    passes (feedback, final) plus one model-sized explode over the
+    n_fb feedback docs — no full-corpus term explode anywhere.
+
+    Returns (doc_id, n_terms, score) ordered score DESC, doc_id."""
+    terms = _norm_terms(query_terms)
+    exp = [w for w in rm3_expansion_terms(docs, tuple(terms), n_fb, n_exp)
+           if w not in terms]
+    all_terms = terms + exp
+    toks = _tokens(docs)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).alias("sum_dl"),
+    )
+    term_set = F.array(*[F.lit(w) for w in all_terms])
+    hits = toks.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        F.explode(F.filter("t", lambda x: F.array_contains(term_set, x))).alias("term"),
+    )
+    tf = hits.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    wt = F.when(F.col("term").isin(terms), F.lit(1.0)).otherwise(F.lit(float(lam)))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_micro", _idf_micro(F.col("n_docs"), F.col("df")))
+        .withColumn(
+            "w", _bm25_weight(F.col("tf"), F.col("dl"), F.col("sum_dl"), F.col("n_docs"))
+        )
+        .withColumn(
+            "contrib",
+            stable_round(
+                F.col("idf_micro").cast("double") * F.col("w") * wt
+                / F.lit(float(IDF_SCALE)),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            F.sum("contrib").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def rm3_bm25_topk_sql(
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    n_fb: int = RM3_N_FB,
+    n_exp: int = RM3_N_EXP,
+    lam: float = RM3_LAMBDA,
+    k: int = 20,
+) -> str:
+    """DuckDB oracle twin of rm3_bm25_topk. The oracle derives the
+    SAME expansion terms dynamically (integer rm_micro election over
+    the BM25 feedback CTE) — the Spark side inlines them as literals
+    for the posting-list scan bound, the SQL side joins the cand
+    relation; both elections are pure integer + (DESC, term) order, so
+    they cannot diverge."""
+    terms = _norm_terms(query_terms)
+    in_list = ", ".join(_sql_str(w) for w in terms)
+    contrib0 = _contrib_sql(_idf_expr_sql(), _w_expr_sql())
+    contrib = stable_round_sql(
+        f"CAST({_idf_expr_sql()} AS DOUBLE) * {_w_expr_sql()} * wt / {float(IDF_SCALE)}",
+        6,
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  {_TOKS_CTE}
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS sum_dl FROM toks),
+hits0 AS (
+  SELECT doc_id, len(t) AS dl, u.tok AS term
+  FROM toks, UNNEST(list_filter(t, x -> x IN ({in_list}))) AS u(tok)
+),
+tf0 AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits0 GROUP BY 1, 2, 3),
+df0 AS (SELECT term, COUNT(*) AS df FROM tf0 GROUP BY 1),
+fb AS (
+  SELECT doc_id
+  FROM tf0 JOIN df0 USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+  ORDER BY CAST(SUM(CAST({contrib0} AS DECIMAL(18,6))) AS DOUBLE) DESC, doc_id
+  LIMIT {n_fb}
+),
+fbtf AS (
+  SELECT toks.doc_id, len(t) AS dl, u.tok AS term, COUNT(*) AS tf
+  FROM toks JOIN fb USING (doc_id), UNNEST(t) AS u(tok)
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT term, SUM(tf * {RM_SCALE} // dl) AS rm_micro
+  FROM fbtf
+  WHERE term NOT IN ({in_list}) AND length(term) >= 3
+  GROUP BY term
+  ORDER BY rm_micro DESC, term
+  LIMIT {n_exp}
+),
+weights AS (
+  SELECT term, 1.0 AS wt FROM (VALUES ({"), (".join(_sql_str(w) for w in terms)})) v(term)
+  UNION ALL
+  SELECT term, {float(lam)} AS wt FROM cand WHERE term NOT IN ({in_list})
+),
+hits AS (
+  SELECT toks.doc_id, len(t) AS dl, u.tok AS term
+  FROM toks, UNNEST(t) AS u(tok)
+  WHERE u.tok IN (SELECT term FROM weights)
+),
+tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_terms,
+       CAST(SUM(CAST({contrib} AS DECIMAL(18,6))) AS DOUBLE) AS score
+FROM tf JOIN dfreq USING (term) JOIN weights USING (term) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
