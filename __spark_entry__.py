@@ -3206,6 +3206,14 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def text_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score (the KenLM/CCNet-style
+    perplexity filter smoothing) — see ext/text.py kn_lm_score."""
+    from transferdb_spark.ext.text import kn_lm_score
+
+    return kn_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def quality_prune_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style corpus pruning: rank every doc by its bigram-LM
     score and keep the top three DECILES — the 'train on the most
@@ -4588,6 +4596,12 @@ def _ann_recall_sql() -> str:
     return ann_recall_eval_sql(8, 10)
 
 
+def _kn_sql() -> str:
+    from transferdb_spark.ext.text import kn_lm_sql
+
+    return kn_lm_sql()
+
+
 def _rm3_sql() -> str:
     from transferdb_spark.ext.retrieval import rm3_bm25_topk_sql
 
@@ -4722,6 +4736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": similarity_topk,
         "bm25_topk": bm25_topk_q,
         "rm3_bm25_topk": rm3_bm25_topk_q,
+        "text_kn_lm": text_kn_lm,
         "ann_topk_lsh": ann_topk_lsh_q,
         "ann_topk_multiprobe": ann_topk_multiprobe,
         "text_token_stats": text_token_stats,
@@ -4920,6 +4935,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_last_shippers": Q21_SQL,
         "bm25_topk": _bm25_sql(),
         "rm3_bm25_topk": _rm3_sql(),
+        "text_kn_lm": _kn_sql(),
         "weighted_sample_topk": WEIGHTED_SAMPLE_SQL,
         "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,

@@ -2533,3 +2533,29 @@ def test_rm3_expansion_changes_ranking(spark, docs):
         r["doc_id"] for r in rm3_bm25_topk(docs, q, n_fb=5, n_exp=4, lam=0.0, k=10).collect()
     ]
     assert degenerate == plain
+
+
+def test_kn_lm_continuation_beats_raw_frequency(spark):
+    """The Kneser-Ney signature: a token that is frequent but follows
+    only ONE history ('francisco' after 'san') earns a smaller
+    continuation weight than a token with many histories, so a doc
+    pairing a novel history with the versatile token outscores one
+    pairing it with the one-history token — even though the raw bigram
+    counts say the opposite. Add-one smoothing cannot see this."""
+    from transferdb_spark.ext.text import kn_lm_score
+
+    corpus = ["san francisco"] * 8 + [
+        "new deal", "fair deal", "big deal", "real deal",
+        "good deal", "raw deal", "done deal", "best deal",
+    ]
+    probes = ["the francisco", "the deal"]  # novel history 'the'
+    rows = [(i, t) for i, t in enumerate(corpus + probes)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {r["doc_id"]: r["kn_score"] for r in kn_lm_score(docs).collect()}
+    id_fran, id_deal = len(corpus), len(corpus) + 1
+    # 'deal' has 8 distinct histories, 'francisco' has 1; both bigrams
+    # 'the francisco'/'the deal' have c12=1 and the same history count,
+    # so the continuation term alone decides the order
+    assert got[id_deal] > got[id_fran]
+    assert all(0.0 < v <= 1.0 for v in got.values())

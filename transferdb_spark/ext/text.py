@@ -349,6 +349,99 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def kn_lm_score(docs: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score — the smoothing the real
+    perplexity filters use (KenLM / CCNet lineage; Kneser & Ney 1995,
+    Chen & Goodman 1999 — public literature), next to the add-one
+    baseline above:
+
+        P_KN(w2|w1) = (C(w1,w2) - D)/C(w1)
+                      + (D·N1+(w1,·)/C(w1)) · N1+(·,w2)/N1+(··)
+
+    All five statistics are integer counts derived from the ONE
+    bigram-count relation (no extra corpus pass): C(w1,w2)=c12,
+    C(w1)=Σc12, N1+(w1,·)=distinct continuations of w1, N1+(·,w2)=
+    distinct histories of w2 (the continuation probability that makes
+    KN rank 'york' low despite 'new york' being frequent), N1+(··)=
+    model size. Since the model is trained on the scored corpus
+    itself, every scored bigram has c12 ≥ 1 > D, so the max(·,0)
+    clamp is vacuous and omitted.
+
+    Cross-engine determinism: integer counts → one fixed-shape chain
+    of IEEE ops (each correctly rounded, bit-identical), rounded to
+    6dp per bigram, summed as DECIMAL, averaged through double —
+    the module-wide oracle discipline."""
+    toks = docs.withColumn("toks", F.expr(TOKENS))
+    bigram_expr = (
+        "case when size(toks) < 2 then array() "
+        "else transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2)) end"
+    )
+    bg = toks.select("doc_id", F.explode(F.expr(bigram_expr)).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pre = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    tot = c12.agg(F.count(F.lit(1)).alias("total"))
+    d = F.lit(float(discount))
+    p = stable_round(
+        (F.col("c12").cast("double") - d) / F.col("c1").cast("double")
+        + (d * F.col("n1f").cast("double") / F.col("c1").cast("double"))
+        * (F.col("n1b").cast("double") / F.col("total").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    model = (
+        c12.join(pre, ["w1"]).join(cont, ["w2"]).crossJoin(tot)
+        .select("w1", "w2", p.alias("p"))
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            stable_round(
+                F.sum("p").cast("double") / F.count(F.lit(1)), 6
+            ).alias("kn_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_KN_P_SQL = (
+    "((CAST(c12.c12 AS DOUBLE) - 0.75) / CAST(pre.c1 AS DOUBLE)"
+    " + (0.75 * CAST(pre.n1f AS DOUBLE) / CAST(pre.c1 AS DOUBLE))"
+    " * (CAST(cont.n1b AS DOUBLE) / CAST(tot.total AS DOUBLE)))"
+)
+
+KN_LM_SQL = f"""
+WITH toks AS (SELECT doc_id, {{toks_sql}} AS t FROM documents),
+bg AS (
+  SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2
+  FROM toks, UNNEST(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS u(b)
+),
+c12 AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+pre AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM c12 GROUP BY 1),
+cont AS (SELECT w2, COUNT(*) AS n1b FROM c12 GROUP BY 1),
+tot AS (SELECT COUNT(*) AS total FROM c12)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       {{outer}} AS kn_score
+FROM bg JOIN c12 USING (w1, w2) JOIN pre USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def kn_lm_sql() -> str:
+    inner = stable_round_sql(_KN_P_SQL, 6)
+    outer = stable_round_sql(
+        f"CAST(SUM(CAST({inner} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)", 6
+    )
+    return KN_LM_SQL.format(toks_sql=TOKENS_SQL, outer=outer)
+
+
 BIGRAM_LM_SQL = f"""
 WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
 bg AS (
