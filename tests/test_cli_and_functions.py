@@ -278,6 +278,14 @@ def test_cli_search_mode(tmp_path, capsys, spark):
     assert out["hybrid"] is True and out["hits"] == 10
     assert {"doc_id", "bm25", "cosine"} <= set(out["results"][0])
 
+    out = run_cli(
+        ["--mode", "search", "--workdir", wd, "--terms", "spark,dup", "--rm3"],
+        capsys,
+    )
+    assert out["rm3"] is True and out["hits"] == 10
+    assert 0 < len(out["expanded_terms"]) <= 5
+    assert all(t not in ("spark", "dup") for t in out["expanded_terms"])
+
 
 def test_cli_pipeline_mode(tmp_path, capsys, spark):
     wd = str(tmp_path / "wd")

@@ -41,6 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocab-size", type=int, default=280, help="pipeline: BPE target vocab")
     p.add_argument("--topk", type=int, default=10, help="search: result count")
     p.add_argument("--hybrid", action="store_true", help="search: re-rank BM25 candidates by embedding cosine")
+    p.add_argument("--rm3", action="store_true", help="search: RM3 pseudo-relevance-feedback query expansion")
     p.add_argument("--query-vec", type=int, default=0, help="search --hybrid: query vector id")
     p.add_argument("--path", default="", help="optimize: parquet dir to compact")
     p.add_argument("--target-mb", type=int, default=128)
@@ -345,6 +346,7 @@ def main(argv: list[str] | None = None) -> int:
                 [t for t in args.terms.split(",") if t],
                 k=args.topk,
                 hybrid=args.hybrid,
+                rm3=args.rm3,
                 query_vec_id=args.query_vec,
                 workdir=args.workdir,
             )
