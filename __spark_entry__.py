@@ -3555,6 +3555,94 @@ ORDER BY c.event_id
 """
 
 
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — each click annotated with the user's NEXT
+    purchase value at-or-after click time (operators/asof.py
+    direction='forward'); oracle: DuckDB ASOF with the inequality
+    flipped (c.ts <= p.ts)."""
+    from transferdb_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        payload=["purchase_value"], direction="forward",
+    )
+    return out.select("event_id", "user_id", "purchase_value_asof").orderBy("event_id")
+
+
+ASOF_FWD_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, p.purchase_value AS purchase_value_asof
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY c.event_id
+"""
+
+
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join with a tolerance — the purchase CLOSEST in
+    time to each click (ties backward, pandas merge_asof semantics),
+    nulled when farther than 6 hours. One shuffle, two in-partition
+    carries (operators/asof.py direction='nearest'); oracle: two
+    DuckDB ASOF joins + a CASE on epoch deltas."""
+    from transferdb_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        payload=["purchase_value"], direction="nearest", tolerance=6 * 3600,
+    )
+    return out.select("event_id", "user_id", "purchase_value_asof").orderBy("event_id")
+
+
+ASOF_NEAREST_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+b AS (
+  SELECT c.event_id, c.user_id, c.ts, p.ts AS bts, p.purchase_value AS bval
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+),
+f AS (
+  SELECT c.event_id, p.ts AS fts, p.purchase_value AS fval
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT b.event_id, b.user_id,
+  CASE WHEN fts IS NULL
+         OR (bts IS NOT NULL
+             AND abs(epoch(b.ts) - epoch(bts)) <= abs(epoch(b.ts) - epoch(fts)))
+       THEN CASE WHEN abs(epoch(b.ts) - epoch(bts)) <= 21600.0 THEN bval END
+       ELSE CASE WHEN abs(epoch(b.ts) - epoch(fts)) <= 21600.0 THEN fval END
+  END AS purchase_value_asof
+FROM b JOIN f USING (event_id)
+ORDER BY b.event_id
+"""
+
+
 def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: hour -> day -> month,
     each level aggregating the PREVIOUS level's partials (count-sum
@@ -4432,6 +4520,8 @@ def _ext_oracle_sql() -> dict[str, str]:
         "ann_topk_multiprobe": ann_topk_lsh_multiprobe_sql(0, 10),
         "assess_identifier_lengths": ASSESS_IDENT_SQL,
         "asof_last_purchase": ASOF_SQL,
+        "asof_next_purchase": ASOF_FWD_SQL,
+        "asof_nearest_purchase": ASOF_NEAREST_SQL,
         "multires_rollup": MULTIRES_SQL,
         "range_join_windows": RANGE_JOIN_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
@@ -4745,6 +4835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text_bpe_tokens,
         "doc_chunk_windows": doc_chunk_windows,
         "asof_last_purchase": asof_last_purchase,
+        "asof_next_purchase": asof_next_purchase,
+        "asof_nearest_purchase": asof_nearest_purchase,
         "range_join_windows": range_join_windows,
         "multires_rollup": multires_rollup,
         "pipeline_clean_corpus": pipeline_clean_corpus,

@@ -415,6 +415,52 @@ def test_asof_join_semantics(spark):
     assert out[102] is None  # no right row yet
     assert out[103] is None  # right row is in the future
 
+    fwd = {
+        r["eid"]: r["v_asof"]
+        for r in asof_join(
+            left, right, key="k", ts="ts", payload=["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd[100] == 1.0  # exact ts eligible in forward too (>=)
+    assert fwd[101] is None  # nothing after ts=20
+    assert fwd[102] == 1.0  # earliest following
+    assert fwd[103] == 9.0
+
+    near = {
+        r["eid"]: r["v_asof"]
+        for r in asof_join(
+            left, right, key="k", ts="ts", payload=["v"], direction="nearest"
+        ).collect()
+    }
+    assert near[100] == 1.0  # exact match
+    assert near[101] == 2.0  # |20-15|=5 backward only
+    assert near[102] == 1.0  # only forward exists
+    assert near[103] == 9.0  # only forward exists
+    # equidistant: ts=12.5 is impossible with longs; ts=12 -> backward
+    # (|12-10|=2 < |12-15|=3), ts=13 -> forward is closer
+    tie_left = spark.createDataFrame([(1, 12, 200), (1, 13, 201)], "k long, ts long, eid long")
+    near2 = {
+        r["eid"]: r["v_asof"]
+        for r in asof_join(
+            tie_left, right, key="k", ts="ts", payload=["v"], direction="nearest"
+        ).collect()
+    }
+    assert near2[200] == 1.0 and near2[201] == 2.0
+
+    tol = {
+        r["eid"]: r["v_asof"]
+        for r in asof_join(
+            left, right, key="k", ts="ts", payload=["v"],
+            direction="nearest", tolerance=4,
+        ).collect()
+    }
+    assert tol[100] == 1.0  # delta 0 <= 4
+    assert tol[103] is None  # |10-99| way past tolerance
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, key="k", ts="ts", payload=["v"], direction="sideways")
+
 
 def test_range_join_matches_naive(spark, sf_dir):
     from transferdb_spark.operators.rangejoin import range_join
