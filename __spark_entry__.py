@@ -3206,6 +3206,14 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (Arrow-vectorized pandas UDF vs
+    DuckDB's native nfc_normalize) — see ext/text.py unicode_nfc."""
+    from transferdb_spark.ext.text import unicode_nfc
+
+    return unicode_nfc(_t(spark, sf_dir, "documents"))
+
+
 def text_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM score (the KenLM/CCNet-style
     perplexity filter smoothing) — see ext/text.py kn_lm_score."""
@@ -4686,6 +4694,12 @@ def _ann_recall_sql() -> str:
     return ann_recall_eval_sql(8, 10)
 
 
+def _nfc_sql() -> str:
+    from transferdb_spark.ext.text import UNICODE_NFC_SQL
+
+    return UNICODE_NFC_SQL
+
+
 def _kn_sql() -> str:
     from transferdb_spark.ext.text import kn_lm_sql
 
@@ -4827,6 +4841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk_q,
         "rm3_bm25_topk": rm3_bm25_topk_q,
         "text_kn_lm": text_kn_lm,
+        "text_nfc_normalize": text_nfc_normalize,
         "ann_topk_lsh": ann_topk_lsh_q,
         "ann_topk_multiprobe": ann_topk_multiprobe,
         "text_token_stats": text_token_stats,
@@ -5028,6 +5043,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "rm3_bm25_topk": _rm3_sql(),
         "text_kn_lm": _kn_sql(),
+        "text_nfc_normalize": _nfc_sql(),
         "weighted_sample_topk": WEIGHTED_SAMPLE_SQL,
         "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,

@@ -2559,3 +2559,23 @@ def test_kn_lm_continuation_beats_raw_frequency(spark):
     # so the continuation term alone decides the order
     assert got[id_deal] > got[id_fran]
     assert all(0.0 < v <= 1.0 for v in got.values())
+
+
+def test_unicode_nfc_composes_decomposed_text(spark):
+    """NFC: decomposed 'e'+COMBINING ACUTE composes to U+00E9 (shorter
+    in characters), already-composed text passes through unchanged, and
+    NULLs survive. Matches Python's unicodedata and DuckDB's
+    nfc_normalize by construction."""
+    from transferdb_spark.ext.text import unicode_nfc
+
+    decomposed = "résumé data"  # 13 chars, 2 combining marks
+    composed = "résumé data"      # 11 chars
+    rows = [(0, decomposed), (1, composed), (2, "plain ascii"), (3, None)]
+    out = {r["doc_id"]: r for r in unicode_nfc(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+
+    assert out[0]["norm_text"] == composed and out[0]["changed"] is True
+    assert out[0]["n_chars"] == 11
+    assert out[1]["norm_text"] == composed and out[1]["changed"] is False
+    assert out[2]["changed"] is False
+    assert out[3]["norm_text"] is None and out[3]["changed"] is None

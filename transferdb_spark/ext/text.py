@@ -8,8 +8,10 @@ the correctness oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 from transferdb_spark.functions.canonical import stable_round, stable_round_sql
 
@@ -1021,4 +1023,48 @@ LEFT JOIN c1 ON val.w1 = c1.w1
 CROSS JOIN v
 GROUP BY val.doc_id
 ORDER BY val.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC canonicalization — web corpora mix composed and
+# decomposed encodings of the SAME text ('é' vs 'e'+U+0301), which
+# breaks exact dedup, token counts, and retrieval matching unless
+# normalized at ingest. Spark has no built-in normalizer, so this is
+# an Arrow-vectorized pandas UDF (the §2.10 contract: never
+# row-at-a-time Python); the DuckDB oracle is its native
+# nfc_normalize — two independent Unicode implementations must agree.
+
+
+def unicode_nfc(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, norm_text, changed, n_chars) with NFC-composed text.
+
+    Scale: a narrow per-row map over Arrow batches — no shuffle, no
+    state; composes with pipeline_clean_corpus as the first stage."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    norm = _nfc(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col(text_col)).alias("changed"),
+        F.length(norm).alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+UNICODE_NFC_SQL = """
+SELECT doc_id,
+       nfc_normalize(text) AS norm_text,
+       (nfc_normalize(text) <> text) AS changed,
+       length(nfc_normalize(text)) AS n_chars
+FROM documents
+ORDER BY doc_id
 """
