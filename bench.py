@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "pq_topk_adc",
     "dsir_select_top",
     "text_bigram_lm",
+    "text_kn_lm",
+    "rm3_bm25_topk",
+    "asof_nearest_purchase",
     "decontam_against_eval",
     "assess_storage_size",
 ]
