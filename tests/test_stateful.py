@@ -105,3 +105,52 @@ def test_streaming_dedup_first_seen_wins(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(got) < first.count() + second.count()  # something was deduped
+
+
+def test_streaming_dedup_ttl_evicts_idle_state(spark, tmp_path):
+    """A duplicate arriving AFTER the TTL horizon re-emits (the idle
+    eviction batch removed its state); a key that receives data while
+    its state lives stays suppressed. The second file lands only after
+    the first survivor is visible and an idle tick has passed."""
+    import time
+
+    from transferdb_spark.streaming.stateful import streaming_dedup
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "same text")], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_dedup(stream, ttl_ms=1)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ttl")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def rows():
+            return [
+                r["doc_id"]
+                for r in spark.sql("SELECT doc_id FROM t_ttl ORDER BY doc_id").collect()
+            ]
+
+        deadline = time.time() + 60
+        while rows() != [1] and time.time() < deadline:
+            time.sleep(0.5)
+        assert rows() == [1]
+        # idle ticks: the 1 ms timeout fires on the next empty batch,
+        # evicting the hash state
+        time.sleep(4)
+        spark.createDataFrame([(2, "same text")], ["doc_id", "text"]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        while rows() != [1, 2] and time.time() < deadline:
+            time.sleep(0.5)
+        assert rows() == [1, 2]  # evicted -> the late duplicate re-emits
+    finally:
+        q.stop()

@@ -79,22 +79,35 @@ DEDUP_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _dedup_first_seen(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    if state.exists:
-        first_id, n_dups = state.get
-        state.update((first_id, n_dups + len(rows)))
-        return  # hash already emitted in an earlier batch: all dups
-    # first sighting of this content hash: min doc_id wins the tie so
-    # the survivor is deterministic within the batch too
-    w = rows.loc[rows["doc_id"].idxmin()]
-    state.update((int(w["doc_id"]), len(rows) - 1))
-    yield pd.DataFrame({"doc_id": [int(w["doc_id"])], "text": [w["text"]]})
+def _make_dedup_fn(ttl_ms: int | None):
+    def _dedup_first_seen(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # eviction tick: no rows for this hash within the TTL —
+            # forget it (a later duplicate re-emits; the TTL is the
+            # documented dedup horizon)
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            first_id, n_dups = state.get
+            state.update((first_id, n_dups + len(rows)))
+        else:
+            # first sighting of this content hash: min doc_id wins the
+            # tie so the survivor is deterministic within the batch too
+            w = rows.loc[rows["doc_id"].idxmin()]
+            state.update((int(w["doc_id"]), len(rows) - 1))
+            yield pd.DataFrame({"doc_id": [int(w["doc_id"])], "text": [w["text"]]})
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _dedup_first_seen
 
 
-def streaming_dedup(stream: DataFrame, text_col: str = "text") -> DataFrame:
+def streaming_dedup(
+    stream: DataFrame, text_col: str = "text", ttl_ms: int | None = None
+) -> DataFrame:
     """Exact dedup over a document STREAM — first-seen-wins across
     micro-batches (the streaming twin of ext/dedup.dedup_exact).
 
@@ -104,17 +117,26 @@ def streaming_dedup(stream: DataFrame, text_col: str = "text") -> DataFrame:
     bounded by distinct-content count × 16 bytes, and exactly-once
     replay comes from the streaming checkpoint (a replayed batch
     re-yields the same survivors, which the idempotent sink dedups by
-    batch id — same stance as streaming/incr.py's MERGE landing)."""
+    batch id — same stance as streaming/incr.py's MERGE landing).
+
+    ttl_ms bounds state for UNBOUNDED streams: a hash idle longer than
+    the TTL is evicted (processing-time timeout), trading perfect
+    history for O(active window) state — the dedup horizon every
+    infinite-crawl pipeline eventually has to pick."""
     hashed = stream.withColumn("__h", F.xxhash64(F.col(text_col)))
     return (
         hashed.select("__h", F.col("doc_id").cast("long").alias("doc_id"), text_col)
         .groupBy("__h")
         .applyInPandasWithState(
-            _dedup_first_seen,
+            _make_dedup_fn(ttl_ms),
             outputStructType=DEDUP_OUTPUT_SCHEMA,
             stateStructType=DEDUP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
