@@ -2579,3 +2579,39 @@ def test_unicode_nfc_composes_decomposed_text(spark):
     assert out[1]["norm_text"] == composed and out[1]["changed"] is False
     assert out[2]["changed"] is False
     assert out[3]["norm_text"] is None and out[3]["changed"] is None
+
+
+def test_mjpeg_transcode_resizes_and_remuxes():
+    """transcode_mjpeg: output is a valid MJPEG MP4 at the new
+    dimensions with the same frame count/timeline, and decoded frames
+    match a direct resize of the originals (JPEG-lossy tolerance)."""
+    import numpy as np
+    import pytest
+
+    from transferdb_spark.ext.mp4 import (
+        decode_mjpeg_frames,
+        mux_mjpeg,
+        sample_table,
+        transcode_mjpeg,
+    )
+
+    px, jpgs = _mjpeg_fixture_frames(4, w=24, h=16)
+    buf = mux_mjpeg(jpgs, fps=5, width=24, height=16, chunk_pattern=(2,))
+    out = transcode_mjpeg(buf, width=12, height=8)
+
+    st = sample_table(out)
+    assert st["codec"] == "jpeg" and len(st["sizes"]) == 4
+    assert st["times_ms"] == [i * 200 for i in range(4)]  # fps preserved
+    frames = decode_mjpeg_frames(out)
+    for got, orig in zip(frames, px):
+        assert got.shape == (8, 12, 3)
+        yi = (np.arange(8) * 16 // 8).clip(0, 15)
+        xi = (np.arange(12) * 24 // 12).clip(0, 23)
+        want = orig[yi][:, xi]
+        assert float(np.mean(np.abs(got.astype(int) - want.astype(int)))) < 16.0
+
+    avc = bytearray(buf)
+    i = avc.find(b"jpeg", avc.find(b"stsd"))
+    avc[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError):
+        transcode_mjpeg(bytes(avc), 12, 8)

@@ -326,3 +326,36 @@ def mux_mjpeg(
     mvhd = _box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale, dur) + bytes(76))
     moov = _box(b"moov", mvhd + trak)
     return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def transcode_mjpeg(
+    buf: bytes, width: int, height: int, fps: int | None = None
+) -> bytes:
+    """Re-encode an MJPEG MP4 at a new resolution: demux → per-frame
+    nearest-neighbour resize → JPEG re-encode → remux. The video twin
+    of multimodal.resize_images (same index-map resize), used by the
+    corpus normalization sink; intra-only codecs make this purely
+    per-sample work — no inter-frame state, so it parallelizes across
+    samples at any scale."""
+    from transferdb_spark.ext.jpeg import decode_jpeg, encode_jpeg
+
+    st = sample_table(buf, "video")
+    if st["codec"] not in MJPEG_CODECS:
+        raise NotImplementedError(
+            f"video codec {st['codec']!r} needs an external transcoder"
+        )
+    out_fps = fps
+    if out_fps is None:
+        # recover fps from the stts timeline (delta in timescale units)
+        if len(st["times_ms"]) > 1 and st["times_ms"][1] > st["times_ms"][0]:
+            out_fps = max(1000 // (st["times_ms"][1] - st["times_ms"][0]), 1)
+        else:
+            out_fps = 10
+    frames = []
+    for off, sz in zip(st["offsets"], st["sizes"]):
+        px = decode_jpeg(buf[off : off + sz])
+        h, w = px.shape[:2]
+        yi = (np.arange(height) * h // height).clip(0, h - 1)
+        xi = (np.arange(width) * w // width).clip(0, w - 1)
+        frames.append(encode_jpeg(px[yi][:, xi]))
+    return mux_mjpeg(frames, fps=out_fps, width=width, height=height)
