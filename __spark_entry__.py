@@ -3206,6 +3206,22 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus forensics: pairwise shared exact-content counts between
+    sources (mirror/scrape detection) — ext/dedup.cross_source_overlap."""
+    from transferdb_spark.ext.dedup import cross_source_overlap
+
+    return cross_source_overlap(_t(spark, sf_dir, "documents"))
+
+
+def vocab_kl_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary distribution drift between corpus halves: top
+    per-term KL(A||B) contributions — ext/text.vocab_kl_drift."""
+    from transferdb_spark.ext.text import vocab_kl_drift
+
+    return vocab_kl_drift(_t(spark, sf_dir, "documents"))
+
+
 def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (Arrow-vectorized pandas UDF vs
     DuckDB's native nfc_normalize) — see ext/text.py unicode_nfc."""
@@ -4694,6 +4710,18 @@ def _ann_recall_sql() -> str:
     return ann_recall_eval_sql(8, 10)
 
 
+def _cross_source_sql() -> str:
+    from transferdb_spark.ext.dedup import cross_source_overlap_sql
+
+    return cross_source_overlap_sql()
+
+
+def _kl_sql() -> str:
+    from transferdb_spark.ext.text import vocab_kl_drift_sql
+
+    return vocab_kl_drift_sql()
+
+
 def _nfc_sql() -> str:
     from transferdb_spark.ext.text import UNICODE_NFC_SQL
 
@@ -4842,6 +4870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_bm25_topk": rm3_bm25_topk_q,
         "text_kn_lm": text_kn_lm,
         "text_nfc_normalize": text_nfc_normalize,
+        "cross_source_duplication": cross_source_duplication,
+        "vocab_kl_drift": vocab_kl_drift_q,
         "ann_topk_lsh": ann_topk_lsh_q,
         "ann_topk_multiprobe": ann_topk_multiprobe,
         "text_token_stats": text_token_stats,
@@ -5044,6 +5074,8 @@ def oracle_sql() -> dict[str, str]:
         "rm3_bm25_topk": _rm3_sql(),
         "text_kn_lm": _kn_sql(),
         "text_nfc_normalize": _nfc_sql(),
+        "cross_source_duplication": _cross_source_sql(),
+        "vocab_kl_drift": _kl_sql(),
         "weighted_sample_topk": WEIGHTED_SAMPLE_SQL,
         "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,

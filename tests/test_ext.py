@@ -2615,3 +2615,45 @@ def test_mjpeg_transcode_resizes_and_remuxes():
     avc[i : i + 4] = b"avc1"
     with pytest.raises(NotImplementedError):
         transcode_mjpeg(bytes(avc), 12, 8)
+
+
+def test_cross_source_overlap_counts_shared_leads(spark):
+    """Two sources sharing a copied lead paragraph pair up with the
+    right shared count and containment pct; unrelated sources don't."""
+    from transferdb_spark.ext.dedup import cross_source_overlap
+
+    lead = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "mirror_a", lead + " tail one"),
+        (2, "mirror_a", "completely different text entirely here now ok"),
+        (3, "mirror_b", lead + " other tail"),
+        (4, "mirror_b", "unrelated content again nothing shared at all"),
+        (5, "mirror_b", "third unique doc for source b padding row"),
+        (6, "loner", "nothing in common with anybody whatsoever truly"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = cross_source_overlap(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("mirror_a", "mirror_b")
+    assert r["n_shared"] == 1 and r["n_a"] == 2 and r["n_b"] == 3
+    assert r["overlap_pct"] == 0.5  # 1 / min(2, 3)
+
+
+def test_vocab_kl_drift_surfaces_shifted_terms(spark):
+    """A term frequent in half A but rare in half B tops the KL(A||B)
+    contribution list; a balanced term contributes ~0."""
+    from transferdb_spark.ext.text import vocab_kl_drift
+
+    rows = []
+    for i in range(40):
+        # even doc_ids (half A) say 'driftword', odd say 'other'
+        word = "driftword" if i % 2 == 0 else "other"
+        rows.append((i, f"common filler tokens {word} here"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = vocab_kl_drift(docs, top=5).collect()
+    assert out[0]["term"] == "driftword"
+    assert out[0]["c_a"] == 20 and out[0]["c_b"] == 0
+    assert out[0]["kl_contrib"] > 0
+    balanced = [r for r in out if r["term"] == "common"]
+    assert not balanced or abs(balanced[0]["kl_contrib"]) < 1e-6

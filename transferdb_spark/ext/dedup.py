@@ -1067,3 +1067,94 @@ SELECT tk.doc_id,
 FROM tk LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY tk.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix — corpus forensics: which sources
+# copy which (mirrors, scrapes of scrapes, syndication). The pairwise
+# shared-content counts drive source-level dedup ordering and crawl
+# budget decisions.
+
+
+def cross_source_overlap(docs: DataFrame, prefix_tokens: int = 8) -> DataFrame:
+    """(source_a, source_b, n_shared, n_a, n_b, overlap_pct) for every
+    source pair sharing at least one content fingerprint.
+
+    The fingerprint is the digest of the first ``prefix_tokens``
+    tokens — the copied-lead / boilerplate key (a verbatim whole-text
+    digest only catches byte-identical mirrors; syndicated and
+    lightly-edited copies share their lead). Scale: the join key is
+    the 8-byte digest of the (source, digest) DISTINCT relation, so
+    each digest fans out at most n_sources² — bounded by the
+    source-count square, never by corpus size; the per-source totals
+    are a broadcast-sized aggregate. overlap_pct is n_shared over the
+    SMALLER side (containment convention), rounded half-up at 6dp for
+    the cross-engine hash."""
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    lead = F.concat_ws(" ", F.slice(F.expr(TOKENS), 1, prefix_tokens))
+    d = docs.select("source", portable_hash64(lead).alias("digest")).distinct()
+    per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct"))
+    a, b = d.alias("a"), d.alias("b")
+    shared = (
+        a.join(b, "digest")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_distinct").alias("n_a")
+    )
+    nb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_distinct").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            stable_round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap_pct"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def cross_source_overlap_sql(prefix_tokens: int = 8) -> str:
+    from transferdb_spark.functions.hashing import portable_hash64_sql
+
+    digest = portable_hash64_sql(
+        f"array_to_string(list_slice({TOKENS_SQL}, 1, {prefix_tokens}), ' ')"
+    )
+    pct = stable_round_sql(
+        "CAST(n_shared AS DOUBLE) / CAST(least(na.n_distinct, nb.n_distinct) AS DOUBLE)",
+        6,
+    )
+    return f"""
+WITH d AS (SELECT DISTINCT source, {digest} AS digest FROM documents),
+per_source AS (SELECT source, COUNT(*) AS n_distinct FROM d GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM d a JOIN d b USING (digest)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(na.n_distinct AS BIGINT) AS n_a,
+       CAST(nb.n_distinct AS BIGINT) AS n_b,
+       {pct} AS overlap_pct
+FROM shared
+JOIN per_source na ON na.source = source_a
+JOIN per_source nb ON nb.source = source_b
+ORDER BY source_a, source_b
+"""

@@ -1068,3 +1068,81 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary KL drift — distribution shift between two corpus slices
+# (crawl snapshots, domains, train vs incoming delta). Per-term
+# KL(A||B) contributions p_A·ln(p_A/p_B) localize WHICH vocabulary
+# moved, the monitoring signal a rolling-ingest pipeline alerts on.
+
+
+def vocab_kl_drift(docs: DataFrame, top: int = 40) -> DataFrame:
+    """Top contributors to KL(A||B) between the doc_id-even (A) and
+    doc_id-odd (B) halves, add-one smoothed over the union vocabulary.
+
+    Scale: one token explode + one groupBy(term) with conditional
+    counts — the vocab-build shuffle; scalars (corpus sizes, |V|) are
+    a broadcast row. Cross-engine determinism: counts are integers,
+    p_A and p_B are single IEEE divides, ln is quantized ONCE to
+    BIGINT micro-units at its boundary (the idf discipline), and the
+    final product rounds half-up at 12dp before ordering — ties break
+    on the term."""
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"), F.explode(F.expr(TOKENS)).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_b"),
+    )
+    tot = counts.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p_a = (F.col("c_a").cast("double") + F.lit(1.0)) / (
+        F.col("n_a").cast("double") + F.col("v").cast("double")
+    )
+    p_b = (F.col("c_b").cast("double") + F.lit(1.0)) / (
+        F.col("n_b").cast("double") + F.col("v").cast("double")
+    )
+    ln_micro = F.floor(F.log(p_a / p_b) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    contrib = stable_round(p_a * ln_micro.cast("double") / F.lit(1e6), 12)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            contrib.alias("kl_contrib"),
+        )
+        .orderBy(F.col("kl_contrib").desc(), "term")
+        .limit(top)
+    )
+
+
+def vocab_kl_drift_sql(top: int = 40) -> str:
+    p_a = "((CAST(c_a AS DOUBLE) + 1.0) / (CAST(n_a AS DOUBLE) + CAST(v AS DOUBLE)))"
+    p_b = "((CAST(c_b AS DOUBLE) + 1.0) / (CAST(n_b AS DOUBLE) + CAST(v AS DOUBLE)))"
+    ln_micro = f"CAST(floor(ln({p_a} / {p_b}) * 1000000.0 + 0.5) AS BIGINT)"
+    contrib = stable_round_sql(f"{p_a} * CAST({ln_micro} AS DOUBLE) / 1000000.0", 12)
+    return f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS half, u.tok AS term
+  FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
+),
+counts AS (
+  SELECT term,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c_b
+  FROM toks GROUP BY 1
+),
+tot AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b, COUNT(*) AS v FROM counts)
+SELECT term,
+       CAST(c_a AS BIGINT) AS c_a,
+       CAST(c_b AS BIGINT) AS c_b,
+       {contrib} AS kl_contrib
+FROM counts CROSS JOIN tot
+ORDER BY kl_contrib DESC, term
+LIMIT {top}
+"""
