@@ -8,9 +8,13 @@ exactly-once semantics from the streaming checkpoint.
 Operators: (1) running per-user activity profile over the event
 stream — count, value sum, last-seen timestamp — as an update stream;
 (2) streaming exact dedup — first-seen-wins survivor emission keyed
-by content hash, the streaming twin of ext/dedup.dedup_exact. At
-scale, state is partitioned by key across executors and bounded by
-the key count (plus optional timeouts for eviction).
+by content hash, the streaming twin of ext/dedup.dedup_exact, with an
+optional processing-time TTL bounding state to the active window;
+(3) streaming sessionization — event-time gap sessions closed by the
+watermark (EventTimeTimeout), the streaming twin of the batch
+sessionize_events window query. At scale, state is partitioned by key
+across executors and bounded by the key count (plus timeouts for
+eviction).
 """
 
 from __future__ import annotations
@@ -186,4 +190,96 @@ def run_profile_to_memory(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization — event-time gap sessions with watermark-
+# driven closure. The streaming twin of the batch sessionize_events
+# query (lag/gap window): per-user open-session state evolves across
+# micro-batches; a session CLOSES either when a later event in the
+# same key is farther than the gap (emitted immediately) or when the
+# event-time watermark passes last_ts + gap (EventTimeTimeout tick).
+# State per key is ONE open session (4 scalars) — bounded by active
+# users, not history.
+
+SESSION_STATE_SCHEMA = (
+    "start_s DOUBLE, last_s DOUBLE, n_events LONG, sum_value DOUBLE"
+)
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _make_sessionize_fn(gap_s: float):
+    def _sessionize(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        def emit(start_s, last_s, n, total):
+            return pd.DataFrame(
+                {
+                    "user_id": [int(user_id)],
+                    "session_start": [pd.Timestamp(start_s, unit="s")],
+                    "session_end": [pd.Timestamp(last_s, unit="s")],
+                    "n_events": [int(n)],
+                    "sum_value": [float(total)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_s, last_s, n, total = state.get
+            state.remove()
+            yield emit(start_s, last_s, n, total)
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        open_sess = state.get if state.exists else None
+        for ts, value in zip(rows["ts"], rows["value"]):
+            t = ts.timestamp()
+            v = float(value) if value is not None else 0.0
+            if open_sess is None:
+                open_sess = (t, t, 1, v)
+            elif t - open_sess[1] > gap_s:
+                yield emit(*open_sess)  # closed by a later in-key event
+                open_sess = (t, t, 1, v)
+            else:
+                open_sess = (
+                    open_sess[0],
+                    max(open_sess[1], t),
+                    open_sess[2] + 1,
+                    open_sess[3] + v,
+                )
+        state.update(tuple(open_sess))
+        # close when the WATERMARK passes last_ts + gap (event time,
+        # late-data-safe — processing-time TTLs would close sessions
+        # during replay/backfill)
+        state.setTimeoutTimestamp(int((open_sess[1] + gap_s) * 1000))
+
+    return _sessionize
+
+
+def streaming_sessionize(
+    stream: DataFrame, gap_s: float = 1800.0, watermark: str = "1 hour"
+) -> DataFrame:
+    """Closed gap-sessions (user_id, session_start, session_end,
+    n_events, sum_value) as an append stream."""
+    return (
+        stream.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionize_fn(gap_s),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
