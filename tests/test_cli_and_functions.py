@@ -298,3 +298,21 @@ def test_cli_pipeline_mode(tmp_path, capsys, spark):
 
     assert os.path.isdir(os.path.join(out["bins_dir"], "split=train"))
     assert os.path.exists(out["manifest_path"])
+
+
+def test_cli_corpus_report_mode(tmp_path, capsys, spark):
+    import os
+
+    wd = str(tmp_path / "wd")
+    out = run_cli(["--mode", "corpus-report", "--workdir", wd], capsys)
+    assert out["volume"]["docs"] == 500 and out["volume"]["tokens"] > 0
+    assert sum(out["languages"].values()) == 500
+    assert set(out["pii"]) == {"n_emails", "n_phones", "n_ips"}
+    assert len(out["quality"]["lm_score_deciles"]) == 10
+    # deciles are ordered: bucket k's floor <= bucket k+1's floor
+    d = out["quality"]["lm_score_deciles"]
+    floors = [d[str(k)] if str(k) in d else d[k] for k in range(1, 11)]
+    assert floors == sorted(floors)
+    assert os.path.exists(out["html_path"]) and os.path.exists(out["json_path"])
+    html = open(out["html_path"]).read()
+    assert "Corpus report" in html and "Gopher pass rate" in html

@@ -5,7 +5,8 @@
 Modes: prepare | assess | reverse | check | compare | csv | jsonl | full | all
 | retry (re-run only FAILED chunks from the persisted plan)
 | compact (rewrite the CDC change log to its live-key snapshot)
-| prune (quality-prune the corpus) | search (BM25 / hybrid retrieval)
+| prune (quality-prune the corpus) | search (BM25 / hybrid / RM3 retrieval)
+| corpus-report (one-command corpus quality report, JSON + HTML)
 | pipeline (raw corpus -> packed training bins, end to end)
 | export | optimize | explain.
 Fixture-backed (parquet source dirs); JDBC endpoints plug in through
@@ -29,6 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
             "prepare", "assess", "reverse", "check", "compare",
             "csv", "jsonl", "full", "all", "retry", "compact", "export",
             "optimize", "explain", "prune", "search", "pipeline",
+            "corpus-report",
         ],
     )
     p.add_argument("--keep-deciles", type=int, default=3, help="prune: top lm-score deciles to keep")
@@ -335,6 +337,11 @@ def main(argv: list[str] | None = None) -> int:
                 budget=args.budget,
             )
         )
+
+    elif args.mode == "corpus-report":
+        from transferdb_spark.modes.corpus_report import corpus_report
+
+        out.update(corpus_report(spark, args.source_dir, args.workdir))
 
     elif args.mode == "search":
         from transferdb_spark.modes.search import search_corpus
