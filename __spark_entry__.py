@@ -3206,6 +3206,15 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training pairs: high-BM25
+    candidates that are NOT near-dups of any positive (Jaccard gate) —
+    ext/retrieval.hard_negatives_topk."""
+    from transferdb_spark.ext.retrieval import hard_negatives_topk
+
+    return hard_negatives_topk(_t(spark, sf_dir, "documents"))
+
+
 def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus forensics: pairwise shared exact-content counts between
     sources (mirror/scrape detection) — ext/dedup.cross_source_overlap."""
@@ -4710,6 +4719,12 @@ def _ann_recall_sql() -> str:
     return ann_recall_eval_sql(8, 10)
 
 
+def _hard_neg_sql() -> str:
+    from transferdb_spark.ext.retrieval import hard_negatives_topk_sql
+
+    return hard_negatives_topk_sql()
+
+
 def _cross_source_sql() -> str:
     from transferdb_spark.ext.dedup import cross_source_overlap_sql
 
@@ -4871,6 +4886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_lm": text_kn_lm,
         "text_nfc_normalize": text_nfc_normalize,
         "cross_source_duplication": cross_source_duplication,
+        "hard_negatives_topk": hard_negatives_q,
         "vocab_kl_drift": vocab_kl_drift_q,
         "ann_topk_lsh": ann_topk_lsh_q,
         "ann_topk_multiprobe": ann_topk_multiprobe,
@@ -5075,6 +5091,7 @@ def oracle_sql() -> dict[str, str]:
         "text_kn_lm": _kn_sql(),
         "text_nfc_normalize": _nfc_sql(),
         "cross_source_duplication": _cross_source_sql(),
+        "hard_negatives_topk": _hard_neg_sql(),
         "vocab_kl_drift": _kl_sql(),
         "weighted_sample_topk": WEIGHTED_SAMPLE_SQL,
         "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,

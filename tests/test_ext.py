@@ -2657,3 +2657,27 @@ def test_vocab_kl_drift_surfaces_shifted_terms(spark):
     assert out[0]["kl_contrib"] > 0
     balanced = [r for r in out if r["term"] == "common"]
     assert not balanced or abs(balanced[0]["kl_contrib"]) < 1e-6
+
+
+def test_hard_negatives_exclude_neardups_of_positives(spark):
+    """A candidate that is a light edit of a positive (high Jaccard)
+    is gated out; a lexically-overlapping but distinct doc survives
+    with its BM25 score."""
+    from transferdb_spark.ext.retrieval import hard_negatives_topk
+
+    q = ("spark", "window")
+    # doc 1 outranks everything (double tf, short); doc 2 is its
+    # near-dup; doc 3 shares the query terms but little else
+    pos_text = "spark window spark window merge quality"
+    rows = [
+        (1, pos_text),                                   # positive (top rank)
+        (2, pos_text + " extra"),                        # near-dup of positive
+        (3, "spark window totally different subject entirely here now"),
+        (4, "no query terms at all in this document body"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = hard_negatives_topk(docs, q, n_pos=1, k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 in ids and 2 not in ids and 1 not in ids and 4 not in ids
+    hn = next(r for r in out if r["doc_id"] == 3)
+    assert hn["max_jaccard"] < 0.5 and hn["score"] > 0

@@ -1473,3 +1473,122 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining — the training-pair generator for retrieval /
+# embedding models (DPR / sentence-transformers lineage, public
+# literature): take the query's top-ranked docs as positives, then
+# mine the NEXT ranks for docs that score high lexically but are NOT
+# near-duplicates of any positive — lexically confusable, semantically
+# distinct. False negatives (near-dups of a positive) are the known
+# failure mode; the Jaccard gate removes them.
+
+HN_POOL = 30  # candidate ranks mined after the positives
+HN_MAX_JACCARD = 0.5  # near-dup gate vs any positive
+
+
+def hard_negatives_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    n_pos: int = 3,
+    k: int = 10,
+    max_jaccard: float = HN_MAX_JACCARD,
+) -> DataFrame:
+    """(doc_id, score, max_jaccard) — top-k hard negatives.
+
+    Scale: the BM25 pool is posting-bounded and LIMITed to
+    n_pos + HN_POOL rows, so the rank window, the positives broadcast,
+    and the pool × n_pos Jaccard cross are all model-sized; the only
+    corpus-scale work is the BM25 pass itself. Jaccard is exact over
+    distinct token sets: |∩| / (|a| + |b| - |∩|), one IEEE divide,
+    rounded half-up at 6dp (oracle discipline)."""
+    from pyspark.sql.window import Window
+
+    terms = _norm_terms(query_terms)
+    pool = bm25_topk(docs, tuple(terms), k=n_pos + HN_POOL)
+    # rank window over <= n_pos + HN_POOL rows: single-partition by
+    # construction and bounded by the LIMIT above — not a scale risk
+    ranked = pool.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id"))
+    )
+    ts = docs.select("doc_id", F.array_distinct(F.expr(TOKENS)).alias("ts"))
+    pos = (
+        ranked.where(F.col("rank") <= n_pos)
+        .join(ts, "doc_id")
+        .select(F.col("doc_id").alias("pos_id"), F.col("ts").alias("pos_ts"))
+    )
+    cand = (
+        ranked.where(F.col("rank") > n_pos)
+        .join(ts, "doc_id")
+        .select("doc_id", "score", "ts")
+    )
+    inter = F.size(F.array_intersect(F.col("ts"), F.col("pos_ts"))).cast("double")
+    union = (
+        F.size("ts").cast("double") + F.size("pos_ts").cast("double") - inter
+    )
+    jacc = stable_round(inter / union, 6)
+    return (
+        cand.join(F.broadcast(pos))
+        .groupBy("doc_id", "score")
+        .agg(F.max(jacc).alias("max_jaccard"))
+        .where(F.col("max_jaccard") <= F.lit(float(max_jaccard)))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def hard_negatives_topk_sql(
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    n_pos: int = 3,
+    k: int = 10,
+    max_jaccard: float = HN_MAX_JACCARD,
+) -> str:
+    terms = _norm_terms(query_terms)
+    in_list = ", ".join(_sql_str(w) for w in terms)
+    contrib = _contrib_sql(_idf_expr_sql(), _w_expr_sql())
+    inter = "CAST(len(list_filter(c.ts, x -> list_contains(p.ts, x))) AS DOUBLE)"
+    union = f"(CAST(len(c.ts) AS DOUBLE) + CAST(len(p.ts) AS DOUBLE) - {inter})"
+    jacc = stable_round_sql(f"{inter} / {union}", 6)
+    return f"""
+WITH toks AS MATERIALIZED (
+  {_TOKS_CTE}
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS sum_dl FROM toks),
+hits AS (
+  SELECT doc_id, len(t) AS dl, u.tok AS term
+  FROM toks, UNNEST(list_filter(t, x -> x IN ({in_list}))) AS u(tok)
+),
+tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+pool AS (
+  SELECT doc_id,
+         CAST(SUM(CAST({contrib} AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id
+  LIMIT {n_pos + HN_POOL}
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM pool
+),
+ts AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+pos AS (
+  SELECT r.doc_id AS pos_id, ts.ts
+  FROM ranked r JOIN ts ON ts.doc_id = r.doc_id
+  WHERE r.rank <= {n_pos}
+),
+cand AS (
+  SELECT r.doc_id, r.score, ts.ts
+  FROM ranked r JOIN ts ON ts.doc_id = r.doc_id
+  WHERE r.rank > {n_pos}
+)
+SELECT c.doc_id, c.score, MAX({jacc}) AS max_jaccard
+FROM cand c CROSS JOIN pos p
+GROUP BY c.doc_id, c.score
+HAVING MAX({jacc}) <= {float(max_jaccard)}
+ORDER BY c.score DESC, c.doc_id
+LIMIT {k}
+"""
