@@ -3206,6 +3206,15 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer sufficient statistics of the embedding covariance
+    block (16 leading dims): one explode + map-side-combined groupBy,
+    DECIMAL(38,0) accumulators — ext/linalg.embedding_second_moments."""
+    from transferdb_spark.ext.linalg import embedding_second_moments
+
+    return embedding_second_moments(_t(spark, sf_dir, "embeddings"), dims=16)
+
+
 def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for retrieval training pairs: high-BM25
     candidates that are NOT near-dups of any positive (Jaccard gate) —
@@ -4719,6 +4728,12 @@ def _ann_recall_sql() -> str:
     return ann_recall_eval_sql(8, 10)
 
 
+def _emb_cov_sql() -> str:
+    from transferdb_spark.ext.linalg import embedding_second_moments_sql
+
+    return embedding_second_moments_sql(dims=16)
+
+
 def _hard_neg_sql() -> str:
     from transferdb_spark.ext.retrieval import hard_negatives_topk_sql
 
@@ -4887,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nfc_normalize": text_nfc_normalize,
         "cross_source_duplication": cross_source_duplication,
         "hard_negatives_topk": hard_negatives_q,
+        "embedding_covariance": embedding_covariance,
         "vocab_kl_drift": vocab_kl_drift_q,
         "ann_topk_lsh": ann_topk_lsh_q,
         "ann_topk_multiprobe": ann_topk_multiprobe,
@@ -5092,6 +5108,7 @@ def oracle_sql() -> dict[str, str]:
         "text_nfc_normalize": _nfc_sql(),
         "cross_source_duplication": _cross_source_sql(),
         "hard_negatives_topk": _hard_neg_sql(),
+        "embedding_covariance": _emb_cov_sql(),
         "vocab_kl_drift": _kl_sql(),
         "weighted_sample_topk": WEIGHTED_SAMPLE_SQL,
         "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,

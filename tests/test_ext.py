@@ -2681,3 +2681,38 @@ def test_hard_negatives_exclude_neardups_of_positives(spark):
     assert 3 in ids and 2 not in ids and 1 not in ids and 4 not in ids
     hn = next(r for r in out if r["doc_id"] == 3)
     assert hn["max_jaccard"] < 0.5 and hn["score"] > 0
+
+
+def test_pca_projection_matches_numpy(spark, sf_dir):
+    """Distributed PCA: the driver covariance assembled from exact
+    integer moments matches numpy's covariance of the collected
+    vectors (to quantization tolerance), and the projected components
+    match numpy PCA up to that tolerance — with deterministic sign."""
+    import numpy as np
+
+    from transferdb_spark.ext.linalg import covariance_matrix, pca_project
+    from transferdb_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    dims = X.shape[1]
+
+    cov, means = covariance_matrix(emb, dims)
+    ref_cov = np.cov(X.T, bias=True)
+    assert np.allclose(cov, ref_cov, atol=1e-4)
+    assert np.allclose(means, X.mean(axis=0), atol=1e-5)
+
+    got = pca_project(emb, k=3, dims=dims).collect()
+    P = np.array([r["pc"] for r in got])
+
+    vals, vecs = np.linalg.eigh(ref_cov)
+    comps = vecs[:, np.argsort(vals)[::-1][:3]].T
+    for r in range(3):
+        lead = int(np.argmax(np.abs(comps[r])))
+        if comps[r, lead] < 0:
+            comps[r] = -comps[r]
+    ref_P = (X - X.mean(axis=0)) @ comps.T
+    assert np.allclose(P, ref_P, atol=1e-3)
+    # variance concentrates in order: pc1 >= pc2 >= pc3
+    v = P.var(axis=0)
+    assert v[0] >= v[1] >= v[2] > 0
