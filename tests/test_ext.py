@@ -2716,3 +2716,29 @@ def test_pca_projection_matches_numpy(spark, sf_dir):
     # variance concentrates in order: pc1 >= pc2 >= pc3
     v = P.var(axis=0)
     assert v[0] >= v[1] >= v[2] > 0
+
+
+def test_resize_transcodes_mjpeg_video(spark):
+    """resize_images routes MJPEG MP4 rows through the transcode path
+    (new dimensions, same frame count) while undecodable video bytes
+    pass through untouched."""
+    from transferdb_spark.ext.mp4 import mux_mjpeg, sample_table
+    from transferdb_spark.ext.multimodal import MEDIA_SCHEMA, resize_images
+
+    _, jpgs = _mjpeg_fixture_frames(3)
+    buf = mux_mjpeg(jpgs, fps=5, width=24, height=16)
+    rows = [
+        (1, "video", buf, ("video/mp4", 24, 16, 600)),
+        (2, "video", b"\x00" * 64, ("video/raw-rgb24", 8, 6, 100)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in resize_images(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), 12, 8
+        ).collect()
+    }
+    st = sample_table(bytes(out[1]["content"]))
+    assert st["codec"] == "jpeg" and len(st["sizes"]) == 3
+    assert out[1]["meta"]["mime"] == "video/mp4"
+    assert out[1]["meta"]["width"] == 12 and out[1]["meta"]["height"] == 8
+    assert bytes(out[2]["content"]) == b"\x00" * 64  # passthrough

@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--keep-deciles", type=int, default=3, help="prune: top lm-score deciles to keep")
     p.add_argument("--per-lang", action="store_true", help="prune: per-language quartile stratification")
-    p.add_argument("--scorer", default="bigram_lm", choices=["bigram_lm", "classifier"],
+    p.add_argument("--scorer", default="bigram_lm", choices=["bigram_lm", "kn_lm", "classifier"],
                    help="prune: quality signal (corpus bigram LM or the trained quality classifier)")
     p.add_argument("--query", default="", help="explain: queries() entry name (empty = list)")
     p.add_argument("--terms", default="", help="search: comma-separated query terms")

@@ -754,23 +754,33 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Nearest-neighbour resize of decodable images, re-encoded as PPM.
+    """Nearest-neighbour resize of decodable media, images re-encoded
+    as PPM and MJPEG MP4 videos transcoded frame-by-frame (remuxed at
+    the new dimensions via ext/mp4.transcode_mjpeg).
 
     Real pixel work in numpy (index-map resize); undecodable payloads
     pass through unchanged so a mixed corpus doesn't abort — the same
     quarantine stance as the chunk error log."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from transferdb_spark.ext.mp4 import transcode_mjpeg
+
         for pdf in batches:
             pdf = pdf.copy()
             out = []
             for kind, c in zip(pdf["kind"], pdf["content"]):
-                if kind != "image" or c is None:
+                if c is None or kind not in ("image", "video"):
                     out.append(c)
                     continue
                 try:
+                    if kind == "video":
+                        if bytes(c)[4:8] != b"ftyp":
+                            out.append(c)  # raw/other containers pass through
+                            continue
+                        out.append(transcode_mjpeg(bytes(c), width, height))
+                        continue
                     px = decode_image(bytes(c))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     out.append(c)  # passthrough: no codec for this format
                     continue
                 h, w = px.shape[:2]
@@ -780,10 +790,13 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             pdf["content"] = out
             yield pdf
 
+    mime = F.when(F.col("kind") == "video", F.lit("video/mp4")).otherwise(
+        F.lit("image/x-portable-pixmap")
+    )
     return media.mapInPandas(run, schema=MEDIA_SCHEMA).withColumn(
         "meta",
         F.struct(
-            F.lit("image/x-portable-pixmap").alias("mime"),
+            mime.alias("mime"),
             F.lit(width).alias("width"),
             F.lit(height).alias("height"),
             F.col("meta.duration_ms").alias("duration_ms"),

@@ -60,7 +60,9 @@ def prune_corpus(
     per_lang=True instead keeps the top quartile within every language
     (stratified — low-resource languages aren't starved by the global
     distribution). scorer picks the quality signal: "bigram_lm" (the
-    corpus-trained LM, predictability-style pruning) or "classifier"
+    corpus-trained add-one LM), "kn_lm" (interpolated Kneser-Ney — the
+    KenLM/CCNet-style smoothing, sharper on boilerplate-frequent
+    tokens) or "classifier"
     (the discriminative quality classifier of ext/classifier.py —
     CCNet-style kept-if-it-looks-curated). Returns the JSON-able run
     summary."""
@@ -82,6 +84,12 @@ def prune_corpus(
         )
     elif scorer == "bigram_lm":
         scores = bigram_lm_score(clean).select("doc_id", "lm_score")
+    elif scorer == "kn_lm":
+        from transferdb_spark.ext.text import kn_lm_score
+
+        scores = kn_lm_score(clean).select(
+            "doc_id", F.col("kn_score").alias("lm_score")
+        )
     else:
         raise SystemExit(f"unknown --scorer {scorer!r}")
     if per_lang:
