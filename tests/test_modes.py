@@ -1246,3 +1246,35 @@ def test_cli_jsonl_mode(spark, sf_dir, tmp_path, capsys):
     assert set(out["paths"]) == {"region", "nation"}
     for p in out["paths"].values():
         assert os.path.isdir(p)
+
+
+def test_snapshot_as_of_timestamp_time_travel(spark, tmp_path):
+    """AS-OF-timestamp reads resolve to the latest version committed at
+    or before the stamp; a stamp before the first commit raises; an
+    explicit version plus as_of_ms is rejected."""
+    import time
+
+    import pytest
+
+    from transferdb_spark.state.snapshots import (
+        read_snapshot,
+        resolve_version_at,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    t_before = int(time.time() * 1000) - 1
+    write_snapshot(spark.range(1).selectExpr("id AS k"), base)
+    time.sleep(0.05)
+    t_mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    write_snapshot(spark.range(5).selectExpr("id AS k"), base)
+
+    assert read_snapshot(spark, base, as_of_ms=t_mid).count() == 1
+    now = int(time.time() * 1000) + 1000
+    assert read_snapshot(spark, base, as_of_ms=now).count() == 5
+    assert resolve_version_at(base, t_mid) < resolve_version_at(base, now)
+    with pytest.raises(ValueError):
+        resolve_version_at(base, t_before)
+    with pytest.raises(ValueError):
+        read_snapshot(spark, base, version=1, as_of_ms=now)

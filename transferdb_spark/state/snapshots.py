@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -134,7 +135,15 @@ def _commit_manifest(
     tmp = os.path.join(_versions_dir(base), f".{uuid.uuid4().hex}.json.tmp")
     try:
         while True:
-            manifest = {"version": version, "files": sorted(files), "stats": stats}
+            manifest = {
+                "version": version,
+                "files": sorted(files),
+                "stats": stats,
+                # wall-clock commit stamp: powers AS-OF-timestamp time
+                # travel (resolve_version_at) — the SCN-to-time mapping
+                # the reference gets from the database
+                "committed_at_ms": int(time.time() * 1000),
+            }
             if merged_schema:
                 # files in this image do not all share one schema;
                 # readers must union file schemas (sticky from the
@@ -151,6 +160,19 @@ def _commit_manifest(
         os.remove(tmp)
 
 
+def resolve_version_at(base: str, ts_ms: int) -> int:
+    """Latest version committed at or before ts_ms — AS-OF-timestamp
+    resolution (manifests predating the stamp sort as epoch 0, so old
+    stores stay readable). Raises if nothing was committed yet."""
+    best = None
+    for v in list_versions(base):
+        if _manifest(base, v).get("committed_at_ms", 0) <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(f"no snapshot committed at or before {ts_ms} under {base}")
+    return best
+
+
 def _manifest(base: str, version: int) -> dict:
     with open(os.path.join(_versions_dir(base), f"{version:06d}.json")) as fh:
         return json.load(fh)
@@ -161,8 +183,11 @@ def read_snapshot(
     base: str,
     version: int | None = None,
     predicate: tuple[str, object, object] | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
-    """Load one committed image; latest when version is None.
+    """Load one committed image; latest when version is None;
+    as_of_ms resolves the version by commit wall-clock instead
+    (time travel — mutually exclusive with an explicit version).
 
     The file list is pinned by the manifest, so a concurrent
     write_snapshot can never change what this reader sees — the
@@ -179,6 +204,10 @@ def read_snapshot(
     versions = list_versions(base)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {base}")
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of_ms, not both")
+        version = resolve_version_at(base, as_of_ms)
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
