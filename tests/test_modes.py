@@ -1278,3 +1278,21 @@ def test_snapshot_as_of_timestamp_time_travel(spark, tmp_path):
         resolve_version_at(base, t_before)
     with pytest.raises(ValueError):
         read_snapshot(spark, base, version=1, as_of_ms=now)
+
+
+def test_prune_mode_kn_scorer(spark, sf_dir, workdir):
+    """prune --scorer kn_lm: the Kneser-Ney signal drives the same
+    clean -> rank -> keep flow with the same lifecycle contract."""
+    from transferdb_spark.modes.prune import prune_corpus
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persistent_ids()
+    s = prune_corpus(
+        spark, sf_dir, workdir, keep_deciles=3, scorer="kn_lm", write_snapshot=False
+    )
+    assert persistent_ids() <= before
+    assert s["scorer"] == "kn_lm"
+    assert 0 < s["docs_kept"] <= s["docs_clean"] <= s["docs_total"]
+    assert abs(s["docs_kept"] - 0.3 * s["docs_clean"]) <= 0.05 * s["docs_clean"] + 2
