@@ -88,6 +88,10 @@ def main() -> None:
         pass
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    only = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
+    if only:
+        global BENCH_QUERIES
+        BENCH_QUERIES = [q for q in BENCH_QUERIES if q in only]
     total = 0.0
     errors: dict[str, str] = {}
     spreads: dict[str, float] = {}
@@ -124,6 +128,17 @@ def main() -> None:
             total += med
         except Exception as exc:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        # session hygiene BETWEEN queries, outside any timed window:
+        # iterative ops (unigram_vocab, semdedup k-means) leave
+        # localCheckpoint blocks that only the GC-driven ContextCleaner
+        # frees — across a 50+-query session the accumulated blocks
+        # inflate every later timing by ~8% (measured). Dropping them
+        # keeps each query's numbers independent of list position.
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — hygiene must never kill bench
+            pass
 
     # Streaming path: availableNow micro-batch rollup over the events
     # table (file source -> windowed agg -> memory sink). Timed once —
