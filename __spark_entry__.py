@@ -4871,8 +4871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_key_candidates": split_key_candidates,
         "quantile_chunk_balance": quantile_chunk_balance,
         "assess_join_skew": assess_join_skew,
-        "assess_schema_overview": assess_schema_overview,
-        "assess_topn": assess_topn,
+        "asof_last_purchase": asof_last_purchase,
+        "asof_nearest_purchase": asof_nearest_purchase,
         "quality_classifier_weights": quality_classifier_weights_q,
         "hybrid_search_topk": hybrid_search_topk_q,
         "assess_storage_size": assess_storage_size,
@@ -4911,9 +4911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_check": split_leakage_check,
         "text_bpe_tokens": text_bpe_tokens,
         "doc_chunk_windows": doc_chunk_windows,
-        "asof_last_purchase": asof_last_purchase,
         "asof_next_purchase": asof_next_purchase,
-        "asof_nearest_purchase": asof_nearest_purchase,
+        "assess_schema_overview": assess_schema_overview,
+        "assess_topn": assess_topn,
         "range_join_windows": range_join_windows,
         "multires_rollup": multires_rollup,
         "pipeline_clean_corpus": pipeline_clean_corpus,
