@@ -3240,6 +3240,14 @@ def vocab_kl_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_kl_drift(_t(spark, sf_dir, "documents"))
 
 
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE compressibility quality signal (rows-only: DuckDB has no
+    zlib; differential pytest pins it) — ext/text.compression_ratio."""
+    from transferdb_spark.ext.text import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (Arrow-vectorized pandas UDF vs
     DuckDB's native nfc_normalize) — see ext/text.py unicode_nfc."""
@@ -4900,6 +4908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_bm25_topk": rm3_bm25_topk_q,
         "text_kn_lm": text_kn_lm,
         "text_nfc_normalize": text_nfc_normalize,
+        "text_compression_ratio": text_compression_ratio,
         "cross_source_duplication": cross_source_duplication,
         "hard_negatives_topk": hard_negatives_q,
         "embedding_covariance": embedding_covariance,

@@ -2742,3 +2742,29 @@ def test_resize_transcodes_mjpeg_video(spark):
     assert out[1]["meta"]["mime"] == "video/mp4"
     assert out[1]["meta"]["width"] == 12 and out[1]["meta"]["height"] == 8
     assert bytes(out[2]["content"]) == b"\x00" * 64  # passthrough
+
+
+def test_compression_ratio_matches_zlib_and_ranks_entropy(spark):
+    """Differential vs direct zlib, and the semantic property: repeated
+    boilerplate compresses far below high-entropy text."""
+    import zlib
+
+    from transferdb_spark.ext.text import compression_ratio
+
+    boiler = "lorem ipsum dolor sit amet " * 40
+    import random
+
+    rng = random.Random(7)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(120)
+    )
+    rows = [(0, boiler), (1, noise), (2, None)]
+    out = {r["doc_id"]: r for r in compression_ratio(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+
+    for i, text in ((0, boiler), (1, noise)):
+        assert out[i]["zlib_len"] == len(zlib.compress(text.encode(), 6))
+        assert out[i]["raw_len"] == len(text)
+    assert out[0]["ratio"] < 0.15 < 0.5 < out[1]["ratio"]
+    assert out[2]["zlib_len"] is None and out[2]["ratio"] is None

@@ -1146,3 +1146,38 @@ FROM counts CROSS JOIN tot
 ORDER BY kl_contrib DESC, term
 LIMIT {top}
 """
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, raw_len, zlib_len, ratio) — DEFLATE compressibility,
+    the classic low-entropy filter (template/boilerplate text
+    compresses far below ~0.4; high-entropy garbage sits near 1.0).
+    Used alongside the Gopher rules and LM scores as a third,
+    model-free quality axis.
+
+    Arrow-vectorized pandas UDF (zlib level 6, fixed, so results are
+    reproducible); non-SQL-expressible — DuckDB has no DEFLATE — so
+    the registry entry is rows-only and the behavior is pinned by a
+    differential pytest against direct zlib."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    @pandas_udf(IntegerType())
+    def _zlen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(
+            lambda x: len(zlib.compress(x.encode("utf-8"), 6)) if x is not None else None
+        )
+
+    zl = _zlen(F.col(text_col))
+    raw = F.length(F.col(text_col))  # chars; bytes for the ratio below
+    raw_bytes = F.octet_length(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        raw.alias("raw_len"),
+        zl.alias("zlib_len"),
+        stable_round(
+            zl.cast("double") / F.greatest(raw_bytes, F.lit(1)).cast("double"), 6
+        ).alias("ratio"),
+    ).orderBy("doc_id")
