@@ -230,3 +230,46 @@ def test_workload_log_relation_drives_layout_advice(spark, lineitem, tmp_path):
     payload = json.loads(r.stdout.strip().splitlines()[-1])
     assert set(payload["advised_layout_cols"]) == {"l_orderkey", "l_partkey"}
     assert payload["rows"] == 2000 or payload.get("files_after")
+
+
+def test_compact_writes_parquet_bloom_filters(spark, tmp_path):
+    """--bloom-cols: the rewritten files physically carry parquet bloom
+    filters (neither pyarrow 16 nor duckdb expose the offset, so the
+    evidence is a size differential on otherwise-identical writes) and
+    an equality probe still returns the right rows."""
+    import glob
+    import os
+
+    from transferdb_spark.modes.optimize import compact_files
+
+    def build(path, bloom):
+        # the probe column must BUST dictionary encoding (dict bigger
+        # than the 1 MB page cap): parquet-mr silently drops the bloom
+        # on fully-dictionary-encoded chunks, where the dictionary
+        # already answers membership
+        spark.range(60000).selectExpr(
+            "id AS k",
+            "concat(md5(cast(id as string)), md5(cast(id+1 as string))) AS probe",
+        ).repartition(4).write.mode("overwrite").parquet(path)
+        return compact_files(
+            spark, path, n_files=1, bloom_cols=["probe"] if bloom else None
+        )
+
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    assert build(plain, False).files_after == 1
+    assert build(bloomed, True).files_after == 1
+
+    size = lambda p: sum(
+        os.path.getsize(f) for f in glob.glob(p + "/part-*.parquet")
+    )
+    # the bloom filter is real bytes in the file: same rows, same
+    # layout, same codec — only the enabled filter differs
+    assert size(bloomed) > size(plain) + 10_000
+
+    import hashlib
+
+    probe = (
+        hashlib.md5(b"131").hexdigest() + hashlib.md5(b"132").hexdigest()
+    )
+    got = spark.read.parquet(bloomed).where(f"probe = '{probe}'").count()
+    assert got == 1

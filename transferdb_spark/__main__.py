@@ -47,6 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query-vec", type=int, default=0, help="search --hybrid: query vector id")
     p.add_argument("--path", default="", help="optimize: parquet dir to compact")
     p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument("--bloom-cols", default="", help="optimize: write parquet bloom filters for these columns")
     p.add_argument(
         "--layout-cols",
         default="",
@@ -390,7 +391,11 @@ def main(argv: list[str] | None = None) -> int:
         else:
             cols = [c for c in args.layout_cols.split(",") if c]
         stats = compact_files(
-            spark, args.path, target_mb=args.target_mb, layout_cols=cols or None
+            spark,
+            args.path,
+            target_mb=args.target_mb,
+            layout_cols=cols or None,
+            bloom_cols=[c for c in args.bloom_cols.split(",") if c] or None,
         )
         out.update(asdict(stats))
 

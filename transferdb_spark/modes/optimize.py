@@ -53,12 +53,23 @@ def compact_files(
     layout_cols: list[str] | None = None,
     verify: bool = True,
     n_files: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> CompactStats:
     """Rewrite ``path`` into ~target_mb files; returns before/after stats.
 
     verify=True counts staging rows against source rows before the
     swap and refuses on mismatch — the compaction never replaces data
     it could not faithfully rewrite.
+
+    bloom_cols writes parquet BLOOM FILTERS for the named columns —
+    the point-lookup complement to Z-order min/max clustering: range
+    skipping prunes on sorted dimensions, blooms prune equality probes
+    on high-NDV unsorted ones (id lookups in a corpus lake). Readers
+    get the skipping for free from the parquet footers. Caveat
+    (parquet-mr semantics): a chunk that stays fully
+    dictionary-encoded drops its bloom — the dictionary already
+    answers membership — so the option only adds bytes on genuinely
+    high-NDV columns, which is exactly when it pays.
     """
     staging = path.rstrip("/") + ".__compact_tmp"
     backup = path.rstrip("/") + ".__compact_old"
@@ -97,7 +108,10 @@ def compact_files(
         shaped = df.coalesce(n_out)
 
     shutil.rmtree(staging, ignore_errors=True)
-    shaped.write.mode("overwrite").parquet(staging)
+    writer = shaped.write.mode("overwrite")
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(staging)
 
     rows = -1
     if verify:
