@@ -15,8 +15,9 @@ codec work for every format decodable with the stdlib + numpy:
 
 Compressed codecs decode in-repo where the stdlib + numpy can carry
 them: JPEG (baseline/progressive/12-bit/arithmetic — ext/jpeg.py),
-PNG (incl. Adam7/sub-byte), GIF (incl. interlaced), and MJPEG video
-inside MP4 (ext/mp4.py sample-table demux). Inter-frame video codecs
+PNG (incl. Adam7/sub-byte), GIF (incl. interlaced), TIFF (none/LZW/
+PackBits, predictor 2 — ext/tiff.py), and MJPEG video inside MP4
+(ext/mp4.py sample-table demux). Inter-frame video codecs
 (H.264-class) genuinely need external libraries the container does
 not ship; those raise a clearly-marked `NotImplementedError` from
 the same dispatch point, so wiring ffmpeg in production replaces one
@@ -90,6 +91,10 @@ def decode_image(content: bytes) -> np.ndarray:
         return _decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from transferdb_spark.ext.tiff import decode_tiff
+
+        return decode_tiff(content)
     raise NotImplementedError(f"unrecognized image format: {content[:4]!r}")
 
 
