@@ -2811,3 +2811,47 @@ def test_tiff_roundtrip_all_profiles(spark):
             decode_tiff(encode_tiff(big)[:cut])
     with pytest.raises(ValueError):
         decode_tiff(b"II+\x00" + bytes(64))
+
+
+def test_audio_formats_ride_feature_path(spark):
+    """AIFF decodes to real DSP features matching its WAV twin of the
+    same tone; FLAC and MP3 ride probe-based features (duration, rate,
+    channels) — the filter-before-decode audio gate."""
+    import struct
+
+    import numpy as np
+
+    from transferdb_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        encode_aiff,
+        extract_features,
+        synthetic_wav,
+    )
+
+    t = np.arange(2000) / 8000.0
+    wave = (np.sin(2 * np.pi * 440 * t) * 0.5).astype(np.float32)
+    aiff = encode_aiff(wave, 8000)
+    wav = synthetic_wav(440.0, ms=250, rate=8000)
+
+    bits20 = (22050 << 44) | (1 << 41) | (15 << 36) | 44100
+    body = bytes(10) + bits20.to_bytes(8, "big") + bytes(16)
+    flac = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    mp3 = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(4000)
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", aiff, ("audio/aiff", 0, 0, 250)),
+            (2, "audio", wav, ("audio/wav", 0, 0, 250)),
+            (3, "audio", flac, ("audio/flac", 0, 0, 2000)),
+            (4, "audio", mp3, ("audio/mpeg", 0, 0, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    f = {r["media_id"]: np.array(r["features"])
+         for r in extract_features(media, fake=False).collect()}
+    # same tone, same rate: duration/RMS/ZCR agree between AIFF and WAV
+    assert abs(f[1][0] - f[2][0]) < 1e-3   # duration
+    assert abs(f[1][1] - f[2][1]) < 1e-3   # RMS
+    assert abs(f[1][3] - f[2][3]) < 2e-2   # zero-crossing rate
+    assert list(f[3][:3]) == [2000.0, 22050.0, 2.0]  # FLAC probe
+    assert f[4][1] == 44100.0 and f[4][3] == 128.0   # MP3 probe

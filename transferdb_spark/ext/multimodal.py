@@ -718,7 +718,31 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 elif c is None:
                     feats.append([0.0] * FEATURE_DIM)
                 elif kind == "audio":
-                    feats.append(audio_features(*decode_wav(bytes(c))))
+                    b = bytes(c)
+                    if b[:4] == b"FORM":
+                        feats.append(audio_features(*decode_aiff(b)))
+                    elif b[:4] == b"fLaC":
+                        m = probe_flac(b)
+                        f = [
+                            float(m["duration_ms"] or 0),
+                            float(m["rate"]),
+                            float(m["channels"]),
+                            float(m["bits"]),
+                        ]
+                        feats.append(f + [0.0] * (FEATURE_DIM - len(f)))
+                    elif b[:3] == b"ID3" or (
+                        len(b) > 1 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+                    ):
+                        m = probe_mp3(b)
+                        f = [
+                            float(m["duration_ms_estimate"] or 0),
+                            float(m["rate"]),
+                            float(m["channels"]),
+                            float(m["bitrate_kbps"]),
+                        ]
+                        feats.append(f + [0.0] * (FEATURE_DIM - len(f)))
+                    else:
+                        feats.append(audio_features(*decode_wav(b)))
                 elif kind == "video" and bytes(c)[4:8] == b"ftyp":
                     # MP4: container-level features from the box walk;
                     # MJPEG tracks additionally decode real frames
@@ -1020,3 +1044,136 @@ def _probe_mp4(buf: bytes) -> dict:
                 out["tracks"].append(trk)
     out["n_tracks"] = len(out["tracks"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# AIFF (big-endian PCM) — the Apple-lineage twin of decode_wav, and
+# compressed-audio PROBES (FLAC STREAMINFO, MPEG audio frame header):
+# the filter-before-decode metadata gate, same stance as probe_mp4.
+
+
+def decode_aiff(content: bytes) -> tuple[np.ndarray, int]:
+    """AIFF-C/AIFF bytes → (float32 mono waveform in [-1, 1], rate).
+
+    IFF chunk walk: COMM carries channels/bits and the sample rate as
+    an 80-bit IEEE extended float (parsed manually — struct has no
+    long-double on this ABI); SSND carries big-endian PCM after its
+    offset/blocksize header. 8/16-bit PCM ('NONE' compression) only;
+    AIFF-C codecs raise NotImplementedError."""
+    if content[:4] != b"FORM" or content[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF (no FORM/AIFF header)")
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # IFF chunks pad to even
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    n_ch, _n_frames, bits = struct.unpack_from(">HIH", comm, 0)
+    # 80-bit extended: 1 sign + 15 exponent bits, 64-bit mantissa with
+    # explicit integer bit; rate = mantissa * 2^(exp - 16383 - 63)
+    exp = struct.unpack_from(">H", comm, 8)[0] & 0x7FFF
+    mant = struct.unpack_from(">Q", comm, 10)[0]
+    rate = int(round(mant * 2.0 ** (exp - 16383 - 63))) if mant else 0
+    if len(comm) >= 22 and comm[18:22] not in (b"NONE", b"twos"):
+        raise NotImplementedError(f"AIFF-C compression {comm[18:22]!r}")
+    pcm = ssnd[8:]  # skip offset/blocksize
+    if bits == 16:
+        wave = np.frombuffer(pcm, dtype=">i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        wave = np.frombuffer(pcm, dtype=np.int8).astype(np.float32) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit AIFF not supported")
+    if n_ch > 1:
+        wave = wave[: len(wave) - len(wave) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return wave, rate
+
+
+def encode_aiff(wave: np.ndarray, rate: int = 8000) -> bytes:
+    """Encoder twin: float [-1,1] mono → 16-bit AIFF."""
+    pcm = (np.clip(wave, -1.0, 1.0) * 32767).astype(">i2").tobytes()
+    # 80-bit extended from an integer rate
+    exp = 16383 + 63
+    mant = rate
+    while mant < (1 << 63):
+        mant <<= 1
+        exp -= 1
+    comm = struct.pack(">HIH", 1, len(pcm) // 2, 16) + struct.pack(">HQ", exp, mant)
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def probe_flac(content: bytes) -> dict:
+    """FLAC STREAMINFO: rate, channels, bits, total samples,
+    duration_ms — a 38-byte header parse, no decode."""
+    if content[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    while pos + 4 <= len(content):
+        hdr = content[pos]
+        btype = hdr & 0x7F
+        size = int.from_bytes(content[pos + 1 : pos + 4], "big")
+        body = content[pos + 4 : pos + 4 + size]
+        if btype == 0:  # STREAMINFO
+            if len(body) < 18:
+                raise ValueError("truncated STREAMINFO")
+            bits20 = int.from_bytes(body[10:18], "big")
+            rate = bits20 >> 44
+            n_ch = ((bits20 >> 41) & 0x7) + 1
+            bps = ((bits20 >> 36) & 0x1F) + 1
+            total = bits20 & ((1 << 36) - 1)
+            return {
+                "rate": rate,
+                "channels": n_ch,
+                "bits": bps,
+                "total_samples": total,
+                "duration_ms": int(total * 1000 // rate) if rate else None,
+            }
+        if hdr & 0x80:  # last-block flag and no STREAMINFO seen
+            break
+        pos += 4 + size
+    raise ValueError("FLAC missing STREAMINFO")
+
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def probe_mp3(content: bytes) -> dict:
+    """First MPEG-1 Layer III frame header: bitrate_kbps, rate,
+    channels, plus a whole-stream duration ESTIMATE from the byte
+    length at that bitrate (CBR assumption, flagged as estimate)."""
+    i = 0
+    if content[:3] == b"ID3":  # skip the ID3v2 tag (syncsafe size)
+        sz = ((content[6] & 0x7F) << 21 | (content[7] & 0x7F) << 14
+              | (content[8] & 0x7F) << 7 | (content[9] & 0x7F))
+        i = 10 + sz
+    while i + 4 <= len(content):
+        if content[i] == 0xFF and (content[i + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = content[i + 1], content[i + 2], content[i + 3]
+            if (b1 & 0x18) == 0x18 and (b1 & 0x06) == 0x02:  # MPEG-1 Layer III
+                br = _MP3_BITRATES[(b2 >> 4) & 0xF]
+                sr_idx = (b2 >> 2) & 0x3
+                if br and sr_idx < 3:
+                    rate = _MP3_RATES[sr_idx]
+                    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+                    dur = int((len(content) - i) * 8 // br) if br else None
+                    return {
+                        "bitrate_kbps": br,
+                        "rate": rate,
+                        "channels": channels,
+                        "duration_ms_estimate": dur,
+                    }
+        i += 1
+    raise ValueError("no MPEG-1 Layer III frame header found")
