@@ -3605,6 +3605,101 @@ ORDER BY c.event_id
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel over the event stream: signup -> click ->
+    purchase, each later step the EARLIEST occurrence at-or-after the
+    previous step's time, conversion bounded to 72 h from signup. The
+    classic product-analytics operator the reference lacks; three
+    filtered min-aggregations + two broadcast-sized joins — per-user
+    scalars, no window over the raw stream. Returns one row per step
+    with reached-user counts and the conversion rate vs step 1."""
+    ev = _t(spark, sf_dir, "events")
+    within = 72 * 3600
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t3"))
+        .where(
+            F.col("t3").cast("double") - F.col("t1").cast("double")
+            <= F.lit(float(within))
+        )
+    )
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(1).alias("step"), F.lit("signup").alias("event_type"), "n"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(2).alias("step"), F.lit("click").alias("event_type"), "n"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(3).alias("step"), F.lit("purchase_72h").alias("event_type"), "n"
+        ),
+    ]
+    funnel = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    base = s1.agg(F.count(F.lit(1)).alias("base"))
+    from transferdb_spark.functions.canonical import stable_round
+
+    return (
+        funnel.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "event_type",
+            F.col("n").cast("long").alias("n_users"),
+            stable_round(
+                F.col("n").cast("double") / F.col("base").cast("double"), 6
+            ).alias("conversion"),
+        )
+        .orderBy("step")
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, s1.t1, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT e.user_id, s2.t1, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY 1, 2
+  HAVING epoch(MIN(e.ts)) - epoch(t1) <= 259200.0
+),
+funnel AS (
+  SELECT 1 AS step, 'signup' AS event_type, COUNT(*) AS n FROM s1
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase_72h', COUNT(*) FROM s3
+),
+base AS (SELECT COUNT(*) AS base FROM s1)
+SELECT step, event_type,
+       CAST(n AS BIGINT) AS n_users,
+       (floor(CAST(n AS DOUBLE) / CAST(base AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS conversion
+FROM funnel CROSS JOIN base
+ORDER BY step
+"""
+
+
 def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join — each click annotated with the user's NEXT
     purchase value at-or-after click time (operators/asof.py
@@ -4571,6 +4666,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "assess_identifier_lengths": ASSESS_IDENT_SQL,
         "asof_last_purchase": ASOF_SQL,
         "asof_next_purchase": ASOF_FWD_SQL,
+        "funnel_conversion": FUNNEL_SQL,
         "asof_nearest_purchase": ASOF_NEAREST_SQL,
         "multires_rollup": MULTIRES_SQL,
         "range_join_windows": RANGE_JOIN_SQL,
@@ -4921,6 +5017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text_bpe_tokens,
         "doc_chunk_windows": doc_chunk_windows,
         "asof_next_purchase": asof_next_purchase,
+        "funnel_conversion": funnel_conversion,
         "assess_schema_overview": assess_schema_overview,
         "assess_topn": assess_topn,
         "range_join_windows": range_join_windows,

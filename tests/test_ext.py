@@ -2855,3 +2855,39 @@ def test_audio_formats_ride_feature_path(spark):
     assert abs(f[1][3] - f[2][3]) < 2e-2   # zero-crossing rate
     assert list(f[3][:3]) == [2000.0, 22050.0, 2.0]  # FLAC probe
     assert f[4][1] == 44100.0 and f[4][3] == 128.0   # MP3 probe
+
+
+def test_funnel_first_touch_semantics(spark, tmp_path, monkeypatch):
+    """Funnel: a click BEFORE signup doesn't count, steps must be
+    ordered, and the 72 h bound drops late purchases."""
+    from datetime import datetime, timedelta
+    import __spark_entry__ as entry_mod
+
+    t0 = datetime(2026, 2, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+
+    def ev(uid, event_type, hours):
+        nonlocal eid
+        eid += 1
+        return (eid, uid, event_type, t0 + timedelta(hours=hours), 1.0, "{}")
+
+    # u1: full ordered funnel within 72h
+    rows += [ev(1, "signup", 0), ev(1, "click", 1), ev(1, "purchase", 2)]
+    # u2: click precedes signup -> never reaches step 2
+    rows += [ev(2, "click", 0), ev(2, "signup", 1), ev(2, "purchase", 2)]
+    # u3: purchase 100h after signup -> step 2 only
+    rows += [ev(3, "signup", 0), ev(3, "click", 1), ev(3, "purchase", 100)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double, props string",
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+
+    out = {r["step"]: r for r in entry_mod.funnel_conversion(spark, path).collect()}
+    assert out[1]["n_users"] == 3
+    assert out[2]["n_users"] == 2      # u2 excluded (click before signup)
+    assert out[3]["n_users"] == 1      # u3 outside 72h
+    assert out[3]["conversion"] == round(1 / 3, 6) or abs(out[3]["conversion"] - 1/3) < 1e-6
