@@ -3700,6 +3700,72 @@ ORDER BY step
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the funnel's sibling: users grouped by
+    signup week, counted by distinct activity in each later week
+    offset. One distinct-aggregation over (cohort, offset); the cohort
+    relation broadcasts. Returns (cohort_week, week_offset, n_active,
+    retention) for offsets 0-4."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .where((F.col("week_offset") >= 0) & (F.col("week_offset") <= 4))
+        .distinct()
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    from transferdb_spark.functions.canonical import stable_round
+
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            stable_round(
+                F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) // 7 AS INT) AS week_offset
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+  WHERE date_diff('day', c.cohort_week, date_trunc('week', e.ts)) BETWEEN 0 AND 28
+),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1)
+SELECT CAST(CAST(a.cohort_week AS DATE) AS VARCHAR) AS cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       (floor(CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS retention
+FROM activity a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, week_offset, s.cohort_size
+ORDER BY cohort_week, week_offset
+"""
+
+
 def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join — each click annotated with the user's NEXT
     purchase value at-or-after click time (operators/asof.py
@@ -4667,6 +4733,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "asof_last_purchase": ASOF_SQL,
         "asof_next_purchase": ASOF_FWD_SQL,
         "funnel_conversion": FUNNEL_SQL,
+        "cohort_retention": COHORT_SQL,
         "asof_nearest_purchase": ASOF_NEAREST_SQL,
         "multires_rollup": MULTIRES_SQL,
         "range_join_windows": RANGE_JOIN_SQL,
@@ -5018,6 +5085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_windows": doc_chunk_windows,
         "asof_next_purchase": asof_next_purchase,
         "funnel_conversion": funnel_conversion,
+        "cohort_retention": cohort_retention,
         "assess_schema_overview": assess_schema_overview,
         "assess_topn": assess_topn,
         "range_join_windows": range_join_windows,
