@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "text_kn_lm",
     "rm3_bm25_topk",
     "asof_nearest_purchase",
+    "funnel_conversion",
+    "cohort_retention",
+    "embedding_covariance",
     "decontam_against_eval",
     "assess_storage_size",
 ]
