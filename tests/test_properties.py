@@ -302,3 +302,63 @@ def test_jdbc_rendered_type_matches_ansi_rewrite_fixed_points(tn, size, digits):
         digits = min(digits, size)
     out = rendered_type(tn, size, digits)
     assert ansi_type(out) == out, (tn, size, digits, out)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Differential: every direction × tolerance of operators/asof
+    against pandas merge_asof (the reference implementation of the
+    semantics) on a deterministic pseudo-random workload with
+    duplicate-free right (key, ts) pairs and tie-heavy left
+    timestamps."""
+    import numpy as np
+    import pandas as pd
+
+    from transferdb_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 120),
+            "ts": rng.integers(0, 50, 120).astype("int64"),
+            "eid": np.arange(120, dtype="int64"),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 6, 80),
+                "ts": rng.integers(0, 50, 80).astype("int64"),
+            }
+        )
+        .drop_duplicates(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    right["v"] = np.arange(len(right), dtype="float64")
+
+    ldf = spark.createDataFrame(left[["eid", "k", "ts"]])
+    rdf = spark.createDataFrame(right)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 3):
+            got = {
+                r["eid"]: r["v_asof"]
+                for r in asof_join(
+                    ldf, rdf, key="k", ts="ts", payload=["v"],
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            want_df = pd.merge_asof(
+                left.sort_values(["ts", "eid"]),
+                right.sort_values("ts"),
+                on="ts",
+                by="k",
+                direction=direction,
+                tolerance=tol,
+            )
+            want = dict(zip(want_df["eid"], want_df["v"]))
+            for eid in want:
+                w = want[eid]
+                g = got[eid]
+                assert (g is None and pd.isna(w)) or g == w, (
+                    direction, tol, eid, g, w,
+                )
