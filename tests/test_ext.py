@@ -2891,3 +2891,38 @@ def test_funnel_first_touch_semantics(spark, tmp_path, monkeypatch):
     assert out[2]["n_users"] == 2      # u2 excluded (click before signup)
     assert out[3]["n_users"] == 1      # u3 outside 72h
     assert out[3]["conversion"] == round(1 / 3, 6) or abs(out[3]["conversion"] - 1/3) < 1e-6
+
+
+def test_session_edge_cases_asof_rm3_kl(spark):
+    """Edge sweep over the round-6 operators: as-of against an EMPTY
+    right side yields NULL payloads in every direction; RM3 degrades
+    to plain BM25 when no expansion candidate survives the guards; KL
+    drift handles a corpus whose halves share no vocabulary."""
+    from transferdb_spark.ext.retrieval import bm25_topk, rm3_bm25_topk
+    from transferdb_spark.ext.text import vocab_kl_drift
+    from transferdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 100)], "k long, ts long, eid long")
+    empty_right = spark.createDataFrame([], "k long, ts long, v double")
+    for d in ("backward", "forward", "nearest"):
+        out = asof_join(
+            left, empty_right, key="k", ts="ts", payload=["v"], direction=d
+        ).collect()
+        assert len(out) == 1 and out[0]["v_asof"] is None, d
+
+    # two docs, every non-query token < 3 chars -> no expansion
+    docs = spark.createDataFrame(
+        [(1, "spark on it is"), (2, "spark up at")], ["doc_id", "text"]
+    )
+    rm3 = rm3_bm25_topk(docs, ("spark",), n_fb=2, n_exp=3, k=5).collect()
+    plain = bm25_topk(docs, ("spark",), k=5).collect()
+    assert [r["doc_id"] for r in rm3] == [r["doc_id"] for r in plain]
+
+    # disjoint halves: every term is one-sided; contributions stay finite
+    kl_docs = spark.createDataFrame(
+        [(0, "aaa bbb ccc"), (2, "aaa bbb ddd"), (1, "xxx yyy zzz"), (3, "xxx yyy www")],
+        ["doc_id", "text"],
+    )
+    rows = vocab_kl_drift(kl_docs, top=10).collect()
+    assert rows and all(r["kl_contrib"] is not None for r in rows)
+    assert rows[0]["c_b"] == 0 and rows[0]["kl_contrib"] > 0
