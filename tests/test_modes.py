@@ -1296,3 +1296,28 @@ def test_prune_mode_kn_scorer(spark, sf_dir, workdir):
     assert s["scorer"] == "kn_lm"
     assert 0 < s["docs_kept"] <= s["docs_clean"] <= s["docs_total"]
     assert abs(s["docs_kept"] - 0.3 * s["docs_clean"]) <= 0.05 * s["docs_clean"] + 2
+
+
+def test_pipeline_optional_ingest_gates(spark, sf_dir, tmp_path):
+    """pipeline --nfc --max-compressibility: the gates compose ahead of
+    the canonical stages; an extreme compressibility bound drops docs,
+    a permissive one is a no-op vs the default path."""
+    from transferdb_spark.modes.pipeline import build_training_corpus
+
+    base = build_training_corpus(
+        spark, sf_dir, str(tmp_path / "a"), budget=64
+    )
+    gated = build_training_corpus(
+        spark, sf_dir, str(tmp_path / "b"), budget=64,
+        nfc=True, max_compressibility=2.0,
+    )
+    # fixture text is ASCII: NFC is identity; ratio<=2.0 keeps all
+    # (short docs exceed 1.0 from the zlib header overhead)
+    assert gated["docs_after_compress_gate"] == base["docs_raw"]
+    assert gated["docs_clean"] == base["docs_clean"]
+
+    tight = build_training_corpus(
+        spark, sf_dir, str(tmp_path / "c"), budget=64,
+        max_compressibility=0.4,
+    )
+    assert tight["docs_after_compress_gate"] < base["docs_raw"]

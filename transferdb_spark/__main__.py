@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--terms", default="", help="search: comma-separated query terms")
     p.add_argument("--budget", type=int, default=512, help="pipeline: tokens per packed bin")
     p.add_argument("--vocab-size", type=int, default=280, help="pipeline: BPE target vocab")
+    p.add_argument("--nfc", action="store_true", help="pipeline: NFC-normalize text at ingest")
+    p.add_argument("--max-compressibility", type=float, default=None,
+                   help="pipeline: drop docs whose DEFLATE ratio exceeds this bound")
     p.add_argument("--topk", type=int, default=10, help="search: result count")
     p.add_argument("--hybrid", action="store_true", help="search: re-rank BM25 candidates by embedding cosine")
     p.add_argument("--rm3", action="store_true", help="search: RM3 pseudo-relevance-feedback query expansion")
@@ -336,6 +339,8 @@ def main(argv: list[str] | None = None) -> int:
                 scorer=args.scorer,
                 vocab_size=args.vocab_size,
                 budget=args.budget,
+                nfc=args.nfc,
+                max_compressibility=args.max_compressibility,
             )
         )
 

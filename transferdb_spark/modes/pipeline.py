@@ -39,6 +39,8 @@ def build_training_corpus(
     scorer: str = "bigram_lm",
     vocab_size: int = 280,
     budget: int = 512,
+    nfc: bool = False,
+    max_compressibility: float | None = None,
 ) -> dict:
     from transferdb_spark.ext.bpe import encode_ids_df, train_bytes
     from transferdb_spark.ext.dedup import minhash_lsh_candidates
@@ -51,6 +53,25 @@ def build_training_corpus(
     docs = load_table(spark, source_dir, "documents")
     manifest: dict = {"mode": "pipeline", "scorer": scorer, "budget": budget}
     manifest["docs_raw"] = docs.count()
+
+    # 0. optional ingest normalization/gating (both default-off so the
+    # canonical oracle-checked path is unchanged)
+    if nfc:
+        from transferdb_spark.ext.text import unicode_nfc
+
+        docs = docs.join(
+            unicode_nfc(docs).select("doc_id", "norm_text"), "doc_id"
+        ).drop("text").withColumnRenamed("norm_text", "text")
+    if max_compressibility is not None:
+        # DEFLATE ratio ABOVE the bound = high-entropy noise; boiler-
+        # plate sits low, so this gates the top (garbled) end only
+        from transferdb_spark.ext.text import compression_ratio
+
+        keep_ids = compression_ratio(docs).where(
+            F.col("ratio") <= float(max_compressibility)
+        ).select("doc_id")
+        docs = docs.join(keep_ids, "doc_id")
+        manifest["docs_after_compress_gate"] = docs.count()
 
     # 1. clean
     clean = docs.join(_clean_gate(docs), "doc_id")
