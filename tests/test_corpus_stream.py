@@ -204,3 +204,56 @@ def test_streaming_cms_matches_batch_and_compacts(spark, tmp_path, docs):
         for r in sketch_current_state(spark, sink).collect()
     }
     assert after == want
+
+
+def test_ingest_neardup_stream_gates_lsh_hits(spark, tmp_path):
+    """Ingest-time near-dup gate: batch-2 documents that are light
+    edits of kept batch-1 documents (high shingle Jaccard -> band
+    collision) are suppressed; genuinely novel docs land; within-batch
+    near-dup pairs keep only the min doc_id."""
+    import random
+
+    from transferdb_spark.streaming.corpus import ingest_neardup_stream
+
+    rng = random.Random(3)
+    words = [f"tok{i}" for i in range(400)]
+
+    def doc(n=40):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    base = [doc() for _ in range(6)]
+    batch1 = [(i, base[i]) for i in range(6)]
+    # batch 2: 3 near-dups of batch-1 docs (one word changed), 2 novel,
+    # and an in-batch near-dup pair (ids 20 < 21 -> 21 drops)
+    def variant(t):
+        parts = t.split()
+        parts[-1] = "changed"
+        return " ".join(parts)
+
+    novel_pair = doc()
+    batch2 = (
+        [(10 + i, variant(base[i])) for i in range(3)]
+        + [(15, doc()), (16, doc())]
+        + [(20, novel_pair), (21, variant(novel_pair))]
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch1, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batch2, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = ingest_neardup_stream(
+        spark, src, str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "tgt" / "docs")).collect()
+    }
+    assert set(range(6)) <= kept                      # batch 1 all novel
+    assert kept.isdisjoint({10, 11, 12})              # near-dups gated
+    assert {15, 16, 20} <= kept                       # novel docs land
+    assert 21 not in kept                             # in-batch pair loser

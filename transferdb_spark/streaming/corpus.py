@@ -192,3 +192,103 @@ def media_feature_stream(files: DataFrame) -> DataFrame:
         ).alias("meta"),
     )
     return extract_features(media, fake=False)
+
+
+# ---------------------------------------------------------------------------
+# ingest-time NEAR-dup gating — the incremental twin of the batch
+# MinHash-LSH dedup (ext/dedup.py): each arriving micro-batch is
+# checked against the accumulated band-signature store and against
+# itself; only novel documents (and their signatures) land.
+
+
+def _band_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the exact banding the batch
+    operator uses, imported so the two paths can never drift."""
+    from transferdb_spark.ext.dedup import BANDS, NUM_HASHES, _h64, minhash_signatures
+
+    r = NUM_HASHES // BANDS
+    band_hash = _h64(f"array_join(slice(sig, b * {r} + 1, {r}), ',')")
+    bands = f"transform(sequence(0, {BANDS - 1}), b -> {band_hash})"
+    return minhash_signatures(docs).select(
+        "doc_id", F.posexplode(F.expr(bands)).alias("band_idx", "band_hash")
+    )
+
+
+def ingest_neardup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Documents stream → LSH near-dup gate → survivor landing.
+
+    Per batch: band signatures are computed once (narrow + one groupBy),
+    joined against (a) the signature STORE of all previously-kept docs
+    and (b) the batch itself (min-doc_id wins within a band cluster);
+    hits are suppressed, survivors land in docs/batch_id=N and their
+    signatures append to sigs/batch_id=N — both idempotent partition
+    overwrites, so a replayed batch lands identically (its signatures
+    are excluded from its own store read by construction: the store
+    filter drops the replaying batch's partition).
+
+    Scale: the store join is keyed on (band_idx, band_hash) — the same
+    shuffle the batch LSH pays — and the store is append-only parquet;
+    a production deployment would swap it for a key-partitioned table
+    format or state store, which changes the sink, not the gate."""
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    docs_dir = os.path.join(target_dir, "docs")
+    sigs_dir = os.path.join(target_dir, "sigs")
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sigs = _band_sigs(batch).persist()
+        try:
+            drop = None
+            if os.path.isdir(sigs_dir):
+                store = spark.read.parquet(sigs_dir).where(
+                    F.col("batch_id") != batch_id  # replay safety
+                )
+                drop = (
+                    sigs.alias("n")
+                    .join(
+                        store.alias("s"),
+                        (F.col("n.band_idx") == F.col("s.band_idx"))
+                        & (F.col("n.band_hash") == F.col("s.band_hash")),
+                    )
+                    .select(F.col("n.doc_id").alias("doc_id"))
+                )
+            within = (
+                sigs.alias("a")
+                .join(
+                    sigs.alias("b"),
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("a.doc_id") > F.col("b.doc_id")),
+                )
+                .select(F.col("a.doc_id").alias("doc_id"))
+            )
+            drop = within if drop is None else drop.unionByName(within)
+            kept = batch.join(drop.distinct(), "doc_id", "left_anti")
+            kept.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(docs_dir)
+            sigs.join(kept.select("doc_id"), "doc_id").withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("overwrite").partitionBy("batch_id").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(sigs_dir)
+        finally:
+            sigs.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
