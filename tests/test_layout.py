@@ -273,3 +273,22 @@ def test_compact_writes_parquet_bloom_filters(spark, tmp_path):
     )
     got = spark.read.parquet(bloomed).where(f"probe = '{probe}'").count()
     assert got == 1
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    """Partitioned layout: each leaf compacts independently, partition
+    dirs and pruning survive, and row counts are preserved."""
+    from transferdb_spark.modes.optimize import compact_partitioned
+
+    path = str(tmp_path / "pt")
+    spark.range(8000).selectExpr(
+        "id AS k", "cast(id % 3 AS int) AS p", "repeat('y', 20) AS pad"
+    ).repartition(6).write.partitionBy("p").parquet(path)
+
+    res = compact_partitioned(spark, path, target_mb=128)
+    assert res["partitions"] == 3
+    assert res["files_after"] == 3 < res["files_before"]
+
+    after = spark.read.parquet(path)
+    assert after.count() == 8000
+    assert after.where("p = 1").count() == len([i for i in range(8000) if i % 3 == 1])

@@ -395,14 +395,23 @@ def main(argv: list[str] | None = None) -> int:
             out["advised_layout_cols"] = cols
         else:
             cols = [c for c in args.layout_cols.split(",") if c]
-        stats = compact_files(
-            spark,
-            args.path,
-            target_mb=args.target_mb,
-            layout_cols=cols or None,
-            bloom_cols=[c for c in args.bloom_cols.split(",") if c] or None,
-        )
-        out.update(asdict(stats))
+        from transferdb_spark.modes.optimize import _parquet_files, compact_partitioned
+
+        blooms = [c for c in args.bloom_cols.split(",") if c] or None
+        if not _parquet_files(args.path):
+            # hive-partitioned layout: compact each leaf partition
+            out.update(compact_partitioned(
+                spark, args.path, target_mb=args.target_mb, bloom_cols=blooms
+            ))
+        else:
+            stats = compact_files(
+                spark,
+                args.path,
+                target_mb=args.target_mb,
+                layout_cols=cols or None,
+                bloom_cols=blooms,
+            )
+            out.update(asdict(stats))
 
     elif args.mode == "export":
         from transferdb_spark.modes.export import export_corpus

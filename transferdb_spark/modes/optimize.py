@@ -141,3 +141,41 @@ def compact_files(
         bytes_total=total,
         rows=rows,
     )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    bloom_cols: list[str] | None = None,
+) -> dict:
+    """Compact a hive-partitioned table partition-by-partition.
+
+    Each leaf directory (one holding part files) compacts independently
+    through compact_files — same verify-and-swap safety, same crash
+    recovery — so partition pruning semantics and directory names are
+    untouched, failure isolates to one partition, and at 100 TB the
+    partitions can be compacted in waves. Z-order layout within a
+    partition is deliberately not offered here: cross-partition global
+    clustering contradicts hive partitioning; sort within a partition
+    belongs to the write that created it."""
+    leaves = []
+    for root, _dirs, files in os.walk(path):
+        if any(f.startswith("part-") and f.endswith(".parquet") for f in files):
+            leaves.append(root)
+    if not leaves:
+        raise ValueError(f"no parquet leaf directories under {path}")
+    per = {}
+    for leaf in sorted(leaves):
+        st = compact_files(spark, leaf, target_mb=target_mb, bloom_cols=bloom_cols)
+        per[os.path.relpath(leaf, path)] = {
+            "files_before": st.files_before,
+            "files_after": st.files_after,
+            "rows": st.rows,
+        }
+    return {
+        "partitions": len(per),
+        "files_before": sum(p["files_before"] for p in per.values()),
+        "files_after": sum(p["files_after"] for p in per.values()),
+        "per_partition": per,
+    }
