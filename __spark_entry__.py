@@ -3622,14 +3622,16 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")  # per-user relation: NOT broadcast (it
+        # scales with users; the shuffle join keys on user_id and AQE
+        # may still broadcast it when genuinely small)
         .where(F.col("ts") >= F.col("t1"))
         .groupBy("user_id", "t1")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .where(F.col("ts") >= F.col("t2"))
         .groupBy("user_id", "t1")
         .agg(F.min("ts").alias("t3"))
@@ -3713,7 +3715,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
     )
     activity = (
-        ev.join(F.broadcast(cohort), "user_id")
+        ev.join(cohort, "user_id")  # per-user: sized by users, not a dim
         .select(
             "user_id",
             "cohort_week",
