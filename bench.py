@@ -152,6 +152,11 @@ def main() -> None:
         total += timings["stream_rollup"]
     except Exception as exc:  # noqa: BLE001 — isolate per query
         errors["stream_rollup"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        timings["stream_dedup"] = round(_bench_stream_dedup(spark), 3)
+        total += timings["stream_dedup"]
+    except Exception as exc:  # noqa: BLE001 — isolate per query
+        errors["stream_dedup"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # The driver captures only the tail of stdout: the FINAL line must
     # stay compact (totals + median-only dict). Full detail (best/cold/
@@ -189,6 +194,36 @@ def main() -> None:
     if errors:
         out["nerrors"] = len(errors)
     print(json.dumps(out))
+
+
+def _bench_stream_dedup(spark) -> float:
+    """Time one availableNow pass of the STATEFUL streaming exact
+    dedup (applyInPandasWithState first-seen-wins) over the documents
+    table — the custom-stateful-operator path, complementing the
+    built-in windowed-agg path of stream_rollup."""
+    import shutil
+    import tempfile
+
+    from transferdb_spark.streaming.stateful import run_dedup_to_memory
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    work = tempfile.mkdtemp(prefix="bench_sdedup_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        feed = os.path.join(work, "feed")
+        os.makedirs(feed)
+        os.symlink(src, os.path.join(feed, "documents.parquet"))
+        ckpt = os.path.join(work, "ckpt")
+        t0 = time.time()
+        q = run_dedup_to_memory(spark, feed, ckpt, name="bench_stream_dedup")
+        q.awaitTermination()
+        dt = time.time() - t0
+        spark.sql("SELECT count(*) FROM bench_stream_dedup").collect()
+        return dt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _bench_stream_rollup(spark) -> float:
