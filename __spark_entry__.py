@@ -3240,6 +3240,14 @@ def vocab_kl_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_kl_drift(_t(spark, sf_dir, "documents"))
 
 
+def vocab_zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the top-500 vocabulary (corpus-health one-number
+    check) — ext/text.vocab_zipf_slope."""
+    from transferdb_spark.ext.text import vocab_zipf_slope
+
+    return vocab_zipf_slope(_t(spark, sf_dir, "documents"))
+
+
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFLATE compressibility quality signal (rows-only: DuckDB has no
     zlib; differential pytest pins it) — ext/text.compression_ratio."""
@@ -4913,6 +4921,12 @@ def _hard_neg_sql() -> str:
     return hard_negatives_topk_sql()
 
 
+def _zipf_sql() -> str:
+    from transferdb_spark.ext.text import vocab_zipf_slope_sql
+
+    return vocab_zipf_slope_sql()
+
+
 def _cross_source_sql() -> str:
     from transferdb_spark.ext.dedup import cross_source_overlap_sql
 
@@ -5074,6 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_lm": text_kn_lm,
         "text_nfc_normalize": text_nfc_normalize,
         "text_compression_ratio": text_compression_ratio,
+        "vocab_zipf_slope": vocab_zipf_slope_q,
         "cross_source_duplication": cross_source_duplication,
         "hard_negatives_topk": hard_negatives_q,
         "embedding_covariance": embedding_covariance,
@@ -5283,6 +5298,7 @@ def oracle_sql() -> dict[str, str]:
         "text_kn_lm": _kn_sql(),
         "text_nfc_normalize": _nfc_sql(),
         "cross_source_duplication": _cross_source_sql(),
+        "vocab_zipf_slope": _zipf_sql(),
         "hard_negatives_topk": _hard_neg_sql(),
         "embedding_covariance": _emb_cov_sql(),
         "vocab_kl_drift": _kl_sql(),

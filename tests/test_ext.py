@@ -2926,3 +2926,27 @@ def test_session_edge_cases_asof_rm3_kl(spark):
     rows = vocab_kl_drift(kl_docs, top=10).collect()
     assert rows and all(r["kl_contrib"] is not None for r in rows)
     assert rows[0]["c_b"] == 0 and rows[0]["kl_contrib"] > 0
+
+
+def test_zipf_slope_separates_natural_from_uniform(spark):
+    """A Zipfian corpus (freq ∝ 1/rank) fits slope ≈ -1; a uniform
+    vocabulary (every term equally frequent) fits slope ≈ 0."""
+    from transferdb_spark.ext.text import vocab_zipf_slope
+
+    zipf_rows, uni_rows = [], []
+    did = 0
+    for r in range(1, 60):
+        for _ in range(max(600 // r, 1)):  # freq ~ 1/rank
+            zipf_rows.append((did := did + 1, f"zterm{r}"))
+    for r in range(60):
+        for _ in range(10):
+            uni_rows.append((did := did + 1, f"uterm{r}"))
+
+    z = vocab_zipf_slope(
+        spark.createDataFrame(zipf_rows, ["doc_id", "text"]), top=50
+    ).first()
+    u = vocab_zipf_slope(
+        spark.createDataFrame(uni_rows, ["doc_id", "text"]), top=50
+    ).first()
+    assert -1.2 < z["zipf_slope"] < -0.8, z
+    assert abs(u["zipf_slope"]) < 0.05, u

@@ -1181,3 +1181,75 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
             zl.cast("double") / F.greatest(raw_bytes, F.lit(1)).cast("double"), 6
         ).alias("ratio"),
     ).orderBy("doc_id")
+
+
+def vocab_zipf_slope(docs: DataFrame, top: int = 500) -> DataFrame:
+    """One-row Zipf diagnostic: the least-squares slope of
+    ln(freq) ~ ln(rank) over the top-``top`` vocabulary terms.
+
+    Natural text sits near -1 (Zipf's law); template/synthetic corpora
+    flatten toward 0 and boilerplate-heavy ones steepen — a one-number
+    corpus-health check (Piantadosi 2014 review; public literature).
+
+    Exactness: the only transcendental is ln, quantized ONCE per point
+    to BIGINT micro-units; the regression then runs entirely in
+    integer sums (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) with ONE double
+    division at the output boundary — the same discipline as idf.
+    The top-N relation is model-sized, so the rank window is bounded
+    by construction."""
+    from pyspark.sql.window import Window
+
+    freqs = (
+        docs.select(F.explode(F.expr(TOKENS)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(top)
+    )
+    ranked = freqs.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("freq").desc(), "term"))
+    )
+    x = F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    y = F.floor(F.log(F.col("freq").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    pts = ranked.select(x.alias("x"), y.alias("y"))
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        stable_round(num.cast("double") / den.cast("double"), 6).alias("zipf_slope"),
+    )
+
+
+def vocab_zipf_slope_sql(top: int = 500) -> str:
+    return f"""
+WITH freqs AS (
+  SELECT u.tok AS term, COUNT(*) AS freq
+  FROM (SELECT {TOKENS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
+  GROUP BY 1
+  ORDER BY freq DESC, term
+  LIMIT {top}
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM freqs
+),
+pts AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM ranked
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       {stable_round_sql("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)", 6)} AS zipf_slope
+FROM agg
+"""
