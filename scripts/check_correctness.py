@@ -10,6 +10,7 @@ Usage: python scripts/check_correctness.py [query_name ...]
 from __future__ import annotations
 
 import hashlib
+import tempfile
 import math
 import os
 import sys
@@ -83,6 +84,13 @@ def main() -> int:
     spark = get_spark("correctness-check")
 
     con = duckdb.connect()
+    # cap DuckDB below the Spark JVM's share and give it a spill dir:
+    # its default limit (80% of RAM) ignores the co-resident JVM, so a
+    # heavy oracle late in the run dies with "failed to allocate"
+    # instead of going out-of-core
+    spill = tempfile.mkdtemp(prefix="duck_spill_")
+    con.execute("SET memory_limit = '24GB'")
+    con.execute(f"SET temp_directory = '{spill}'")
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(p):
