@@ -545,6 +545,107 @@ def test_redo_transaction_grouping(spark):
     assert [c["operation"] for c in txns[0]["changes"]] == ["INSERT", "UPDATE"]
 
 
+def test_distributed_apply_sqlite_end_to_end(spark, tmp_path):
+    """apply_changes_distributed runs ENTIRELY on executors: per-table
+    transaction units, commit-SCN order within each table, one DBAPI
+    connection per partition. Proof of distribution is instrumentation,
+    not trust — every status row carries the applying worker's PID,
+    which must differ from the driver's, and the plan's apply stage is
+    MapInPandas (no Collect of change payloads anywhere)."""
+    import os
+    import sqlite3
+
+    from transferdb_spark.streaming.live_apply import (
+        apply_changes_distributed,
+        distributed_apply_high_scns,
+    )
+    from transferdb_spark.streaming.redo import redo_stream_to_changes
+
+    db = str(tmp_path / "target.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE T1 (ID INT, V INT)")
+        c.execute("CREATE TABLE T2 (ID INT, V INT)")
+
+    rows = [
+        (2, "t1", 'insert into "T1"("ID","V") values (\'1\',\'10\');'),
+        (3, "t1", 'insert into "T2"("ID","V") values (\'1\',\'100\');'),
+        (5, "t2", 'insert into "T1"("ID","V") values (\'2\',\'20\');'),
+        (6, "t2", 'update "T1" set "V" = \'25\' where "ID" = \'2\' and "V" = \'20\';'),
+        # t3 is below the resume SCN -> must be skipped, not re-applied
+        (1, "t3", 'insert into "T1"("ID","V") values (\'9\',\'90\');'),
+        # t4 hits a missing table -> rolled back whole + quarantined
+        (8, "t4", 'insert into "NOPE"("ID") values (\'1\');'),
+    ]
+    df = spark.createDataFrame(rows, "scn long, xid string, sql_redo string")
+    changes = redo_stream_to_changes(df.select("scn", "sql_redo")).join(
+        df.select("scn", "xid"), "scn"
+    )
+
+    status_df = apply_changes_distributed(
+        changes,
+        lambda: sqlite3.connect(db, timeout=60),
+        resume_scn=1,
+        num_partitions=4,
+    )
+    assert "MapInPandas" in status_df._jdf.queryExecution().executedPlan().toString()
+    status = status_df.collect()
+
+    by = {(r["table_name"], r["xid"]): r for r in status}
+    assert by[("T1", "t1")]["status"] == "applied"
+    assert by[("T2", "t1")]["status"] == "applied"
+    assert by[("T1", "t2")]["status"] == "applied"
+    assert by[("T1", "t3")]["status"] == "skipped"
+    assert by[("NOPE", "t4")]["status"] == "failed" and by[("NOPE", "t4")]["error"]
+
+    # executor-side proof: no apply ran in the driver process
+    driver_pid = os.getpid()
+    assert all(r["worker_pid"] != driver_pid for r in status)
+
+    with sqlite3.connect(db) as c:
+        assert sorted(c.execute("SELECT ID, V FROM T1").fetchall()) == [(1, 10), (2, 25)]
+        assert c.execute("SELECT ID, V FROM T2").fetchall() == [(1, 100)]
+
+    highs = {r["table_name"]: r["high_scn"] for r in distributed_apply_high_scns(status_df).collect()}
+    assert highs == {"T1": 6, "T2": 3}
+
+
+def test_jdbc_apply_batch_never_collects_change_payload(spark, tmp_path, monkeypatch):
+    """The JDBC live-apply path must stream translated transactions via
+    toLocalIterator — a regression to DataFrame.collect() (full-batch
+    driver materialization) fails this test by construction."""
+    from tests.test_jdbc_integration import DERBY_DRIVER, _derby_available
+
+    if not _derby_available(spark):
+        pytest.skip("no embedded Derby driver on the Spark classpath")
+    from pyspark.sql import DataFrame
+
+    from transferdb_spark.modes.apply import apply_sql
+    from transferdb_spark.sources.jdbc import JdbcSink, JdbcSource
+    from transferdb_spark.streaming.live_apply import apply_redo_batch
+
+    url = f"jdbc:derby:{tmp_path}/nocollect;create=true"
+    sink = JdbcSink(url=url, table="", driver=DERBY_DRIVER)
+    assert apply_sql(spark, sink, ["CREATE TABLE T (ID INT, V INT)"]).ok
+
+    rows = [
+        (2, "t1", 'insert into "APP"."T"("ID","V") values (\'1\',\'10\');'),
+        (4, "t2", 'update "APP"."T" set "V" = \'15\' where "ID" = \'1\' and "V" = \'10\';'),
+    ]
+    batch = spark.createDataFrame(rows, "scn long, xid string, sql_redo string")
+
+    def no_collect(self):
+        raise AssertionError("apply path materialized a DataFrame on the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", no_collect)
+    res = apply_redo_batch(
+        spark, sink, batch, str(tmp_path / "scn.json"), target_schema="APP"
+    )
+    monkeypatch.undo()
+    assert res.applied == ["t1", "t2"] and res.high_scn == 4
+    t = JdbcSource(url=url, table="T", driver=DERBY_DRIVER).load(spark)
+    assert [(r["ID"], r["V"]) for r in t.collect()] == [(1, 15)]
+
+
 def test_cdc_stream_merges_into_snapshot_store(spark, sf_dir, tmp_path):
     """Stream → merge_snapshot: the table image equals latest-wins over
     the delivered events, each batch commits a time-travel-readable

@@ -114,8 +114,11 @@ def pca_project(emb: DataFrame, k: int = 4, dims: int = 64) -> DataFrame:
             comps[r] = -comps[r]
     proj_cols = []
     for r in range(comps.shape[0]):
+        # float() before !r: numpy>=2 reprs scalars as np.float64(x),
+        # which the SQL parser rejects
         terms = " + ".join(
-            f"(embedding[{d}] - {means[d]!r}d) * {comps[r, d]!r}d" for d in range(dims)
+            f"(embedding[{d}] - {float(means[d])!r}d) * {float(comps[r, d])!r}d"
+            for d in range(dims)
         )
         proj_cols.append(F.expr(terms).cast("double"))
     return emb.select("vec_id", F.array(*proj_cols).alias("pc")).orderBy("vec_id")

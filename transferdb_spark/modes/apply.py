@@ -76,7 +76,7 @@ def apply_sql(
 def apply_transactions(
     spark: SparkSession,
     sink: JdbcSink,
-    txns: list[tuple[str, list[str]]],
+    txns,
     continue_on_error: bool = True,
     commit_scns: dict[str, int] | None = None,
     resume_scn: int = -1,
@@ -101,15 +101,25 @@ def apply_transactions(
     resume_scn were already applied in a prior run and are SKIPPED
     (recorded in ApplyResult.skipped), so a redelivered log replays
     idempotently. ApplyResult.high_scn is the new checkpoint to
-    persist AFTER the run (max applied commit_scn)."""
+    persist AFTER the run (max applied commit_scn).
+
+    ``txns`` may be ANY iterable — including a lazy generator over
+    DataFrame.toLocalIterator() — of (txn_id, [statements]) or
+    (txn_id, [statements], commit_scn) tuples; the 3-tuple form carries
+    its SCN inline so a streaming caller never has to materialize a
+    whole batch to build the commit_scns dict."""
     from transferdb_spark.catalog.jdbc_catalog import _connect
 
     res = ApplyResult()
     conn = _connect(spark, sink.url, sink.driver, sink.user, sink.password)
     try:
         conn.setAutoCommit(False)
-        for xid, stmts in txns:
-            scn = (commit_scns or {}).get(xid)
+        for item in txns:
+            if len(item) == 3:
+                xid, stmts, scn = item
+            else:
+                xid, stmts = item
+                scn = (commit_scns or {}).get(xid)
             if scn is not None and scn <= resume_scn:
                 res.skipped.append(xid)
                 continue

@@ -13,12 +13,24 @@ commit-SCN resume gate). The SCN high-water persists next to the
 Spark checkpoint, so a redelivered batch (or a whole re-run over the
 same feed) replays idempotently — the incr_sync_meta semantics.
 
-Driver traffic per batch = the transaction STATEMENTS (which must
-reach the driver anyway to run over JDBC) — the parse itself is
-distributed; only the translated apply unit collects. The structured
-MERGE path (streaming/incr.py) remains the preferred sink when
-before/after images are available; this is the text-redo path the
-reference runs when they are not.
+Two apply executors, by what the target connection can be:
+
+- apply_redo_batch — JDBC target (Derby-tested). JDBC lives behind
+  py4j, which only exists on the DRIVER, so the statements must cross
+  it; but parse AND translate run executor-side (mapInPandas) and the
+  driver pulls translated transactions one PARTITION at a time via
+  toLocalIterator — it never materializes a batch's change payload.
+- apply_changes_distributed — DBAPI target (any Python driver:
+  psycopg2/pymysql/sqlite3…). Fully executor-side: per-table apply
+  units repartitioned by table, commit-SCN-ordered within each
+  partition, applied through per-partition connections; the driver
+  sees only the tiny (table, xid, scn, status) rows. This mirrors the
+  reference's per-table worker map + per-table SCN checkpoint
+  (/root/reference/module/migrate/sql/oracle/o2m/apply.go:58-233).
+
+The structured MERGE path (streaming/incr.py) remains the preferred
+sink when before/after images are available; this is the text-redo
+path the reference runs when they are not.
 """
 
 from __future__ import annotations
@@ -27,14 +39,17 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from transferdb_spark.modes.apply import ApplyResult, apply_transactions
 from transferdb_spark.sources.jdbc import JdbcSink
 from transferdb_spark.streaming.redo import (
     RedoStmt,
+    group_table_transactions,
     group_transactions,
     redo_stream_to_changes,
     translate_stmt,
+    translate_transactions_df,
 )
 
 
@@ -71,35 +86,149 @@ def apply_redo_batch(
     target_schema: str = "",
     dialect: str = "ansi",
 ) -> ApplyResult:
-    """One micro-batch: parse -> group -> translate -> transactional
-    apply gated on the persisted SCN; advances the checkpoint to the
-    new high-water AFTER the apply (crash before the write = the
-    batch replays, and the SCN gate + rollback-whole txns make the
-    replay idempotent)."""
+    """One micro-batch: parse -> group -> translate (all executor-side)
+    -> transactional apply gated on the persisted SCN; advances the
+    checkpoint to the new high-water AFTER the apply (crash before the
+    write = the batch replays, and the SCN gate + rollback-whole txns
+    make the replay idempotent).
+
+    Driver memory is bounded by ONE shuffle partition of translated
+    statement text: toLocalIterator pulls partitions sequentially, so
+    a hot batch's full change payload never lands on the driver — only
+    the SQL the driver's JDBC connection must ship anyway, a partition
+    at a time."""
     changes = redo_stream_to_changes(batch.select("scn", "sql_redo")).join(
         batch.select("scn", "xid"), "scn"
     )
     changes = changes.filter("operation <> 'ERROR'")
-    txn_rows = group_transactions(changes).collect()
+    txn_sql = translate_transactions_df(
+        group_transactions(changes), target_schema, dialect=dialect
+    ).orderBy("commit_scn", "xid")
 
-    txns: list[tuple[str, list[str]]] = []
-    commit_scns: dict[str, int] = {}
-    for t in txn_rows:
-        stmts: list[str] = []
-        for c in t["changes"]:
-            stmts.extend(
-                translate_stmt(_stmt_from_change(c), target_schema, dialect=dialect)
-            )
-        txns.append((t["xid"], stmts))
-        commit_scns[t["xid"]] = int(t["commit_scn"])
+    def txn_iter():
+        for row in txn_sql.toLocalIterator():
+            yield row["xid"], list(row["stmts"]), int(row["commit_scn"])
 
     resume = read_scn_checkpoint(scn_path)
-    res = apply_transactions(
-        spark, sink, txns, commit_scns=commit_scns, resume_scn=resume
-    )
+    res = apply_transactions(spark, sink, txn_iter(), resume_scn=resume)
     if res.high_scn > resume:
         write_scn_checkpoint(scn_path, res.high_scn)
     return res
+
+
+# ---------------------------------------------------------------------------
+# fully distributed apply — DBAPI targets
+
+APPLY_STATUS_SCHEMA = (
+    "table_name string, xid string, commit_scn long, status string, "
+    "error string, worker_pid long"
+)
+
+
+def apply_changes_distributed(
+    changes: DataFrame,
+    connect,
+    resume_scn: int = -1,
+    target_schema: str = "",
+    dialect: str = "ansi",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Executor-side transactional apply — no driver round-trip for
+    row data at all. ``connect`` is a zero-arg factory returning a
+    DBAPI connection (psycopg2/pymysql/sqlite3…), cloudpickled to the
+    executors; each partition opens ONE connection and applies its
+    transactions in commit-SCN order.
+
+    Ordering contract (the reference's own, apply.go:58-77 — its
+    worker map is keyed by TABLE and its SCN checkpoint is per-table):
+    apply units are (table, xid) groups, repartitioned BY TABLE and
+    sorted by commit_scn within each partition, so every table sees
+    its changes in commit order while distinct tables apply
+    concurrently across executors. Cross-table atomicity of one source
+    txn is intentionally relaxed exactly as the reference relaxes it.
+
+    Returns the (table_name, xid, commit_scn, status, error,
+    worker_pid) status relation — the ONLY thing that should ever be
+    collected; aggregate max(commit_scn) WHERE status='applied' per
+    table for the checkpoint (per-table incr_sync_meta semantics).
+    Each txn is committed whole or rolled back whole; units at or
+    below resume_scn are reported 'skipped' without touching the
+    target."""
+    units = translate_transactions_df(
+        group_table_transactions(changes), target_schema, dialect=dialect
+    )
+    n = num_partitions or units.sparkSession.sparkContext.defaultParallelism
+    parts = units.repartition(n, "table_name").sortWithinPartitions(
+        "table_name", "commit_scn", "xid"
+    )
+
+    def apply_partition(batches):
+        import os as _os
+
+        import pandas as pd
+
+        pid = _os.getpid()
+        conn = None
+        try:
+            for pdf in batches:
+                if len(pdf) and conn is None:
+                    conn = connect()
+                out = []
+                for i in range(len(pdf)):
+                    r = pdf.iloc[i]
+                    scn = int(r["commit_scn"])
+                    if scn <= resume_scn:
+                        out.append((r["table_name"], r["xid"], scn, "skipped", "", pid))
+                        continue
+                    try:
+                        cur = conn.cursor()
+                        try:
+                            for s in r["stmts"]:
+                                s = s.strip().rstrip(";")
+                                if s:
+                                    cur.execute(s)
+                        finally:
+                            cur.close()
+                        conn.commit()
+                        out.append((r["table_name"], r["xid"], scn, "applied", "", pid))
+                    except Exception as e:  # noqa: BLE001 — rollback + quarantine
+                        conn.rollback()
+                        out.append(
+                            (
+                                r["table_name"],
+                                r["xid"],
+                                scn,
+                                "failed",
+                                str(e).splitlines()[0][:500],
+                                pid,
+                            )
+                        )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "table_name",
+                        "xid",
+                        "commit_scn",
+                        "status",
+                        "error",
+                        "worker_pid",
+                    ],
+                )
+        finally:
+            if conn is not None:
+                conn.close()
+
+    return parts.mapInPandas(apply_partition, schema=APPLY_STATUS_SCHEMA)
+
+
+def distributed_apply_high_scns(status: DataFrame) -> DataFrame:
+    """Per-table applied high-water — the rows to persist as the
+    per-table SCN checkpoint (reference incr_sync_meta TableScnS)."""
+    return (
+        status.where(F.col("status") == "applied")
+        .groupBy("table_name")
+        .agg(F.max("commit_scn").alias("high_scn"))
+    )
 
 
 def run_redo_apply_stream(

@@ -689,6 +689,88 @@ def group_transactions(changes: DataFrame, xid_col: str = "xid") -> DataFrame:
     )
 
 
+def group_table_transactions(changes: DataFrame, xid_col: str = "xid") -> DataFrame:
+    """Per-TABLE transaction units — the reference's actual apply
+    parallelism: applyOracleIncrRecord keys its worker map by table
+    name and checkpoints a per-table SCN
+    (/root/reference/module/migrate/sql/oracle/o2m/apply.go:58-233,
+    incr_sync_meta TableScnS). One row per (table_name, xid): the
+    statements a per-table applier replays atomically, ordered across
+    units by commit_scn WITHIN each table.
+
+    Same shuffle shape as group_transactions (one pass over changes,
+    keyed groupBy); the extra key just makes the apply units
+    partitionable by table so executors can own disjoint tables."""
+    from pyspark.sql import functions as F
+
+    change_struct = F.struct(
+        "scn", "operation", "schema_name", "table_name", "data_json", "before_json"
+    )
+    return (
+        changes.groupBy(
+            F.col("table_name"), F.col(xid_col).alias("xid")
+        )
+        .agg(
+            F.min("scn").alias("first_scn"),
+            F.max("scn").alias("commit_scn"),
+            F.count(F.lit(1)).alias("n_changes"),
+            F.array_sort(F.collect_list(change_struct)).alias("changes"),
+        )
+    )
+
+
+TXN_SQL_SCHEMA = (
+    "table_name string, xid string, commit_scn long, stmts array<string>"
+)
+
+
+def translate_transactions_df(
+    txns: DataFrame, target_schema: str = "", dialect: str = "ansi"
+) -> DataFrame:
+    """Executor-side translation of grouped transactions (the output of
+    group_transactions or group_table_transactions) into target-dialect
+    statement lists — (table_name, xid, commit_scn, stmts).
+
+    This keeps the heavy part of the apply path (change payloads →
+    SQL text) OFF the driver: the driver only ever sees the translated
+    statements it must ship over its connection, never the raw
+    before/after images. Untranslatable changes become a row with an
+    empty stmts array prefixed marker statement so the applier can
+    quarantine them."""
+
+    def translate_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            has_tbl = "table_name" in pdf.columns
+            rows = []
+            for idx in range(len(pdf)):
+                r = pdf.iloc[idx]
+                stmts: list[str] = []
+                for c in r["changes"]:
+                    st = RedoStmt(
+                        operation=c["operation"],
+                        schema=c["schema_name"],
+                        table=c["table_name"],
+                        data=json.loads(c["data_json"]),
+                        before=json.loads(c["before_json"]),
+                    )
+                    stmts.extend(translate_stmt(st, target_schema, dialect=dialect))
+                rows.append(
+                    (
+                        str(r["table_name"]) if has_tbl else "",
+                        str(r["xid"]),
+                        int(r["commit_scn"]),
+                        stmts,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["table_name", "xid", "commit_scn", "stmts"]
+            )
+
+    return txns.mapInPandas(translate_batches, schema=TXN_SQL_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # T1 — redo log election by SCN
 

@@ -126,10 +126,18 @@ def streaming_dedup(
     ttl_ms bounds state for UNBOUNDED streams: a hash idle longer than
     the TTL is evicted (processing-time timeout), trading perfect
     history for O(active window) state — the dedup horizon every
-    infinite-crawl pipeline eventually has to pick."""
+    infinite-crawl pipeline eventually has to pick.
+
+    The survivor column is always emitted as `text` regardless of
+    text_col (the state function and output schema are fixed); the
+    input column is aliased on the way in."""
     hashed = stream.withColumn("__h", F.xxhash64(F.col(text_col)))
     return (
-        hashed.select("__h", F.col("doc_id").cast("long").alias("doc_id"), text_col)
+        hashed.select(
+            "__h",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
         .groupBy("__h")
         .applyInPandasWithState(
             _make_dedup_fn(ttl_ms),
@@ -204,7 +212,7 @@ def run_profile_to_memory(
 # users, not history.
 
 SESSION_STATE_SCHEMA = (
-    "start_s DOUBLE, last_s DOUBLE, n_events LONG, sum_value DOUBLE"
+    "start_ms LONG, last_ms LONG, n_events LONG, sum_value DOUBLE"
 )
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
@@ -218,41 +226,48 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
 
 
 def _make_sessionize_fn(gap_s: float):
+    gap_ms = int(gap_s * 1000)
+
     def _sessionize(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
 
-        def emit(start_s, last_s, n, total):
+        def emit(start_ms, last_ms, n, total):
+            # tz-aware UTC so the Arrow round-trip is exact regardless
+            # of spark.sql.session.timeZone (naive values would be
+            # re-interpreted as session-local wall time)
             return pd.DataFrame(
                 {
                     "user_id": [int(user_id)],
-                    "session_start": [pd.Timestamp(start_s, unit="s")],
-                    "session_end": [pd.Timestamp(last_s, unit="s")],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms", tz="UTC")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms", tz="UTC")],
                     "n_events": [int(n)],
                     "sum_value": [float(total)],
                 }
             )
 
         if state.hasTimedOut:
-            start_s, last_s, n, total = state.get
+            start_ms, last_ms, n, total = state.get
             state.remove()
-            yield emit(start_s, last_s, n, total)
+            yield emit(start_ms, last_ms, n, total)
             return
 
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_ms")
         open_sess = state.get if state.exists else None
-        for ts, value in zip(rows["ts"], rows["value"]):
-            t = ts.timestamp()
+        for t, value in zip(rows["ts_ms"], rows["value"]):
+            t = int(t)
             v = float(value) if value is not None else 0.0
             if open_sess is None:
                 open_sess = (t, t, 1, v)
-            elif t - open_sess[1] > gap_s:
+            elif t - open_sess[1] > gap_ms:
                 yield emit(*open_sess)  # closed by a later in-key event
                 open_sess = (t, t, 1, v)
             else:
+                # a late in-gap event may land BEFORE the open session's
+                # start — take min so the bounds match the batch twin
                 open_sess = (
-                    open_sess[0],
+                    min(open_sess[0], t),
                     max(open_sess[1], t),
                     open_sess[2] + 1,
                     open_sess[3] + v,
@@ -260,8 +275,12 @@ def _make_sessionize_fn(gap_s: float):
         state.update(tuple(open_sess))
         # close when the WATERMARK passes last_ts + gap (event time,
         # late-data-safe — processing-time TTLs would close sessions
-        # during replay/backfill)
-        state.setTimeoutTimestamp(int((open_sess[1] + gap_s) * 1000))
+        # during replay/backfill). ts_ms is TRUE epoch millis computed
+        # Spark-side: the naive pandas timestamps Spark hands over are
+        # already shifted to the session timezone, so round-tripping
+        # them through .timestamp() would skew this by the zone offset
+        # (under west-of-UTC zones, below the watermark → query failure).
+        state.setTimeoutTimestamp(open_sess[1] + gap_ms)
 
     return _sessionize
 
@@ -274,6 +293,7 @@ def streaming_sessionize(
     return (
         stream.select("user_id", "ts", "value")
         .withWatermark("ts", watermark)
+        .withColumn("ts_ms", F.unix_millis("ts"))
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_sessionize_fn(gap_s),
