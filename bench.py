@@ -90,7 +90,13 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — warmup failure must not kill the run
         pass
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # runs=5 (round-7 protocol): round-6's headline sat inside a ±20%
+    # machine-noise band at runs=3; 5 samples tighten the median enough
+    # that a real regression separates from noise. Per-query spread
+    # (max-min of the timed samples) is committed in BENCH_DETAIL.json;
+    # the stdout line carries only the spread totals to stay inside the
+    # driver's 2000-char tail window.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     only = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
     if only:
         global BENCH_QUERIES
@@ -190,6 +196,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": runs,
+        "spread_total": round(sum(spreads.values()), 3),
+        "spread_max": round(max(spreads.values()), 3) if spreads else 0.0,
     }
     if errors:
         out["nerrors"] = len(errors)

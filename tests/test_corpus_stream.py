@@ -206,6 +206,52 @@ def test_streaming_cms_matches_batch_and_compacts(spark, tmp_path, docs):
     assert after == want
 
 
+def test_neardup_sig_store_join_no_exchange_on_store(spark):
+    """The per-batch gate join must NOT re-shuffle the signature store:
+    with the store bucketed by band_key, the only Exchange in the plan
+    belongs to the arriving batch's (tiny) signature side — the store
+    scans its buckets in place."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.streaming.corpus import (
+        SIG_BUCKETS,
+        _band_keys,
+        candidate_store_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon tok{i} zeta eta theta iota kappa") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    table = "t_neardup_sigs_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        _band_keys(docs).withColumn("batch_id", F.lit(0))
+        .write.mode("append").partitionBy("batch_id")
+        .bucketBy(SIG_BUCKETS, "band_key").sortBy("band_key")
+        .format("parquet").saveAsTable(table)
+    )
+    store = spark.table(table).where(F.col("batch_id") != 1)
+    # pre-materialized batch side so the store is the ONLY other input:
+    # any Exchange beyond the batch side's single one would be a store
+    # re-shuffle regression
+    batch_sigs = spark.createDataFrame(
+        [(100, 1), (101, 2)], "doc_id long, band_key long"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            candidate_store_join(batch_sigs, store)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange") == 1
+
+
 def test_ingest_neardup_stream_gates_lsh_hits(spark, tmp_path):
     """Ingest-time near-dup gate: batch-2 documents that are light
     edits of kept batch-1 documents (high shingle Jaccard -> band

@@ -2448,6 +2448,52 @@ def test_mjpeg_mp4_demux_roundtrip_exact():
         sample_table(b"\x00" * 64)
 
 
+def test_fragmented_mp4_demux_roundtrip_exact():
+    """fMP4 (moof/traf/trun) demux: mux_mjpeg_fragmented → demux is
+    byte-exact across the spec's branch points — fragment size
+    patterns, explicit base_data_offset vs default-base-is-moof,
+    split truns, tfdt-present vs accumulated-duration timelines —
+    and the timeline matches the flat muxer's for the same fps."""
+    import itertools
+
+    import pytest
+
+    from transferdb_spark.ext.mp4 import (
+        decode_mjpeg_frames,
+        demux_samples,
+        mux_mjpeg_fragmented,
+        sample_table,
+    )
+
+    _, jpgs = _mjpeg_fixture_frames(7)
+    for pattern, explicit_base, two_truns, omit_tfdt in itertools.product(
+        ((1,), (2,), (3, 1)), (False, True), (False, True), (False, True)
+    ):
+        buf = mux_mjpeg_fragmented(
+            jpgs, fps=5, width=24, height=16, frag_pattern=pattern,
+            explicit_base=explicit_base, two_truns=two_truns,
+            omit_tfdt=omit_tfdt,
+        )
+        tag = (pattern, explicit_base, two_truns, omit_tfdt)
+        assert demux_samples(buf) == jpgs, tag
+        st = sample_table(buf)
+        assert st["fragmented"] is True, tag
+        assert st["codec"] == "jpeg"
+        assert st["times_ms"] == [i * 200 for i in range(7)], tag
+
+    # frame decode rides the same path as flat MP4s
+    buf = mux_mjpeg_fragmented(jpgs, fps=5, width=24, height=16)
+    assert len(decode_mjpeg_frames(buf, every=2)) == 4
+
+    # torn fragments fail loudly, and an init segment with no moof at
+    # all is an error, not an empty table
+    with pytest.raises(ValueError):
+        demux_samples(buf[: len(buf) // 2])
+    init_only = buf[: buf.find(b"moof") - 4]
+    with pytest.raises(ValueError):
+        sample_table(init_only)
+
+
 def test_mjpeg_mp4_frames_decode_via_repo_jpeg():
     """decode_mjpeg_frames returns real pixel arrays close to the
     encoder inputs (JPEG-lossy tolerance); stride/max_frames subsample
@@ -2891,6 +2937,41 @@ def test_funnel_first_touch_semantics(spark, tmp_path, monkeypatch):
     assert out[2]["n_users"] == 2      # u2 excluded (click before signup)
     assert out[3]["n_users"] == 1      # u3 outside 72h
     assert out[3]["conversion"] == round(1 / 3, 6) or abs(out[3]["conversion"] - 1/3) < 1e-6
+
+
+def test_funnel_parameterized_steps_match_generated_oracle(spark, sf_dir):
+    """The saved-workload relation parameterizes BOTH sides: a custom
+    4-step funnel (view -> signup -> click -> purchase, 48 h bound)
+    run through the generic Spark operator must match the DuckDB SQL
+    generated from the same step list."""
+    import duckdb
+
+    from transferdb_spark.operators.funnel import (
+        funnel_conversion_steps,
+        funnel_sql_from_steps,
+        steps_relation,
+    )
+    from transferdb_spark.sources.registry import load_table
+
+    steps = ["view", "signup", "click", "purchase"]
+    within = 48 * 3600
+    ev = load_table(spark, sf_dir, "events")
+    got = (
+        funnel_conversion_steps(ev, steps_relation(spark, steps), within_s=within)
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(funnel_sql_from_steps(steps, within)).df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["event_type"].tolist()[-1] == "purchase_48h"
+    assert got["n_users"].tolist() == want["n_users"].tolist()
+    assert [round(x, 6) for x in got["conversion"]] == [
+        round(x, 6) for x in want["conversion"]
+    ]
 
 
 def test_session_edge_cases_asof_rm3_kl(spark):

@@ -73,7 +73,19 @@ def _sample_table(buf: bytes, kind: str) -> dict:
         sb = _find(buf, mi[0], mi[1], b"stbl") if mi else None
         if sb is None:
             raise ValueError("track missing stbl")
-        return _parse_stbl(buf, sb[0], sb[1], timescale)
+        st = _parse_stbl(buf, sb[0], sb[1], timescale)
+        if st.get("fragmented"):
+            # fMP4/DASH: the samples live in moof+mdat fragments, not
+            # the (empty) moov sample table — walk them
+            tk = _find(buf, ts, te, b"tkhd")
+            if tk is None:
+                raise ValueError("fragmented track missing tkhd")
+            tk_ver = buf[tk[0]]
+            track_id = struct.unpack_from(
+                ">I", buf, tk[0] + 4 + (16 if tk_ver == 1 else 8)
+            )[0]
+            return _parse_fragments(buf, moov, track_id, st)
+        return st
     raise ValueError(f"no {kind} track")
 
 
@@ -107,8 +119,14 @@ def _parse_stbl(buf: bytes, s: int, e: int, timescale: int) -> dict:
             for i in range(n):
                 cnt, delta = struct.unpack_from(">II", buf, bs + 8 + 8 * i)
                 stts.append((cnt, delta))
-    if codec is None or not sizes or not chunk_offsets or not stsc:
-        raise ValueError("incomplete sample table (stsd/stsz/stsc/stco)")
+    if codec is None:
+        raise ValueError("incomplete sample table (stsd)")
+    if not sizes and not chunk_offsets and not stsc:
+        # valid fMP4 init segment: stsd present, zero-entry stsz/stsc/
+        # stco — the caller walks moof fragments instead
+        return {"codec": codec, "timescale": timescale, "fragmented": True}
+    if not sizes or not chunk_offsets or not stsc:
+        raise ValueError("incomplete sample table (stsz/stsc/stco)")
 
     # expand stsc runs: entry i applies from first_chunk_i (1-based)
     # up to (exclusive) first_chunk_{i+1}
@@ -145,6 +163,130 @@ def _parse_stbl(buf: bytes, s: int, e: int, timescale: int) -> dict:
         "offsets": offsets,
         "sizes": sizes,
         "times_ms": times_ms,
+    }
+
+
+# trun flags (14496-12 §8.8.8)
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_FLAGS = 0x000004
+_TRUN_SAMPLE_DUR = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTO = 0x000800
+# tfhd flags (§8.8.7)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SDI = 0x000002
+_TFHD_DEFAULT_DUR = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+
+
+def _parse_fragments(buf: bytes, moov: tuple[int, int], track_id: int, st: dict) -> dict:
+    """Fragmented-MP4 (DASH/CMAF) sample table: samples come from
+    moof/traf/trun runs instead of moov's stbl. Per 14496-12 §8.8:
+    trex supplies track-wide defaults, tfhd per-fragment defaults and
+    the data base (explicit base_data_offset or default-base-is-moof),
+    tfdt the decode-time base, and each trun a run of (duration, size)
+    samples at a data offset relative to the base."""
+    timescale = st["timescale"]
+    trex_dur = trex_size = 0
+    mvex = _find(buf, *moov, b"mvex")
+    if mvex is not None:
+        for t, bs, be in _boxes(buf, *mvex):
+            if t == b"trex":
+                tid, _sdi, ddur, dsize, _dfl = struct.unpack_from(">IIIII", buf, bs + 4)
+                if tid == track_id:
+                    trex_dur, trex_size = ddur, dsize
+
+    offsets: list[int] = []
+    sizes: list[int] = []
+    times_ms: list[int] = []
+    t_units = 0
+    for t, ps, pe in _boxes(buf, 0, len(buf)):
+        if t != b"moof":
+            continue
+        moof_start = ps - 8  # standard 8-byte header (moof never needs largesize)
+        for tt, ts_, te_ in _boxes(buf, ps, pe):
+            if tt != b"traf":
+                continue
+            th = _find(buf, ts_, te_, b"tfhd")
+            if th is None:
+                raise ValueError("traf missing tfhd")
+            tf_flags = int.from_bytes(buf[th[0] + 1 : th[0] + 4], "big")
+            pos = th[0] + 4
+            tid = struct.unpack_from(">I", buf, pos)[0]
+            pos += 4
+            if tid != track_id:
+                continue
+            base = None
+            if tf_flags & _TFHD_BASE_DATA_OFFSET:
+                base = struct.unpack_from(">Q", buf, pos)[0]
+                pos += 8
+            if tf_flags & _TFHD_SDI:
+                pos += 4
+            frag_dur = trex_dur
+            frag_size = trex_size
+            if tf_flags & _TFHD_DEFAULT_DUR:
+                frag_dur = struct.unpack_from(">I", buf, pos)[0]
+                pos += 4
+            if tf_flags & _TFHD_DEFAULT_SIZE:
+                frag_size = struct.unpack_from(">I", buf, pos)[0]
+                pos += 4
+            if base is None:
+                # default-base-is-moof, and the same anchor for the
+                # first traf when neither flag is set (§8.8.7 note)
+                base = moof_start
+            td = _find(buf, ts_, te_, b"tfdt")
+            if td is not None:
+                ver = buf[td[0]]
+                t_units = (
+                    struct.unpack_from(">Q", buf, td[0] + 4)[0]
+                    if ver == 1
+                    else struct.unpack_from(">I", buf, td[0] + 4)[0]
+                )
+            for bt, bs, be in _boxes(buf, ts_, te_):
+                if bt != b"trun":
+                    continue
+                tr_flags = int.from_bytes(buf[bs + 1 : bs + 4], "big")
+                n = struct.unpack_from(">I", buf, bs + 4)[0]
+                p = bs + 8
+                data_pos = base
+                if tr_flags & _TRUN_DATA_OFFSET:
+                    (doff,) = struct.unpack_from(">i", buf, p)
+                    p += 4
+                    data_pos = base + doff
+                if tr_flags & _TRUN_FIRST_FLAGS:
+                    p += 4
+                for _ in range(n):
+                    dur = frag_dur
+                    size = frag_size
+                    if tr_flags & _TRUN_SAMPLE_DUR:
+                        dur = struct.unpack_from(">I", buf, p)[0]
+                        p += 4
+                    if tr_flags & _TRUN_SAMPLE_SIZE:
+                        size = struct.unpack_from(">I", buf, p)[0]
+                        p += 4
+                    if tr_flags & _TRUN_SAMPLE_FLAGS:
+                        p += 4
+                    if tr_flags & _TRUN_SAMPLE_CTO:
+                        p += 4
+                    if size == 0:
+                        raise ValueError("fragment sample with no size (trun/tfhd/trex)")
+                    offsets.append(data_pos)
+                    sizes.append(size)
+                    times_ms.append(t_units * 1000 // max(timescale, 1))
+                    data_pos += size
+                    t_units += dur
+    if not sizes:
+        raise ValueError(f"fragmented track {track_id}: no moof samples")
+    return {
+        "codec": st["codec"],
+        "timescale": timescale,
+        "offsets": offsets,
+        "sizes": sizes,
+        "times_ms": times_ms,
+        "fragmented": True,
     }
 
 
@@ -326,6 +468,129 @@ def mux_mjpeg(
     mvhd = _box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale, dur) + bytes(76))
     moov = _box(b"moov", mvhd + trak)
     return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def mux_mjpeg_fragmented(
+    frames: list[bytes],
+    fps: int = 10,
+    width: int = 0,
+    height: int = 0,
+    frag_pattern: tuple[int, ...] = (2,),
+    explicit_base: bool = False,
+    two_truns: bool = False,
+    omit_tfdt: bool = False,
+) -> bytes:
+    """Fragmented-MP4 (DASH/CMAF-style) encoder twin: an init segment
+    (moov with EMPTY sample tables + mvex/trex) followed by
+    moof+mdat fragment pairs — the shape real crawl video arrives in.
+    Differential fixture for _parse_fragments; knobs cover the spec's
+    branch points: ``explicit_base`` switches tfhd from
+    default-base-is-moof to an absolute base_data_offset,
+    ``two_truns`` splits a fragment's run in two, ``omit_tfdt``
+    forces the accumulated-duration timeline."""
+    if not frames:
+        raise ValueError("no frames")
+    timescale = 1000
+    delta = timescale // max(fps, 1)
+
+    groups: list[list[bytes]] = []
+    i = 0
+    pi = 0
+    while i < len(frames):
+        n = max(frag_pattern[pi % len(frag_pattern)], 1)
+        groups.append(frames[i : i + n])
+        i += n
+        pi += 1
+
+    # init segment: moov whose stbl is valid but EMPTY (stsd only has
+    # entries), plus mvex/trex carrying the track defaults
+    entry = (
+        struct.pack(">I", 86)
+        + b"jpeg"
+        + bytes(6)
+        + struct.pack(">H", 1)
+        + bytes(16)
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + bytes(4)
+        + struct.pack(">H", 1)
+        + bytes(32)
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stsz = _box(b"stsz", bytes(4) + struct.pack(">II", 0, 0))
+    stsc = _box(b"stsc", bytes(4) + struct.pack(">I", 0))
+    stco = _box(b"stco", bytes(4) + struct.pack(">I", 0))
+    stts = _box(b"stts", bytes(4) + struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(b"dinf", _box(b"dref", bytes(4) + struct.pack(">I", 1)
+                              + _box(b"url ", b"\x00\x00\x00\x01")))
+    vmhd = _box(b"vmhd", b"\x00\x00\x00\x01" + bytes(8))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    dur = len(frames) * delta
+    mdhd = _box(b"mdhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale, dur) + bytes(4))
+    hdlr = _box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"MJPEG\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + bytes(52)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _box(b"trex", bytes(4) + struct.pack(">IIIII", 1, 1, 0, 0, 0))
+    mvex = _box(b"mvex", trex)
+    mvhd = _box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale, dur) + bytes(76))
+    moov = _box(b"moov", mvhd + trak + mvex)
+    ftyp = _box(b"ftyp", b"iso5" + bytes(4) + b"iso5dash")
+    out = bytearray(ftyp + moov)
+
+    def build_moof(seq: int, sizes: list[int], t_base: int,
+                   doff: int, base_value: int) -> bytes:
+        mfhd = _box(b"mfhd", bytes(4) + struct.pack(">I", seq))
+        tf_flags = _TFHD_DEFAULT_DUR | (
+            _TFHD_BASE_DATA_OFFSET if explicit_base else _TFHD_DEFAULT_BASE_IS_MOOF
+        )
+        pl = bytes(1) + tf_flags.to_bytes(3, "big") + struct.pack(">I", 1)
+        if explicit_base:
+            pl += struct.pack(">Q", base_value)
+        pl += struct.pack(">I", delta)
+        tfhd = _box(b"tfhd", pl)
+        tfdt = b"" if omit_tfdt else _box(
+            b"tfdt", bytes(4) + struct.pack(">I", t_base)
+        )
+        tr_flags = _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE
+
+        def trun(szs: list[int], off: int) -> bytes:
+            p = (bytes(1) + tr_flags.to_bytes(3, "big")
+                 + struct.pack(">I", len(szs)) + struct.pack(">i", off))
+            for sz in szs:
+                p += struct.pack(">I", sz)
+            return _box(b"trun", p)
+
+        if two_truns and len(sizes) > 1:
+            k = len(sizes) // 2
+            truns = trun(sizes[:k], doff) + trun(sizes[k:], doff + sum(sizes[:k]))
+        else:
+            truns = trun(sizes, doff)
+        return _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + truns))
+
+    t_base = 0
+    for seq, g in enumerate(groups, start=1):
+        sizes = [len(f) for f in g]
+        probe = build_moof(seq, sizes, t_base, 0, 0)
+        moof_start = len(out)
+        if explicit_base:
+            base_value = moof_start + len(probe) + 8  # abs mdat payload
+            doff = 0
+        else:
+            base_value = 0
+            doff = len(probe) + 8  # relative to moof start
+        out += build_moof(seq, sizes, t_base, doff, base_value)
+        out += _box(b"mdat", b"".join(g))
+        t_base += len(g) * delta
+    return bytes(out)
 
 
 def transcode_mjpeg(

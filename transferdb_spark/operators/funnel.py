@@ -1,0 +1,155 @@
+"""Parameterized funnel analysis — ordered step chains over an event
+stream, driven by a saved-workload relation instead of hardcoded step
+names.
+
+The reference has no event-analytics operators at all; this is part of
+the engine's product-analytics extension (funnel/cohort family in
+__spark_entry__). The round-6 version hardcoded signup→click→purchase;
+here the step list is DATA: a (step, event_type) relation — saved
+alongside other workload definitions — parameterizes both the Spark
+plan AND the DuckDB oracle text, which is generated from the same
+relation so the two can never drift.
+
+Scale shape (unchanged from the audited r6 plan): per-step filtered
+min-aggregations chained by per-user joins — shuffles key on user_id,
+per-user relations are NOT broadcast (they scale with users; AQE may
+still broadcast a genuinely small one at runtime), and the final
+counts are single-row aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_STEPS = ["signup", "click", "purchase"]
+DEFAULT_WITHIN_S = 72 * 3600
+
+
+def steps_relation(spark: SparkSession, steps: list[str]) -> DataFrame:
+    """The saved-workload relation: (step, event_type), 1-based."""
+    return spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, event_type string"
+    )
+
+
+def steps_from_relation(steps_df: DataFrame) -> list[str]:
+    """Parameter-table read: O(steps) driver rows, the one collect a
+    plan-building parameter table legitimately needs."""
+    return [r["event_type"] for r in steps_df.orderBy("step").collect()]
+
+
+def _last_label(steps: list[str], within_s: int | None) -> str:
+    if within_s is None:
+        return steps[-1]
+    return f"{steps[-1]}_{within_s // 3600}h"
+
+
+def funnel_conversion_steps(
+    ev: DataFrame,
+    steps_df: DataFrame,
+    within_s: int | None = DEFAULT_WITHIN_S,
+) -> DataFrame:
+    """First-touch funnel for an arbitrary step list: step i is each
+    user's EARLIEST steps[i] event at-or-after their step i-1 time;
+    the final step is bounded to within_s seconds of step 1 (None =
+    unbounded). Returns (step, event_type, n_users, conversion)."""
+    from transferdb_spark.functions.canonical import stable_round
+
+    steps = steps_from_relation(steps_df)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+
+    stages: list[DataFrame] = []
+    s = (
+        ev.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    stages.append(s)
+    for i, ev_type in enumerate(steps[1:], start=2):
+        prev_t = f"t{i - 1}"
+        s = (
+            ev.where(F.col("event_type") == ev_type)
+            .join(stages[-1], "user_id")
+            .where(F.col("ts") >= F.col(prev_t))
+            .groupBy("user_id", "t1", *[f"t{j}" for j in range(2, i)])
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        if i == len(steps) and within_s is not None:
+            s = s.where(
+                F.col(f"t{i}").cast("double") - F.col("t1").cast("double")
+                <= F.lit(float(within_s))
+            )
+        stages.append(s)
+
+    labels = steps[:-1] + [_last_label(steps, within_s)]
+    counts = [
+        st.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(i + 1).alias("step"), F.lit(labels[i]).alias("event_type"), "n"
+        )
+        for i, st in enumerate(stages)
+    ]
+    funnel = counts[0]
+    for c in counts[1:]:
+        funnel = funnel.unionByName(c)
+    base = stages[0].agg(F.count(F.lit(1)).alias("base"))
+    return (
+        funnel.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "event_type",
+            F.col("n").cast("long").alias("n_users"),
+            stable_round(
+                F.col("n").cast("double") / F.col("base").cast("double"), 6
+            ).alias("conversion"),
+        )
+        .orderBy("step")
+    )
+
+
+def funnel_sql_from_steps(
+    steps: list[str], within_s: int | None = DEFAULT_WITHIN_S
+) -> str:
+    """The DuckDB oracle, GENERATED from the same step list the Spark
+    plan consumes — cross-engine parity by construction."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    ctes = [
+        "s1 AS (\n"
+        f"  SELECT user_id, MIN(ts) AS t1 FROM events"
+        f" WHERE event_type = '{steps[0]}' GROUP BY 1\n)"
+    ]
+    for i, ev_type in enumerate(steps[1:], start=2):
+        prev = i - 1
+        having = ""
+        if i == len(steps) and within_s is not None:
+            having = (
+                f"\n  HAVING epoch(MIN(e.ts)) - epoch(t1) <= {float(within_s)}"
+            )
+        ctes.append(
+            f"s{i} AS (\n"
+            f"  SELECT e.user_id, s{prev}.t1, MIN(e.ts) AS t{i}\n"
+            f"  FROM events e JOIN s{prev} ON e.user_id = s{prev}.user_id\n"
+            f"  WHERE e.event_type = '{ev_type}' AND e.ts >= s{prev}.t{prev}\n"
+            f"  GROUP BY 1, 2{having}\n)"
+        )
+    labels = steps[:-1] + [_last_label(steps, within_s)]
+    arms = [
+        f"  SELECT {i + 1} AS step, '{labels[i]}' AS event_type,"
+        f" COUNT(*) AS n FROM s{i + 1}"
+        for i in range(len(steps))
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + ",\nfunnel AS (\n"
+        + "\n  UNION ALL\n".join(arms)
+        + "\n),\nbase AS (SELECT COUNT(*) AS base FROM s1)\n"
+        "SELECT step, event_type,\n"
+        "       CAST(n AS BIGINT) AS n_users,\n"
+        "       (floor(CAST(n AS DOUBLE) / CAST(base AS DOUBLE)"
+        " * 1000000.0 + 0.5) / 1000000.0) AS conversion\n"
+        "FROM funnel CROSS JOIN base\n"
+        "ORDER BY step"
+    )

@@ -214,12 +214,48 @@ def _band_sigs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) — the banding above with (band_idx,
+    band_hash) fused into ONE join key. A single key is what lets the
+    signature store be bucketed by it: Spark only elides the
+    store-side Exchange when the bucket spec covers ALL join keys
+    (spark.sql.requireAllClusterKeysForCoPartition), so a two-column
+    join would re-shuffle the store every batch."""
+    return _band_sigs(docs).select(
+        "doc_id", F.xxhash64("band_idx", "band_hash").alias("band_key")
+    )
+
+
+SIG_BUCKETS = 16
+
+
+def _sig_table_name(target_dir: str) -> str:
+    import hashlib
+
+    return "neardup_sigs_" + hashlib.md5(target_dir.encode()).hexdigest()[:10]
+
+
+def candidate_store_join(sigs: DataFrame, store: DataFrame) -> DataFrame:
+    """doc_ids of batch docs colliding with the kept-signature store.
+
+    Extracted so the plan is pinnable by test: with the store bucketed
+    by band_key, the store side scans its buckets in place (Bucketed:
+    true, no Exchange) and only the small per-batch side shuffles."""
+    return (
+        sigs.alias("n")
+        .join(store.alias("s"), F.col("n.band_key") == F.col("s.band_key"))
+        .select(F.col("n.doc_id").alias("doc_id"))
+    )
+
+
 def ingest_neardup_stream(
     spark: SparkSession,
     source_dir: str,
     target_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    sig_table: str | None = None,
+    sig_buckets: int = SIG_BUCKETS,
 ):
     """Documents stream → LSH near-dup gate → survivor landing.
 
@@ -227,46 +263,41 @@ def ingest_neardup_stream(
     joined against (a) the signature STORE of all previously-kept docs
     and (b) the batch itself (min-doc_id wins within a band cluster);
     hits are suppressed, survivors land in docs/batch_id=N and their
-    signatures append to sigs/batch_id=N — both idempotent partition
-    overwrites, so a replayed batch lands identically (its signatures
-    are excluded from its own store read by construction: the store
-    filter drops the replaying batch's partition).
+    signatures append to the store partition batch_id=N. Replay safety:
+    a redelivered batch first DROPs its own store partition (and is
+    excluded from its own store read), so it lands identically.
 
-    Scale: the store join is keyed on (band_idx, band_hash) — the same
-    shuffle the batch LSH pays — and the store is append-only parquet;
-    a production deployment would swap it for a key-partitioned table
-    format or state store, which changes the sink, not the gate."""
+    Scale: the store is a BUCKETED table keyed by band_key — the join
+    that gates every batch reads the store's buckets in place with NO
+    Exchange on the store relation (pinned by test); only the arriving
+    batch's signatures shuffle, so per-batch cost is O(batch), not
+    O(store). The store grows with kept docs × bands; bucket count
+    should be sized so each bucket file stays in the hundreds of MB at
+    target scale (a table format with bucket transforms would replace
+    the DROP-PARTITION dance with an atomic commit, changing the sink,
+    not the gate)."""
     schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
     docs_dir = os.path.join(target_dir, "docs")
-    sigs_dir = os.path.join(target_dir, "sigs")
+    table = sig_table or _sig_table_name(target_dir)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        sigs = _band_sigs(batch).persist()
+        sigs = _band_keys(batch).persist()
         try:
             drop = None
-            if os.path.isdir(sigs_dir):
-                store = spark.read.parquet(sigs_dir).where(
+            if spark.catalog.tableExists(table):
+                store = spark.table(table).where(
                     F.col("batch_id") != batch_id  # replay safety
                 )
-                drop = (
-                    sigs.alias("n")
-                    .join(
-                        store.alias("s"),
-                        (F.col("n.band_idx") == F.col("s.band_idx"))
-                        & (F.col("n.band_hash") == F.col("s.band_hash")),
-                    )
-                    .select(F.col("n.doc_id").alias("doc_id"))
-                )
+                drop = candidate_store_join(sigs, store)
             within = (
                 sigs.alias("a")
                 .join(
                     sigs.alias("b"),
-                    (F.col("a.band_idx") == F.col("b.band_idx"))
-                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    (F.col("a.band_key") == F.col("b.band_key"))
                     & (F.col("a.doc_id") > F.col("b.doc_id")),
                 )
                 .select(F.col("a.doc_id").alias("doc_id"))
@@ -278,11 +309,21 @@ def ingest_neardup_stream(
             ).partitionBy("batch_id").option(
                 "partitionOverwriteMode", "dynamic"
             ).parquet(docs_dir)
-            sigs.join(kept.select("doc_id"), "doc_id").withColumn(
+            kept_sigs = sigs.join(kept.select("doc_id"), "doc_id").withColumn(
                 "batch_id", F.lit(batch_id)
-            ).write.mode("overwrite").partitionBy("batch_id").option(
-                "partitionOverwriteMode", "dynamic"
-            ).parquet(sigs_dir)
+            )
+            if spark.catalog.tableExists(table):
+                spark.sql(
+                    f"ALTER TABLE {table} DROP IF EXISTS PARTITION (batch_id={batch_id})"
+                )
+            (
+                kept_sigs.write.mode("append")
+                .partitionBy("batch_id")
+                .bucketBy(sig_buckets, "band_key")
+                .sortBy("band_key")
+                .format("parquet")
+                .saveAsTable(table)
+            )
         finally:
             sigs.unpersist()
 
