@@ -1663,6 +1663,28 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def ngram_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition battery (Rae et al. 2021 §A1.1): per
+    doc, the char fraction covered by the top {2,3,4}-gram and by all
+    duplicated {5..10}-grams — the n-gram rungs the token-level
+    repetition_ratio doesn't cover. One combined gram explode (single
+    shuffle keyed doc/n/gram) + one window top-1 per (doc, n)."""
+    from transferdb_spark.ext.text import ngram_repetition
+
+    return ngram_repetition(_t(spark, sf_dir, "documents"))
+
+
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style phrase detection (Mikolov et al. 2013): adjacent
+    token pairs ranked by PMI. log is monotone, so the ranking uses the
+    integer-quantized ratio count(ab)·N/(count(a)·count(b)) — exact in
+    both engines (ext/text.pmi_collocations). Broadcast unigram joins;
+    two map-side-combined groupBys."""
+    from transferdb_spark.ext.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality rule battery (Rae et al. 2021):
     word-count/word-length bounds, symbol ratio, bullet/ellipsis line
@@ -1676,6 +1698,18 @@ def _repetition_sql() -> str:
     from transferdb_spark.ext.text import REPETITION_SQL
 
     return REPETITION_SQL
+
+
+def _ngram_repetition_sql() -> str:
+    from transferdb_spark.ext.text import ngram_repetition_sql
+
+    return ngram_repetition_sql()
+
+
+def _pmi_collocations_sql() -> str:
+    from transferdb_spark.ext.text import pmi_collocations_sql
+
+    return pmi_collocations_sql()
 
 
 def _gopher_quality_sql() -> str:
@@ -2714,6 +2748,57 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event journeys — the
+    funnel/cohort family's third member: P(next event type | current),
+    from consecutive (ts, event_id)-ordered events within each user.
+    One lead window partitioned by user (the shuffle keys on user_id,
+    same as sessionize), then a (src, dst) count and a per-src
+    normalizer. Returns (src, dst, n, prob)."""
+    from pyspark.sql.window import Window
+
+    from transferdb_spark.functions.canonical import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = Window.partitionBy("src")
+    return (
+        pairs.select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            stable_round(
+                F.col("n").cast("double") / F.sum("n").over(totals).cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+       (floor(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0) AS prob
+FROM counts
+ORDER BY src, dst
+"""
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-family batch equivalent — tumbling 1h window aggregation."""
     ev = _t(spark, sf_dir, "events")
@@ -2849,6 +2934,20 @@ def bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.bpe import encoded_length_histogram
 
     return encoded_length_histogram(_t(spark, sf_dir, "documents"), n_merges=5)
+
+
+def wordpiece_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece trainer (Schuster & Nakajima 2012, the BERT
+    tokenizer) — the third tokenizer rung next to BPE and unigram-LM:
+    merges the pair with the highest likelihood gain
+    count(lr)/(count(l)*count(r)) over the current segmentation, with
+    ##-continuation prefixes. The score argmax uses integer-quantized
+    floor division so the unrolled-CTE DuckDB oracle replays training
+    EXACTLY (ext/wordpiece.py; same discipline as bpe_train_merges).
+    Returns (rank, left, right, freq, score_q)."""
+    from transferdb_spark.ext.wordpiece import train_wordpiece_df
+
+    return train_wordpiece_df(_t(spark, sf_dir, "documents"), n_merges=5)
 
 
 def unigram_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5046,6 +5145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_purchase": asof_next_purchase,
         "funnel_conversion": funnel_conversion,
         "cohort_retention": cohort_retention,
+        "event_transitions": event_transitions,
         "assess_schema_overview": assess_schema_overview,
         "assess_topn": assess_topn,
         "range_join_windows": range_join_windows,
@@ -5069,8 +5169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "assess_column_profile": assess_column_profile,
         "bpe_train_merges": bpe_train_merges,
+        "wordpiece_train": wordpiece_train_q,
         "pii_redaction": pii_redaction,
         "repetition_ratio": repetition_ratio,
+        "ngram_repetition": ngram_repetition_q,
+        "pmi_collocations": pmi_collocations_q,
         "domain_mix_sample": domain_mix_sample,
         "rrf_fusion_topk": rrf_fusion_topk_q,
         "deterministic_sample": deterministic_sample,
@@ -5287,6 +5390,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_cube": CUBE_SQL,
         "text_bpe_tokens": _bpe_token_sql(),
         "bpe_train_merges": _bpe_train_merges_sql(),
+        "wordpiece_train": _wordpiece_train_sql(),
         "bpe_encoded_lengths": _bpe_encoded_lengths_sql(),
         "catalog_columns": CATALOG_COLUMNS_SQL,
         "assess_width_audit": WIDTH_AUDIT_SQL,
@@ -5320,6 +5424,9 @@ def oracle_sql() -> dict[str, str]:
         "rank_family": RANK_FAMILY_SQL,
         "pii_redaction": _pii_redaction_sql(),
         "repetition_ratio": _repetition_sql(),
+        "ngram_repetition": _ngram_repetition_sql(),
+        "pmi_collocations": _pmi_collocations_sql(),
+        "event_transitions": EVENT_TRANSITIONS_SQL,
         "gopher_quality_rules": _gopher_quality_sql(),
         "domain_mix_sample": _domain_mix_sql(),
         **_ext_oracle_sql(),
@@ -5346,6 +5453,16 @@ def _bpe_train_merges_sql() -> str:
     from transferdb_spark.ext.bpe import train_merges_sql
 
     return train_merges_sql(n_merges=5)
+
+
+def _wordpiece_train_sql() -> str:
+    # WordPiece's likelihood-gain argmax replayed with the SAME
+    # integer-quantized score as the Spark trainer — floor division is
+    # bit-identical across engines, so this oracles what unigram_vocab
+    # (transcendental EM scores) legitimately cannot
+    from transferdb_spark.ext.wordpiece import train_wordpiece_sql
+
+    return train_wordpiece_sql(n_merges=5)
 
 
 def _split_leakage_sql() -> str:

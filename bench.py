@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "asof_nearest_purchase",
     "funnel_conversion",
     "cohort_retention",
+    "event_transitions",
+    "ngram_repetition",
+    "pmi_collocations",
+    "wordpiece_train",
     "embedding_covariance",
     "decontam_against_eval",
     "assess_storage_size",

@@ -2939,6 +2939,117 @@ def test_funnel_first_touch_semantics(spark, tmp_path, monkeypatch):
     assert out[3]["conversion"] == round(1 / 3, 6) or abs(out[3]["conversion"] - 1/3) < 1e-6
 
 
+def test_ngram_repetition_short_docs_and_known_values(spark):
+    """Gopher n-gram battery edge: a doc too short for ANY n-gram
+    still emits a row of zeros (both engines — the oracle LEFT JOINs);
+    a constructed doc's top-2-gram and dup-5-gram fractions match
+    hand-computed values."""
+    import duckdb
+
+    from transferdb_spark.ext.text import ngram_repetition, ngram_repetition_sql
+
+    rows = [
+        (1, "x"),                                   # 1 token: no grams at all
+        (2, "a b a b a b c"),                       # top 2-gram 'a b' x3
+        (3, "p q r s t p q r s t p q r s t"),       # dup 5-gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in ngram_repetition(docs).collect()}
+
+    assert got[1]["rep_top2"] == 0.0 and got[1]["rep_dup10"] == 0.0
+    # doc 2: total chars = 13; 'a b' occurs 3x, len 3 -> 9/13
+    assert got[2]["rep_top2"] == round(9 / 13, 5)
+    # doc 3: duplicated 5-grams are 'p q r s t' x3 plus its four
+    # rotations x2 each, all len 9 -> (3 + 4*2) * 9 = 99 chars / 29
+    assert got[3]["rep_dup5"] == round(99 / 29, 5)
+
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]))
+    want = con.execute(ngram_repetition_sql()).df()
+    import pandas as pd
+
+    gdf = pd.DataFrame([got[k] for k in sorted(got)])
+    for c in want.columns:
+        assert list(gdf[c]) == list(want[c]), c
+
+
+def test_wordpiece_matches_pure_python_reference(spark, sf_dir):
+    """Distributed WordPiece trainer vs an independent pure-Python
+    implementation of the Schuster-Nakajima likelihood-gain loop on
+    the same corpus: identical merges, frequencies, and quantized
+    scores in order. Also pins the encoder's greedy longest-match."""
+    import re
+    from collections import Counter
+
+    from transferdb_spark.ext.wordpiece import (
+        SCORE_SCALE,
+        encode_wordpiece,
+        train_wordpiece,
+        wordpiece_vocab,
+    )
+    from transferdb_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    texts = [r["text"] for r in docs.collect()]
+
+    # reference: same whitespace tokenization as ext/text.TOKENS
+    wc = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip().lower()):
+            if w:
+                wc[w] += 1
+    words = {w: ([w[0]] + ["##" + c for c in w[1:]], c) for w, c in wc.items()}
+
+    def ref_train(n_merges, min_freq):
+        out = []
+        for _ in range(n_merges):
+            pair_f = Counter()
+            sym_f = Counter()
+            for syms, c in words.values():
+                for s in syms:
+                    sym_f[s] += c
+                for a, b in zip(syms, syms[1:]):
+                    pair_f[(a, b)] += c
+            best = None
+            for (a, b), f in pair_f.items():
+                if f < min_freq:
+                    continue
+                sq = (f * SCORE_SCALE) // (sym_f[a] * sym_f[b])
+                k = (-sq, -f, a, b)
+                if best is None or k < best[0]:
+                    best = (k, a, b, f, sq)
+            if best is None:
+                break
+            _, a, b, f, sq = best
+            out.append((a, b, f, sq))
+            merged = a + (b[2:] if b.startswith("##") else b)
+            for w, (syms, c) in words.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        ns.append(merged)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                words[w] = (ns, c)
+        return out
+
+    want = ref_train(6, 2)
+    got = train_wordpiece(docs, n_merges=6, min_freq=2)
+    assert got == want
+
+    vocab = set(wordpiece_vocab(got)) | {
+        s for syms, _ in words.values() for s in syms
+    }
+    # greedy longest-match-first encoding round-trips a known word
+    some_word = next(iter(wc))
+    enc = encode_wordpiece(some_word, vocab)
+    assert "".join(p[2:] if p.startswith("##") else p for p in enc) == some_word
+    assert encode_wordpiece("☃☃", {"a"}) == ["[UNK]"]
+
+
 def test_funnel_parameterized_steps_match_generated_oracle(spark, sf_dir):
     """The saved-workload relation parameterizes BOTH sides: a custom
     4-step funnel (view -> signup -> click -> purchase, 48 h bound)

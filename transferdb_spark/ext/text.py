@@ -1253,3 +1253,208 @@ SELECT CAST(n AS BIGINT) AS n_terms,
        {stable_round_sql("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)", 6)} AS zipf_slope
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition battery (Rae et al. 2021, §A1.1): the
+# n-GRAM rungs of the repetition filters — repetition_stats above
+# covers the token-level pair. Per document:
+#   rep_top_n (n=2..4):  chars covered by ALL occurrences of the most
+#                        frequent n-gram / total chars
+#   rep_dup_n (n=5..10): chars covered by every n-gram that occurs
+#                        more than once (count x gram length, the
+#                        Dolma/NeMo-curator accounting) / total chars
+# One combined explode carries (n, gram) structs for all nine sizes —
+# a single shuffle keyed (doc_id, n, gram), then one window top-1 per
+# (doc_id, n) for the top rungs and a conditional sum for the dup
+# rungs. Ties: count DESC, gram ASC in both engines.
+
+_REP_NS = list(range(2, 11))
+
+
+def _rep_fold_expr(n: int) -> str:
+    """One n's (top_chars, dup_chars) as a NARROW fold: sort the gram
+    array, then a single aggregate() pass over runs of equal grams.
+    Per-doc metrics must never shuffle — the relational formulation
+    (groupBy doc/n/gram) ships ~9x the corpus token text through an
+    exchange, which measured 93 s at sf0.1 vs ~3 s for this plan.
+    Ties for the top gram: processing the SORTED array with a strict
+    `run > bestc` replacement keeps the lexicographically smallest
+    gram at equal counts — the same (cnt DESC, gram ASC) rule as the
+    DuckDB oracle's window."""
+    # Spark's sequence(1, 0) is DESCENDING [1, 0]; the filter guard is
+    # what makes short docs yield an empty gram list, not bad slices
+    grams = (
+        f"array_sort(transform(filter(sequence(1, size(t)),"
+        f" i -> i + {n} - 1 <= size(t)),"
+        f" i -> array_join(slice(t, i, {n}), ' ')))"
+    )
+    step = (
+        "(acc, g) -> IF(acc.prev IS NOT NULL AND g = acc.prev,"
+        " named_struct('prev', acc.prev, 'run', acc.run + 1L, 'dup', acc.dup,"
+        "              'bestc', acc.bestc, 'bestg', acc.bestg),"
+        " named_struct('prev', g, 'run', 1L,"
+        "  'dup', acc.dup + IF(acc.run > 1L, acc.run * length(acc.prev), 0L),"
+        "  'bestc', IF(acc.run > acc.bestc, acc.run, acc.bestc),"
+        "  'bestg', IF(acc.run > acc.bestc, acc.prev, acc.bestg)))"
+    )
+    fin = (
+        "acc -> named_struct("
+        " 'top', IF(acc.run > acc.bestc, acc.run * length(acc.prev),"
+        "           acc.bestc * length(acc.bestg)),"
+        " 'dup', acc.dup + IF(acc.run > 1L, acc.run * length(acc.prev), 0L))"
+    )
+    zero = (
+        "struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS dup,"
+        " 0L AS bestc, CAST(NULL AS STRING) AS bestg)"
+    )
+    return f"aggregate({grams}, {zero}, {step}, {fin})"
+
+
+def ngram_repetition(docs: DataFrame) -> DataFrame:
+    """(doc_id, rep_top2..4, rep_dup5..10) — all stable_round(5).
+    Zero-shuffle plan: every column is a per-row expression chain."""
+    base = docs.select(
+        "doc_id",
+        F.expr(TOKENS).alias("t"),
+        F.greatest(F.length(F.array_join(F.expr(TOKENS), " ")), F.lit(1))
+        .cast("double")
+        .alias("total_chars"),
+    )
+    cols = []
+    for n in _REP_NS:
+        field = "top" if n <= 4 else "dup"
+        name = f"rep_top{n}" if n <= 4 else f"rep_dup{n}"
+        cols.append(
+            stable_round(
+                F.coalesce(
+                    F.expr(f"{_rep_fold_expr(n)}.{field}"), F.lit(0)
+                ).cast("double")
+                / F.col("total_chars"),
+                5,
+            ).alias(name)
+        )
+    return base.select("doc_id", *cols).orderBy("doc_id")
+
+
+def ngram_repetition_sql() -> str:
+    cols = []
+    for n in _REP_NS:
+        src = "top_chars" if n <= 4 else "dup_chars"
+        name = f"rep_top{n}" if n <= 4 else f"rep_dup{n}"
+        cols.append(
+            stable_round_sql(
+                f"CAST(COALESCE(MAX(CASE WHEN p.n = {n} THEN p.{src} END), 0)"
+                " AS DOUBLE) / t.total_chars",
+                5,
+            )
+            + f" AS {name}"
+        )
+    col_sql = ",\n       ".join(cols)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t,
+         GREATEST(length(array_to_string(t, ' ')), 1) AS total_chars
+  FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)),
+grams AS (
+  SELECT doc_id, total_chars, gn.n AS n,
+         array_to_string(t[gi.i : gi.i + gn.n - 1], ' ') AS gram
+  FROM toks,
+       UNNEST(generate_series(2, 10)) AS gn(n),
+       UNNEST(generate_series(1, GREATEST(len(t) - gn.n + 1, 0))) AS gi(i)),
+counts AS (
+  SELECT doc_id, total_chars, n, gram, COUNT(*) AS cnt
+  FROM grams GROUP BY ALL),
+per_n AS (
+  SELECT doc_id, total_chars, n,
+         MAX(CASE WHEN rn = 1 THEN cnt * length(gram) END) AS top_chars,
+         SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                     ORDER BY cnt DESC, gram) AS rn
+        FROM counts)
+  GROUP BY ALL)
+SELECT t.doc_id,
+       {col_sql}
+FROM toks t LEFT JOIN per_n p ON t.doc_id = p.doc_id
+GROUP BY t.doc_id, t.total_chars
+ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining — word2vec-style phrase detection (Mikolov et
+# al. 2013 "Distributed Representations..."): adjacent token pairs
+# scored by pointwise mutual information. PMI itself is a log, but its
+# ARGUMENT count(ab)·N / (count(a)·count(b)) is rational and log is
+# monotone — so the ranking uses the integer-quantized ratio
+# (the BM25-idf / WordPiece discipline) and stays hash-exact across
+# engines. Two map-side-combined groupBys + broadcast unigram joins.
+
+PMI_SCALE = 10**6
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, top: int = 50
+) -> DataFrame:
+    """(left, right, pair_cnt, pmi_ratio_q) — top collocations by the
+    quantized PMI ratio (count DESC, pair ASC ties)."""
+    toks = F.expr(TOKENS)
+    base = docs.select(F.explode(toks).alias("tok"))
+    uni = base.groupBy("tok").agg(F.count(F.lit(1)).alias("ucnt"))
+    # corpus size as a broadcast 1-row relation, not a driver action —
+    # derived from uni so the token scan isn't paid a third time
+    total = uni.agg(F.sum("ucnt").alias("n_total"))
+    pairs = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(" + TOKENS + ", 1, size(" + TOKENS + ") - 1),"
+                    " (s, i) -> struct(s AS l, " + TOKENS + "[i + 1] AS r))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_count)
+    )
+    scored = (
+        pairs.join(F.broadcast(uni.withColumnRenamed("tok", "left")), "left")
+        .withColumnRenamed("ucnt", "lcnt")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "right")), "right")
+        .withColumnRenamed("ucnt", "rcnt")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "left",
+            "right",
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            F.expr(
+                f"CAST(pair_cnt * n_total * {PMI_SCALE}L DIV (lcnt * rcnt) AS BIGINT)"
+            ).alias("pmi_ratio_q"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_ratio_q"), F.desc("pair_cnt"), F.asc("left"), F.asc("right")
+    ).limit(top)
+
+
+def pmi_collocations_sql(min_count: int = 5, top: int = 50) -> str:
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT u.tok FROM (SELECT {TOKENS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)),
+total AS (SELECT COUNT(*) AS n FROM base),
+uni AS (SELECT tok, COUNT(*) AS ucnt FROM base GROUP BY tok),
+pairs AS (
+  SELECT t[gi.i] AS "left", t[gi.i + 1] AS "right", COUNT(*) AS pair_cnt
+  FROM (SELECT {TOKENS_SQL} AS t FROM documents),
+       UNNEST(generate_series(1, GREATEST(len(t) - 1, 0))) AS gi(i)
+  GROUP BY ALL HAVING COUNT(*) >= {min_count})
+SELECT p."left", p."right", CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+       (CAST(p.pair_cnt AS BIGINT) * total.n * {PMI_SCALE}) // (ul.ucnt * ur.ucnt)
+         AS pmi_ratio_q
+FROM pairs p
+JOIN uni ul ON p."left" = ul.tok
+JOIN uni ur ON p."right" = ur.tok
+CROSS JOIN total
+ORDER BY pmi_ratio_q DESC, pair_cnt DESC, p."left", p."right"
+LIMIT {top}
+"""
