@@ -985,6 +985,66 @@ def test_jpeg_arithmetic_matches_huffman_bit_for_bit():
     )
 
 
+def test_jpeg_arithmetic_progressive_matches_baseline_bit_for_bit():
+    """SOF10 (arithmetic progressive, T.81 Annex G.2) closes the last
+    in-reach JPEG dispatch gap: the 14-scan arithmetic-progressive
+    stream must decode to EXACTLY the baseline and Huffman-progressive
+    pixels (one shared quantizer, three entropy re-codings of the same
+    coefficients). Smooth/noisy/flat content drives the DC refinement
+    fixed bin, the per-band EOB decisions, the newly-significant vs
+    correction-bit branches, and the magnitude trees; 12-bit pinned;
+    torn streams keep the error contract."""
+    import numpy as np
+    import pytest
+
+    from transferdb_spark.ext.jpeg import (
+        decode_jpeg,
+        decode_jpeg_native,
+        encode_jpeg,
+        encode_jpeg_12bit,
+        encode_jpeg_progressive,
+    )
+    from transferdb_spark.ext.jpeg_arith import encode_jpeg_arith_progressive
+
+    rng = np.random.default_rng(11)
+    xx, yy = np.meshgrid(np.linspace(0, 255, 45), np.linspace(0, 255, 37))
+    smooth = np.stack([xx, yy, (xx + yy) / 2], axis=2)
+    noisy = np.clip(smooth + rng.normal(0, 40, smooth.shape), 0, 255)
+    flat = np.full((24, 16, 3), 128)
+    for img in (smooth.astype(np.uint8), noisy.astype(np.uint8),
+                flat.astype(np.uint8)):
+        abuf = encode_jpeg_arith_progressive(img)
+        assert b"\xff\xca" in abuf and b"\xff\xcc" in abuf  # SOF10 + DAC
+        base = decode_jpeg(encode_jpeg(img))
+        assert np.array_equal(decode_jpeg(abuf), base)
+        assert np.array_equal(decode_jpeg(encode_jpeg_progressive(img)), base)
+
+    # odd sizes fuzz the partial-MCU edges through every scan kind
+    for h, w in ((8, 8), (9, 17), (31, 15)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_arith_progressive(img)),
+            decode_jpeg(encode_jpeg(img)),
+        )
+
+    xx12, yy12 = np.meshgrid(np.linspace(0, 4095, 45), np.linspace(0, 4095, 37))
+    img12 = np.stack([xx12, yy12, (xx12 + yy12) / 2], axis=2).astype(np.uint16)
+    assert np.array_equal(
+        decode_jpeg_native(encode_jpeg_arith_progressive(img12, prec=12)),
+        decode_jpeg_native(encode_jpeg_12bit(img12)),
+    )
+
+    buf = encode_jpeg_arith_progressive(noisy.astype(np.uint8))
+    for cut in (3, 30, len(buf) // 3, len(buf) - 4):
+        try:
+            out = decode_jpeg(buf[:cut])
+            assert out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+        except (IndexError, KeyError):
+            pytest.fail(f"Index/KeyError escaped decode_jpeg at cut={cut}")
+
+
 def test_jpeg_arithmetic_qm_coder_random_roundtrips():
     """The QM-coder state machine round-trips arbitrary biased binary
     decision streams over shared adaptive contexts — this exercises

@@ -9,7 +9,8 @@ folds 12-bit output to the uint8 corpus contract, `decode_jpeg_native`
 keeps the full range as uint16), grayscale or YCbCr with 4:4:4 /
 4:2:2 / 4:2:0 subsampling, restart markers. Arithmetic-coded
 sequential frames (SOF9 + DAC conditioning) decode via the Annex D
-QM-coder in ext/jpeg_arith.py; arithmetic progressive (SOF10) and the
+QM-coder in ext/jpeg_arith.py, arithmetic progressive (SOF10) via its
+Annex G.2 scan decoders; the
 other hierarchical/lossless SOF modes route to NotImplementedError —
 the one dispatch point an imaging library replaces in production.
 
@@ -275,8 +276,9 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 vals = list(seg[s + 17 : s + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = _build_huffman(bits, vals)
                 s += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic sequential
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic
+            # sequential, SOF10 arithmetic progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -291,11 +293,11 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 "h": h,
                 "w": w,
                 "comps": comps,
-                "progressive": marker == 0xC2,
-                "arith": marker == 0xC9,
+                "progressive": marker in (0xC2, 0xCA),
+                "arith": marker in (0xC9, 0xCA),
                 "prec": prec,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             s = 0
@@ -318,6 +320,22 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 cid, tids = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_sel.append({"id": cid, "dc": tids >> 4, "ac": tids & 0x0F})
             data_pos = pos + 2 + seg_len
+            if frame.get("arith") and frame.get("progressive"):
+                # SOF10: each SOS is one band/bit layer, QM-coded;
+                # statistics re-initialize per scan
+                from transferdb_spark.ext.jpeg_arith import decode_arith_prog_scan
+
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+                if coef is None:
+                    coef = _alloc_coef(frame)
+                end = decode_arith_prog_scan(
+                    buf, data_pos, frame, scan_sel, dc_cond, ac_cond,
+                    restart_interval, coef, ss, se, ah, al,
+                )
+                scans_done += 1
+                pos = _skip_to_arith_marker(buf, end)
+                continue
             if frame.get("arith"):
                 from transferdb_spark.ext.jpeg_arith import decode_arith_scan
 
@@ -489,6 +507,22 @@ def _alloc_coef(frame) -> list[np.ndarray]:
         np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
         for c in frame["comps"]
     ]
+
+
+def _skip_to_arith_marker(buf: bytes, pos: int) -> int:
+    """Arithmetic entropy data has no 0x00 stuffing: a data 0xFF is
+    followed by a byte <= 0x8F (7 payload bits under a stuffed 0 bit),
+    while true markers are 0xFF followed by > 0x8F. RSTn belong to the
+    scan and are consumed inside it, so they are skipped here."""
+    while pos + 1 < len(buf):
+        if (
+            buf[pos] == 0xFF
+            and buf[pos + 1] > 0x8F
+            and not 0xD0 <= buf[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(buf)
 
 
 def _skip_to_marker(buf: bytes, pos: int) -> int:

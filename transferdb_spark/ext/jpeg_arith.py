@@ -10,8 +10,9 @@ DC conditioned on the previous diff's class via the (L, U) bounds,
 AC with per-k EOB/significance bins and magnitude-category trees
 switched at Kx, sign in a non-adaptive bin. DAC segments override the
 default conditioning (L=0, U=1, Kx=5). Wired into `decode_jpeg` for
-SOF9 (arithmetic extended sequential, 8- and 12-bit); arithmetic
-progressive (SOF10) stays at the NotImplementedError dispatch point.
+SOF9 (arithmetic extended sequential, 8- and 12-bit) AND SOF10
+(arithmetic progressive — the Annex G.2 band/bit-layer scans at the
+bottom of this module).
 
 Encoder (test-side twin): same state machine and contexts, but the
 code register is an exact Python integer — interval-base additions
@@ -561,5 +562,368 @@ def encode_jpeg_arith(px: np.ndarray, prec: int = 8) -> bytes:
                 dc_ctx[ci] = _encode_dc_diff(enc, dc_st[t], dc_ctx[ci], lo, up, diff)
                 _encode_ac_block(enc, ac_st[t], sign_st, DEFAULT_AC_COND, zz)
     out += enc.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Annex G.2 — PROGRESSIVE arithmetic coding (SOF10). Each scan carries
+# one band/bit layer exactly like Huffman progressive (jpeg.py SOF2),
+# but entropy-coded with the QM machine above:
+#   - DC first scans: the sequential DC model over point-transformed
+#     (>> Al) diffs;
+#   - DC refinement: ONE decision per block in a fixed (non-adaptive)
+#     0.5 bin — bit Al of the DC value;
+#   - AC first scans: the sequential AC model bounded to Ss..Se,
+#     values scaled << Al;
+#   - AC refinement: per coefficient position, an EOB decision (only
+#     once past the highest nonzero-HISTORY index), st+1 for newly
+#     significant (sign in the fixed bin), st+2 as the adaptive
+#     correction-bit bin for coefficients with history.
+# Statistics areas and the decoder are re-initialized per scan and at
+# every restart marker (G.2 inherits F.2.1.3.2). No EOB-runs exist in
+# the arithmetic form — the per-block EOB decision replaces them.
+
+
+def _decode_ac_first_band(dec, st, sign_st, kx, blk, ss, se, al) -> None:
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):  # EOB: band done
+            return
+        while dec.decode(st, base + 1) == 0:
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic JPEG: AC run past band")
+            base = 3 * (k - 1)
+        sign = dec.decode(sign_st, 0, adapt=False)
+        bin_ = base + 2
+        m = dec.decode(st, bin_)
+        if m:
+            if dec.decode(st, bin_):
+                m = 2
+                x = 189 if k <= kx else 217
+                while dec.decode(st, x):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "corrupt arithmetic JPEG: AC magnitude overflow"
+                        )
+                    x += 1
+                bin_ = x
+        v = m
+        mag = bin_ + 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(st, mag):
+                v |= m
+        v += 1
+        blk[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _decode_ac_refine_band(dec, st, sign_st, blk, ss, se, al) -> None:
+    p1, m1 = 1 << al, -(1 << al)
+    kex = ss - 1
+    for k in range(ss, se + 1):
+        if int(blk[k]) != 0:
+            kex = k
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(st, base):  # EOB: no more decisions at all
+                return
+        while True:
+            c = int(blk[k])
+            if c != 0:
+                if dec.decode(st, base + 2):  # adaptive correction bin
+                    blk[k] = c + (p1 if c >= 0 else m1)
+                break
+            if dec.decode(st, base + 1):
+                sign = dec.decode(sign_st, 0, adapt=False)
+                blk[k] = m1 if sign else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic JPEG: refine run past band")
+            base = 3 * (k - 1)
+        k += 1
+
+
+def decode_arith_prog_scan(
+    buf: bytes,
+    pos: int,
+    frame: dict,
+    scan_sel: list[dict],
+    dc_cond: dict,
+    ac_cond: dict,
+    restart_interval: int,
+    coef: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode one progressive arithmetic SOS into `coef` (in place);
+    returns the position reached in the entropy stream (caller skips
+    to the next marker, same contract as the Huffman progressive
+    path)."""
+    from transferdb_spark.ext.jpeg import _mcu_geometry
+
+    comps = frame["comps"]
+    idx = {c["id"]: ci for ci, c in enumerate(comps)}
+    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
+    if (ss == 0) != (se == 0):
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if ss > 0 and len(scan_sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    def fresh(p):
+        return (
+            _ArithDecoder(buf, p),
+            {s["dc"]: bytearray(DC_STAT_BINS) for s in scan_sel},
+            {s["ac"]: bytearray(AC_STAT_BINS) for s in scan_sel},
+            _sign_bin(),
+            [0] * len(comps),  # DC predictors
+            [0] * len(comps),  # DC conditioning classes
+        )
+
+    dec, dc_st, ac_st, sign_st, pred, dc_ctx = fresh(pos)
+
+    if len(scan_sel) > 1:  # interleaved DC scan
+        units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+
+        def decode_unit(unit):
+            my, mx = unit
+            for s in scan_sel:
+                ci = idx[s["id"]]
+                c = comps[ci]
+                lo, up = dc_cond.get(s["dc"], DEFAULT_DC_COND)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = coef[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        if ah == 0:
+                            diff, dc_ctx[ci] = _decode_dc_diff(
+                                dec, dc_st[s["dc"]], dc_ctx[ci], lo, up
+                            )
+                            pred[ci] += diff
+                            blk[0] = pred[ci] << al
+                        elif dec.decode(sign_st, 0, adapt=False):
+                            blk[0] = int(blk[0]) | (1 << al)
+
+    else:
+        s = scan_sel[0]
+        ci = idx[s["id"]]
+        c = comps[ci]
+        cw = -(-(frame["w"] * c["h"]) // hmax)
+        ch = -(-(frame["h"] * c["v"]) // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        units = [(by, bx) for by in range(bh) for bx in range(bw)]
+        if ss == 0:
+            lo, up = dc_cond.get(s["dc"], DEFAULT_DC_COND)
+
+            def decode_unit(unit):
+                blk = coef[ci][unit]
+                if ah == 0:
+                    diff, dc_ctx[ci] = _decode_dc_diff(
+                        dec, dc_st[s["dc"]], dc_ctx[ci], lo, up
+                    )
+                    pred[ci] += diff
+                    blk[0] = pred[ci] << al
+                elif dec.decode(sign_st, 0, adapt=False):
+                    blk[0] = int(blk[0]) | (1 << al)
+
+        else:
+            kx = ac_cond.get(s["ac"], DEFAULT_AC_COND)
+            if ah == 0:
+
+                def decode_unit(unit):
+                    _decode_ac_first_band(
+                        dec, ac_st[s["ac"]], sign_st, kx, coef[ci][unit], ss, se, al
+                    )
+
+            else:
+
+                def decode_unit(unit):
+                    _decode_ac_refine_band(
+                        dec, ac_st[s["ac"]], sign_st, coef[ci][unit], ss, se, al
+                    )
+
+    for n, unit in enumerate(units):
+        if restart_interval and n and n % restart_interval == 0:
+            # restart: decoder AND statistics re-initialize (F.2.1.3.2)
+            p = dec.bp
+            while p + 1 < len(buf) and not (
+                buf[p] == 0xFF and 0xD0 <= buf[p + 1] <= 0xD7
+            ):
+                p += 1
+            if p + 1 >= len(buf):
+                raise ValueError("truncated arithmetic JPEG: missing restart")
+            dec, dc_st, ac_st, sign_st, pred, dc_ctx = fresh(p + 2)
+        decode_unit(unit)
+    return dec.bp
+
+
+def _encode_ac_first_band(enc, st, sign_st, kx, zz, ss, se, al) -> None:
+    ke = ss - 1
+    for k in range(ss, se + 1):
+        if abs(int(zz[k])) >> al:
+            ke = k
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB
+        while (abs(int(zz[k])) >> al) == 0:
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        enc.encode(st, base + 1, 1)
+        v = int(zz[k])
+        sign = 1 if v < 0 else 0
+        enc.encode(sign_st, 0, sign, adapt=False)
+        m = (abs(v) >> al) - 1
+        bin_ = base + 2
+        if m == 0:
+            enc.encode(st, bin_, 0)
+            cat = 0
+        else:
+            enc.encode(st, bin_, 1)
+            if m == 1:
+                enc.encode(st, bin_, 0)
+                cat = 1
+            else:
+                enc.encode(st, bin_, 1)
+                cat = 2
+                x = 189 if k <= kx else 217
+                while (cat << 1) <= m:
+                    enc.encode(st, x, 1)
+                    cat <<= 1
+                    x += 1
+                enc.encode(st, x, 0)
+                bin_ = x
+        mag = bin_ + 14
+        mm = cat
+        while mm > 1:
+            mm >>= 1
+            enc.encode(st, mag, 1 if (m & mm) else 0)
+        k += 1
+    if ke < se:
+        enc.encode(st, 3 * (max(ke + 1, ss) - 1), 1)  # EOB decision
+
+
+def _encode_ac_refine_band(enc, st, sign_st, zz, ss, se, al) -> None:
+    t = [abs(int(zz[k])) >> al for k in range(64)]
+    ke = ss - 1
+    kex = ss - 1
+    for k in range(ss, se + 1):
+        if t[k]:
+            ke = k
+        if t[k] > 1:
+            kex = k
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, base, 0)  # not EOB
+        while True:
+            if t[k]:
+                if t[k] > 1:  # history: adaptive correction bit
+                    enc.encode(st, base + 2, t[k] & 1)
+                else:  # newly significant
+                    enc.encode(st, base + 1, 1)
+                    enc.encode(sign_st, 0, 1 if int(zz[k]) < 0 else 0, adapt=False)
+                break
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if ke < se:
+        enc.encode(st, 3 * (max(ke + 1, ss) - 1), 1)
+
+
+def encode_jpeg_arith_progressive(px: np.ndarray, prec: int = 8) -> bytes:
+    """(h, w, 3) samples → arithmetic-coded PROGRESSIVE JPEG (SOF10,
+    4:4:4), the same 14-scan script as encode_jpeg_progressive
+    (interleaved DC at Al=1 + refinement, two AC bands per component
+    at Al=1 + refinements). Coefficients come from the shared
+    `_coef_blocks` quantizer, so decoding this stream must match the
+    Huffman progressive and baseline pixels bit-for-bit."""
+    from transferdb_spark.ext.jpeg import _coef_blocks, _dqt_segments, _sof_segment
+
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB samples")
+    if prec not in (8, 12):
+        raise ValueError("prec must be 8 or 12")
+    h, w = px.shape[:2]
+    coefs = _coef_blocks(px, prec=prec)
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segments(prec=prec)
+    out += _sof_segment(0xCA, h, w, prec=prec)
+    lo, up = DEFAULT_DC_COND
+    dc_val = (up << 4) | lo
+    out += b"\xff\xcc" + struct.pack(">H", 2 + 8)
+    out += bytes(
+        [0x00, dc_val, 0x01, dc_val, 0x10, DEFAULT_AC_COND, 0x11, DEFAULT_AC_COND]
+    )
+
+    bands = ((1, 5), (6, 63))
+    scans: list[tuple] = [("dc_first", None, 0, 0, 0, 1), ("dc_refine", None, 0, 0, 1, 0)]
+    for ci in range(3):
+        for ss, se in bands:
+            scans.append(("ac_first", ci, ss, se, 0, 1))
+    for ci in range(3):
+        for ss, se in bands:
+            scans.append(("ac_refine", ci, ss, se, 1, 0))
+
+    bh, bw = coefs[0].shape[:2]
+    for kind, ci, ss, se, ah, al in scans:
+        in_scan = [0, 1, 2] if ci is None else [ci]
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(in_scan), len(in_scan))
+        for c in in_scan:
+            t = 0 if c == 0 else 1
+            out += bytes([c + 1, (t << 4) | t])
+        out += bytes([ss, se, (ah << 4) | al])
+
+        enc = _ArithEncoder()
+        dc_st = {0: bytearray(DC_STAT_BINS), 1: bytearray(DC_STAT_BINS)}
+        ac_st = {0: bytearray(AC_STAT_BINS), 1: bytearray(AC_STAT_BINS)}
+        sign_st = _sign_bin()
+        pred = [0, 0, 0]
+        dc_ctx = [0, 0, 0]
+        if kind == "dc_first":
+            for by in range(bh):
+                for bx in range(bw):
+                    for c in in_scan:
+                        t = 0 if c == 0 else 1
+                        v = int(coefs[c][by, bx][0]) >> al
+                        diff = v - pred[c]
+                        pred[c] = v
+                        dc_ctx[c] = _encode_dc_diff(
+                            enc, dc_st[t], dc_ctx[c], lo, up, diff
+                        )
+        elif kind == "dc_refine":
+            for by in range(bh):
+                for bx in range(bw):
+                    for c in in_scan:
+                        bit = (int(coefs[c][by, bx][0]) >> al) & 1
+                        enc.encode(sign_st, 0, bit, adapt=False)
+        elif kind == "ac_first":
+            t = 0 if ci == 0 else 1
+            for by in range(bh):
+                for bx in range(bw):
+                    _encode_ac_first_band(
+                        enc, ac_st[t], sign_st, DEFAULT_AC_COND,
+                        coefs[ci][by, bx], ss, se, al,
+                    )
+        else:  # ac_refine
+            t = 0 if ci == 0 else 1
+            for by in range(bh):
+                for bx in range(bw):
+                    _encode_ac_refine_band(
+                        enc, ac_st[t], sign_st, coefs[ci][by, bx], ss, se, al
+                    )
+        out += enc.finish()
     out += b"\xff\xd9"
     return bytes(out)
