@@ -1045,6 +1045,54 @@ def test_jpeg_arithmetic_progressive_matches_baseline_bit_for_bit():
             pytest.fail(f"Index/KeyError escaped decode_jpeg at cut={cut}")
 
 
+def test_jpeg_lossless_sof3_exact_roundtrips():
+    """SOF3 lossless (T.81 Annex H): encode→decode reproduces the
+    input EXACTLY — all 7 predictors, 8- and 16-bit precision, the
+    point transform, and the category-16 (diff = 32768) escape that
+    only modulo-2^16 prediction arithmetic can produce. Torn streams
+    keep the error contract."""
+    import numpy as np
+    import pytest
+
+    from transferdb_spark.ext.jpeg import (
+        decode_jpeg,
+        decode_jpeg_native,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    for pred in range(1, 8):
+        out = decode_jpeg(encode_jpeg_lossless(img, predictor=pred))
+        assert np.array_equal(out[:, :, 0], img), pred
+        assert np.array_equal(out[:, :, 1], img)  # gray replicates
+
+    img16 = rng.integers(0, 65536, (19, 24), dtype=np.uint16)
+    out16 = decode_jpeg_native(encode_jpeg_lossless(img16))
+    assert np.array_equal(out16[:, :, 0], img16)
+
+    # category-16 escape: first sample 0 predicts 2^15 -> diff -32768
+    # ≡ +32768 (mod 2^16); alternating extremes keep hitting it
+    ext = np.array([[0, 32768, 0, 32768], [65535, 0, 32767, 1]], dtype=np.uint16)
+    oute = decode_jpeg_native(encode_jpeg_lossless(ext))
+    assert np.array_equal(oute[:, :, 0], ext)
+
+    # point transform drops Pt low bits, recovered as << Pt
+    imgp = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+    outp = decode_jpeg(encode_jpeg_lossless(imgp, predictor=4, pt=2))
+    assert np.array_equal(outp[:, :, 0], (imgp >> 2) << 2)
+
+    buf = encode_jpeg_lossless(img, predictor=7)
+    for cut in (4, 40, len(buf) // 2, len(buf) - 3):
+        try:
+            r = decode_jpeg(buf[:cut])
+            assert r.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+        except (IndexError, KeyError):
+            pytest.fail(f"Index/KeyError escaped decode_jpeg at cut={cut}")
+
+
 def test_jpeg_arithmetic_qm_coder_random_roundtrips():
     """The QM-coder state machine round-trips arbitrary biased binary
     decision streams over shared adaptive contexts — this exercises

@@ -10,9 +10,11 @@ keeps the full range as uint16), grayscale or YCbCr with 4:4:4 /
 4:2:2 / 4:2:0 subsampling, restart markers. Arithmetic-coded
 sequential frames (SOF9 + DAC conditioning) decode via the Annex D
 QM-coder in ext/jpeg_arith.py, arithmetic progressive (SOF10) via its
-Annex G.2 scan decoders; the
-other hierarchical/lossless SOF modes route to NotImplementedError —
-the one dispatch point an imaging library replaces in production.
+Annex G.2 scan decoders, and LOSSLESS (SOF3, Annex H predictive —
+all 7 predictors, 2..16-bit, point transform, exact roundtrip) in
+this module; only the hierarchical modes (SOF5-7/13-15) and the
+arithmetic lossless form route to NotImplementedError — the one
+dispatch point an imaging library replaces in production.
 
 Encoder: the test-side twin (4:4:4, ITU T.81 Annex K quantization and
 Huffman tables) so round-trips exercise the full marker → Huffman →
@@ -215,7 +217,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     modes), never a raw IndexError/KeyError from header parsing."""
     try:
         return _decode_jpeg(buf)
-    except (IndexError, KeyError) as exc:
+    except (IndexError, KeyError, struct.error) as exc:
         raise ValueError(f"truncated or corrupt JPEG: {exc!r}") from exc
 
 
@@ -226,7 +228,7 @@ def decode_jpeg_native(buf: bytes) -> np.ndarray:
     4 extra bits a scientific/medical corpus carries."""
     try:
         return _decode_jpeg(buf, native=True)
-    except (IndexError, KeyError) as exc:
+    except (IndexError, KeyError, struct.error) as exc:
         raise ValueError(f"truncated or corrupt JPEG: {exc!r}") from exc
 
 
@@ -297,7 +299,27 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 "arith": marker in (0xC9, 0xCA),
                 "prec": prec,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:
+            # SOF3 lossless (T.81 Annex H): predictive, no DCT. The
+            # sample precision spans 2..16 bits; sampling stays 1:1 in
+            # practice (DNG/medical), enforced at scan decode.
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"invalid lossless precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": False,
+                "arith": False,
+                "lossless": True,
+                "prec": prec,
+            }
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             s = 0
@@ -320,6 +342,15 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 cid, tids = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_sel.append({"id": cid, "dc": tids >> 4, "ac": tids & 0x0F})
             data_pos = pos + 2 + seg_len
+            if frame.get("lossless"):
+                # SOF3: Ss selects the predictor (1..7), Al is the
+                # point transform
+                pred_sel = seg[1 + 2 * ns]
+                pt = seg[3 + 2 * ns] & 0x0F
+                return _decode_lossless_scan(
+                    buf, data_pos, frame, scan_sel, huff_dc,
+                    restart_interval, pred_sel, pt, native,
+                )
             if frame.get("arith") and frame.get("progressive"):
                 # SOF10: each SOS is one band/bit layer, QM-coded;
                 # statistics re-initialize per scan
@@ -490,6 +521,165 @@ def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
 # progressive decode (ITU T.81 Annex G, Huffman): each SOS carries one
 # (component, spectral band, bit layer); coefficients accumulate in a
 # zigzag-order store and pixels materialize once, at EOI.
+
+
+# ---------------------------------------------------------------------------
+# SOF3 lossless (T.81 Annex H): predictive coding, no DCT. Each sample
+# is huffman(category) + EXTEND bits of the difference from one of the
+# seven neighbor predictors; category 16 means diff = 32768 with no
+# extra bits, and all arithmetic is modulo 2^16.
+
+_LL_PREDICT = {
+    1: lambda ra, rb, rc: ra,
+    2: lambda ra, rb, rc: rb,
+    3: lambda ra, rb, rc: rc,
+    4: lambda ra, rb, rc: ra + rb - rc,
+    5: lambda ra, rb, rc: ra + ((rb - rc) >> 1),
+    6: lambda ra, rb, rc: rb + ((ra - rc) >> 1),
+    7: lambda ra, rb, rc: (ra + rb) >> 1,
+}
+
+
+def _decode_lossless_scan(
+    buf, pos, frame, scan_sel, huff_dc, restart_interval, pred_sel, pt, native
+):
+    """One lossless scan → pixels. Components interleave one sample
+    each per MCU (sampling must be 1:1 — the shape DNG/medical files
+    use); the first sample (and the first after a restart) predicts
+    2^(P-Pt-1), the rest of row 0 predict Ra, column 0 predicts Rb."""
+    comps = frame["comps"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError("subsampled lossless JPEG")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component lossless JPEG")
+    if pred_sel not in _LL_PREDICT:
+        raise ValueError(f"invalid lossless predictor {pred_sel}")
+    h, w, prec = frame["h"], frame["w"], frame["prec"]
+    sel = {s["id"]: s for s in scan_sel}
+    for c in comps:
+        if sel[c["id"]]["dc"] not in huff_dc:
+            raise ValueError("lossless scan references undefined DHT")
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in comps]
+    reader = _BitReader(buf, pos)
+    default_pred = 1 << (prec - pt - 1)
+    predict = _LL_PREDICT[pred_sel]
+    mcu = 0
+    fresh = True  # start of scan / just past a restart
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                try:
+                    while True:
+                        reader.read_bit()
+                except _RestartMarker:
+                    reader.align_after_restart()
+                    fresh = True
+                except _EndOfScan:
+                    raise ValueError("truncated lossless JPEG: missing restart")
+            try:
+                decoded = []
+                for ci, c in enumerate(comps):
+                    t = _decode_huff(reader, huff_dc[sel[c["id"]]["dc"]])
+                    if t == 16:
+                        decoded.append(32768)
+                    elif t:
+                        decoded.append(_extend(reader.read_bits(t), t))
+                    else:
+                        decoded.append(0)
+            except _RestartMarker:
+                raise ValueError("lossless JPEG: unexpected restart marker")
+            except _EndOfScan:
+                if (y, x) == (h - 1, w - 1):
+                    break  # padding ended exactly at the final sample
+                raise ValueError(
+                    f"truncated lossless JPEG: ended at sample ({y},{x})"
+                )
+            for ci, diff in enumerate(decoded):
+                p = planes[ci]
+                if fresh:
+                    pred = default_pred
+                elif y == 0:
+                    pred = int(p[0, x - 1])  # row 0: Ra
+                elif x == 0:
+                    pred = int(p[y - 1, 0])  # column 0: Rb
+                else:
+                    pred = predict(
+                        int(p[y, x - 1]), int(p[y - 1, x]), int(p[y - 1, x - 1])
+                    )
+                v = (pred + diff) & 0xFFFF
+                p[y, x] = v
+            fresh = False
+            mcu += 1
+    full = [(p.astype(np.float64) * (1 << pt)) for p in planes]
+    return _planes_to_rgb(full, prec, native)
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray, predictor: int = 1, pt: int = 0, prec: int | None = None
+) -> bytes:
+    """Grayscale (h, w) integer samples → SOF3 lossless JPEG — a TRUE
+    lossless twin: decode_jpeg_native(encode_jpeg_lossless(x)) must
+    reproduce x exactly (no DCT, no color transform on the 1-component
+    path). prec defaults to 8 for uint8 input, else 16."""
+    if img.ndim != 2:
+        raise ValueError("expected (h, w) grayscale samples")
+    if prec is None:
+        prec = 8 if img.dtype == np.uint8 else 16
+    if not 2 <= prec <= 16:
+        raise ValueError("prec must be in 2..16")
+    if predictor not in _LL_PREDICT:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    h, w = img.shape
+    samples = (img.astype(np.int64) >> pt).astype(np.int64)
+
+    # category stream first, then one flat DHT covering what occurs
+    predict = _LL_PREDICT[predictor]
+    default_pred = 1 << (prec - pt - 1)
+    ops: list[tuple[int, int, int]] = []  # (category, code, nbits)
+    cats = set()
+    for y in range(h):
+        for x in range(w):
+            if (y, x) == (0, 0):
+                pred = default_pred
+            elif y == 0:
+                pred = int(samples[0, x - 1])
+            elif x == 0:
+                pred = int(samples[y - 1, 0])
+            else:
+                pred = predict(
+                    int(samples[y, x - 1]),
+                    int(samples[y - 1, x]),
+                    int(samples[y - 1, x - 1]),
+                )
+            diff = (int(samples[y, x]) - pred) & 0xFFFF
+            if diff > 32768:
+                diff -= 65536
+            if diff == 32768:
+                t, code = 16, 0
+            else:
+                t, code = _magnitude(diff)
+            cats.add(t)
+            ops.append((t, code, t if t != 16 else 0))
+
+    out = bytearray(b"\xff\xd8")
+    out += _sof_segment(0xC3, h, w, prec=prec, ncomp=1)
+    bits, vals = _flat_table(sorted(cats))
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+    out += bytes([0x00]) + bytes(bits) + bytes(vals)
+    codes = _encode_codes(bits, vals)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([1, 0x00])
+    out += bytes([predictor, 0, pt])
+    wtr = _BitWriter()
+    for t, code, nbits in ops:
+        hc, hl = codes[t]
+        wtr.write(hc, hl)
+        if nbits:
+            wtr.write(code & ((1 << nbits) - 1), nbits)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _mcu_geometry(frame) -> tuple[int, int, int, int]:
@@ -827,9 +1017,11 @@ def _dqt_segments(prec: int = 8) -> bytes:
     return bytes(out)
 
 
-def _sof_segment(marker: int, h: int, w: int, prec: int = 8) -> bytes:
-    out = bytearray(bytes([0xFF, marker]) + struct.pack(">HBHHB", 17, prec, h, w, 3))
-    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+def _sof_segment(marker: int, h: int, w: int, prec: int = 8, ncomp: int = 3) -> bytes:
+    out = bytearray(
+        bytes([0xFF, marker]) + struct.pack(">HBHHB", 8 + 3 * ncomp, prec, h, w, ncomp)
+    )
+    for cid, qid in ((1, 0), (2, 1), (3, 1))[:ncomp]:
         out += bytes([cid, 0x11, qid])  # 4:4:4
     return bytes(out)
 
