@@ -313,6 +313,14 @@ def test_cli_corpus_report_mode(tmp_path, capsys, spark):
     d = out["quality"]["lm_score_deciles"]
     floors = [d[str(k)] if str(k) in d else d[k] for k in range(1, 11)]
     assert floors == sorted(floors)
+    # round-7 facets: Gopher n-gram repetition means + PMI collocations
+    assert set(out["repetition"]) == {
+        *(f"rep_top{n}" for n in (2, 3, 4)),
+        *(f"rep_dup{n}" for n in range(5, 11)),
+    }
+    assert all(v >= 0 for v in out["repetition"].values())
+    assert out["collocations"] and all(c["count"] >= 5 for c in out["collocations"])
     assert os.path.exists(out["html_path"]) and os.path.exists(out["json_path"])
     html = open(out["html_path"]).read()
     assert "Corpus report" in html and "Gopher pass rate" in html
+    assert "Repetition" in html and "collocations" in html

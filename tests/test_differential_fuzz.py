@@ -278,3 +278,44 @@ def test_mp4_mux_demux_fuzz():
             pass  # the ingestion contract: typed errors only
     with pytest.raises(ValueError):
         sample_table(mux_mjpeg(payloads(2, "fixed"))[:40], "audio")
+
+
+def test_ngram_repetition_and_pmi_tie_fuzz(spark):
+    """Randomized cross-engine fuzz for the round-7 text operators on
+    TIE-HEAVY corpora: a 4-word vocabulary forces many equal-count
+    grams and equal-score collocations, so any divergence between the
+    Spark fold's tie rule (strict run>best over the sorted array) and
+    the oracle's window ordering (cnt DESC, gram ASC) — or between the
+    two engines' quantized-PMI orderings — surfaces here rather than
+    in production."""
+    import pandas as pd
+
+    from transferdb_spark.ext.text import (
+        ngram_repetition,
+        ngram_repetition_sql,
+        pmi_collocations,
+        pmi_collocations_sql,
+    )
+
+    rng = random.Random(20260816)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial in range(4):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+        got = ngram_repetition(docs).toPandas()
+        want = con.execute(ngram_repetition_sql()).df()
+        for c in want.columns:
+            assert list(got[c]) == list(want[c]), (trial, c)
+
+        gp = pmi_collocations(docs, min_count=2, top=25).toPandas()
+        wp = con.execute(pmi_collocations_sql(min_count=2, top=25)).df()
+        assert gp["left"].tolist() == wp["left"].tolist(), trial
+        assert gp["right"].tolist() == wp["right"].tolist(), trial
+        assert gp["pair_cnt"].tolist() == wp["pair_cnt"].tolist(), trial
+        assert gp["pmi_ratio_q"].tolist() == wp["pmi_ratio_q"].tolist(), trial

@@ -2589,9 +2589,14 @@ def test_fragmented_mp4_demux_roundtrip_exact():
         assert st["codec"] == "jpeg"
         assert st["times_ms"] == [i * 200 for i in range(7)], tag
 
-    # frame decode rides the same path as flat MP4s
+    # frame decode rides the same path as flat MP4s; the metadata
+    # probe reports the fragment layout
+    import transferdb_spark.ext.multimodal as _mm
+
     buf = mux_mjpeg_fragmented(jpgs, fps=5, width=24, height=16)
     assert len(decode_mjpeg_frames(buf, every=2)) == 4
+    info = _mm._probe_mp4(buf)
+    assert info["fragmented"] is True and info["n_fragments"] == 4
 
     # torn fragments fail loudly, and an init segment with no moof at
     # all is an error, not an empty table

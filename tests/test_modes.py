@@ -582,6 +582,28 @@ def test_csv_roundtrip(spark, sf_dir, workdir):
     assert back.exceptAll(norm).count() == 0  # lossless under canonical form
 
 
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, workdir):
+    """ORC sink: schema-exact roundtrip without canonicalization (a
+    columnar format keeps native types), and the read path pushes
+    predicates down to the ORC scan like parquet."""
+    from transferdb_spark.modes.columnar import orc_export, orc_import
+    from transferdb_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = orc_export(spark, cust, "customer", workdir, n_chunks=4)
+    files = [f for f in os.listdir(path) if f.endswith(".orc")]
+    assert files, "expected part orc files"
+
+    back = orc_import(spark, path)
+    assert back.schema == cust.schema
+    assert back.count() == cust.count()
+    assert back.exceptAll(cust).count() == 0
+
+    filtered = back.where("c_custkey = 7").select("c_custkey", "c_name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "c_custkey" in plan.split("PushedFilters")[1][:80]
+
+
 def test_assess_report(spark, sf_dir, workdir):
     from transferdb_spark.modes.assess import assess_to_file
 

@@ -609,6 +609,69 @@ def test_distributed_apply_sqlite_end_to_end(spark, tmp_path):
     assert highs == {"T1": 6, "T2": 3}
 
 
+def test_distributed_apply_stream_with_per_table_scn_resume(spark, tmp_path):
+    """The fully distributed live loop end-to-end on sqlite: a JSON
+    redo feed streams through executor-side parse/group/apply; the
+    per-TABLE SCN checkpoint (incr_sync_meta TableScnS twin) makes a
+    full redelivery idempotent while new transactions still apply —
+    per table, not via one global SCN."""
+    import sqlite3
+
+    from transferdb_spark.streaming.live_apply import (
+        read_table_scns,
+        run_redo_apply_stream_dbapi,
+    )
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE A (ID INT, V INT)")
+        c.execute("CREATE TABLE B (ID INT, V INT)")
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    scn_path = str(tmp_path / "scns.json")
+    import json as _json
+
+    def drop(name, rows):
+        with open(feed / name, "w") as f:
+            for scn, xid, sql in rows:
+                f.write(_json.dumps({"scn": scn, "xid": xid, "sql_redo": sql}) + "\n")
+
+    drop("log1.json", [
+        (2, "t1", 'insert into "A"("ID","V") values (\'1\',\'10\');'),
+        (3, "t2", 'insert into "B"("ID","V") values (\'1\',\'100\');'),
+        (5, "t3", 'update "A" set "V" = \'15\' where "ID" = \'1\' and "V" = \'10\';'),
+    ])
+
+    def run(ck):
+        q = run_redo_apply_stream_dbapi(
+            spark, str(feed), str(tmp_path / ck),
+            lambda: __import__("sqlite3").connect(db, timeout=60),
+            scn_path, num_partitions=2,
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+
+    def state(tbl):
+        with sqlite3.connect(db) as c:
+            return dict(c.execute(f"SELECT ID, V FROM {tbl}").fetchall())
+
+    assert state("A") == {1: 15} and state("B") == {1: 100}
+    assert read_table_scns(scn_path) == {"A": 5, "B": 3}
+
+    # FULL redelivery (fresh Spark checkpoint) + one new per-table txn:
+    # A's gate is 5, B's is 3 — only the new SCN-4 B txn applies even
+    # though it is BELOW A's high water (per-table gating, not global)
+    drop("log2.json", [
+        (4, "t4", 'insert into "B"("ID","V") values (\'2\',\'200\');'),
+    ])
+    run("ck2")
+    assert state("A") == {1: 15}  # no duplicate re-apply
+    assert state("B") == {1: 100, 2: 200}
+    assert read_table_scns(scn_path) == {"A": 5, "B": 4}
+
+
 def test_jdbc_apply_batch_never_collects_change_payload(spark, tmp_path, monkeypatch):
     """The JDBC live-apply path must stream translated transactions via
     toLocalIterator — a regression to DataFrame.collect() (full-batch

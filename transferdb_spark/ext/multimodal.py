@@ -1043,6 +1043,13 @@ def _probe_mp4(buf: bytes) -> dict:
                                     )
                 out["tracks"].append(trk)
     out["n_tracks"] = len(out["tracks"])
+    # fMP4/DASH: samples live in moof fragments, not moov's (empty)
+    # sample tables — surface the fragment count so a probe-driven
+    # filter can route fragmented files correctly
+    n_frags = sum(1 for t in types if t == b"moof")
+    if n_frags:
+        out["fragmented"] = True
+        out["n_fragments"] = n_frags
     return out
 
 

@@ -93,6 +93,25 @@ def corpus_report(spark: SparkSession, source_dir: str, workdir: str) -> dict:
         ],
     }
 
+    # -- repetition (Gopher n-gram battery, round 7) + collocations
+    from transferdb_spark.ext.text import ngram_repetition, pmi_collocations
+
+    rep = ngram_repetition(docs)
+    rep_row = rep.agg(
+        *[
+            F.avg(c).alias(c)
+            for c in rep.columns
+            if c.startswith("rep_")
+        ]
+    ).first()
+    report["repetition"] = {
+        c: round(float(rep_row[c] or 0.0), 5) for c in rep_row.asDict()
+    }
+    report["collocations"] = [
+        {"pair": f"{r['left']} {r['right']}", "count": int(r["pair_cnt"])}
+        for r in pmi_collocations(docs, top=10).collect()
+    ]
+
     # -- risk
     pii = pii_scrub(docs)
     pii_cols = [c for c in pii.columns if c.startswith("n_")]
@@ -134,6 +153,11 @@ def render_corpus_html(report: dict) -> str:
         ["source a", "source b", "shared leads", "overlap pct"],
     )
     pii = table(sorted(report["pii"].items()), ["class", "matches"])
+    rep = table(sorted(report["repetition"].items()), ["signal", "corpus mean"])
+    colls = table(
+        [(c["pair"], c["count"]) for c in report["collocations"]],
+        ["collocation", "count"],
+    )
     v = report["volume"]
     return f"""<!DOCTYPE html><html><head><title>Corpus report</title></head>
 <body><h1>Corpus report: {report["source_dir"]}</h1>
@@ -143,5 +167,7 @@ def render_corpus_html(report: dict) -> str:
 <h2>Duplication</h2>
 <p>exact redundant docs: {report["duplication"]["exact_redundant_docs"]}
 (rate {report["duplication"]["exact_dup_rate"]})</p>{pairs}
+<h2>Repetition (Gopher n-gram battery)</h2>{rep}
+<h2>Top collocations (PMI)</h2>{colls}
 <h2>PII</h2>{pii}
 </body></html>"""

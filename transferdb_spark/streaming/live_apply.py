@@ -132,6 +132,7 @@ def apply_changes_distributed(
     target_schema: str = "",
     dialect: str = "ansi",
     num_partitions: int | None = None,
+    resume_scns: dict[str, int] | None = None,
 ) -> DataFrame:
     """Executor-side transactional apply — no driver round-trip for
     row data at all. ``connect`` is a zero-arg factory returning a
@@ -152,8 +153,11 @@ def apply_changes_distributed(
     collected; aggregate max(commit_scn) WHERE status='applied' per
     table for the checkpoint (per-table incr_sync_meta semantics).
     Each txn is committed whole or rolled back whole; units at or
-    below resume_scn are reported 'skipped' without touching the
-    target."""
+    below the resume SCN are reported 'skipped' without touching the
+    target. ``resume_scns`` is the per-TABLE gate ({table: high_scn},
+    the incr_sync_meta TableScnS shape produced by
+    distributed_apply_high_scns); the scalar ``resume_scn`` remains as
+    a global floor applied to every table."""
     units = translate_transactions_df(
         group_table_transactions(changes), target_schema, dialect=dialect
     )
@@ -161,6 +165,8 @@ def apply_changes_distributed(
     parts = units.repartition(n, "table_name").sortWithinPartitions(
         "table_name", "commit_scn", "xid"
     )
+
+    gates = dict(resume_scns or {})
 
     def apply_partition(batches):
         import os as _os
@@ -177,7 +183,7 @@ def apply_changes_distributed(
                 for i in range(len(pdf)):
                     r = pdf.iloc[i]
                     scn = int(r["commit_scn"])
-                    if scn <= resume_scn:
+                    if scn <= max(resume_scn, gates.get(r["table_name"], -1)):
                         out.append((r["table_name"], r["xid"], scn, "skipped", "", pid))
                         continue
                     try:
@@ -229,6 +235,77 @@ def distributed_apply_high_scns(status: DataFrame) -> DataFrame:
         .groupBy("table_name")
         .agg(F.max("commit_scn").alias("high_scn"))
     )
+
+
+def read_table_scns(path: str) -> dict[str, int]:
+    """Per-table SCN checkpoint file — the incr_sync_meta twin of the
+    scalar read_scn_checkpoint."""
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return {k: int(v) for k, v in json.load(fh).items()}
+
+
+def write_table_scns(path: str, highs: dict[str, int]) -> None:
+    """Merge the batch's per-table high-waters into the checkpoint
+    (max-wins — a replayed batch can never regress a table's SCN)."""
+    cur = read_table_scns(path)
+    for t, s in highs.items():
+        cur[t] = max(int(s), cur.get(t, -1))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cur, fh)
+    os.rename(tmp, path)  # single-writer (the streaming query)
+
+
+def run_redo_apply_stream_dbapi(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    connect,
+    scn_path: str,
+    target_schema: str = "",
+    dialect: str = "ansi",
+    num_partitions: int | None = None,
+    available_now: bool = True,
+):
+    """The fully DISTRIBUTED live loop: a JSON-lines redo feed streams
+    through executor-side parse → per-table transaction grouping →
+    per-partition DBAPI apply; the driver touches only the per-table
+    status/SCN rows. Crash-safe exactly like the JDBC loop: the
+    per-table checkpoint advances AFTER each batch's apply, and a
+    redelivered batch is gated out per table by its own high SCN."""
+
+    stream = (
+        spark.readStream.schema("scn long, xid string, sql_redo string")
+        .json(source_dir)
+    )
+
+    def sink_batch(batch: DataFrame, _batch_id: int) -> None:
+        changes = redo_stream_to_changes(batch.select("scn", "sql_redo")).join(
+            batch.select("scn", "xid"), "scn"
+        ).filter("operation <> 'ERROR'")
+        status = apply_changes_distributed(
+            changes,
+            connect,
+            target_schema=target_schema,
+            dialect=dialect,
+            num_partitions=num_partitions,
+            resume_scns=read_table_scns(scn_path),
+        )
+        highs = {
+            r["table_name"]: int(r["high_scn"])
+            for r in distributed_apply_high_scns(status).collect()
+        }
+        if highs:
+            write_table_scns(scn_path, highs)
+
+    writer = stream.writeStream.foreachBatch(sink_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def run_redo_apply_stream(
