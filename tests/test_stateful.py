@@ -156,6 +156,59 @@ def test_streaming_dedup_ttl_evicts_idle_state(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_transitions_match_batch_matrix(spark, sf_dir, tmp_path):
+    """Streaming Markov transitions: the summed per-batch increments
+    equal the batch event_transitions counts when micro-batches arrive
+    in event-time order — including transitions that STRADDLE the
+    batch boundary (carried by the per-user last-event state)."""
+    import importlib.util
+
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.streaming.stateful import streaming_transitions
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_trans", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    events = load_table(spark, sf_dir, "events").drop("props")
+    mid = events.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    first = events.filter(F.col("ts") <= mid)
+    second = events.filter(F.col("ts") > mid)
+    src = str(tmp_path / "src")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_transitions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_trans")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["src"], r["dst"]): r["total"]
+        for r in spark.sql(
+            "SELECT src, dst, SUM(n) AS total FROM t_trans GROUP BY src, dst"
+        ).collect()
+    }
+    want = {
+        (r["src"], r["dst"]): r["n"]
+        for r in entry.event_transitions(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_streaming_sessionize_matches_gap_sessions(spark, tmp_path):
     """Event-time sessionization: out-of-order events inside a batch
     sort into the right sessions, an in-key event farther than the gap

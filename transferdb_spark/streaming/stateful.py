@@ -202,6 +202,67 @@ def run_profile_to_memory(
 
 
 # ---------------------------------------------------------------------------
+# streaming event transitions — the real-time twin of the batch
+# event_transitions Markov matrix. State per user is ONE (last_ms,
+# last_type) pair; each micro-batch emits that batch's (src, dst)
+# transition increments (append mode — the consumer sums them, so the
+# running totals match the batch lead-window counts when batches
+# arrive in event-time order; cross-batch out-of-order arrivals are
+# credited in arrival order, the usual streaming-vs-batch caveat).
+
+TRANS_STATE_SCHEMA = "last_ms LONG, last_type STRING"
+TRANS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _update_transitions(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_ms", "event_id"]
+    )
+    last = state.get if state.exists else None
+    counts: dict[tuple[str, str], int] = {}
+    for t, eid, etype in zip(rows["ts_ms"], rows["event_id"], rows["event_type"]):
+        if last is not None:
+            k = (last[1], etype)
+            counts[k] = counts.get(k, 0) + 1
+        last = (int(t), etype)
+    state.update(tuple(last))
+    if counts:
+        yield pd.DataFrame(
+            [(s, d, n) for (s, d), n in counts.items()],
+            columns=["src", "dst", "n"],
+        )
+
+
+def streaming_transitions(stream: DataFrame) -> DataFrame:
+    """Per-batch (src, dst, n) transition increments as an append
+    stream; SUM over the sink gives the live Markov matrix."""
+    return (
+        stream.select(
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=TRANS_OUTPUT_SCHEMA,
+            stateStructType=TRANS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming sessionization — event-time gap sessions with watermark-
 # driven closure. The streaming twin of the batch sessionize_events
 # query (lag/gap window): per-user open-session state evolves across
