@@ -186,13 +186,23 @@ def apply_changes_distributed(
                     if scn <= max(resume_scn, gates.get(r["table_name"], -1)):
                         out.append((r["table_name"], r["xid"], scn, "skipped", "", pid))
                         continue
+                    runnable = [
+                        s2
+                        for s2 in (s.strip().rstrip(";").strip() for s in r["stmts"])
+                        if s2 and not s2.startswith("--")
+                    ]
+                    if not runnable:
+                        # comment-only unit (UNTRANSLATABLE quarantine)
+                        out.append(
+                            (r["table_name"], r["xid"], scn, "skipped",
+                             "; ".join(r["stmts"])[:500], pid)
+                        )
+                        continue
                     try:
                         cur = conn.cursor()
                         try:
-                            for s in r["stmts"]:
-                                s = s.strip().rstrip(";")
-                                if s:
-                                    cur.execute(s)
+                            for s in runnable:
+                                cur.execute(s)
                         finally:
                             cur.close()
                         conn.commit()

@@ -734,9 +734,11 @@ def translate_transactions_df(
     This keeps the heavy part of the apply path (change payloads →
     SQL text) OFF the driver: the driver only ever sees the translated
     statements it must ship over its connection, never the raw
-    before/after images. Untranslatable changes become a row with an
-    empty stmts array prefixed marker statement so the applier can
-    quarantine them."""
+    before/after images. An untranslatable change quarantines its
+    whole transaction as one `-- UNTRANSLATABLE` comment statement —
+    comment-only statements are skipped by both appliers, so the error
+    is visible in the unit without aborting the batch (error_log_detail
+    stance)."""
 
     def translate_batches(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -747,15 +749,20 @@ def translate_transactions_df(
             for idx in range(len(pdf)):
                 r = pdf.iloc[idx]
                 stmts: list[str] = []
-                for c in r["changes"]:
-                    st = RedoStmt(
-                        operation=c["operation"],
-                        schema=c["schema_name"],
-                        table=c["table_name"],
-                        data=json.loads(c["data_json"]),
-                        before=json.loads(c["before_json"]),
-                    )
-                    stmts.extend(translate_stmt(st, target_schema, dialect=dialect))
+                try:
+                    for c in r["changes"]:
+                        st = RedoStmt(
+                            operation=c["operation"],
+                            schema=c["schema_name"],
+                            table=c["table_name"],
+                            data=json.loads(c["data_json"]),
+                            before=json.loads(c["before_json"]),
+                        )
+                        stmts.extend(
+                            translate_stmt(st, target_schema, dialect=dialect)
+                        )
+                except (ValueError, KeyError) as e:
+                    stmts = [f"-- UNTRANSLATABLE txn {r['xid']}: {e}"]
                 rows.append(
                     (
                         str(r["table_name"]) if has_tbl else "",
