@@ -167,6 +167,11 @@ def main() -> None:
         total += timings["stream_dedup"]
     except Exception as exc:  # noqa: BLE001 — isolate per query
         errors["stream_dedup"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        timings["stream_transitions"] = round(_bench_stream_transitions(spark), 3)
+        total += timings["stream_transitions"]
+    except Exception as exc:  # noqa: BLE001 — isolate per query
+        errors["stream_transitions"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # The driver captures only the tail of stdout: the FINAL line must
     # stay compact (totals + median-only dict). Full detail (best/cold/
@@ -232,6 +237,47 @@ def _bench_stream_dedup(spark) -> float:
         q.awaitTermination()
         dt = time.time() - t0
         spark.sql("SELECT count(*) FROM bench_stream_dedup").collect()
+        return dt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _bench_stream_transitions(spark) -> float:
+    """Time one availableNow pass of the stateful streaming Markov
+    transition matrix (per-user last-event state, round 7) over the
+    events table."""
+    import shutil
+    import tempfile
+
+    from transferdb_spark.streaming.stateful import streaming_transitions
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    work = tempfile.mkdtemp(prefix="bench_strans_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        feed = os.path.join(work, "feed")
+        os.makedirs(feed)
+        os.symlink(src, os.path.join(feed, "events.parquet"))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(feed)
+            .drop("props")
+        )
+        t0 = time.time()
+        q = (
+            streaming_transitions(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("bench_stream_transitions")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        spark.sql("SELECT count(*) FROM bench_stream_transitions").collect()
         return dt
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -247,7 +247,10 @@ def streaming_transitions(stream: DataFrame) -> DataFrame:
     return (
         stream.select(
             "user_id",
-            F.unix_millis("ts").alias("ts_ms"),
+            # cast first: raw parquet streams read ts as TIMESTAMP_NTZ
+            # (Spark 4), which unix_millis rejects — same normalization
+            # as sources/registry load_table
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
             F.col("event_id").cast("long").alias("event_id"),
             "event_type",
         )
@@ -354,7 +357,7 @@ def streaming_sessionize(
     return (
         stream.select("user_id", "ts", "value")
         .withWatermark("ts", watermark)
-        .withColumn("ts_ms", F.unix_millis("ts"))
+        .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_sessionize_fn(gap_s),
