@@ -3746,77 +3746,22 @@ FUNNEL_SQL = _funnel_sql_from_steps(_FUNNEL_STEPS, _FUNNEL_WITHIN_S)
 
 
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention — the funnel's sibling: users grouped by
-    signup week, counted by distinct activity in each later week
-    offset. One distinct-aggregation over (cohort, offset); the cohort
-    relation broadcasts. Returns (cohort_week, week_offset, n_active,
-    retention) for offsets 0-4."""
-    ev = _t(spark, sf_dir, "events")
-    cohort = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
-    )
-    activity = (
-        ev.join(cohort, "user_id")  # per-user: sized by users, not a dim
-        .select(
-            "user_id",
-            "cohort_week",
-            F.datediff(
-                F.date_trunc("week", F.col("ts")), F.col("cohort_week")
-            ).alias("day_diff"),
-        )
-        # filter on the RAW day diff before dividing: int-cast truncates
-        # toward zero, so a pre-signup event 1-6 days early would
-        # otherwise land in offset 0 while the oracle's floor-division
-        # (// 7 with day_diff BETWEEN 0 AND 28) excludes it
-        .where((F.col("day_diff") >= 0) & (F.col("day_diff") <= 28))
-        .select(
-            "user_id",
-            "cohort_week",
-            F.floor(F.col("day_diff") / 7).cast("int").alias("week_offset"),
-        )
-        .distinct()
-    )
-    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
-    from transferdb_spark.functions.canonical import stable_round
+    """Weekly cohort retention — the funnel's sibling, PARAMETERIZED
+    like it: (anchor event, week horizon) drive both this plan and the
+    generated DuckDB oracle (operators/funnel.cohort_retention_params /
+    cohort_sql_from_params). Default workload: signup cohorts, offsets
+    0-4. One distinct-aggregation over (cohort, offset); the cohort
+    sizes relation broadcasts."""
+    from transferdb_spark.operators.funnel import cohort_retention_params
 
-    return (
-        activity.groupBy("cohort_week", "week_offset")
-        .agg(F.count(F.lit(1)).alias("n_active"))
-        .join(F.broadcast(sizes), "cohort_week")
-        .select(
-            F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
-            "week_offset",
-            F.col("n_active").cast("long").alias("n_active"),
-            stable_round(
-                F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
-                6,
-            ).alias("retention"),
-        )
-        .orderBy("cohort_week", "week_offset")
-    )
+    return cohort_retention_params(_t(spark, sf_dir, "events"))
 
 
-COHORT_SQL = """
-WITH cohort AS (
-  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
-  FROM events WHERE event_type = 'signup' GROUP BY 1
-),
-activity AS (
-  SELECT DISTINCT e.user_id, c.cohort_week,
-         CAST(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) // 7 AS INT) AS week_offset
-  FROM events e JOIN cohort c ON e.user_id = c.user_id
-  WHERE date_diff('day', c.cohort_week, date_trunc('week', e.ts)) BETWEEN 0 AND 28
-),
-sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1)
-SELECT CAST(CAST(a.cohort_week AS DATE) AS VARCHAR) AS cohort_week, week_offset,
-       CAST(COUNT(*) AS BIGINT) AS n_active,
-       (floor(CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS retention
-FROM activity a JOIN sizes s USING (cohort_week)
-GROUP BY a.cohort_week, week_offset, s.cohort_size
-ORDER BY cohort_week, week_offset
-"""
+from transferdb_spark.operators.funnel import (  # noqa: E402
+    cohort_sql_from_params as _cohort_sql_from_params,
+)
+
+COHORT_SQL = _cohort_sql_from_params()
 
 
 def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

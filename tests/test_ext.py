@@ -3087,6 +3087,30 @@ def test_ngram_repetition_short_docs_and_known_values(spark):
         assert list(gdf[c]) == list(want[c]), c
 
 
+def test_cohort_parameterized_anchor_matches_generated_oracle(spark, sf_dir):
+    """Cohort workload parameters drive both engines: purchase-anchored
+    cohorts over a 2-week horizon must match the DuckDB SQL generated
+    from the same parameters."""
+    import duckdb
+
+    from transferdb_spark.operators.funnel import (
+        cohort_retention_params,
+        cohort_sql_from_params,
+    )
+    from transferdb_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = cohort_retention_params(ev, anchor="purchase", max_weeks=2).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(cohort_sql_from_params("purchase", 2)).df()
+    assert got["week_offset"].max() <= 2
+    for c in want.columns:
+        assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
 def test_wordpiece_matches_pure_python_reference(spark, sf_dir):
     """Distributed WordPiece trainer vs an independent pure-Python
     implementation of the Schuster-Nakajima likelihood-gain loop on

@@ -153,3 +153,89 @@ def funnel_sql_from_steps(
         "FROM funnel CROSS JOIN base\n"
         "ORDER BY step"
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention — the same saved-workload treatment as the funnel:
+# (anchor event, week horizon) parameterize both the Spark plan and
+# the generated DuckDB oracle.
+
+COHORT_ANCHOR = "signup"
+COHORT_MAX_WEEKS = 4
+
+
+def cohort_retention_params(
+    ev: DataFrame, anchor: str = COHORT_ANCHOR, max_weeks: int = COHORT_MAX_WEEKS
+) -> DataFrame:
+    """Weekly cohort retention for an arbitrary anchor event and week
+    horizon: users grouped by first-anchor week, counted by distinct
+    activity per later week offset (0..max_weeks). The raw day diff is
+    filtered BEFORE floor-dividing so pre-anchor activity can't
+    truncate into offset 0 (the advisor's round-6 finding)."""
+    from transferdb_spark.functions.canonical import stable_round
+
+    days = max_weeks * 7
+    cohort = (
+        ev.where(F.col("event_type") == anchor)
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(cohort, "user_id")  # per-user: sized by users, not a dim
+        .select(
+            "user_id",
+            "cohort_week",
+            F.datediff(
+                F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+            ).alias("day_diff"),
+        )
+        .where((F.col("day_diff") >= 0) & (F.col("day_diff") <= days))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.col("day_diff") / 7).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            stable_round(
+                F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def cohort_sql_from_params(
+    anchor: str = COHORT_ANCHOR, max_weeks: int = COHORT_MAX_WEEKS
+) -> str:
+    """DuckDB oracle generated from the SAME parameters."""
+    days = max_weeks * 7
+    return f"""
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events WHERE event_type = '{anchor}' GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) // 7 AS INT) AS week_offset
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+  WHERE date_diff('day', c.cohort_week, date_trunc('week', e.ts)) BETWEEN 0 AND {days}
+),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1)
+SELECT CAST(CAST(a.cohort_week AS DATE) AS VARCHAR) AS cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       (floor(CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS retention
+FROM activity a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, week_offset, s.cohort_size
+ORDER BY cohort_week, week_offset
+"""
