@@ -71,9 +71,13 @@ def funnel_conversion_steps(
         prev_t = f"t{i - 1}"
         s = (
             ev.where(F.col("event_type") == ev_type)
-            .join(stages[-1], "user_id")
+            .join(stages[-1].select("user_id", "t1", prev_t) if i > 2
+                  else stages[-1], "user_id")
             .where(F.col("ts") >= F.col(prev_t))
-            .groupBy("user_id", "t1", *[f"t{j}" for j in range(2, i)])
+            # group by (user_id, t1) only — intermediate step times are
+            # functionally dependent on user_id and would just widen
+            # the shuffle key
+            .groupBy("user_id", "t1")
             .agg(F.min("ts").alias(f"t{i}"))
         )
         if i == len(steps) and within_s is not None:
