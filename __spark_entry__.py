@@ -1674,6 +1674,16 @@ def ngram_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_repetition(_t(spark, sf_dir, "documents"))
 
 
+def script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profile per document (7 major scripts + dominant)
+    — the multilingual-routing companion to lang_id; narrow projection,
+    fractions hash-exact across engines (Java \\p{IsX} == RE2 \\p{X}
+    on these classes). ext/text.script_profile."""
+    from transferdb_spark.ext.text import script_profile
+
+    return script_profile(_t(spark, sf_dir, "documents"))
+
+
 def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word2vec-style phrase detection (Mikolov et al. 2013): adjacent
     token pairs ranked by PMI. log is monotone, so the ranking uses the
@@ -1710,6 +1720,12 @@ def _pmi_collocations_sql() -> str:
     from transferdb_spark.ext.text import pmi_collocations_sql
 
     return pmi_collocations_sql()
+
+
+def _script_profile_sql() -> str:
+    from transferdb_spark.ext.text import script_profile_sql
+
+    return script_profile_sql()
 
 
 def _gopher_quality_sql() -> str:
@@ -5119,6 +5135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": repetition_ratio,
         "ngram_repetition": ngram_repetition_q,
         "pmi_collocations": pmi_collocations_q,
+        "script_profile": script_profile_q,
         "domain_mix_sample": domain_mix_sample,
         "rrf_fusion_topk": rrf_fusion_topk_q,
         "deterministic_sample": deterministic_sample,
@@ -5371,6 +5388,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_ratio": _repetition_sql(),
         "ngram_repetition": _ngram_repetition_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
+        "script_profile": _script_profile_sql(),
         "event_transitions": EVENT_TRANSITIONS_SQL,
         "gopher_quality_rules": _gopher_quality_sql(),
         "domain_mix_sample": _domain_mix_sql(),

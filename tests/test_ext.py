@@ -3087,6 +3087,38 @@ def test_ngram_repetition_short_docs_and_known_values(spark):
         assert list(gdf[c]) == list(want[c]), c
 
 
+def test_script_profile_multilingual_differential(spark):
+    """Unicode script fractions on a constructed multilingual corpus
+    must match the DuckDB oracle exactly — mixed-script docs, a
+    script-free doc (dominant='other'), and dominant-tie resolution by
+    the fixed script order."""
+    import duckdb
+    import pandas as pd
+
+    from transferdb_spark.ext.text import script_profile, script_profile_sql
+
+    rows = [
+        (1, "Hello world this is English text"),
+        (2, "Привет мир это русский текст"),
+        (3, "你好世界 这是中文"),
+        (4, "مرحبا بالعالم"),
+        (5, "Mixed Привет hello 你好 text"),
+        (6, "12345 !!! ???"),            # no script chars -> other
+        (7, "ab ба"),                    # 2 latin vs 2 cyrillic: tie -> latin
+        (8, "γειά σου κόσμε 안녕하세요 नमस्ते"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = script_profile(docs).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(script_profile_sql()).df()
+    for c in want.columns:
+        assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+    by = {r.doc_id: r.dominant_script for r in got.itertuples()}
+    assert by[1] == "latin" and by[2] == "cyrillic" and by[3] == "han"
+    assert by[4] == "arabic" and by[6] == "other" and by[7] == "latin"
+
+
 def test_cohort_parameterized_anchor_matches_generated_oracle(spark, sf_dir):
     """Cohort workload parameters drive both engines: purchase-anchored
     cohorts over a 2-week horizon must match the DuckDB SQL generated

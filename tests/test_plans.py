@@ -218,6 +218,28 @@ def test_gopher_quality_is_narrow_scan(queries):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
 
 
+def test_ngram_repetition_is_zero_shuffle(queries):
+    """The Gopher n-gram battery's scale claim, machine-checked: a
+    per-doc metric must be a projection, not an aggregation — no joins,
+    no hash exchange, no Generate (explode); the only Exchange is the
+    output sort's range partitioning."""
+    p = plan_of(queries["ngram_repetition"])
+    t = tree_of(p)
+    assert n_nodes(p, "Join") == 0
+    assert t.count("Exchange hashpartitioning") == 0
+    assert n_nodes(p, "Generate") == 0
+    assert n_nodes(p, "Exchange") <= 1  # rangepartitioning for orderBy
+
+
+def test_pmi_collocations_broadcasts_denominators(queries):
+    """Both unigram-count joins broadcast (vocabulary-sized); no
+    sort-merge join may appear — a shuffled join on token strings is
+    the 100 TB antipattern here."""
+    p = plan_of(queries["pmi_collocations"])
+    assert n_nodes(p, "BroadcastHashJoin") >= 2
+    assert n_nodes(p, "SortMergeJoin") == 0
+
+
 def test_plan_lint_first_fold_no_hard_flags(queries, spark):
     """scripts/plan_lint.py's hard flags (CartesianProduct, row-Python
     BatchEvalPython) must stay absent across the driver-sampled window;

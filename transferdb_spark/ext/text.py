@@ -1458,3 +1458,83 @@ CROSS JOIN total
 ORDER BY pmi_ratio_q DESC, pair_cnt DESC, p."left", p."right"
 LIMIT {top}
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profile — the multilingual-pipeline companion to the
+# stopword-lexicon lang_id: per-document character fractions by Unicode
+# SCRIPT property (what mixed-script spam, transliteration noise, and
+# wrong-language routing show up as before any lexicon matches).
+# Counting is length-difference after regexp_replace of the script
+# class — Java's \p{IsX} and RE2's \p{X} agree on these seven scripts
+# (verified cross-engine), so the fractions hash-match exactly.
+
+_SCRIPTS = [
+    ("latin", "Latin"),
+    ("cyrillic", "Cyrillic"),
+    ("han", "Han"),
+    ("arabic", "Arabic"),
+    ("greek", "Greek"),
+    ("hangul", "Hangul"),
+    ("devanagari", "Devanagari"),
+]
+
+
+def script_profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, frac_<script>..., dominant_script) — fractions over
+    non-whitespace chars, stable_round(5); dominant = the first script
+    in the fixed order above holding the max count ('other' when no
+    script char appears). Narrow projection: zero shuffle beyond the
+    output sort."""
+    nonws = F.length(F.regexp_replace("text", "\\s", ""))
+    counts = {
+        k: F.length("text") - F.length(F.regexp_replace("text", f"\\p{{Is{j}}}", ""))
+        for k, j in _SCRIPTS
+    }
+    base = docs.select(
+        "doc_id",
+        F.greatest(nonws, F.lit(1)).cast("double").alias("nz"),
+        *[v.alias(f"c_{k}") for k, v in counts.items()],
+    )
+    mx = F.greatest(*[F.col(f"c_{k}") for k, _ in _SCRIPTS])
+    dominant = F.when(mx == 0, F.lit("other"))
+    for k, _ in _SCRIPTS:
+        dominant = dominant.when(F.col(f"c_{k}") == mx, F.lit(k))
+    return base.select(
+        "doc_id",
+        *[
+            stable_round(F.col(f"c_{k}").cast("double") / F.col("nz"), 5).alias(
+                f"frac_{k}"
+            )
+            for k, _ in _SCRIPTS
+        ],
+        dominant.alias("dominant_script"),
+    ).orderBy("doc_id")
+
+
+def script_profile_sql() -> str:
+    cnt = {
+        k: f"length(text) - length(regexp_replace(text, '\\p{{{j}}}', '', 'g'))"
+        for k, j in _SCRIPTS
+    }
+    cols = ",\n       ".join(
+        stable_round_sql(f"CAST(c_{k} AS DOUBLE) / nz", 5) + f" AS frac_{k}"
+        for k, _ in _SCRIPTS
+    )
+    mx = "GREATEST(" + ", ".join(f"c_{k}" for k, _ in _SCRIPTS) + ")"
+    dom = "CASE WHEN " + mx + " = 0 THEN 'other' " + " ".join(
+        f"WHEN c_{k} = {mx} THEN '{k}'" for k, _ in _SCRIPTS
+    ) + " END"
+    inner = ",\n         ".join(f"{v} AS c_{k}" for k, v in cnt.items())
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         GREATEST(length(regexp_replace(text, '\\s', '', 'g')), 1) AS nz,
+         {inner}
+  FROM documents)
+SELECT doc_id,
+       {cols},
+       {dom} AS dominant_script
+FROM base
+ORDER BY doc_id
+"""
