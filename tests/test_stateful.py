@@ -209,6 +209,58 @@ def test_streaming_transitions_match_batch_matrix(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_streaming_funnel_matches_batch_counts(spark, sf_dir, tmp_path):
+    """Streaming first-touch funnel: summed per-step increments equal
+    the batch parameterized funnel's n_users when micro-batches arrive
+    in event-time order — chains straddling the batch boundary are
+    carried by the per-user progress state, and the 72 h bound
+    terminally fails users exactly like the batch HAVING."""
+    import importlib.util
+
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.streaming.stateful import streaming_funnel
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_funnel", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    events = load_table(spark, sf_dir, "events").drop("props")
+    mid = events.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    src = str(tmp_path / "src")
+    events.filter(F.col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(src)
+    events.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_funnel")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["step"]: r["total"]
+        for r in spark.sql(
+            "SELECT step, SUM(n) AS total FROM t_funnel GROUP BY step"
+        ).collect()
+    }
+    want = {
+        r["step"]: r["n_users"]
+        for r in entry.funnel_conversion(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_streaming_sessionize_matches_gap_sessions(spark, tmp_path):
     """Event-time sessionization: out-of-order events inside a batch
     sort into the right sessions, an in-key event farther than the gap

@@ -266,6 +266,99 @@ def streaming_transitions(stream: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming funnel — the real-time twin of the batch parameterized
+# funnel (operators/funnel.py). Per-user state is the first-touch
+# progress vector (t1..tk so far + a terminal flag); processing events
+# in per-user event-time order makes the greedy forward state machine
+# compute EXACTLY the batch chain (step i = earliest step-i event
+# at-or-after t_{i-1}): the first qualifying event seen in time order
+# IS the minimum. Each step completion emits one (step, n=1) increment
+# — the summed sink equals the batch n_users per step. The final step
+# honors the within_s bound against t1; a user whose first qualifying
+# final event falls outside the bound is terminally failed (the batch
+# min-aggregation can never admit a later, even-farther event either).
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("step", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _make_funnel_fn(steps: list[str], within_ms: int | None):
+    n_steps = len(steps)
+
+    def _funnel(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts_ms", "event_id"]
+        )
+        if state.exists:
+            st = state.get
+            progress, dead = int(st[0]), bool(st[1])
+            times = list(st[2])
+        else:
+            progress, dead, times = 0, False, []
+        emitted: list[int] = []
+        for t, etype in zip(rows["ts_ms"], rows["event_type"]):
+            if dead or progress >= n_steps:
+                break
+            t = int(t)
+            if etype != steps[progress]:
+                continue
+            if progress > 0 and t < times[-1]:
+                continue  # before the previous step's first touch
+            if progress == n_steps - 1 and within_ms is not None:
+                if t - times[0] > within_ms:
+                    # first qualifying final event is out of bound —
+                    # no later event can be earlier: terminal fail
+                    dead = True
+                    continue
+            times.append(t)
+            progress += 1
+            emitted.append(progress)
+        state.update((progress, dead, times))
+        if emitted:
+            yield pd.DataFrame({"step": emitted, "n": [1] * len(emitted)})
+
+    return _funnel
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps: list[str] | None = None,
+    within_s: int | None = None,
+) -> DataFrame:
+    """Per-batch (step, n) completion increments as an append stream;
+    SUM over the sink gives the live funnel counts. Defaults to the
+    batch funnel's saved workload."""
+    from transferdb_spark.operators.funnel import DEFAULT_STEPS, DEFAULT_WITHIN_S
+
+    if steps is None:
+        steps = DEFAULT_STEPS
+        within_s = DEFAULT_WITHIN_S if within_s is None else within_s
+    state_schema = "progress INT, dead BOOLEAN, times ARRAY<LONG>"
+    return (
+        stream.select(
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_funnel_fn(list(steps), None if within_s is None else int(within_s * 1000)),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming sessionization — event-time gap sessions with watermark-
 # driven closure. The streaming twin of the batch sessionize_events
 # query (lag/gap window): per-user open-session state evolves across
