@@ -172,6 +172,11 @@ def main() -> None:
         total += timings["stream_transitions"]
     except Exception as exc:  # noqa: BLE001 — isolate per query
         errors["stream_transitions"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        timings["stream_funnel"] = round(_bench_stream_funnel(spark), 3)
+        total += timings["stream_funnel"]
+    except Exception as exc:  # noqa: BLE001 — isolate per query
+        errors["stream_funnel"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # The driver captures only the tail of stdout: the FINAL line must
     # stay compact (totals + median-only dict). Full detail (best/cold/
@@ -278,6 +283,46 @@ def _bench_stream_transitions(spark) -> float:
         q.awaitTermination()
         dt = time.time() - t0
         spark.sql("SELECT count(*) FROM bench_stream_transitions").collect()
+        return dt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _bench_stream_funnel(spark) -> float:
+    """Time one availableNow pass of the stateful streaming first-touch
+    funnel (round 7) over the events table."""
+    import shutil
+    import tempfile
+
+    from transferdb_spark.streaming.stateful import streaming_funnel
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    work = tempfile.mkdtemp(prefix="bench_sfun_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        feed = os.path.join(work, "feed")
+        os.makedirs(feed)
+        os.symlink(src, os.path.join(feed, "events.parquet"))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(feed)
+            .drop("props")
+        )
+        t0 = time.time()
+        q = (
+            streaming_funnel(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("bench_stream_funnel")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        spark.sql("SELECT count(*) FROM bench_stream_funnel").collect()
         return dt
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
