@@ -1684,6 +1684,17 @@ def script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_profile(_t(spark, sf_dir, "documents"))
 
 
+def ngram_dup_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-EXACT duplicated n-gram coverage (each char once — the
+    Gopher paper's accounting, complementing ngram_repetition's
+    Dolma-style count x length): per doc, fraction of token chars
+    inside >=1 duplicated {5..10}-gram. Zero-shuffle narrow fold
+    (sorted (gram, idx) runs -> distinct span union)."""
+    from transferdb_spark.ext.text import ngram_dup_coverage
+
+    return ngram_dup_coverage(_t(spark, sf_dir, "documents"))
+
+
 def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word2vec-style phrase detection (Mikolov et al. 2013): adjacent
     token pairs ranked by PMI. log is monotone, so the ranking uses the
@@ -1726,6 +1737,12 @@ def _script_profile_sql() -> str:
     from transferdb_spark.ext.text import script_profile_sql
 
     return script_profile_sql()
+
+
+def _ngram_dup_coverage_sql() -> str:
+    from transferdb_spark.ext.text import ngram_dup_coverage_sql
+
+    return ngram_dup_coverage_sql()
 
 
 def _gopher_quality_sql() -> str:
@@ -5134,6 +5151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": pii_redaction,
         "repetition_ratio": repetition_ratio,
         "ngram_repetition": ngram_repetition_q,
+        "ngram_dup_coverage": ngram_dup_coverage_q,
         "pmi_collocations": pmi_collocations_q,
         "script_profile": script_profile_q,
         "domain_mix_sample": domain_mix_sample,
@@ -5387,6 +5405,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _pii_redaction_sql(),
         "repetition_ratio": _repetition_sql(),
         "ngram_repetition": _ngram_repetition_sql(),
+        "ngram_dup_coverage": _ngram_dup_coverage_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "script_profile": _script_profile_sql(),
         "event_transitions": EVENT_TRANSITIONS_SQL,

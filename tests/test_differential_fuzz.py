@@ -319,3 +319,37 @@ def test_ngram_repetition_and_pmi_tie_fuzz(spark):
         assert gp["right"].tolist() == wp["right"].tolist(), trial
         assert gp["pair_cnt"].tolist() == wp["pair_cnt"].tolist(), trial
         assert gp["pmi_ratio_q"].tolist() == wp["pmi_ratio_q"].tolist(), trial
+
+
+def test_wordpiece_oracle_tie_fuzz(spark):
+    """WordPiece trainer vs its unrolled-CTE oracle on tie-heavy
+    corpora: 3 letters × short words make quantized likelihood scores
+    collide constantly, so the full (score DESC, freq DESC, l, r)
+    tie chain is exercised through several merge generations in both
+    engines."""
+    import pandas as pd
+
+    from transferdb_spark.ext.wordpiece import (
+        train_wordpiece_df,
+        train_wordpiece_sql,
+    )
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        rows = [
+            (
+                i,
+                " ".join(
+                    "".join(rng.choice("abc") for _ in range(rng.randint(1, 4)))
+                    for _ in range(rng.randint(2, 12))
+                ),
+            )
+            for i in range(40)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = train_wordpiece_df(docs, n_merges=4).toPandas()
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = con.execute(train_wordpiece_sql(n_merges=4)).df()
+        for c in ("rank", "left", "right", "freq", "score_q"):
+            assert got[c].tolist() == want[c].tolist(), (trial, c)

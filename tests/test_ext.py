@@ -3143,6 +3143,45 @@ def test_cohort_parameterized_anchor_matches_generated_oracle(spark, sf_dir):
         assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
 
 
+def test_ngram_dup_coverage_is_position_exact(spark):
+    """Position-exact coverage is BOUNDED BY 1 where the Dolma-style
+    count x length accounting explodes: the fully-looped doc has every
+    token char inside a duplicated 5-gram (cov_dup5 == 1.0 exactly,
+    vs rep_dup5 == 99/29 ≈ 3.41 for the same doc), a gramless doc is
+    all zeros, and a half-duplicated doc matches hand arithmetic."""
+    import duckdb
+    import pandas as pd
+
+    from transferdb_spark.ext.text import (
+        ngram_dup_coverage,
+        ngram_dup_coverage_sql,
+        ngram_repetition,
+    )
+
+    rows = [
+        (1, "x"),
+        (2, "p q r s t p q r s t p q r s t"),
+        # one duplicated 5-gram pair 'a b c d e' at starts 1 and 8;
+        # tokens 1-5 and 8-12 covered = 10 of 12 single-char tokens
+        (3, "a b c d e z y a b c d e"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in ngram_dup_coverage(docs).collect()}
+    assert got[1]["cov_dup5"] == 0.0 and got[1]["cov_dup10"] == 0.0
+    assert got[2]["cov_dup5"] == 1.0  # every char covered, counted once
+    rep = {r["doc_id"]: r.asDict() for r in ngram_repetition(docs).collect()}
+    assert rep[2]["rep_dup5"] > 1.0  # the overlap-counting contrast
+    assert got[3]["cov_dup5"] == round(10 / 12, 5)
+    assert got[3]["cov_dup6"] == 0.0
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(ngram_dup_coverage_sql()).df()
+    gdf = pd.DataFrame([got[k] for k in sorted(got)])
+    for c in want.columns:
+        assert list(gdf[c]) == list(want[c]), c
+
+
 def test_wordpiece_matches_pure_python_reference(spark, sf_dir):
     """Distributed WordPiece trainer vs an independent pure-Python
     implementation of the Schuster-Nakajima likelihood-gain loop on

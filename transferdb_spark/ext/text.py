@@ -1538,3 +1538,108 @@ SELECT doc_id,
 FROM base
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Position-exact duplicate n-gram coverage — the Gopher paper's own
+# accounting (each character counted ONCE), complementing the
+# Dolma-style count×length fractions of ngram_repetition (which can
+# exceed 1.0 on heavily looped text). Per document and n in 5..10:
+# fraction of TOKEN characters lying inside at least one duplicated
+# n-gram. Still a narrow zero-shuffle plan: duplicate starts come from
+# sorting (gram, index) pairs and folding runs; coverage is the
+# distinct union of [i, i+n-1] token spans.
+
+_COV_NS = list(range(5, 11))
+
+
+def _dup_cover_expr(n: int) -> str:
+    """Covered-char count for one n as a pure expression chain."""
+    # (gram, idx) pairs sorted by gram then idx
+    pairs = (
+        f"array_sort(transform(filter(sequence(1, size(t)),"
+        f" i -> i + {n} - 1 <= size(t)),"
+        f" i -> struct(array_join(slice(t, i, {n}), ' ') AS g, i AS i)))"
+    )
+    # fold: collect start indexes of runs with >= 2 members
+    zero = (
+        "struct(CAST(NULL AS STRING) AS prev, CAST(array() AS ARRAY<INT>) AS run,"
+        " CAST(array() AS ARRAY<INT>) AS dups)"
+    )
+    step = (
+        "(acc, p) -> IF(acc.prev IS NOT NULL AND p.g = acc.prev,"
+        " named_struct('prev', acc.prev, 'run', array_append(acc.run, p.i),"
+        "              'dups', acc.dups),"
+        " named_struct('prev', p.g, 'run', array(p.i),"
+        "  'dups', IF(size(acc.run) > 1, concat(acc.dups, acc.run), acc.dups)))"
+    )
+    fin = "acc -> IF(size(acc.run) > 1, concat(acc.dups, acc.run), acc.dups)"
+    dup_starts = f"aggregate({pairs}, {zero}, {step}, {fin})"
+    covered = (
+        f"array_distinct(flatten(transform({dup_starts},"
+        f" i -> sequence(i, i + {n} - 1))))"
+    )
+    return (
+        f"aggregate({covered}, 0L, (acc, i) -> acc + length(t[i - 1]))"
+    )
+
+
+def ngram_dup_coverage(docs: DataFrame) -> DataFrame:
+    """(doc_id, cov_dup5..cov_dup10) — position-exact duplicated-n-gram
+    char coverage fractions over token chars, stable_round(5)."""
+    base = docs.select(
+        "doc_id",
+        F.expr(TOKENS).alias("t"),
+        F.greatest(
+            F.expr("aggregate(" + TOKENS + ", 0L, (a, x) -> a + length(x))"),
+            F.lit(1),
+        ).cast("double").alias("tok_chars"),
+    )
+    cols = [
+        stable_round(
+            F.expr(_dup_cover_expr(n)).cast("double") / F.col("tok_chars"), 5
+        ).alias(f"cov_dup{n}")
+        for n in _COV_NS
+    ]
+    return base.select("doc_id", *cols).orderBy("doc_id")
+
+
+def ngram_dup_coverage_sql() -> str:
+    cols = ",\n       ".join(
+        stable_round_sql(
+            f"CAST(COALESCE(MAX(CASE WHEN p.n = {n} THEN p.cov END), 0) AS DOUBLE)"
+            " / t.tok_chars",
+            5,
+        )
+        + f" AS cov_dup{n}"
+        for n in _COV_NS
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t,
+         GREATEST(list_sum(list_transform(t, x -> length(x))), 1) AS tok_chars
+  FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)),
+grams AS MATERIALIZED (
+  SELECT doc_id, tok_chars, gn.n AS n, gi.i AS i,
+         array_to_string(t[gi.i : gi.i + gn.n - 1], ' ') AS gram
+  FROM toks,
+       UNNEST(generate_series(5, 10)) AS gn(n),
+       UNNEST(generate_series(1, GREATEST(len(t) - gn.n + 1, 0))) AS gi(i)),
+dup_starts AS (
+  SELECT doc_id, tok_chars, n, i
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, n, gram) AS occ FROM grams)
+  WHERE occ > 1),
+covered AS (
+  SELECT DISTINCT d.doc_id, d.tok_chars, d.n, p.pos
+  FROM dup_starts d, UNNEST(generate_series(d.i, d.i + d.n - 1)) AS p(pos)),
+per_n AS (
+  SELECT c.doc_id, c.tok_chars, c.n,
+         SUM(length(t.t[c.pos])) AS cov
+  FROM covered c JOIN toks t ON c.doc_id = t.doc_id
+  GROUP BY ALL)
+SELECT t.doc_id,
+       {cols}
+FROM toks t LEFT JOIN per_n p ON t.doc_id = p.doc_id
+GROUP BY t.doc_id, t.tok_chars
+ORDER BY t.doc_id
+"""
