@@ -183,6 +183,11 @@ def test_cli_assess_csv_full_check(tmp_path, capsys, spark):
     out = run_cli(["--mode", "csv", "--workdir", wd, "--tables", "nation"], capsys)
     assert out["mode"] == "csv"
 
+    out = run_cli(["--mode", "orc", "--workdir", wd, "--tables", "nation"], capsys)
+    assert out["mode"] == "orc"
+    back = spark.read.orc(out["paths"]["nation"])
+    assert back.count() == 25 and "n_name" in back.columns
+
     out = run_cli(["--mode", "full", "--workdir", wd, "--tables", "nation,region"], capsys)
     assert len(out["targets"]) == 2
 

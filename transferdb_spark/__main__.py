@@ -2,7 +2,7 @@
 
     python -m transferdb_spark --mode <mode> [--source-dir D] [--workdir W]
 
-Modes: prepare | assess | reverse | check | compare | csv | jsonl | full | all
+Modes: prepare | assess | reverse | check | compare | csv | jsonl | orc | full | all
 | retry (re-run only FAILED chunks from the persisted plan)
 | compact (rewrite the CDC change log to its live-key snapshot)
 | prune (quality-prune the corpus) | search (BM25 / hybrid / RM3 retrieval)
@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
         required=True,
         choices=[
             "prepare", "assess", "reverse", "check", "compare",
-            "csv", "jsonl", "full", "all", "retry", "compact", "export",
+            "csv", "jsonl", "orc", "full", "all", "retry", "compact", "export",
             "optimize", "explain", "prune", "search", "pipeline",
             "corpus-report",
         ],
@@ -270,6 +270,17 @@ def main(argv: list[str] | None = None) -> int:
         paths = {}
         for name, df in load_tables(spark, args.source_dir, include=tables).items():
             paths[name] = jsonl_export(spark, df, name, os.path.join(args.workdir, "jsonl"), n_chunks=args.chunks)
+        out["paths"] = paths
+
+    elif args.mode == "orc":
+        from transferdb_spark.modes.columnar import orc_export
+        from transferdb_spark.sources.registry import load_tables
+
+        paths = {}
+        for name, df in load_tables(spark, args.source_dir, include=tables).items():
+            paths[name] = orc_export(
+                spark, df, name, os.path.join(args.workdir, "orc"), n_chunks=args.chunks
+            )
         out["paths"] = paths
 
     elif args.mode == "full":
