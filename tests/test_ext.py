@@ -2589,6 +2589,23 @@ def test_fragmented_mp4_demux_roundtrip_exact():
         assert st["codec"] == "jpeg"
         assert st["times_ms"] == [i * 200 for i in range(7)], tag
 
+    # ADVICE regression (§8.8.8): a trun WITHOUT the data-offset flag
+    # starts immediately after the previous run's data — a parser that
+    # resets to the traf base would re-read the first run's bytes.
+    # Exercise both base anchors so the carry-forward is proven
+    # independent of how the base was established.
+    for pattern, explicit_base in itertools.product(
+        ((2,), (3, 1), (4,)), (False, True)
+    ):
+        buf = mux_mjpeg_fragmented(
+            jpgs, fps=5, width=24, height=16, frag_pattern=pattern,
+            explicit_base=explicit_base, two_truns=True,
+            second_trun_no_offset=True,
+        )
+        tag = ("no-offset", pattern, explicit_base)
+        assert demux_samples(buf) == jpgs, tag
+        assert sample_table(buf)["times_ms"] == [i * 200 for i in range(7)], tag
+
     # frame decode rides the same path as flat MP4s; the metadata
     # probe reports the fragment layout
     import transferdb_spark.ext.multimodal as _mm
@@ -3350,3 +3367,32 @@ def test_zipf_slope_separates_natural_from_uniform(spark):
     ).first()
     assert -1.2 < z["zipf_slope"] < -0.8, z
     assert abs(u["zipf_slope"]) < 0.05, u
+
+
+def test_jpeg_lossless_sof3_three_component_raw_roundtrip():
+    """ADVICE regression: 3-component SOF3 decode must NOT apply the
+    YCbCr->RGB transform — Annex H has no color model, lossless
+    sources (DNG/medical) carry raw component values. Encode three
+    random raw planes, decode, require EXACT equality per plane (the
+    transform would corrupt every sample with near-certainty)."""
+    import numpy as np
+
+    from transferdb_spark.ext.jpeg import (
+        decode_jpeg,
+        decode_jpeg_native,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (17, 13, 3), dtype=np.uint8)
+    for pred in (1, 4, 7):
+        out = decode_jpeg(encode_jpeg_lossless(img, predictor=pred))
+        assert np.array_equal(out, img), pred
+
+    img16 = rng.integers(0, 65536, (9, 11, 3), dtype=np.uint16)
+    out16 = decode_jpeg_native(encode_jpeg_lossless(img16))
+    assert np.array_equal(out16, img16)
+
+    # point transform per plane
+    outp = decode_jpeg(encode_jpeg_lossless(img, predictor=2, pt=3))
+    assert np.array_equal(outp, (img >> 3) << 3)

@@ -319,3 +319,101 @@ def test_streaming_sessionize_matches_gap_sessions(spark, tmp_path):
         (2, 12 * 60 + 5, 2, 9.0),    # 12:05-12:15
     }
     assert got == want
+
+
+def test_streaming_funnel_drop_terminal_frees_state(spark, tmp_path):
+    """ADVICE regression: drop_terminal removes a user's state the
+    moment they complete (or terminally fail) the funnel — proven
+    behaviorally: after completion, a fresh step-1 event RE-OPENS the
+    funnel (step-1 increment emitted again), which can only happen if
+    the terminal state was dropped. Default (drop_terminal=False)
+    keeps the terminal state and stays silent on the same input."""
+    import datetime as dt
+
+    def drops(src):
+        t0 = dt.datetime(2024, 1, 1)
+        b1 = [(1, t0, 1, "view"), (1, t0 + dt.timedelta(minutes=1), 2, "click")]
+        b2 = [(1, t0 + dt.timedelta(hours=1), 3, "view")]
+        cols = ["user_id", "ts", "event_id", "event_type"]
+        spark.createDataFrame(b1, cols).coalesce(1).write.mode("overwrite").parquet(src)
+        spark.createDataFrame(b2, cols).coalesce(1).write.mode("append").parquet(src)
+
+    from transferdb_spark.streaming.stateful import streaming_funnel
+
+    def run(name, **kw):
+        src = str(tmp_path / f"src_{name}")
+        drops(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_funnel(stream, steps=["view", "click"], **kw)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            r["step"]: r["total"]
+            for r in spark.sql(
+                f"SELECT step, SUM(n) AS total FROM {name} GROUP BY step"
+            ).collect()
+        }
+
+    # default: user 1 completed in batch 1; the later 'view' is ignored
+    assert run("f_keep") == {1: 1, 2: 1}
+    # drop_terminal: state was freed at completion, so the later
+    # 'view' opens a new attempt -> a second step-1 increment
+    assert run("f_drop", drop_terminal=True) == {1: 2, 2: 1}
+
+
+def test_streaming_transitions_ttl_evicts_idle_users(spark, tmp_path):
+    """transitions ttl_ms: a user idle past the TTL is evicted, so the
+    edge spanning the idle gap is NOT counted — the bounded-state
+    horizon semantics (streaming_dedup's knob, same contract)."""
+    import datetime as dt
+    import time
+
+    from transferdb_spark.streaming.stateful import streaming_transitions
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    spark.createDataFrame([(1, t0, 1, "a")], cols).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_transitions(stream, ttl_ms=1)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_trans_ttl")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(5)  # idle ticks fire the 1 ms timeout -> state evicted
+        # b then c in one batch: if state survived, a->b AND b->c both
+        # appear; after eviction the chain restarts at b, so ONLY b->c
+        spark.createDataFrame(
+            [
+                (1, t0 + dt.timedelta(minutes=1), 2, "b"),
+                (1, t0 + dt.timedelta(minutes=2), 3, "c"),
+            ],
+            cols,
+        ).coalesce(1).write.mode("append").parquet(src)
+        deadline = time.time() + 60
+        edges = lambda: {  # noqa: E731
+            (r["src"], r["dst"])
+            for r in spark.sql("SELECT src, dst FROM t_trans_ttl").collect()
+        }
+        while not edges() and time.time() < deadline:
+            time.sleep(0.5)
+        assert edges() == {("b", "c")}
+    finally:
+        q.stop()

@@ -812,3 +812,206 @@ def test_stale_redelivery_cannot_regress_snapshot_image(spark, sf_dir, tmp_path)
     got = read_snapshot(spark, base).filter(F.col("user_id") == u0["user_id"]).first()
     assert got["event_id"] == u0["event_id"], "stale event regressed the image"
     assert got["value"] != -999.0
+
+
+def test_incr_sync_meta_concurrent_merge(tmp_path):
+    """IncrSyncMeta is the queryable state-TABLE twin of the per-table
+    SCN file (reference sync_meta_incr.go): max-wins merge under an
+    fcntl lock must survive concurrent writers without losing any
+    table's high-water."""
+    import threading
+
+    from transferdb_spark.state.store import IncrSyncMeta
+
+    meta = IncrSyncMeta(str(tmp_path), "incr")
+
+    def writer(base):
+        for i in range(20):
+            meta.merge({f"T{(base + i) % 7}": base * 100 + i, "SHARED": base * 100 + i})
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in range(1, 5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    highs = meta.highs()
+    assert highs["SHARED"] == 419  # max over all writers: 4*100+19
+    # every table key written by any writer survived (no lost update)
+    for b in range(1, 5):
+        for i in range(20):
+            k = f"T{(b + i) % 7}"
+            assert highs[k] >= b * 100 + i or highs[k] == max(
+                w * 100 + j for w in range(1, 5) for j in range(20) if (w + j) % 7 == (b + i) % 7
+            )
+    # max-wins: a stale merge can never regress
+    meta.merge({"SHARED": 1})
+    assert meta.highs()["SHARED"] == 419
+
+    meta.record_errors([{"table_name": "A", "xid": "t9", "commit_scn": 5,
+                         "status": "failed", "error": "boom"}])
+    errs = meta.errors("A")
+    assert len(errs) == 1 and errs[0]["error"] == "boom" and "ts" in errs[0]
+
+
+def test_apply_result_safe_scn_contiguous_watermark():
+    """safe_scn never passes the first FAILED commit SCN — the JDBC
+    checkpoint twin of the distributed contiguous-success watermark."""
+    from transferdb_spark.modes.apply import ApplyResult
+
+    r = ApplyResult(applied=["t1", "t3"], high_scn=9,
+                    failed=[("t2", "boom")], failed_scns=[5])
+    assert r.safe_scn == 4
+    ok = ApplyResult(applied=["t1"], high_scn=7)
+    assert ok.safe_scn == 7
+    only_fail = ApplyResult(failed=[("t1", "boom")], failed_scns=[3])
+    assert only_fail.safe_scn == -1  # nothing applied -> no advance
+
+
+def test_distributed_apply_meta_table_makes_retry_exactly_once(spark, tmp_path):
+    """The TARGET-side incr_sync_meta table (same-transaction
+    checkpoint row) gates a re-run of the exact same units: the second
+    pass reports 'skipped / already applied (target meta)' and the
+    target holds exactly one copy of every row — the defense against
+    Spark task retries / speculative duplicates that a driver-side
+    checkpoint (captured at batch start) cannot provide."""
+    import sqlite3
+
+    from transferdb_spark.streaming.live_apply import apply_changes_distributed
+    from transferdb_spark.streaming.redo import redo_stream_to_changes
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE A (ID INT, V INT)")
+
+    rows = [
+        (2, "t1", 'insert into "A"("ID","V") values (\'1\',\'10\');'),
+        (4, "t2", 'insert into "A"("ID","V") values (\'2\',\'20\');'),
+    ]
+    df = spark.createDataFrame(rows, "scn long, xid string, sql_redo string")
+    changes = redo_stream_to_changes(df.select("scn", "sql_redo")).join(
+        df.select("scn", "xid"), "scn"
+    )
+
+    def run():
+        return apply_changes_distributed(
+            changes, lambda: sqlite3.connect(db, timeout=60),
+            num_partitions=2, meta_table="incr_sync_meta",
+        ).collect()
+
+    first = {r["xid"]: r["status"] for r in run()}
+    assert first == {"t1": "applied", "t2": "applied"}
+
+    # same units again, NO driver-side gate (resume_scns empty) — the
+    # target meta rows alone must stop the re-apply
+    second = {r["xid"]: (r["status"], r["error"]) for r in run()}
+    assert second == {
+        "t1": ("skipped", "already applied (target meta)"),
+        "t2": ("skipped", "already applied (target meta)"),
+    }
+    with sqlite3.connect(db) as c:
+        assert sorted(c.execute("SELECT ID, V FROM A").fetchall()) == [(1, 10), (2, 20)]
+        metas = c.execute(
+            "SELECT table_name, xid, commit_scn FROM incr_sync_meta ORDER BY commit_scn"
+        ).fetchall()
+    assert metas == [("A", "t1", 2), ("A", "t2", 4)]
+
+
+def test_distributed_apply_failed_txn_holds_watermark_and_replays(spark, tmp_path):
+    """ADVICE(high) regression: a FAILED transaction must be PERSISTED
+    to the error log and must hold its table's SCN checkpoint at
+    min(failed)-1, so a redelivery retries it — while the target-side
+    meta rows keep the already-applied units above the held watermark
+    from re-executing (no duplicates)."""
+    import json as _json
+    import sqlite3
+
+    from transferdb_spark.state.store import IncrSyncMeta
+    from transferdb_spark.streaming.live_apply import run_redo_apply_stream_dbapi
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE A (ID INT PRIMARY KEY, V INT)")
+        c.execute("INSERT INTO A VALUES (7, 70)")  # makes scn-4 txn collide
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    meta = IncrSyncMeta(str(tmp_path), "live")
+
+    def drop(name, rows):
+        with open(feed / name, "w") as f:
+            for scn, xid, sql in rows:
+                f.write(_json.dumps({"scn": scn, "xid": xid, "sql_redo": sql}) + "\n")
+
+    drop("log1.json", [
+        (2, "t1", 'insert into "A"("ID","V") values (\'1\',\'10\');'),
+        (4, "t2", 'insert into "A"("ID","V") values (\'7\',\'77\');'),  # PK clash -> fails
+        (6, "t3", 'insert into "A"("ID","V") values (\'2\',\'20\');'),
+    ])
+
+    def run(ck):
+        q = run_redo_apply_stream_dbapi(
+            spark, str(feed), str(tmp_path / ck),
+            lambda: __import__("sqlite3").connect(db, timeout=60),
+            meta=meta, num_partitions=2, on_error="continue",
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    # failure persisted, checkpoint held BELOW the failed scn
+    assert meta.highs() == {"A": 3}
+    errs = meta.errors("A")
+    assert len(errs) == 1 and errs[0]["xid"] == "t2" and errs[0]["status"] == "failed"
+    with sqlite3.connect(db) as c:
+        assert sorted(c.execute("SELECT ID, V FROM A").fetchall()) == [
+            (1, 10), (2, 20), (7, 70)]
+
+    # operator clears the conflict; FULL redelivery retries ONLY t2 —
+    # t1 is SCN-gated, t3 is above the held watermark but its target
+    # meta row proves the prior commit (no duplicate id=2 row)
+    with sqlite3.connect(db) as c:
+        c.execute("DELETE FROM A WHERE ID = 7")
+    run("ck2")
+    with sqlite3.connect(db) as c:
+        rows = sorted(c.execute("SELECT ID, V FROM A").fetchall())
+    assert rows == [(1, 10), (2, 20), (7, 77)]
+    # checkpoint caught up past the retried txn AND the meta-proven t3
+    assert meta.highs() == {"A": 6}
+
+
+def test_distributed_apply_stream_halts_on_failure(spark, tmp_path):
+    """on_error='halt' (default — the reference hard-fails the incr
+    round on any apply error) fails the streaming query AFTER
+    persisting the error log and the held watermark."""
+    import json as _json
+    import sqlite3
+
+    import pytest as _pytest
+
+    from transferdb_spark.state.store import IncrSyncMeta
+    from transferdb_spark.streaming.live_apply import run_redo_apply_stream_dbapi
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE A (ID INT, V INT)")
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    with open(feed / "log1.json", "w") as f:
+        f.write(_json.dumps({"scn": 2, "xid": "t1",
+                             "sql_redo": 'insert into "A"("ID","V") values (\'1\',\'10\');'}) + "\n")
+        f.write(_json.dumps({"scn": 4, "xid": "t2",
+                             "sql_redo": 'insert into "NOPE"("ID") values (\'1\');'}) + "\n")
+
+    meta = IncrSyncMeta(str(tmp_path), "halt")
+    q = run_redo_apply_stream_dbapi(
+        spark, str(feed), str(tmp_path / "ck"),
+        lambda: __import__("sqlite3").connect(db, timeout=60),
+        meta=meta, num_partitions=2,
+    )
+    with _pytest.raises(Exception, match="redo apply failed"):
+        q.awaitTermination(180)
+        raise RuntimeError(q.exception() or "query did not fail")
+    # the failure was persisted BEFORE the halt
+    assert [e["xid"] for e in meta.errors()] == ["t2"]
+    assert meta.highs() == {"A": 2}

@@ -610,27 +610,49 @@ def _decode_lossless_scan(
                 p[y, x] = v
             fresh = False
             mcu += 1
-    full = [(p.astype(np.float64) * (1 << pt)) for p in planes]
+    shifted = [(p.astype(np.int32) << pt) for p in planes]
+    if len(shifted) == 3:
+        # lossless sources (DNG/medical) carry RAW component values —
+        # T.81 Annex H has no color model, so the YCbCr->RGB transform
+        # _planes_to_rgb applies to DCT frames would corrupt them.
+        # Stack the planes untouched; the exact-roundtrip contract
+        # holds per component.
+        maxv = (1 << prec) - 1
+        out = np.stack(shifted, axis=2)
+        np.clip(out, 0, maxv, out=out)
+        if prec == 8:
+            return out.astype(np.uint8)
+        if native:
+            return out.astype(np.uint16)
+        return np.rint(out.astype(np.float64) * (255.0 / maxv)).astype(np.uint8)
+    full = [p.astype(np.float64) for p in shifted]
     return _planes_to_rgb(full, prec, native)
 
 
 def encode_jpeg_lossless(
     img: np.ndarray, predictor: int = 1, pt: int = 0, prec: int | None = None
 ) -> bytes:
-    """Grayscale (h, w) integer samples → SOF3 lossless JPEG — a TRUE
-    lossless twin: decode_jpeg_native(encode_jpeg_lossless(x)) must
-    reproduce x exactly (no DCT, no color transform on the 1-component
-    path). prec defaults to 8 for uint8 input, else 16."""
-    if img.ndim != 2:
-        raise ValueError("expected (h, w) grayscale samples")
+    """Integer samples → SOF3 lossless JPEG — a TRUE lossless twin:
+    decode_jpeg_native(encode_jpeg_lossless(x)) must reproduce x
+    exactly (no DCT; NO color transform on either path — Annex H has
+    no color model, components carry raw values). (h, w) grayscale or
+    (h, w, 3) three raw component planes (the DNG/medical shape),
+    interleaved one sample per component per MCU like the decoder
+    expects. prec defaults to 8 for uint8 input, else 16."""
+    if img.ndim == 2:
+        planes = [img]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        planes = [img[:, :, ci] for ci in range(3)]
+    else:
+        raise ValueError("expected (h, w) grayscale or (h, w, 3) samples")
     if prec is None:
         prec = 8 if img.dtype == np.uint8 else 16
     if not 2 <= prec <= 16:
         raise ValueError("prec must be in 2..16")
     if predictor not in _LL_PREDICT:
         raise ValueError(f"invalid lossless predictor {predictor}")
-    h, w = img.shape
-    samples = (img.astype(np.int64) >> pt).astype(np.int64)
+    h, w = img.shape[:2]
+    comps = [(p.astype(np.int64) >> pt).astype(np.int64) for p in planes]
 
     # category stream first, then one flat DHT covering what occurs
     predict = _LL_PREDICT[predictor]
@@ -639,36 +661,39 @@ def encode_jpeg_lossless(
     cats = set()
     for y in range(h):
         for x in range(w):
-            if (y, x) == (0, 0):
-                pred = default_pred
-            elif y == 0:
-                pred = int(samples[0, x - 1])
-            elif x == 0:
-                pred = int(samples[y - 1, 0])
-            else:
-                pred = predict(
-                    int(samples[y, x - 1]),
-                    int(samples[y - 1, x]),
-                    int(samples[y - 1, x - 1]),
-                )
-            diff = (int(samples[y, x]) - pred) & 0xFFFF
-            if diff > 32768:
-                diff -= 65536
-            if diff == 32768:
-                t, code = 16, 0
-            else:
-                t, code = _magnitude(diff)
-            cats.add(t)
-            ops.append((t, code, t if t != 16 else 0))
+            for samples in comps:
+                if (y, x) == (0, 0):
+                    pred = default_pred
+                elif y == 0:
+                    pred = int(samples[0, x - 1])
+                elif x == 0:
+                    pred = int(samples[y - 1, 0])
+                else:
+                    pred = predict(
+                        int(samples[y, x - 1]),
+                        int(samples[y - 1, x]),
+                        int(samples[y - 1, x - 1]),
+                    )
+                diff = (int(samples[y, x]) - pred) & 0xFFFF
+                if diff > 32768:
+                    diff -= 65536
+                if diff == 32768:
+                    t, code = 16, 0
+                else:
+                    t, code = _magnitude(diff)
+                cats.add(t)
+                ops.append((t, code, t if t != 16 else 0))
 
+    ncomp = len(comps)
     out = bytearray(b"\xff\xd8")
-    out += _sof_segment(0xC3, h, w, prec=prec, ncomp=1)
+    out += _sof_segment(0xC3, h, w, prec=prec, ncomp=ncomp)
     bits, vals = _flat_table(sorted(cats))
     out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
     out += bytes([0x00]) + bytes(bits) + bytes(vals)
     codes = _encode_codes(bits, vals)
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-    out += bytes([1, 0x00])
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x00])  # all components share DC table 0
     out += bytes([predictor, 0, pt])
     wtr = _BitWriter()
     for t, code, nbits in ops:

@@ -245,17 +245,24 @@ def _parse_fragments(buf: bytes, moov: tuple[int, int], track_id: int, st: dict)
                     if ver == 1
                     else struct.unpack_from(">I", buf, td[0] + 4)[0]
                 )
+            run_pos = None  # end of the previous trun's data in this traf
             for bt, bs, be in _boxes(buf, ts_, te_):
                 if bt != b"trun":
                     continue
                 tr_flags = int.from_bytes(buf[bs + 1 : bs + 4], "big")
                 n = struct.unpack_from(">I", buf, bs + 4)[0]
                 p = bs + 8
-                data_pos = base
                 if tr_flags & _TRUN_DATA_OFFSET:
                     (doff,) = struct.unpack_from(">i", buf, p)
                     p += 4
                     data_pos = base + doff
+                elif run_pos is not None:
+                    # §8.8.8: without the data-offset flag a trun
+                    # starts immediately after the previous run's data
+                    # — resetting to the traf base would re-read it
+                    data_pos = run_pos
+                else:
+                    data_pos = base
                 if tr_flags & _TRUN_FIRST_FLAGS:
                     p += 4
                 for _ in range(n):
@@ -278,6 +285,7 @@ def _parse_fragments(buf: bytes, moov: tuple[int, int], track_id: int, st: dict)
                     times_ms.append(t_units * 1000 // max(timescale, 1))
                     data_pos += size
                     t_units += dur
+                run_pos = data_pos
     if not sizes:
         raise ValueError(f"fragmented track {track_id}: no moof samples")
     return {
@@ -479,6 +487,7 @@ def mux_mjpeg_fragmented(
     explicit_base: bool = False,
     two_truns: bool = False,
     omit_tfdt: bool = False,
+    second_trun_no_offset: bool = False,
 ) -> bytes:
     """Fragmented-MP4 (DASH/CMAF-style) encoder twin: an init segment
     (moov with EMPTY sample tables + mvex/trex) followed by
@@ -487,7 +496,11 @@ def mux_mjpeg_fragmented(
     branch points: ``explicit_base`` switches tfhd from
     default-base-is-moof to an absolute base_data_offset,
     ``two_truns`` splits a fragment's run in two, ``omit_tfdt``
-    forces the accumulated-duration timeline."""
+    forces the accumulated-duration timeline, and
+    ``second_trun_no_offset`` drops the data-offset flag from the
+    SECOND trun — §8.8.8's continue-after-previous-run shape that
+    encoders omitting data_offset emit (the parser must carry the
+    data position forward, not reset to the traf base)."""
     if not frames:
         raise ValueError("no frames")
     timescale = 1000
@@ -560,18 +573,19 @@ def mux_mjpeg_fragmented(
         tfdt = b"" if omit_tfdt else _box(
             b"tfdt", bytes(4) + struct.pack(">I", t_base)
         )
-        tr_flags = _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE
-
-        def trun(szs: list[int], off: int) -> bytes:
-            p = (bytes(1) + tr_flags.to_bytes(3, "big")
-                 + struct.pack(">I", len(szs)) + struct.pack(">i", off))
+        def trun(szs: list[int], off: int | None) -> bytes:
+            fl = _TRUN_SAMPLE_SIZE | (_TRUN_DATA_OFFSET if off is not None else 0)
+            p = bytes(1) + fl.to_bytes(3, "big") + struct.pack(">I", len(szs))
+            if off is not None:
+                p += struct.pack(">i", off)
             for sz in szs:
                 p += struct.pack(">I", sz)
             return _box(b"trun", p)
 
         if two_truns and len(sizes) > 1:
             k = len(sizes) // 2
-            truns = trun(sizes[:k], doff) + trun(sizes[k:], doff + sum(sizes[:k]))
+            off2 = None if second_trun_no_offset else doff + sum(sizes[:k])
+            truns = trun(sizes[:k], doff) + trun(sizes[k:], off2)
         else:
             truns = trun(sizes, doff)
         return _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + truns))

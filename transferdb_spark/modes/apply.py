@@ -26,10 +26,22 @@ class ApplyResult:
     skipped: list[str] = field(default_factory=list)  # comment-only / SCN-gated
     failed: list[tuple[str, str]] = field(default_factory=list)  # (stmt, error)
     high_scn: int = -1  # max applied commit SCN (apply_transactions)
+    failed_scns: list[int] = field(default_factory=list)  # commit SCNs of failed txns
 
     @property
     def ok(self) -> bool:
         return not self.failed
+
+    @property
+    def safe_scn(self) -> int:
+        """Contiguous-success checkpoint: never past the first FAILED
+        transaction's commit SCN, so a quarantined txn replays on
+        redelivery instead of being gated out forever (the reference
+        hard-fails the round on any apply error — o2m apply
+        getIncrResult — which is the same guarantee by blunter means)."""
+        if not self.failed_scns:
+            return self.high_scn
+        return min(min(self.failed_scns) - 1, self.high_scn)
 
 
 def _executable(stmt: str) -> str:
@@ -139,6 +151,8 @@ def apply_transactions(
                 conn.rollback()
                 msg = str(getattr(e, "java_exception", None) or e)
                 res.failed.append((xid, msg.splitlines()[0][:500]))
+                if scn is not None:
+                    res.failed_scns.append(scn)
                 if not continue_on_error:
                     break
         return res

@@ -85,12 +85,17 @@ def apply_redo_batch(
     scn_path: str,
     target_schema: str = "",
     dialect: str = "ansi",
+    on_error: str = "continue",
 ) -> ApplyResult:
     """One micro-batch: parse -> group -> translate (all executor-side)
     -> transactional apply gated on the persisted SCN; advances the
-    checkpoint to the new high-water AFTER the apply (crash before the
-    write = the batch replays, and the SCN gate + rollback-whole txns
-    make the replay idempotent).
+    checkpoint to the CONTIGUOUS-SUCCESS watermark AFTER the apply
+    (crash before the write = the batch replays, and the SCN gate +
+    rollback-whole txns make the replay idempotent; a FAILED txn holds
+    the watermark below its commit SCN and is persisted to
+    ``scn_path + '.errors.jsonl'`` so it replays rather than being
+    silently gated out). ``on_error='halt'`` raises after persisting —
+    the reference's hard-fail stance.
 
     Driver memory is bounded by ONE shuffle partition of translated
     statement text: toLocalIterator pulls partitions sequentially, so
@@ -111,8 +116,25 @@ def apply_redo_batch(
 
     resume = read_scn_checkpoint(scn_path)
     res = apply_transactions(spark, sink, txn_iter(), resume_scn=resume)
-    if res.high_scn > resume:
-        write_scn_checkpoint(scn_path, res.high_scn)
+    if res.failed:
+        # error_log_detail stance: persist every failure occurrence
+        # before deciding how far the checkpoint may advance
+        import time as _t
+
+        with open(scn_path + ".errors.jsonl", "a") as fh:
+            for (xid, err), scn in zip(res.failed, res.failed_scns or [-1] * len(res.failed)):
+                fh.write(
+                    json.dumps({"xid": xid, "commit_scn": scn, "error": err, "ts": _t.time()})
+                    + "\n"
+                )
+    # contiguous-success watermark — never advance past a failed txn
+    if res.safe_scn > resume:
+        write_scn_checkpoint(scn_path, res.safe_scn)
+    if res.failed and on_error == "halt":
+        raise RuntimeError(
+            f"redo apply failed for {len(res.failed)} transaction(s); "
+            f"first: xid={res.failed[0][0]} error={res.failed[0][1]}"
+        )
     return res
 
 
@@ -125,6 +147,36 @@ APPLY_STATUS_SCHEMA = (
 )
 
 
+def _sql_str(v: str) -> str:
+    """Portable single-quoted SQL literal (quote doubling) for the
+    tiny meta-table point queries — table/xid values come from parsed
+    redo identifiers, but escape anyway."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def ensure_apply_meta_table(conn, meta_table: str) -> None:
+    """Create the TARGET-side applied-transaction meta table if absent.
+    The composite PRIMARY KEY doubles as a uniqueness guard: even if
+    two racing task attempts both pass the SELECT probe, the second
+    INSERT violates the PK and its whole transaction rolls back — the
+    data rows can never land twice."""
+    try:
+        cur = conn.cursor()
+        try:
+            cur.execute(
+                f"CREATE TABLE {meta_table} ("
+                "table_name VARCHAR(128) NOT NULL, "
+                "xid VARCHAR(128) NOT NULL, "
+                "commit_scn BIGINT NOT NULL, "
+                "PRIMARY KEY (table_name, xid, commit_scn))"
+            )
+        finally:
+            cur.close()
+        conn.commit()
+    except Exception:  # noqa: BLE001 — already exists (no portable IF NOT EXISTS)
+        conn.rollback()
+
+
 def apply_changes_distributed(
     changes: DataFrame,
     connect,
@@ -133,6 +185,7 @@ def apply_changes_distributed(
     dialect: str = "ansi",
     num_partitions: int | None = None,
     resume_scns: dict[str, int] | None = None,
+    meta_table: str | None = None,
 ) -> DataFrame:
     """Executor-side transactional apply — no driver round-trip for
     row data at all. ``connect`` is a zero-arg factory returning a
@@ -157,7 +210,20 @@ def apply_changes_distributed(
     target. ``resume_scns`` is the per-TABLE gate ({table: high_scn},
     the incr_sync_meta TableScnS shape produced by
     distributed_apply_high_scns); the scalar ``resume_scn`` remains as
-    a global floor applied to every table."""
+    a global floor applied to every table.
+
+    ``meta_table`` (exactly-once hardening): when set, each applied
+    transaction ALSO inserts its (table, xid, commit_scn) row into
+    this TARGET-side meta table inside the SAME DBAPI transaction —
+    the reference's incr_sync_meta stance, where the checkpoint lives
+    in the target database, not beside the driver. A Spark task retry,
+    speculative duplicate, or stage recomputation that re-runs a
+    partition after some transactions committed finds their meta rows
+    (a point SELECT per unit, PK-indexed) and reports them 'skipped'
+    instead of re-executing — the file/StateStore checkpoint alone
+    cannot gate these, because it only advances after the batch.
+    Without ``meta_table`` the apply is at-least-once under task
+    retries (disable spark.speculation for this stage)."""
     units = translate_transactions_df(
         group_table_transactions(changes), target_schema, dialect=dialect
     )
@@ -179,6 +245,8 @@ def apply_changes_distributed(
             for pdf in batches:
                 if len(pdf) and conn is None:
                     conn = connect()
+                    if meta_table:
+                        ensure_apply_meta_table(conn, meta_table)
                 out = []
                 for i in range(len(pdf)):
                     r = pdf.iloc[i]
@@ -198,11 +266,40 @@ def apply_changes_distributed(
                              "; ".join(r["stmts"])[:500], pid)
                         )
                         continue
+                    if meta_table:
+                        # target-side exactly-once probe: committed by a
+                        # prior attempt of this very partition?
+                        cur = conn.cursor()
+                        try:
+                            cur.execute(
+                                f"SELECT 1 FROM {meta_table} WHERE "
+                                f"table_name = {_sql_str(r['table_name'])} AND "
+                                f"xid = {_sql_str(r['xid'])} AND commit_scn = {scn}"
+                            )
+                            seen = cur.fetchone() is not None
+                        finally:
+                            cur.close()
+                        conn.rollback()  # end the read txn cleanly
+                        if seen:
+                            out.append(
+                                (r["table_name"], r["xid"], scn, "skipped",
+                                 "already applied (target meta)", pid)
+                            )
+                            continue
                     try:
                         cur = conn.cursor()
                         try:
                             for s in runnable:
                                 cur.execute(s)
+                            if meta_table:
+                                # same-transaction checkpoint row — commits
+                                # or rolls back WITH the data
+                                cur.execute(
+                                    f"INSERT INTO {meta_table} "
+                                    "(table_name, xid, commit_scn) VALUES ("
+                                    f"{_sql_str(r['table_name'])}, "
+                                    f"{_sql_str(r['xid'])}, {scn})"
+                                )
                         finally:
                             cur.close()
                         conn.commit()
@@ -239,12 +336,66 @@ def apply_changes_distributed(
 
 def distributed_apply_high_scns(status: DataFrame) -> DataFrame:
     """Per-table applied high-water — the rows to persist as the
-    per-table SCN checkpoint (reference incr_sync_meta TableScnS)."""
+    per-table SCN checkpoint (reference incr_sync_meta TableScnS).
+
+    NOTE: prefer distributed_apply_watermarks / safe_table_watermarks,
+    which refuse to advance a table's SCN past a FAILED transaction —
+    this raw max(applied) would gate a failed txn out of the replay."""
     return (
         status.where(F.col("status") == "applied")
         .groupBy("table_name")
         .agg(F.max("commit_scn").alias("high_scn"))
     )
+
+
+def safe_table_watermarks(status_rows) -> tuple[dict[str, int], list[dict]]:
+    """Contiguous-success SCN watermark per table, from COLLECTED
+    status rows (the tiny (table, xid, scn, status, error) relation —
+    one row per transaction unit, never row data).
+
+    A failed transaction must replay on redelivery, so a table's
+    checkpoint may only advance to min(failed commit_scn) - 1 — never
+    past the first failure (the reference hard-fails the whole round
+    on any apply error, o2m/apply.go getIncrResult; this is the
+    quarantine-mode equivalent that still guarantees the failed txn is
+    not permanently gated out). Returns (watermarks, error_rows) where
+    error_rows are every failed/quarantined status row for the
+    append-only error log."""
+    max_applied: dict[str, int] = {}
+    min_failed: dict[str, int] = {}
+    errors: list[dict] = []
+    for r in status_rows:
+        t, scn = r["table_name"], int(r["commit_scn"])
+        if r["status"] == "applied" or r["error"] == "already applied (target meta)":
+            # a target-meta skip is PROOF of a prior commit — count it,
+            # so a replayed batch lets the checkpoint catch up past
+            # units a held watermark forced it to revisit
+            max_applied[t] = max(max_applied.get(t, -1), scn)
+        elif r["status"] == "failed":
+            min_failed[t] = min(min_failed.get(t, scn), scn)
+            errors.append(
+                {
+                    "table_name": t,
+                    "xid": r["xid"],
+                    "commit_scn": scn,
+                    "status": r["status"],
+                    "error": r["error"],
+                }
+            )
+        elif r["error"]:  # quarantined (untranslatable) — log, don't hold SCN
+            errors.append(
+                {
+                    "table_name": t,
+                    "xid": r["xid"],
+                    "commit_scn": scn,
+                    "status": r["status"],
+                    "error": r["error"],
+                }
+            )
+    highs = {}
+    for t, h in max_applied.items():
+        highs[t] = min(h, min_failed[t] - 1) if t in min_failed else h
+    return {t: h for t, h in highs.items() if h >= 0}, errors
 
 
 def read_table_scns(path: str) -> dict[str, int]:
@@ -273,18 +424,60 @@ def run_redo_apply_stream_dbapi(
     source_dir: str,
     checkpoint_dir: str,
     connect,
-    scn_path: str,
+    scn_path=None,
     target_schema: str = "",
     dialect: str = "ansi",
     num_partitions: int | None = None,
     available_now: bool = True,
+    meta=None,
+    meta_table: str | None = "incr_sync_meta",
+    on_error: str = "halt",
 ):
     """The fully DISTRIBUTED live loop: a JSON-lines redo feed streams
     through executor-side parse → per-table transaction grouping →
     per-partition DBAPI apply; the driver touches only the per-table
-    status/SCN rows. Crash-safe exactly like the JDBC loop: the
-    per-table checkpoint advances AFTER each batch's apply, and a
-    redelivered batch is gated out per table by its own high SCN."""
+    status/SCN rows (ONE collect of the tiny status relation per
+    batch — bounded by the batch's transaction count, never row data).
+
+    Checkpoint state (reference incr_sync_meta semantics, sync_meta_
+    incr.go): pass ``meta`` (state.store.IncrSyncMeta — the queryable,
+    lock-merged state table, preferred) or the legacy ``scn_path``
+    JSON file. Each table's SCN advances only to its CONTIGUOUS-
+    SUCCESS watermark: a failed transaction holds its table's
+    checkpoint at min(failed commit_scn) - 1 and is persisted to the
+    append-only error log, so it replays on redelivery instead of
+    being silently gated out. ``meta_table`` adds the target-side
+    same-transaction checkpoint (see apply_changes_distributed), which
+    makes that replay — and any Spark task retry — exactly-once: the
+    already-applied units above the held watermark skip via their meta
+    rows rather than re-executing.
+
+    ``on_error='halt'`` (default — the reference hard-fails on any
+    apply error) raises after persisting the error log + watermarks,
+    failing the streaming query; 'continue' quarantines and keeps
+    consuming."""
+    from transferdb_spark.state.store import IncrSyncMeta
+
+    if meta is None and scn_path is None:
+        raise ValueError("pass meta=IncrSyncMeta(...) or scn_path=...")
+
+    def read_highs() -> dict[str, int]:
+        return meta.highs() if meta is not None else read_table_scns(scn_path)
+
+    def persist(highs: dict[str, int], errors: list[dict]) -> None:
+        if isinstance(meta, IncrSyncMeta):
+            if highs:
+                meta.merge(highs)
+            meta.record_errors(errors)
+        else:
+            if highs:
+                write_table_scns(scn_path, highs)
+            if errors:
+                import time as _t
+
+                with open(str(scn_path) + ".errors.jsonl", "a") as fh:
+                    for e in errors:
+                        fh.write(json.dumps({**e, "ts": _t.time()}) + "\n")
 
     stream = (
         spark.readStream.schema("scn long, xid string, sql_redo string")
@@ -301,14 +494,24 @@ def run_redo_apply_stream_dbapi(
             target_schema=target_schema,
             dialect=dialect,
             num_partitions=num_partitions,
-            resume_scns=read_table_scns(scn_path),
+            resume_scns=read_highs(),
+            meta_table=meta_table,
         )
-        highs = {
-            r["table_name"]: int(r["high_scn"])
-            for r in distributed_apply_high_scns(status).collect()
-        }
-        if highs:
-            write_table_scns(scn_path, highs)
+        # ONE action: collecting twice would recompute mapInPandas and
+        # re-run the apply (the meta_table gate would absorb it, but
+        # failed txns would re-execute) — so aggregate driver-side over
+        # the collected status rows instead.
+        rows = status.collect()
+        highs, errors = safe_table_watermarks(rows)
+        persist(highs, errors)
+        failed = [e for e in errors if e["status"] == "failed"]
+        if failed and on_error == "halt":
+            raise RuntimeError(
+                f"redo apply failed for {len(failed)} transaction(s); "
+                f"first: table={failed[0]['table_name']} "
+                f"xid={failed[0]['xid']} scn={failed[0]['commit_scn']} "
+                f"error={failed[0]['error']}"
+            )
 
     writer = stream.writeStream.foreachBatch(sink_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -327,10 +530,14 @@ def run_redo_apply_stream(
     target_schema: str = "",
     dialect: str = "ansi",
     available_now: bool = True,
+    on_error: str = "halt",
 ):
     """Stream a JSON-lines redo feed ((scn, xid, sql_redo) rows, one
     file per log drop — the LogMiner file-batch shape T1 polls) into
-    the live transactional apply."""
+    the live transactional apply. A failed transaction is persisted to
+    the error log, the checkpoint holds at the contiguous-success
+    watermark, and (default) the query halts — the reference's
+    hard-fail-on-apply-error stance (o2m incr loop)."""
     stream = (
         spark.readStream.schema("scn long, xid string, sql_redo string")
         .json(source_dir)
@@ -338,7 +545,8 @@ def run_redo_apply_stream(
 
     def sink_batch(batch: DataFrame, _batch_id: int) -> None:
         apply_redo_batch(
-            spark, sink, batch, scn_path, target_schema=target_schema, dialect=dialect
+            spark, sink, batch, scn_path, target_schema=target_schema,
+            dialect=dialect, on_error=on_error,
         )
 
     writer = stream.writeStream.foreachBatch(sink_batch).option(

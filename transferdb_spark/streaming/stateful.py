@@ -220,30 +220,48 @@ TRANS_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update_transitions(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
-        ["ts_ms", "event_id"]
-    )
-    last = state.get if state.exists else None
-    counts: dict[tuple[str, str], int] = {}
-    for t, eid, etype in zip(rows["ts_ms"], rows["event_id"], rows["event_type"]):
-        if last is not None:
-            k = (last[1], etype)
-            counts[k] = counts.get(k, 0) + 1
-        last = (int(t), etype)
-    state.update(tuple(last))
-    if counts:
-        yield pd.DataFrame(
-            [(s, d, n) for (s, d), n in counts.items()],
-            columns=["src", "dst", "n"],
+def _make_transitions_fn(ttl_ms: int | None):
+    def _update_transitions(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle-user eviction: one lost transition edge across the
+            # eviction gap is the documented cost of bounded state
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts_ms", "event_id"]
         )
+        last = state.get if state.exists else None
+        counts: dict[tuple[str, str], int] = {}
+        for t, eid, etype in zip(rows["ts_ms"], rows["event_id"], rows["event_type"]):
+            if last is not None:
+                k = (last[1], etype)
+                counts[k] = counts.get(k, 0) + 1
+            last = (int(t), etype)
+        state.update(tuple(last))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if counts:
+            yield pd.DataFrame(
+                [(s, d, n) for (s, d), n in counts.items()],
+                columns=["src", "dst", "n"],
+            )
+
+    return _update_transitions
 
 
-def streaming_transitions(stream: DataFrame) -> DataFrame:
+def streaming_transitions(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Per-batch (src, dst, n) transition increments as an append
-    stream; SUM over the sink gives the live Markov matrix."""
+    stream; SUM over the sink gives the live Markov matrix.
+
+    ttl_ms bounds state on UNBOUNDED streams (same knob as
+    streaming_dedup): a user idle longer than the TTL is evicted
+    (processing-time timeout), so state is O(active users in the
+    window) instead of O(all users ever seen). The first event after
+    eviction opens a fresh chain — the transition spanning the idle
+    gap is not counted, which is usually the analytically right call
+    anyway (cf. the batch sessionization gap)."""
     return (
         stream.select(
             "user_id",
@@ -256,11 +274,15 @@ def streaming_transitions(stream: DataFrame) -> DataFrame:
         )
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_transitions,
+            _make_transitions_fn(ttl_ms),
             outputStructType=TRANS_OUTPUT_SCHEMA,
             stateStructType=TRANS_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -286,12 +308,20 @@ FUNNEL_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _make_funnel_fn(steps: list[str], within_ms: int | None):
+def _make_funnel_fn(
+    steps: list[str],
+    within_ms: int | None,
+    ttl_ms: int | None = None,
+    drop_terminal: bool = False,
+):
     n_steps = len(steps)
 
     def _funnel(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts_ms", "event_id"]
         )
@@ -319,7 +349,19 @@ def _make_funnel_fn(steps: list[str], within_ms: int | None):
             times.append(t)
             progress += 1
             emitted.append(progress)
-        state.update((progress, dead, times))
+        if drop_terminal and (dead or progress >= n_steps):
+            # a terminal user (failed the bound, or completed every
+            # step) can never emit again — its state is pure ballast;
+            # drop it. A later event from the SAME user would open a
+            # fresh funnel attempt, so enable this only where
+            # per-horizon (not per-lifetime) funnel accounting is
+            # acceptable — the price of bounded state on an unbounded
+            # stream.
+            state.remove()
+        else:
+            state.update((progress, dead, times))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
         if emitted:
             yield pd.DataFrame({"step": emitted, "n": [1] * len(emitted)})
 
@@ -330,10 +372,20 @@ def streaming_funnel(
     stream: DataFrame,
     steps: list[str] | None = None,
     within_s: int | None = None,
+    ttl_ms: int | None = None,
+    drop_terminal: bool = False,
 ) -> DataFrame:
     """Per-batch (step, n) completion increments as an append stream;
     SUM over the sink gives the live funnel counts. Defaults to the
-    batch funnel's saved workload."""
+    batch funnel's saved workload.
+
+    State-growth knobs for unbounded streams (both off by default so
+    the batch-equivalence contract holds exactly):
+    - ttl_ms: evict users idle longer than the TTL (processing-time
+      timeout, same knob as streaming_dedup/streaming_transitions).
+    - drop_terminal: remove state the moment a user is terminal (dead
+      or completed) — it can never emit again, so on long-running
+      streams this caps state at ACTIVE in-funnel users."""
     from transferdb_spark.operators.funnel import DEFAULT_STEPS, DEFAULT_WITHIN_S
 
     if steps is None:
@@ -349,11 +401,20 @@ def streaming_funnel(
         )
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_funnel_fn(list(steps), None if within_s is None else int(within_s * 1000)),
+            _make_funnel_fn(
+                list(steps),
+                None if within_s is None else int(within_s * 1000),
+                ttl_ms=ttl_ms,
+                drop_terminal=drop_terminal,
+            ),
             outputStructType=FUNNEL_OUTPUT_SCHEMA,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
