@@ -221,14 +221,20 @@ def test_gopher_quality_is_narrow_scan(queries):
 def test_ngram_repetition_is_zero_shuffle(queries):
     """The Gopher n-gram battery's scale claim, machine-checked: a
     per-doc metric must be a projection, not an aggregation — no joins,
-    no hash exchange, no Generate (explode); the only Exchange is the
-    output sort's range partitioning."""
+    no CONTENT-KEYED exchange (the rejected relational shape shuffled
+    the ~9x n-gram explosion by gram hash), no Generate (explode).
+    Allowed: the output sort's range partitioning, and spread_narrow's
+    conditional round-robin of the RAW docs — a parallelism fix for the
+    unsplittable single-row-group fixture that is a no-op whenever the
+    scan already has >= defaultParallelism splits (i.e., at scale)."""
     p = plan_of(queries["ngram_repetition"])
     t = tree_of(p)
     assert n_nodes(p, "Join") == 0
     assert t.count("Exchange hashpartitioning") == 0
     assert n_nodes(p, "Generate") == 0
-    assert n_nodes(p, "Exchange") <= 1  # rangepartitioning for orderBy
+    assert t.count("Exchange roundrobinpartitioning") <= 1
+    assert t.count("Exchange rangepartitioning") <= 1
+    assert n_nodes(p, "Exchange") <= 2
 
 
 def test_pmi_collocations_broadcasts_denominators(queries):

@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from transferdb_spark.ext.text import TOKENS
+from transferdb_spark.ext.text import spread_narrow as _spread
 
 # Pass a DataType OBJECT, not a DDL string: string return types are
 # parsed through the JVM at decoration time, which would make merely
@@ -50,7 +51,7 @@ _ARR_STR = T.ArrayType(T.StringType())
 def word_counts(docs: DataFrame) -> DataFrame:
     """(word, cnt) frequency table — the one corpus-wide shuffle."""
     return (
-        docs.select(F.explode(F.expr(TOKENS)).alias("word"))
+        _spread(docs).select(F.explode(F.expr(TOKENS)).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))

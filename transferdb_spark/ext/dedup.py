@@ -733,9 +733,10 @@ def _span_relation(docs: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
     """(toks, spans): per-doc token arrays + every n-gram span hash
     (h, doc_id, n_tokens, start) — the shared base of the span-dedup
     family."""
+    from transferdb_spark.ext.text import spread_narrow
     from transferdb_spark.functions.hashing import portable_hash64
 
-    toks = docs.select("doc_id", F.expr(TOKENS).alias("toks")).withColumn(
+    toks = spread_narrow(docs).select("doc_id", F.expr(TOKENS).alias("toks")).withColumn(
         "n_tokens", F.size("toks")
     )
     # guard short docs explicitly: Spark's sequence(1, 0) yields a

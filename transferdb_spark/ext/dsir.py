@@ -81,8 +81,10 @@ def _bucket_sql(expr: str) -> str:
 
 def _terms(docs: DataFrame) -> DataFrame:
     """(doc_id, is_target, bucket) — one row per token occurrence."""
+    from transferdb_spark.ext.text import spread_narrow
+
     return (
-        docs.select(
+        spread_narrow(docs).select(
             "doc_id",
             (F.col("source") == TARGET_SOURCE).cast("int").alias("is_target"),
             F.expr(TOKENS).alias("toks"),

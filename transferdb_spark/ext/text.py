@@ -1272,69 +1272,140 @@ FROM agg
 _REP_NS = list(range(2, 11))
 
 
-def _rep_fold_expr(n: int) -> str:
-    """One n's (top_chars, dup_chars) as a NARROW fold: sort the gram
-    array, then a single aggregate() pass over runs of equal grams.
-    Per-doc metrics must never shuffle — the relational formulation
-    (groupBy doc/n/gram) ships ~9x the corpus token text through an
-    exchange, which measured 93 s at sf0.1 vs ~3 s for this plan.
-    Ties for the top gram: processing the SORTED array with a strict
-    `run > bestc` replacement keeps the lexicographically smallest
-    gram at equal counts — the same (cnt DESC, gram ASC) rule as the
-    DuckDB oracle's window."""
+def _rep_fold_all_expr() -> str:
+    """ALL nine rungs' (top_chars / dup_chars) in ONE pass — a NARROW
+    fold over a SINGLE sorted suffix array. Per-doc metrics must never
+    shuffle (the relational groupBy-doc/n/gram shape measured 93 s at
+    sf0.1 vs ~8.5 s for the per-n folds), and the per-n folds paid for
+    nine array builds + nine sorts per document; this formulation pays
+    ONE: sort the (10-token-truncated) token suffixes once, and every
+    n-gram rung falls out, because strings sharing an identical
+    n-token prefix are CONTIGUOUS in lexicographic order — so each n's
+    gram runs are adjacent in the same sorted array. Suffixes shorter
+    than n tokens carry a NULL n-prefix; a NULL never splits a run
+    (a string without prefix P cannot sort strictly between two
+    strings that both have prefix P), so the fold just skips it.
+
+    Ties for the top gram: n-prefixes of the sorted suffixes appear in
+    ascending order, so the strict `run > best` replacement keeps the
+    lexicographically smallest gram at equal counts — the same
+    (cnt DESC, gram ASC) rule as the DuckDB oracle's window."""
+    max_n = max(_REP_NS)
     # Spark's sequence(1, 0) is DESCENDING [1, 0]; the filter guard is
-    # what makes short docs yield an empty gram list, not bad slices
+    # what makes empty docs yield an empty suffix list, not slice(t,0,..)
+    suffixes = (
+        "array_sort(transform(filter(sequence(1, size(t)),"
+        " i -> i >= 1 AND i <= size(t)),"
+        f" i -> array_join(slice(t, i, {max_n}), ' ')))"
+    )
+    # per element: space count ONCE, then the nine token prefixes
+    # (substring_index returns the WHOLE string below n separators —
+    # the sc >= n-1 guard is what turns a too-short suffix into a NULL
+    # non-gram for that rung instead of a bogus short gram)
+    prefix_fields = ", ".join(
+        f"'p{n}', IF(x.sc >= {n - 1}, substring_index(x.s, ' ', {n}),"
+        " CAST(NULL AS STRING))"
+        for n in _REP_NS
+    )
     grams = (
-        f"array_sort(transform(filter(sequence(1, size(t)),"
-        f" i -> i + {n} - 1 <= size(t)),"
-        f" i -> array_join(slice(t, i, {n}), ' ')))"
+        f"transform(transform({suffixes},"
+        " s -> struct(length(s) - length(replace(s, ' ', '')) AS sc, s AS s)),"
+        f" x -> named_struct({prefix_fields}))"
     )
-    step = (
-        "(acc, g) -> IF(acc.prev IS NOT NULL AND g = acc.prev,"
-        " named_struct('prev', acc.prev, 'run', acc.run + 1L, 'dup', acc.dup,"
-        "              'bestc', acc.bestc, 'bestg', acc.bestg),"
-        " named_struct('prev', g, 'run', 1L,"
-        "  'dup', acc.dup + IF(acc.run > 1L, acc.run * length(acc.prev), 0L),"
-        "  'bestc', IF(acc.run > acc.bestc, acc.run, acc.bestc),"
-        "  'bestg', IF(acc.run > acc.bestc, acc.prev, acc.bestg)))"
-    )
-    fin = (
-        "acc -> named_struct("
-        " 'top', IF(acc.run > acc.bestc, acc.run * length(acc.prev),"
-        "           acc.bestc * length(acc.bestg)),"
-        " 'dup', acc.dup + IF(acc.run > 1L, acc.run * length(acc.prev), 0L))"
-    )
-    zero = (
-        "struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS dup,"
-        " 0L AS bestc, CAST(NULL AS STRING) AS bestg)"
-    )
+
+    zeros, steps, fins = [], [], []
+    for n in _REP_NS:
+        a = f"acc.n{n}"
+        close_dup = f"{a}.d + IF({a}.r > 1L, {a}.r * length({a}.p), 0L)"
+        if n <= 4:
+            zeros.append(
+                f"'n{n}', named_struct('p', CAST(NULL AS STRING),"
+                " 'r', 0L, 'bc', 0L, 'bh', 0L)"
+            )
+            same = f"named_struct('p', {a}.p, 'r', {a}.r + 1L, 'bc', {a}.bc, 'bh', {a}.bh)"
+            new = (
+                f"named_struct('p', x.p{n}, 'r', 1L,"
+                f" 'bc', IF({a}.r > {a}.bc, {a}.r, {a}.bc),"
+                f" 'bh', IF({a}.r > {a}.bc, {a}.r * length({a}.p), {a}.bh))"
+            )
+            fins.append(
+                f"'top{n}', IF({a}.r > {a}.bc, {a}.r * length({a}.p), {a}.bh)"
+            )
+        else:
+            zeros.append(
+                f"'n{n}', named_struct('p', CAST(NULL AS STRING),"
+                " 'r', 0L, 'd', 0L)"
+            )
+            same = f"named_struct('p', {a}.p, 'r', {a}.r + 1L, 'd', {a}.d)"
+            new = f"named_struct('p', x.p{n}, 'r', 1L, 'd', {close_dup})"
+            fins.append(f"'dup{n}', {close_dup}")
+        steps.append(
+            f"'n{n}', IF(x.p{n} IS NULL, {a},"
+            f" IF({a}.p IS NOT NULL AND x.p{n} = {a}.p, {same}, {new}))"
+        )
+
+    zero = "named_struct(" + ", ".join(zeros) + ")"
+    step = "(acc, x) -> named_struct(" + ", ".join(steps) + ")"
+    fin = "acc -> named_struct(" + ", ".join(fins) + ")"
     return f"aggregate({grams}, {zero}, {step}, {fin})"
+
+
+def spread_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin split for CPU-heavy PER-ROW stages whose input scan
+    has fewer partitions than the cluster has slots (the sf0.1 fixture
+    is ONE 600 KB parquet row group — unsplittable, so every narrow
+    fold otherwise runs on one core of 32). The exchange ships the raw
+    input rows round-robin BEFORE the expensive projection, costing
+    one pass over the (tiny, under-partitioned) input; at 100 TB the
+    scan already has more splits than slots and this is a NO-OP — the
+    condition, not the operator, is what makes it scale-safe. This is
+    categorically different from the rejected relational shapes, which
+    shuffled the n-gram EXPLOSION (~9x corpus text) by content key."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning-only probe
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target)
 
 
 def ngram_repetition(docs: DataFrame) -> DataFrame:
     """(doc_id, rep_top2..4, rep_dup5..10) — all stable_round(5).
-    Zero-shuffle plan: every column is a per-row expression chain."""
-    base = docs.select(
+    No content shuffle: every column is a per-row expression chain
+    (the only exchange is spread_narrow's conditional round-robin of
+    the raw docs), and since round 8 all nine rungs share ONE sorted
+    suffix array + ONE fold (see _rep_fold_all_expr) instead of nine
+    builds + sorts."""
+    base = spread_narrow(docs).select(
         "doc_id",
         F.expr(TOKENS).alias("t"),
         F.greatest(F.length(F.array_join(F.expr(TOKENS), " ")), F.lit(1))
         .cast("double")
         .alias("total_chars"),
     )
+    folded = base.select(
+        "doc_id", "total_chars", F.expr(_rep_fold_all_expr()).alias("rep")
+    )
     cols = []
     for n in _REP_NS:
-        field = "top" if n <= 4 else "dup"
+        field = f"top{n}" if n <= 4 else f"dup{n}"
         name = f"rep_top{n}" if n <= 4 else f"rep_dup{n}"
         cols.append(
             stable_round(
-                F.coalesce(
-                    F.expr(f"{_rep_fold_expr(n)}.{field}"), F.lit(0)
-                ).cast("double")
+                F.coalesce(F.col("rep").getField(field), F.lit(0))
+                .cast("double")
                 / F.col("total_chars"),
                 5,
             ).alias(name)
         )
-    return base.select("doc_id", *cols).orderBy("doc_id")
+    return folded.select("doc_id", *cols).orderBy("doc_id")
 
 
 def ngram_repetition_sql() -> str:
@@ -1398,6 +1469,7 @@ def pmi_collocations(
 ) -> DataFrame:
     """(left, right, pair_cnt, pmi_ratio_q) — top collocations by the
     quantized PMI ratio (count DESC, pair ASC ties)."""
+    docs = spread_narrow(docs)  # parallelize the tokenize/explode map side
     toks = F.expr(TOKENS)
     base = docs.select(F.explode(toks).alias("tok"))
     uni = base.groupBy("tok").agg(F.count(F.lit(1)).alias("ucnt"))
@@ -1486,6 +1558,7 @@ def script_profile(docs: DataFrame) -> DataFrame:
     in the fixed order above holding the max count ('other' when no
     script char appears). Narrow projection: zero shuffle beyond the
     output sort."""
+    docs = spread_narrow(docs)  # 7 regex passes/doc: CPU-heavy narrow stage
     nonws = F.length(F.regexp_replace("text", "\\s", ""))
     counts = {
         k: F.length("text") - F.length(F.regexp_replace("text", f"\\p{{Is{j}}}", ""))
@@ -1587,7 +1660,7 @@ def _dup_cover_expr(n: int) -> str:
 def ngram_dup_coverage(docs: DataFrame) -> DataFrame:
     """(doc_id, cov_dup5..cov_dup10) — position-exact duplicated-n-gram
     char coverage fractions over token chars, stable_round(5)."""
-    base = docs.select(
+    base = spread_narrow(docs).select(
         "doc_id",
         F.expr(TOKENS).alias("t"),
         F.greatest(

@@ -56,6 +56,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from transferdb_spark.ext.bpe import word_counts
+from transferdb_spark.ext.text import spread_narrow as _spread
 
 SCALE = 1_000_000
 VOCAB_SIZE = 200
@@ -265,7 +266,7 @@ def unigram_encode_stats(
     seg = _segment_udf(scores, max_piece_len)
     from transferdb_spark.ext.text import TOKENS
 
-    toks = docs.select("doc_id", F.expr(TOKENS).alias("t"))
+    toks = _spread(docs).select("doc_id", F.expr(TOKENS).alias("t"))
     per_word = toks.select(
         "doc_id", F.explode("t").alias("word")
     ).select("doc_id", seg(F.col("word")).alias("pieces"))
