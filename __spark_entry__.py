@@ -2784,52 +2784,36 @@ FROM events GROUP BY 1 ORDER BY 1
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over per-user event journeys — the
     funnel/cohort family's third member: P(next event type | current),
-    from consecutive (ts, event_id)-ordered events within each user.
-    One lead window partitioned by user (the shuffle keys on user_id,
-    same as sessionize), then a (src, dst) count and a per-src
-    normalizer. Returns (src, dst, n, prob)."""
-    from pyspark.sql.window import Window
-
-    from transferdb_spark.functions.canonical import stable_round
+    from consecutive (ts, event_id)-ordered events within each user,
+    PARAMETERIZED by a saved-workload event-type whitelist relation
+    (operators/funnel.transition_matrix) exactly like the funnel's
+    step list and the cohort's anchor; the oracle SQL below is
+    generated from the same list. One lead window partitioned by user
+    (the shuffle keys on user_id, same as sessionize), then a
+    (src, dst) count and a per-src normalizer.
+    Returns (src, dst, n, prob)."""
+    from transferdb_spark.operators.funnel import (
+        DEFAULT_TRANSITION_TYPES,
+        transition_matrix,
+        transition_types_relation,
+    )
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.select(
-            F.col("event_type").alias("src"),
-            F.lead("event_type").over(w).alias("dst"),
-        )
-        .where(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    totals = Window.partitionBy("src")
-    return (
-        pairs.select(
-            "src",
-            "dst",
-            F.col("n").cast("long").alias("n"),
-            stable_round(
-                F.col("n").cast("double") / F.sum("n").over(totals).cast("double"), 6
-            ).alias("prob"),
-        )
-        .orderBy("src", "dst")
+    return transition_matrix(
+        ev, transition_types_relation(spark, DEFAULT_TRANSITION_TYPES)
     )
 
 
-EVENT_TRANSITIONS_SQL = """
-WITH pairs AS (
-  SELECT event_type AS src,
-         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
-  FROM events),
-counts AS (
-  SELECT src, dst, COUNT(*) AS n FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2)
-SELECT src, dst, CAST(n AS BIGINT) AS n,
-       (floor(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE)
-        * 1000000.0 + 0.5) / 1000000.0) AS prob
-FROM counts
-ORDER BY src, dst
-"""
+def _event_transitions_sql() -> str:
+    from transferdb_spark.operators.funnel import (
+        DEFAULT_TRANSITION_TYPES,
+        transitions_sql_from_types,
+    )
+
+    return transitions_sql_from_types(DEFAULT_TRANSITION_TYPES)
+
+
+EVENT_TRANSITIONS_SQL = _event_transitions_sql()
 
 
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3094,6 +3078,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate graph (NEW r8):
+    candidate pairs are not clusters — min-label propagation closes
+    A~B~C chains into one keep-one group. Iterative join+groupBy per
+    round, localCheckpoint discipline, rounds bounded by component
+    diameter; oracle is a recursive-CTE closure over the same edges."""
+    from transferdb_spark.ext.dedup import minhash_components
+
+    return minhash_components(_t(spark, sf_dir, "documents"))
 
 
 def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4698,7 +4693,8 @@ def _ext_oracle_sql() -> dict[str, str]:
     from transferdb_spark.ext.dedup import (
         EXACT_DEDUP_SUMMARY_SQL,
         EXACT_SURVIVORS_SQL,
-        minhash_lsh_sql,
+        minhash_components_sql,
+    minhash_lsh_sql,
         ngram_jaccard_rare_sql,
         ngram_jaccard_sql,
     )
@@ -4751,6 +4747,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ngram_jaccard_rare_sql(0.5),
         "dedup_ngram_jaccard_exact": ngram_jaccard_sql(0.5),
         "dedup_minhash_lsh": minhash_lsh_sql(),
+        "dedup_lsh_components": minhash_components_sql(),
         "embedding_norms": EMBEDDING_NORMS_SQL,
         "similarity_topk": topk_bruteforce_sql(0, 10),
         "ann_bucket_histogram": lsh_bucket_histogram_sql(),
@@ -5002,6 +4999,7 @@ EXT_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_exact": dedup_ngram_jaccard_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_lsh_components": dedup_lsh_components,
     "embedding_norms": embedding_norms_q,
     "similarity_topk": similarity_topk,
     "ann_bucket_histogram": ann_bucket_histogram,

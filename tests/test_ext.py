@@ -3396,3 +3396,56 @@ def test_jpeg_lossless_sof3_three_component_raw_roundtrip():
     # point transform per plane
     outp = decode_jpeg(encode_jpeg_lossless(img, predictor=2, pt=3))
     assert np.array_equal(outp, (img >> 3) << 3)
+
+
+def test_minhash_components_closes_chains(spark):
+    """Connected components over the LSH candidate graph: A~B and B~C
+    band collisions must close into ONE component labeled by the min
+    doc_id even when A and C never share a band; disjoint near-dup
+    pairs stay separate components; docs with no candidate edge do not
+    appear (singletons are trivial components)."""
+    import duckdb
+
+    from transferdb_spark.ext.dedup import (
+        minhash_components,
+        minhash_components_sql,
+        minhash_lsh_candidates,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base),                                   # chain: 1~2~3
+        (2, base + " extra"),
+        (3, base + " extra more"),
+        (10, "one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen fifteen sixteen"),
+        (11, "one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen fifteen sixteen tail"),
+        (99, "completely different isolated text with no relatives "
+             "whatsoever in this tiny corpus of documents here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    edges = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in edges and (2, 3) in edges and (10, 11) in edges
+
+    got = {
+        r["doc_id"]: (r["component"], r["cluster_size"])
+        for r in minhash_components(docs).collect()
+    }
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[10] == (10, 2) and got[11] == (10, 2)
+    assert 99 not in got
+
+    # the oracle agrees on the same synthetic corpus
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.execute(minhash_components_sql()).fetchall()
+    }
+    assert want == got

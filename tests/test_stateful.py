@@ -417,3 +417,64 @@ def test_streaming_transitions_ttl_evicts_idle_users(spark, tmp_path):
         assert edges() == {("b", "c")}
     finally:
         q.stop()
+
+
+def test_transition_matrix_custom_whitelist_differential(spark, sf_dir, tmp_path):
+    """VERDICT item: the parameterized transition matrix with a CUSTOM
+    whitelist — differential against a DuckDB oracle generated from
+    the SAME list (journeys re-link across dropped events), plus the
+    streaming twin's summed increments matching the batch matrix for
+    that whitelist across a micro-batch boundary."""
+    import duckdb
+
+    from transferdb_spark.operators.funnel import (
+        transition_matrix,
+        transition_types_relation,
+        transitions_sql_from_types,
+    )
+    from transferdb_spark.sources.registry import load_table, table_path
+    from transferdb_spark.streaming.stateful import streaming_transitions
+
+    types = ["click", "purchase", "view"]  # drops signup/error -> re-links
+    ev = load_table(spark, sf_dir, "events").drop("props")
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["prob"])
+        for r in transition_matrix(ev, transition_types_relation(spark, types)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{table_path(sf_dir, 'events')}'"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(transitions_sql_from_types(types)).fetchall()
+    }
+    assert got == want and got  # non-empty and exact
+
+    # streaming twin, same whitelist, split across two micro-batches
+    mid = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    src = str(tmp_path / "src")
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_transitions(stream, event_types=types)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_trans_wl")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    summed = {
+        (r["src"], r["dst"]): r["total"]
+        for r in spark.sql(
+            "SELECT src, dst, SUM(n) AS total FROM t_trans_wl GROUP BY src, dst"
+        ).collect()
+    }
+    assert summed == {k: n for k, (n, _p) in got.items()}

@@ -1159,3 +1159,109 @@ JOIN per_source na ON na.source = source_a
 JOIN per_source nb ON nb.source = source_b
 ORDER BY source_a, source_b
 """
+
+
+# --- MinHash-LSH connected components -------------------------------------
+# Candidate pairs are not clusters: A~B and B~C may hold while A and C
+# never share a band, yet all three are one near-dup GROUP and a
+# keep-one policy must retain exactly one of them. This is the
+# connected-components step every production dedup pipeline runs after
+# banding (the BigQuery/Dataproc-era "large-star/small-star" trick is
+# the classic distributed formulation; plain min-label propagation
+# converges in O(component diameter) rounds, and near-dup components
+# are shallow by construction — a chain of length d needs d distinct
+# band collisions).
+
+
+def minhash_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(doc_id, component, cluster_size) for every doc in the LSH
+    candidate graph; component = min doc_id reachable (deterministic
+    representative), cluster_size = member count.
+
+    Distributed shape: each round is one join + one groupBy keyed on
+    node id (edge relation is banding-bounded, never all-pairs), with
+    localCheckpoint per round to stop lineage growth — the unigram-EM
+    discipline. The driver sees one changed-row COUNT per round, never
+    node data; rounds are bounded by the component diameter (~log n
+    with star-contraction, tiny for near-dup graphs)."""
+    edges = minhash_lsh_candidates(docs, persist=False)
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        sym.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # min over own label and every neighbor's label
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "doc_a"), "doc_a"
+        ).select(F.col("doc_b").alias("node"), "comp")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("component"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def minhash_components_sql() -> str:
+    """DuckDB oracle: recursive min-label closure over the SAME edge
+    relation the Spark side derives (shared band SQL). UNION (set
+    semantics) bounds the recursion; MIN over reachable ids equals the
+    propagation fixpoint on an undirected graph."""
+    r = NUM_HASHES // BANDS
+    band_hash = _h64_duck(f"array_to_string(sig[b * {r} + 1: b * {r} + {r}], ',')")
+    return f"""
+WITH RECURSIVE sigs AS MATERIALIZED (
+  SELECT doc_id, {MINHASH_SIG_SQL} AS sig
+  FROM (SELECT doc_id, {SHINGLE_HASHES_SQL} AS shh
+        FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM documents))
+),
+bands AS (
+  SELECT doc_id, b, {band_hash} AS band_hash
+  FROM sigs, (SELECT unnest(range({BANDS})) AS b)
+),
+edges AS MATERIALIZED (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+  WHERE a.doc_id <> b.doc_id
+),
+walk(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+),
+labeled AS (
+  SELECT node, MIN(comp) AS component FROM walk GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(component AS BIGINT) AS component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM labeled
+ORDER BY doc_id
+"""

@@ -243,3 +243,85 @@ FROM activity a JOIN sizes s USING (cohort_week)
 GROUP BY a.cohort_week, week_offset, s.cohort_size
 ORDER BY cohort_week, week_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# parameterized event-transition matrix — the family's third member
+# gets the same saved-workload treatment as the funnel steps and the
+# cohort anchor: the event-type WHITELIST is a relation, and the
+# DuckDB oracle text is generated from the same list so the two
+# engines cannot drift.
+
+# The saved default workload: the fixture's full event alphabet. An
+# explicit list (not a "no filter" sentinel) so the whitelist is
+# exercised on every run, and adding a new event type to the feed is a
+# WORKLOAD decision, not a silent matrix change.
+DEFAULT_TRANSITION_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def transition_types_relation(spark: SparkSession, types: list[str]) -> DataFrame:
+    """The saved-workload relation: (event_type) whitelist rows."""
+    return spark.createDataFrame([(t,) for t in types], "event_type string")
+
+
+def types_from_relation(types_df: DataFrame) -> list[str]:
+    """Parameter-table read: O(types) driver rows — the one collect a
+    plan-building parameter table legitimately needs."""
+    return [r["event_type"] for r in types_df.orderBy("event_type").collect()]
+
+
+def transition_matrix(ev: DataFrame, types_df: DataFrame) -> DataFrame:
+    """Markov transition matrix over per-user journeys PROJECTED onto
+    the whitelist alphabet: events outside the list are dropped and
+    the chain RE-LINKS across them (the standard journey-projection
+    semantics — a filtered-out noise event must not break an A->B
+    edge). One lead window keyed on user_id, then (src, dst) counts
+    and a per-src normalizer. Returns (src, dst, n, prob)."""
+    from pyspark.sql.window import Window
+
+    from transferdb_spark.functions.canonical import stable_round
+
+    types = types_from_relation(types_df)
+    ev = ev.where(F.col("event_type").isin(types))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = Window.partitionBy("src")
+    return (
+        pairs.select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            stable_round(
+                F.col("n").cast("double") / F.sum("n").over(totals).cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+def transitions_sql_from_types(types: list[str]) -> str:
+    """The DuckDB oracle, GENERATED from the same whitelist the Spark
+    plan consumes — cross-engine parity by construction."""
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(types))
+    return f"""
+WITH pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+  WHERE event_type IN ({quoted})),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+       (floor(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0) AS prob
+FROM counts
+ORDER BY src, dst
+"""

@@ -93,6 +93,14 @@ def write_snapshot(
     any footer — manifest-level scan planning, which is what keeps
     10^6-file tables plannable. Pair with a Z-ordered or sorted
     layout so the stats are actually tight."""
+    from transferdb_spark.state import table_format as tf
+
+    if tf.HAS_TABLE_FORMAT:
+        # adapter seam: the staging dir + put-if-absent manifest dance
+        # collapses to ONE format commit; the format's own log carries
+        # versions/stats/time-travel (read side: tf.read_version)
+        (tf.atomic_overwrite if mode == "overwrite" else tf.atomic_append)(df, base)
+        return tf.committed_version(df.sparkSession, base)
     new_files = _write_staging(df, base)
 
     versions = list_versions(base)

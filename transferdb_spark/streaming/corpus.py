@@ -92,9 +92,22 @@ def ingest_documents_stream(
             .filter("_rn = 1")
             .drop("_rn")
         )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(target_dir, f"batch_id={batch_id}")
-        )
+        from transferdb_spark.state import table_format as tf
+
+        if tf.HAS_TABLE_FORMAT:
+            # adapter seam: per-batch landing becomes one atomic
+            # partition-replace commit (replay rewrites the same
+            # partition in a single transaction)
+            tf.atomic_replace_partition(
+                survivors.withColumn("batch_id", F.lit(batch_id)),
+                target_dir,
+                "batch_id",
+                [batch_id],
+            )
+        else:
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(target_dir, f"batch_id={batch_id}")
+            )
 
     writer = (
         stream.writeStream.outputMode("append")
@@ -134,6 +147,18 @@ def compact_corpus(spark: SparkSession, target_dir: str) -> dict:
     min_bid = min(int(d.split("=", 1)[1]) for d in old_dirs)
 
     snap = corpus_current_state(spark, target_dir)
+
+    from transferdb_spark.state import table_format as tf
+
+    if tf.HAS_TABLE_FORMAT:
+        # adapter seam: replace every old batch partition with the
+        # survivor snapshot at the earliest id in ONE commit — readers
+        # never see the window where old dirs are renamed aside
+        old_ids = sorted(int(d.split("=", 1)[1]) for d in old_dirs)
+        snap_bid = snap.withColumn("batch_id", F.lit(min_bid))
+        tf.atomic_replace_partition(snap_bid, target_dir, "batch_id", old_ids)
+        return {"live_rows": None, "dirs_removed": len(old_dirs)}
+
     tmp = os.path.join(target_dir, "_compact_tmp")
     snap.write.mode("overwrite").parquet(tmp)
     live_rows = spark.read.parquet(tmp).count()

@@ -251,9 +251,20 @@ def _make_transitions_fn(ttl_ms: int | None):
     return _update_transitions
 
 
-def streaming_transitions(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+def streaming_transitions(
+    stream: DataFrame,
+    ttl_ms: int | None = None,
+    event_types: list[str] | None = None,
+) -> DataFrame:
     """Per-batch (src, dst, n) transition increments as an append
     stream; SUM over the sink gives the live Markov matrix.
+
+    event_types is the saved-workload whitelist (the batch
+    transition_matrix's parameter relation, passed as a list here):
+    events outside it are dropped BEFORE the stateful chain, so the
+    journey re-links across them — identical projection semantics to
+    the batch operator, preserved across micro-batch boundaries
+    because the filter runs upstream of the per-user state.
 
     ttl_ms bounds state on UNBOUNDED streams (same knob as
     streaming_dedup): a user idle longer than the TTL is evicted
@@ -262,6 +273,8 @@ def streaming_transitions(stream: DataFrame, ttl_ms: int | None = None) -> DataF
     eviction opens a fresh chain — the transition spanning the idle
     gap is not counted, which is usually the analytically right call
     anyway (cf. the batch sessionization gap)."""
+    if event_types is not None:
+        stream = stream.where(F.col("event_type").isin(list(event_types)))
     return (
         stream.select(
             "user_id",
