@@ -3091,6 +3091,15 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_components(_t(spark, sf_dir, "documents"))
 
 
+def dedup_lsh_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-level keep-one survivors (NEW r8): anti-join the
+    non-representative members of each LSH component; pair-level
+    keep-one under-deletes on A~B~C chains, this does not."""
+    from transferdb_spark.ext.dedup import minhash_keep_one
+
+    return minhash_keep_one(_t(spark, sf_dir, "documents"))
+
+
 def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norms over the embedding column (quantized exact)."""
     from transferdb_spark.ext.similarity import embedding_norms
@@ -4694,6 +4703,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         EXACT_DEDUP_SUMMARY_SQL,
         EXACT_SURVIVORS_SQL,
         minhash_components_sql,
+        minhash_keep_one_sql,
     minhash_lsh_sql,
         ngram_jaccard_rare_sql,
         ngram_jaccard_sql,
@@ -4748,6 +4758,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard_exact": ngram_jaccard_sql(0.5),
         "dedup_minhash_lsh": minhash_lsh_sql(),
         "dedup_lsh_components": minhash_components_sql(),
+        "dedup_lsh_keep_one": minhash_keep_one_sql(),
         "embedding_norms": EMBEDDING_NORMS_SQL,
         "similarity_topk": topk_bruteforce_sql(0, 10),
         "ann_bucket_histogram": lsh_bucket_histogram_sql(),
@@ -5000,6 +5011,7 @@ EXT_QUERIES = {
     "dedup_ngram_jaccard_exact": dedup_ngram_jaccard_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_components": dedup_lsh_components,
+    "dedup_lsh_keep_one": dedup_lsh_keep_one,
     "embedding_norms": embedding_norms_q,
     "similarity_topk": similarity_topk,
     "ann_bucket_histogram": ann_bucket_histogram,

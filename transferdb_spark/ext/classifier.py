@@ -111,15 +111,32 @@ def train_weights(
 
     weight is stable_round(·, 6)-quantized at the output boundary."""
     spark = docs.sparkSession
-    hits = _hits(docs, bigrams)
+    # materialize the feature relation ONCE: every GD iteration reads
+    # it twice (forward pass + gradient), so the lazy explode+groupBy
+    # over all tokens would otherwise recompute 2*ITERS times — at
+    # sf0.1 that was ~8 s of pure rework for a 5-iteration train
+    # pre-partition by doc_id and persist: both per-iteration
+    # aggregations key on doc_id (forward-pass z, and the err join
+    # feeding the gradient), and InMemoryRelation RETAINS output
+    # partitioning — so the 2*ITERS recomputes AND their doc_id
+    # exchanges collapse into this single pass. persist (not
+    # localCheckpoint) so the unpersist in the finally keeps the
+    # prune-mode lifecycle contract: no cache entries survive the call.
+    hits = _hits(docs, bigrams).repartition("doc_id").persist()
     n_docs = docs.count()  # scalar, driver-side like the SQL twin's CROSS JOIN n
     w = {b: 0.0 for b in range(_dim(bigrams) + 1)}
     for _ in range(iters):
-        wdf = spark.createDataFrame(
-            [(b, float(v)) for b, v in sorted(w.items())], "bucket int, w double"
-        )
+        # weights as a LITERAL array lookup, not a broadcast join: the
+        # model is dim+1 doubles, so element_at(array(...), bucket+1)
+        # embeds it in the plan — one job, zero exchanges on the
+        # pre-partitioned feature relation. repr() round-trips IEEE
+        # doubles exactly through Spark's literal parser, so the
+        # arithmetic is bit-identical to the joined form.
+        warr = "array(" + ", ".join(
+            f"CAST({float(w[b])!r} AS DOUBLE)" for b in range(_dim(bigrams) + 1)
+        ) + ")"
         z = (
-            hits.join(F.broadcast(wdf), "bucket")
+            hits.withColumn("w", F.expr(f"element_at({warr}, bucket + 1)"))
             .groupBy("doc_id", "y")
             .agg(F.sum(_dec(F.col("w") * F.col("x"))).cast("double").alias("z"))
         )
@@ -139,6 +156,7 @@ def train_weights(
         )
         for r in grads:
             w[r["bucket"]] = w[r["bucket"]] - lr * (r["g"] / float(n_docs))
+    hits.unpersist()
     rows = [(b, float(v)) for b, v in sorted(w.items())]
     out = spark.createDataFrame(rows, "bucket int, weight double")
     return out.select(

@@ -1265,3 +1265,28 @@ SELECT CAST(node AS BIGINT) AS doc_id,
 FROM labeled
 ORDER BY doc_id
 """
+
+
+def minhash_keep_one(docs: DataFrame) -> DataFrame:
+    """Survivor corpus under component-level near-dup policy: DROP
+    every member of an LSH connected component except its min-doc_id
+    representative (the pair-level keep-one under-deletes on A~B~C
+    chains — it keeps A and C). Anti-join the loser set against the
+    full corpus; survivors = untouched docs + one rep per component."""
+    losers = minhash_components(docs).where(
+        F.col("doc_id") != F.col("component")
+    ).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+def minhash_keep_one_sql() -> str:
+    return f"""
+WITH comps AS MATERIALIZED ({minhash_components_sql().replace("ORDER BY doc_id", "")})
+SELECT d.doc_id, d.text
+FROM documents d
+LEFT JOIN comps c ON d.doc_id = c.doc_id AND c.doc_id <> c.component
+WHERE c.doc_id IS NULL
+ORDER BY d.doc_id
+"""
