@@ -3100,6 +3100,23 @@ def dedup_lsh_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_keep_one(_t(spark, sf_dir, "documents"))
 
 
+def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise audit (NEW r8): majority label among the k=5
+    nearest LSH-bucket neighbours vs own label — Confident-Learning-
+    style mislabel candidates; bucketed candidates, never all-pairs."""
+    from transferdb_spark.ext.similarity import knn_label_vote
+
+    return knn_label_vote(_t(spark, sf_dir, "embeddings"))
+
+
+def embedding_int8_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization audit (NEW r8): per-vector scale anchor,
+    exact-integer squared reconstruction error, saturation count."""
+    from transferdb_spark.ext.similarity import embedding_int8_stats
+
+    return embedding_int8_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norms over the embedding column (quantized exact)."""
     from transferdb_spark.ext.similarity import embedding_norms
@@ -4605,6 +4622,15 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_plan(_t(spark, sf_dir, "documents"))
 
 
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/training chunking (NEW r8): overlapping fixed-token windows
+    (W=64, stride=48) per document — narrow explode, rides the scan
+    partitioning, planned window/stride fan-out factor."""
+    from transferdb_spark.ext.packing import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
 def pack_bin_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin fill accounting of the packing plan."""
     from transferdb_spark.ext.packing import pack_bin_stats
@@ -4710,6 +4736,8 @@ def _ext_oracle_sql() -> dict[str, str]:
     )
     from transferdb_spark.ext.text import tfidf_top_terms_sql
     from transferdb_spark.ext.similarity import (
+        embedding_int8_stats_sql,
+        knn_label_vote_sql,
         EMBEDDING_NORMS_SQL,
         ann_topk_ivf_sql,
         ann_topk_lsh_auto_sql,
@@ -4763,6 +4791,8 @@ def _ext_oracle_sql() -> dict[str, str]:
         "similarity_topk": topk_bruteforce_sql(0, 10),
         "ann_bucket_histogram": lsh_bucket_histogram_sql(),
         "ann_topk_lsh": ann_topk_lsh_sql(0, 10),
+        "knn_label_vote": knn_label_vote_sql(),
+        "embedding_int8_stats": embedding_int8_stats_sql(),
         "ann_topk_lsh_auto": ann_topk_lsh_auto_sql(0, 10),
         "ann_topk_multiprobe_auto": ann_topk_multiprobe_auto_sql(0, 10),
         "embedding_dedup_clusters": _embedding_dedup_clusters_sql(),
@@ -4807,6 +4837,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "dsir_doc_scores": _dsir_sql()[0],
         "dsir_select_top": _dsir_sql()[1],
         "pack_sequences": _packing_sql()[0],
+        "chunk_documents": _chunk_documents_sql(),
         "pack_bin_summary": _packing_sql()[1],
         "pack_token_stats": _pack_token_stats_sql(),
         "pq_topk_adc": _pq_sql()[0],
@@ -4830,6 +4861,12 @@ def _pq_sql() -> tuple[str, str]:
     from transferdb_spark.ext.pq import pq_codes_histogram_sql, pq_topk_adc_sql
 
     return pq_topk_adc_sql(), pq_codes_histogram_sql()
+
+
+def _chunk_documents_sql() -> str:
+    from transferdb_spark.ext.packing import chunk_documents_sql
+
+    return chunk_documents_sql()
 
 
 def _pack_token_stats_sql() -> str:
@@ -5016,6 +5053,8 @@ EXT_QUERIES = {
     "similarity_topk": similarity_topk,
     "ann_bucket_histogram": ann_bucket_histogram,
     "ann_topk_lsh": ann_topk_lsh_q,
+    "knn_label_vote": knn_label_vote_q,
+    "embedding_int8_stats": embedding_int8_stats_q,
     "ann_topk_ivf": ann_topk_ivf_q,
     "ann_topk_multiprobe": ann_topk_multiprobe,
     "assess_identifier_lengths": assess_identifier_lengths,
@@ -5043,6 +5082,7 @@ EXT_QUERIES = {
     "decontam_against_eval": decontam_against_eval,
     "compare_checksum_fast": compare_checksum_fast,
     "pack_sequences": pack_sequences,
+    "chunk_documents": chunk_documents_q,
     "pack_bin_summary": pack_bin_summary,
     "pack_token_stats": pack_token_stats_q,
     "bpe_pack_sequences": bpe_pack_sequences,
@@ -5124,6 +5164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": embedding_covariance,
         "vocab_kl_drift": vocab_kl_drift_q,
         "ann_topk_lsh": ann_topk_lsh_q,
+    "knn_label_vote": knn_label_vote_q,
+    "embedding_int8_stats": embedding_int8_stats_q,
         "ann_topk_multiprobe": ann_topk_multiprobe,
         "text_token_stats": text_token_stats,
         "text_lang_id": text_lang_id,

@@ -3449,3 +3449,83 @@ def test_minhash_components_closes_chains(spark):
         for r in con.execute(minhash_components_sql()).fetchall()
     }
     assert want == got
+
+
+def test_chunk_documents_window_coverage(spark):
+    """Chunking invariants on known docs: chunk k starts at k*stride,
+    every token is covered, no empty tail chunk, short docs yield one
+    chunk, and overlap length = window - stride on interior chunks."""
+    from transferdb_spark.ext.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks
+            (2, " ".join(f"u{i}" for i in range(4))),    # short: 1 chunk
+            (3, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(docs, window=6, stride=4).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c1] == [0, 1]
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3 t4 t5"
+    assert c1[1]["chunk_text"] == "t4 t5 t6 t7 t8 t9"   # starts at stride=4
+    assert [r["n_tokens"] for r in c1] == [6, 6]
+    assert [r["chunk_text"] for r in by[2]] == ["u0 u1 u2 u3"]
+    assert [r["chunk_text"] for r in by[3]] == ["solo"]
+
+    # uneven tail: 9 tokens, window 6 stride 4 -> chunks at 0 and 4 (5 toks)
+    docs2 = spark.createDataFrame(
+        [(9, " ".join(f"x{i}" for i in range(9)))], ["doc_id", "text"]
+    )
+    tail = chunk_documents(docs2, window=6, stride=4).collect()
+    assert [(r["chunk_id"], r["n_tokens"]) for r in tail] == [(0, 6), (1, 5)]
+
+
+def test_knn_label_vote_flags_mislabeled_vector(spark):
+    """A vector surrounded by opposite-label near-identical neighbours
+    must get knn_label = the neighbourhood's label; consistent
+    clusters agree with themselves. Singleton buckets drop out."""
+    import numpy as np
+
+    from transferdb_spark.ext.similarity import DIM, knn_label_vote
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=DIM); a /= np.linalg.norm(a)
+    rows = []
+    # tight cluster of label 1 ... with one label-0 interloper
+    for i in range(6):
+        v = a + rng.normal(scale=0.01, size=DIM)
+        rows.append((i, [float(x) for x in v], 1 if i < 5 else 0))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r["vec_id"]: r for r in knn_label_vote(emb, k=3).collect()}
+    assert got[5]["label"] == 0 and got[5]["knn_label"] == 1  # flagged
+    for i in range(5):
+        assert got[i]["knn_label"] == 1
+
+
+def test_embedding_int8_stats_exact_integers(spark):
+    """Hand-checked int8 audit: max_q anchors the scale, codes
+    round-half-away-from-zero, sse is the exact integer residual, the
+    max element saturates at code 127, and a zero vector is all-zero."""
+    from transferdb_spark.ext.similarity import DIM, QSCALE, embedding_int8_stats
+
+    v = [0.0] * DIM
+    v[0] = 1.0      # q = QSCALE -> m = QSCALE, code 127, residual 0? (127q - 127m = 0)
+    v[1] = 0.5      # q = QSCALE/2 -> code round(63.5) = 64
+    emb = spark.createDataFrame(
+        [(0, v, 0), (1, [0.0] * DIM, 0)], ["vec_id", "embedding", "label"]
+    )
+    got = {r["vec_id"]: r for r in embedding_int8_stats(emb).collect()}
+    m = QSCALE
+    q1 = QSCALE // 2
+    code1 = (254 * q1 + m) // (2 * m)  # = 64 (half away from zero)
+    assert code1 == 64
+    want_sse = (127 * q1 - code1 * m) ** 2  # only the 0.5 element has residual
+    assert got[0]["max_q"] == m
+    assert got[0]["n_maxcode"] == 1
+    assert got[0]["sse_q"] == want_sse
+    assert got[1]["max_q"] == 0 and got[1]["sse_q"] == 0 and got[1]["n_maxcode"] == 0

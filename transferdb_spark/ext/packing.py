@@ -412,3 +412,69 @@ FROM tagged
 GROUP BY split_a, split_b
 ORDER BY split_a, split_b
 """
+
+
+# ---------------------------------------------------------------------------
+# RAG / training chunking — split each document into overlapping
+# fixed-token windows (the standard retrieval-corpus and long-doc
+# training preparation: window W tokens, stride S < W for overlap).
+
+
+def chunk_documents(
+    docs: DataFrame, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text) — overlapping token
+    windows. Chunk k covers tokens [k*stride, k*stride + window); the
+    final chunk is the first one whose window reaches the end of the
+    document (no degenerate sub-stride tail chunks, no token ever left
+    uncovered). Pure narrow explode — each input row fans out to
+    ceil(max(n - window, 0) / stride) + 1 rows with no shuffle, so at
+    100 TB it rides the scan's own partitioning; output size is
+    input * window/stride, a planned constant factor."""
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    toks = docs.select("doc_id", F.expr(TOKENS).alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    # number of chunks: 1 + ceil(max(n - window, 0) / stride)
+    n_chunks = (
+        f"1 + CAST(ceil(greatest(n - {window}, 0) / CAST({stride} AS DOUBLE)) AS INT)"
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            "n",
+            F.posexplode(F.expr(f"sequence(1, {n_chunks})")).alias("chunk_id", "_one"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr(
+                f"size(slice(t, chunk_id * {stride} + 1, {window}))"
+            ).cast("long").alias("n_tokens"),
+            F.expr(
+                f"array_join(slice(t, chunk_id * {stride} + 1, {window}), ' ')"
+            ).alias("chunk_text"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def chunk_documents_sql(window: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS t, len({TOKENS_SQL}) AS n FROM documents),
+chunks AS (
+  SELECT doc_id, c.k AS chunk_id,
+         t[c.k * {stride} + 1 : c.k * {stride} + {window}] AS w
+  FROM toks,
+       UNNEST(range(1 + CAST(ceil(greatest(n - {window}, 0) / CAST({stride} AS DOUBLE)) AS INT))) AS c(k))
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       array_to_string(w, ' ') AS chunk_text
+FROM chunks
+WHERE len(w) > 0
+ORDER BY doc_id, chunk_id
+"""

@@ -765,3 +765,158 @@ WHERE ({probes}) AND b.vec_id <> {query_vec_id}
 ORDER BY cosine DESC, b.vec_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN label vote — label-noise audit / auto-labeling QA (the Confident
+# Learning-style check): for every vector, the majority label among
+# its k nearest LSH-bucket neighbours, vs its own label. A vector
+# whose neighbourhood consistently disagrees is a labeling-error (or
+# decision-boundary) candidate; the same relation IS kNN label
+# propagation when the input's own labels are the seed set.
+
+
+def knn_label_vote(emb: DataFrame, k: int = 5) -> DataFrame:
+    """(vec_id, label, knn_label, votes, n_neighbors) — majority label
+    of the k nearest in-bucket neighbours (exact quantized cosine;
+    candidate set bounded by the LSH bucket, never all-pairs, so the
+    self-join cost is Σ bucket² — the standard banded-kNN shape that
+    survives 10^10 vectors with recommended_planes). Vectors alone in
+    their bucket have no neighbours and drop out (an ANN index that
+    cannot produce candidates cannot vote). Deterministic ties:
+    neighbour rank (cosine DESC, vec_id ASC), vote rank
+    (votes DESC, label ASC)."""
+    from pyspark.sql import Window
+
+    b = emb.select(
+        "vec_id", "embedding", "label",
+        bucket_udf(F.col("embedding")).alias("bucket"),
+    )
+    a, n = b.alias("a"), b.alias("n")
+    pairs = a.join(
+        n,
+        (F.col("a.bucket") == F.col("n.bucket"))
+        & (F.col("a.vec_id") != F.col("n.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label"),
+        F.col("n.label").alias("nlabel"),
+        F.col("n.vec_id").alias("nid"),
+        cosine_expr("a.embedding", "n.embedding").cast("double").alias("cos"),
+    )
+    wn = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nid"))
+    knn = pairs.withColumn("rn", F.row_number().over(wn)).where(F.col("rn") <= k)
+    votes = knn.groupBy("vec_id", "label", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("votes"), F.asc("nlabel"))
+    wt = Window.partitionBy("vec_id")
+    return (
+        votes.withColumn("n_neighbors", F.sum("votes").over(wt))
+        .withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.col("nlabel").cast("int").alias("knn_label"),
+            F.col("votes").cast("long").alias("votes"),
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def knn_label_vote_sql(k: int = 5) -> str:
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, embedding, label, CAST(({_bucket_sql()}) AS INT) AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id, a.label, n.label AS nlabel, n.vec_id AS nid,
+         CAST({cosine_sql('a.embedding', 'n.embedding')} AS DOUBLE) AS cos
+  FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id <> n.vec_id),
+knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid) AS rn
+    FROM pairs)
+  WHERE rn <= {k}),
+votes AS (
+  SELECT vec_id, label, nlabel, COUNT(*) AS votes
+  FROM knn GROUP BY vec_id, label, nlabel)
+SELECT vec_id, CAST(label AS INT) AS label, CAST(nlabel AS INT) AS knn_label,
+       CAST(votes AS BIGINT) AS votes, CAST(n_neighbors AS BIGINT) AS n_neighbors
+FROM (
+  SELECT *, SUM(votes) OVER (PARTITION BY vec_id) AS n_neighbors,
+         row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, nlabel) AS rk
+  FROM votes)
+WHERE rk = 1
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization audit — the compression step every
+# billion-vector store applies (symmetric per-vector int8: code_j =
+# round(127 * x_j / max|x|)). All accounting stays in EXACT integer
+# arithmetic over the engine-shared QSCALE grid: the squared error of
+# code_j against 127*q_j is (127*q_j - code_j*m)^2 in units of
+# (m/127)^2 — no float chain ever crosses the engine boundary.
+
+
+def _int8_exprs() -> tuple[str, str, str, str]:
+    q = f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}.0 + 0.5) AS BIGINT))"
+    m = "array_max(transform(q, v -> abs(v)))"
+    # round-half-away-from-zero in pure integers: (2*127*|v| + m) div (2m)
+    code = (
+        "IF(m = 0L, 0L, IF(v < 0L, -1L, 1L) * ((254L * abs(v) + m) DIV (2L * m)))"
+    )
+    sse = (
+        f"aggregate(q, 0L, (acc, v) -> acc + "
+        f"(127L * v - ({code}) * m) * (127L * v - ({code}) * m))"
+    )
+    nmax = f"aggregate(q, 0L, (acc, v) -> acc + IF(abs({code}) = 127L, 1L, 0L))"
+    return q, m, sse, nmax
+
+
+def embedding_int8_stats(emb: DataFrame) -> DataFrame:
+    """(vec_id, max_q, sse_q, n_maxcode) — per-vector int8 quantization
+    audit, exact integers end to end. max_q is the vector's scale
+    anchor on the QSCALE grid, sse_q the total squared reconstruction
+    error in grid units (divide by 127^2 for (m·unit)^2), n_maxcode
+    how many dims saturate the code range. Narrow projection — rides
+    the scan partitioning at any scale."""
+    q, m, sse, nmax = _int8_exprs()
+    return (
+        emb.select("vec_id", F.expr(q).alias("q"))
+        .select("vec_id", "q", F.expr(m).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m").cast("long").alias("max_q"),
+            F.expr(sse).cast("long").alias("sse_q"),
+            F.expr(nmax).cast("long").alias("n_maxcode"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def embedding_int8_stats_sql() -> str:
+    q_elem = f"CAST(floor(CAST(x AS DOUBLE) * {QSCALE}.0 + 0.5) AS BIGINT)"
+    code = (
+        "CASE WHEN m = 0 THEN 0 ELSE "
+        "(CASE WHEN v < 0 THEN -1 ELSE 1 END) * ((254 * abs(v) + m) // (2 * m)) END"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> {q_elem}) AS q
+  FROM embeddings),
+withm AS (
+  SELECT vec_id, q, list_max(list_transform(q, v -> abs(v))) AS m FROM q)
+SELECT vec_id,
+       CAST(m AS BIGINT) AS max_q,
+       CAST(list_sum(list_transform(q, v ->
+            (127 * v - ({code}) * m) * (127 * v - ({code}) * m))) AS BIGINT) AS sse_q,
+       CAST(list_sum(list_transform(q, v ->
+            CASE WHEN abs({code}) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_maxcode
+FROM withm
+ORDER BY vec_id
+"""
