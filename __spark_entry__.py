@@ -2816,6 +2816,30 @@ def _event_transitions_sql() -> str:
 EVENT_TRANSITIONS_SQL = _event_transitions_sql()
 
 
+def funnel_step_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step time-to-convert (NEW r8): min/max/avg seconds between
+    consecutive funnel first-touch times, generated from the same
+    saved-workload step relation as funnel_conversion (exact integer
+    epoch-micros accounting; no interpolated quantiles)."""
+    from transferdb_spark.operators.funnel import (
+        DEFAULT_STEPS,
+        funnel_step_latency,
+        steps_relation,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_step_latency(ev, steps_relation(spark, DEFAULT_STEPS))
+
+
+def attribution_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution pairs (NEW r8): all same-user pairs
+    within 1h — the batch twin of the stream-stream interval join
+    (streaming/joins.py); one shuffle keyed on user_id."""
+    from transferdb_spark.streaming.joins import attribution_pairs
+
+    return attribution_pairs(_t(spark, sf_dir, "events"))
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-family batch equivalent — tumbling 1h window aggregation."""
     ev = _t(spark, sf_dir, "events")
@@ -4787,6 +4811,8 @@ def _ext_oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": minhash_lsh_sql(),
         "dedup_lsh_components": minhash_components_sql(),
         "dedup_lsh_keep_one": minhash_keep_one_sql(),
+        "attribution_pairs": _attribution_sql(),
+        "funnel_step_latency": _funnel_latency_sql(),
         "embedding_norms": EMBEDDING_NORMS_SQL,
         "similarity_topk": topk_bruteforce_sql(0, 10),
         "ann_bucket_histogram": lsh_bucket_histogram_sql(),
@@ -4861,6 +4887,21 @@ def _pq_sql() -> tuple[str, str]:
     from transferdb_spark.ext.pq import pq_codes_histogram_sql, pq_topk_adc_sql
 
     return pq_topk_adc_sql(), pq_codes_histogram_sql()
+
+
+def _funnel_latency_sql() -> str:
+    from transferdb_spark.operators.funnel import (
+        DEFAULT_STEPS,
+        funnel_latency_sql_from_steps,
+    )
+
+    return funnel_latency_sql_from_steps(DEFAULT_STEPS)
+
+
+def _attribution_sql() -> str:
+    from transferdb_spark.streaming.joins import attribution_pairs_sql
+
+    return attribution_pairs_sql()
 
 
 def _chunk_documents_sql() -> str:
@@ -5049,6 +5090,8 @@ EXT_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_components": dedup_lsh_components,
     "dedup_lsh_keep_one": dedup_lsh_keep_one,
+    "attribution_pairs": attribution_pairs_q,
+    "funnel_step_latency": funnel_step_latency_q,
     "embedding_norms": embedding_norms_q,
     "similarity_topk": similarity_topk,
     "ann_bucket_histogram": ann_bucket_histogram,

@@ -77,6 +77,13 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "decontam_against_eval",
     "assess_storage_size",
+    # round-8 additions: new first-class ops + the classifier train
+    # (previously unbenched at 8s — visibility so regressions can't hide)
+    "quality_classifier_weights",
+    "dedup_lsh_components",
+    "chunk_documents",
+    "knn_label_vote",
+    "embedding_int8_stats",
 ]
 
 
@@ -232,6 +239,11 @@ def main() -> None:
         total += timings["stream_funnel"]
     except Exception as exc:  # noqa: BLE001 — isolate per query
         errors["stream_funnel"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        timings["stream_join"] = round(_bench_stream_join(spark), 3)
+        total += timings["stream_join"]
+    except Exception as exc:  # noqa: BLE001 — isolate per query
+        errors["stream_join"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # The driver captures only the tail of stdout: the FINAL line must
     # stay compact (totals + median-only dict). Full detail (best/cold/
@@ -353,6 +365,48 @@ def _bench_stream_transitions(spark) -> float:
         q.awaitTermination()
         dt = time.time() - t0
         spark.sql("SELECT count(*) FROM bench_stream_transitions").collect()
+        return dt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _bench_stream_join(spark) -> float:
+    """Time one availableNow pass of the stream-stream interval join
+    (click->purchase attribution, round 8) over the events table —
+    the two watermarked sides + interval condition exercise the
+    symmetric stateful join buffers."""
+    import shutil
+    import tempfile
+
+    from transferdb_spark.streaming.joins import streaming_attribution_join
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    work = tempfile.mkdtemp(prefix="bench_sjoin_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        feed = os.path.join(work, "feed")
+        os.makedirs(feed)
+        os.symlink(src, os.path.join(feed, "events.parquet"))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(feed)
+            .drop("props")
+        )
+        t0 = time.time()
+        q = (
+            streaming_attribution_join(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("bench_stream_join")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        spark.sql("SELECT count(*) FROM bench_stream_join").collect()
         return dt
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)

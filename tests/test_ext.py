@@ -3529,3 +3529,38 @@ def test_embedding_int8_stats_exact_integers(spark):
     assert got[0]["n_maxcode"] == 1
     assert got[0]["sse_q"] == want_sse
     assert got[1]["max_q"] == 0 and got[1]["sse_q"] == 0 and got[1]["n_maxcode"] == 0
+
+
+def test_funnel_step_latency_custom_steps_match_generated_oracle(spark, sf_dir):
+    """funnel_step_latency with a CUSTOM 4-step workload matches the
+    DuckDB SQL generated from the same list — exact integer
+    epoch-micros min/max and floor-rounded DECIMAL-safe average."""
+    import duckdb
+
+    from transferdb_spark.operators.funnel import (
+        funnel_latency_sql_from_steps,
+        funnel_step_latency,
+        steps_relation,
+    )
+    from transferdb_spark.sources.registry import load_table
+
+    steps = ["view", "signup", "click", "purchase"]
+    within = 48 * 3600
+    ev = load_table(spark, sf_dir, "events")
+    got = funnel_step_latency(
+        ev, steps_relation(spark, steps), within_s=within
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(funnel_latency_sql_from_steps(steps, within)).df()
+    assert got["step"].tolist() == want["step"].tolist() == [2, 3, 4]
+    assert got["event_type"].tolist()[-1] == "purchase_48h"
+    assert got["n_users"].tolist() == want["n_users"].tolist()
+    for col in ("min_s", "max_s", "avg_s"):
+        assert got[col].tolist() == want[col].tolist(), col
+    # latencies are non-negative and min <= avg <= max per step
+    assert all(got["min_s"] >= 0)
+    assert all(got["min_s"] <= got["avg_s"]) and all(got["avg_s"] <= got["max_s"])

@@ -1015,3 +1015,59 @@ def test_distributed_apply_stream_halts_on_failure(spark, tmp_path):
     # the failure was persisted BEFORE the halt
     assert [e["xid"] for e in meta.errors()] == ["t2"]
     assert meta.highs() == {"A": 2}
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream INNER join with an event-time interval (the one
+    Structured Streaming join shape the engine had not exercised):
+    clicks and purchases watermarked on their own event time, joined
+    on user within 1h. Summed micro-batch output must equal the batch
+    twin exactly — including pairs whose click and purchase arrive in
+    DIFFERENT micro-batches (buffered by the join state and matched
+    later, the whole point of the stateful join)."""
+    from pyspark.sql import functions as F
+
+    from transferdb_spark.sources.registry import load_table
+    from transferdb_spark.streaming.joins import (
+        attribution_pairs,
+        streaming_attribution_join,
+    )
+
+    events = load_table(spark, sf_dir, "events").drop("props")
+    want = {
+        (r["user_id"], r["src_event_id"], r["dst_event_id"])
+        for r in attribution_pairs(events).collect()
+    }
+    assert want  # fixture must actually produce pairs
+
+    mid = events.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    src = str(tmp_path / "src")
+    events.filter(F.col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(src)
+    events.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_attribution_join(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attrib")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["src_event_id"], r["dst_event_id"])
+        for r in spark.sql(
+            "SELECT user_id, src_event_id, dst_event_id FROM t_attrib"
+        ).collect()
+    }
+    # watermark caveat: rows older than the eviction horizon at source
+    # EOF can be dropped by design; with a 2h watermark over an
+    # in-order feed nothing is evictable before its match window ends,
+    # so equality must be exact
+    assert got == want

@@ -325,3 +325,127 @@ SELECT src, dst, CAST(n AS BIGINT) AS n,
 FROM counts
 ORDER BY src, dst
 """
+
+
+def funnel_step_latency(
+    ev: DataFrame,
+    steps_df: DataFrame,
+    within_s: int | None = DEFAULT_WITHIN_S,
+) -> DataFrame:
+    """Time-to-convert per funnel step: for every user who reached
+    step i, the seconds between their step i-1 and step i first-touch
+    times. Returns (step, event_type, n_users, min_s, max_s, avg_s) —
+    min/max/avg only, all exact (DECIMAL average, rounded at the
+    boundary): interpolated quantiles are engine-dependent, the
+    min/max/avg triple is not. Same chained per-user min-aggregation
+    shape as funnel_conversion_steps; the latency rollup adds one
+    single-row aggregate per step."""
+    from transferdb_spark.functions.canonical import stable_round
+
+    steps = steps_from_relation(steps_df)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+
+    stages: list[DataFrame] = []
+    s = (
+        ev.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    stages.append(s)
+    for i, ev_type in enumerate(steps[1:], start=2):
+        prev_t = f"t{i - 1}"
+        s = (
+            ev.where(F.col("event_type") == ev_type)
+            .join(stages[-1], "user_id")
+            .where(F.col("ts") >= F.col(prev_t))
+            .groupBy("user_id", *[f"t{j}" for j in range(1, i)])
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        if i == len(steps) and within_s is not None:
+            s = s.where(
+                F.col(f"t{i}").cast("double") - F.col("t1").cast("double")
+                <= F.lit(float(within_s))
+            )
+        stages.append(s)
+
+    labels = steps[:-1] + [_last_label(steps, within_s)]
+    outs = []
+    for i in range(2, len(steps) + 1):
+        # exact integer epoch-micros difference; seconds only at the
+        # output boundary
+        lat = stages[i - 1].select(
+            (
+                F.unix_micros(F.col(f"t{i}")).cast("decimal(28,0)")
+                - F.unix_micros(F.col(f"t{i - 1}")).cast("decimal(28,0)")
+            ).alias("dus")
+        )
+        outs.append(
+            lat.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("dus").alias("mn"),
+                F.max("dus").alias("mx"),
+                F.sum("dus").alias("sm"),
+            ).select(
+                F.lit(i).alias("step"),
+                F.lit(labels[i - 1]).alias("event_type"),
+                F.col("n").cast("long").alias("n_users"),
+                (F.col("mn").cast("double") / 1e6).alias("min_s"),
+                (F.col("mx").cast("double") / 1e6).alias("max_s"),
+                stable_round(
+                    F.col("sm").cast("double")
+                    / (F.lit(1e6) * F.col("n").cast("double")),
+                    6,
+                ).alias("avg_s"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("step")
+
+
+def funnel_latency_sql_from_steps(
+    steps: list[str], within_s: int | None = DEFAULT_WITHIN_S
+) -> str:
+    """The DuckDB oracle, generated from the same step list; carries
+    every intermediate step time through the CTE chain so the latency
+    of step i is epoch_us(t_i) - epoch_us(t_{i-1}) exactly."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    ctes = [
+        f"s1 AS (\n  SELECT user_id, MIN(ts) AS t1\n"
+        f"  FROM events WHERE event_type = '{steps[0]}' GROUP BY 1\n)"
+    ]
+    for i, ev_type in enumerate(steps[1:], start=2):
+        prev = i - 1
+        having = ""
+        if i == len(steps) and within_s is not None:
+            having = f"\n  HAVING epoch(MIN(e.ts)) - epoch(t1) <= {float(within_s)}"
+        carried = ", ".join(f"s{prev}.t{j}" for j in range(1, i))
+        ctes.append(
+            f"s{i} AS (\n"
+            f"  SELECT e.user_id, {carried}, MIN(e.ts) AS t{i}\n"
+            f"  FROM events e JOIN s{prev} ON e.user_id = s{prev}.user_id\n"
+            f"  WHERE e.event_type = '{ev_type}' AND e.ts >= s{prev}.t{prev}\n"
+            f"  GROUP BY ALL{having}\n)"
+        )
+    labels = steps[:-1] + [_last_label(steps, within_s)]
+    arms = []
+    for i in range(2, len(steps) + 1):
+        arms.append(
+            f"  SELECT {i} AS step, '{labels[i - 1]}' AS event_type,\n"
+            f"         CAST(COUNT(*) AS BIGINT) AS n_users,\n"
+            f"         CAST(MIN(epoch_us(t{i}) - epoch_us(t{i - 1})) AS DOUBLE) / 1e6 AS min_s,\n"
+            f"         CAST(MAX(epoch_us(t{i}) - epoch_us(t{i - 1})) AS DOUBLE) / 1e6 AS max_s,\n"
+            f"         (floor(CAST(SUM(epoch_us(t{i}) - epoch_us(t{i - 1})) AS DOUBLE)"
+            f" / (1e6 * COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) AS avg_s\n"
+            f"  FROM s{i}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + ",\nlat AS (\n"
+        + "\n  UNION ALL\n".join(arms)
+        + "\n)\nSELECT * FROM lat ORDER BY step"
+    )
