@@ -1071,3 +1071,22 @@ def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
     # in-order feed nothing is evictable before its match window ends,
     # so equality must be exact
     assert got == want
+
+
+def test_incr_sync_meta_is_sql_queryable(spark, tmp_path):
+    """The state-TABLE surface: highs and the error log expose
+    relations a SELECT can join/filter — the reference's meta-schema
+    queryability, not just a dict API."""
+    from transferdb_spark.state.store import IncrSyncMeta
+
+    meta = IncrSyncMeta(str(tmp_path), "q")
+    meta.merge({"A": 5, "B": 9})
+    meta.record_errors([
+        {"table_name": "A", "xid": "t3", "commit_scn": 7,
+         "status": "failed", "error": "boom"},
+    ])
+    got = {r["table_name"]: r["high_scn"] for r in meta.as_df(spark).collect()}
+    assert got == {"A": 5, "B": 9}
+    errs = meta.errors_df(spark)
+    row = errs.where("table_name = 'A' AND status = 'failed'").first()
+    assert row["xid"] == "t3" and row["commit_scn"] == 7 and row["ts"] > 0

@@ -236,3 +236,30 @@ class IncrSyncMeta:
         with open(self.error_log_path) as fh:
             rows = [json.loads(line) for line in fh if line.strip()]
         return [r for r in rows if table is None or r.get("table_name") == table]
+
+    def as_df(self, spark):
+        """The checkpoint as a queryable relation (table_name,
+        high_scn) — the SELECT surface the reference gets for free
+        from its MySQL meta schema."""
+        return spark.createDataFrame(
+            sorted(self.highs().items()), "table_name string, high_scn long"
+        )
+
+    def errors_df(self, spark):
+        """The append-only apply error log as a relation."""
+        rows = [
+            (
+                r.get("table_name", ""),
+                r.get("xid", ""),
+                int(r.get("commit_scn", -1)),
+                r.get("status", ""),
+                r.get("error", ""),
+                float(r.get("ts", 0.0)),
+            )
+            for r in self.errors()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "table_name string, xid string, commit_scn long, "
+            "status string, error string, ts double",
+        )

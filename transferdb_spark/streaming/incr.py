@@ -436,7 +436,8 @@ def enrich_stream_with_dimension(stream: DataFrame, dim: DataFrame, on: str) -> 
 
 
 def attribution_join_stream(
-    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Stream-stream inner join bounded by an event-time range: each
     purchase is attributed to the same user's click(s) in the preceding
@@ -449,18 +450,22 @@ def attribution_join_stream(
     unbounded-state join, which does not survive at scale.
 
     The reference has no stream-stream semantics (SCN ordering only,
-    incr.go:61-247) — this is the Spark-native upgrade."""
+    incr.go:61-247) — this is the Spark-native upgrade. ``watermark``
+    (default: the join window itself) is the lateness allowance; the
+    one-source wrapper with the ORACLED batch twin lives in
+    streaming/joins.py and delegates here."""
+    wm = watermark or within
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),
         F.col("event_id").alias("click_id"),
-    ).withWatermark("click_ts", within)
+    ).withWatermark("click_ts", wm)
     p = purchases.select(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("purchase_ts"),
         F.col("event_id").alias("purchase_id"),
         F.col("value").alias("purchase_value"),
-    ).withWatermark("purchase_ts", within)
+    ).withWatermark("purchase_ts", wm)
     cond = (
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))

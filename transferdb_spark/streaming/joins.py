@@ -94,51 +94,32 @@ def streaming_attribution_join(
     within_s: int = ATTRIB_WITHIN_S,
     watermark_s: int = 2 * ATTRIB_WITHIN_S,
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval.
+    """Stream-stream inner join with an event-time interval — the
+    one-source form: both sides are filtered out of a single event
+    stream (Spark still treats them as two independent stateful
+    sides). Delegates to streaming/incr.attribution_join_stream (the
+    two-feed form this engine has shipped since round 3); what this
+    wrapper adds is the generic (src_type, dst_type) parameterization,
+    a 2x-window lateness allowance, and — via attribution_pairs above
+    — an ORACLE-CHECKED batch definition the stream must converge to.
+    Output columns match the batch twin."""
+    from transferdb_spark.streaming.incr import attribution_join_stream
 
-    Both sides derive from one input stream (filtered twice — Spark
-    treats them as two independent stateful sides), each watermarked
-    ``watermark_s`` behind its own max event time. The join condition
-    carries the time bound, so Spark derives state-eviction watermarks
-    for BOTH buffers: a click older than (purchase watermark -
-    within_s) can never match again and is dropped — bounded state on
-    unbounded input. Output columns match the batch twin."""
     # raw parquet streams read ts as TIMESTAMP_NTZ (Spark 4), which
     # watermarks reject — same normalization as sources/registry
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    clicks = (
-        stream.where(F.col("event_type") == src_type)
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("src_ts"),
-            F.col("event_id").alias("src_event_id"),
-        )
-        .withWatermark("src_ts", f"{watermark_s} seconds")
+    if "value" not in stream.columns:
+        stream = stream.withColumn("value", F.lit(None).cast("double"))
+    joined = attribution_join_stream(
+        stream.where(F.col("event_type") == src_type),
+        stream.where(F.col("event_type") == dst_type),
+        within=f"{within_s} seconds",
+        watermark=f"{watermark_s} seconds",
     )
-    buys = (
-        stream.where(F.col("event_type") == dst_type)
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("dst_ts"),
-            F.col("event_id").alias("dst_event_id"),
-        )
-        .withWatermark("dst_ts", f"{watermark_s} seconds")
-    )
-    return (
-        clicks.join(
-            buys,
-            (F.col("c_user") == F.col("p_user"))
-            & (F.col("src_ts") <= F.col("dst_ts"))
-            & (
-                F.col("dst_ts")
-                <= F.col("src_ts") + F.expr(f"INTERVAL {within_s} SECONDS")
-            ),
-        )
-        .select(
-            F.col("c_user").alias("user_id"),
-            "src_event_id",
-            "dst_event_id",
-            "src_ts",
-            "dst_ts",
-        )
+    return joined.select(
+        "user_id",
+        F.col("click_id").alias("src_event_id"),
+        F.col("purchase_id").alias("dst_event_id"),
+        F.col("click_ts").alias("src_ts"),
+        F.col("purchase_ts").alias("dst_ts"),
     )
