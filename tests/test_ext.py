@@ -3564,3 +3564,31 @@ def test_funnel_step_latency_custom_steps_match_generated_oracle(spark, sf_dir):
     # latencies are non-negative and min <= avg <= max per step
     assert all(got["min_s"] >= 0)
     assert all(got["min_s"] <= got["avg_s"]) and all(got["avg_s"] <= got["max_s"])
+
+
+def test_ngram_repetition_control_char_tie_break(spark):
+    """Tie-break regression for the fused single-sort fold: suffix
+    order guarantees equal grams are contiguous but NOT that distinct
+    grams appear in gram order — a token containing a sub-space
+    control char inverts it ("a b\\x01 ..." sorts before "a b ..."
+    while the gram 'a b' < 'a b\\x01'). With counts tied, the top gram
+    must still be the lexicographically SMALLEST, matching the DuckDB
+    (cnt DESC, gram ASC) window."""
+    import duckdb
+    import pandas as pd
+
+    from transferdb_spark.ext.text import ngram_repetition, ngram_repetition_sql
+
+    toks = ["a", "b", "q", "a", "b", "r", "a", "b\x01", "s", "a", "b\x01", "t"]
+    text = " ".join(toks)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = ngram_repetition(docs).collect()[0].asDict()
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [1], "text": [text]}))
+    want = con.execute(ngram_repetition_sql()).df().iloc[0].to_dict()
+    for k in got:
+        assert got[k] == want[k], (k, got[k], want[k])
+    # the tie resolves to 'a b' (len 3, count 2): 6 chars / total
+    total = len(text)
+    assert abs(got["rep_top2"] - round(6 / total, 5)) < 1e-9

@@ -1318,18 +1318,26 @@ def _rep_fold_all_expr() -> str:
         a = f"acc.n{n}"
         close_dup = f"{a}.d + IF({a}.r > 1L, {a}.r * length({a}.p), 0L)"
         if n <= 4:
+            # ties keep the lexicographically SMALLEST gram — compared
+            # explicitly against the stored best gram, NOT inferred
+            # from encounter order: suffix order only guarantees equal
+            # grams are contiguous, not that distinct grams appear in
+            # gram order (a token containing a sub-space control char
+            # can invert it), so the cnt-tie needs the real comparison
+            better = f"({a}.r > {a}.bc OR ({a}.r = {a}.bc AND {a}.p < {a}.bg))"
             zeros.append(
                 f"'n{n}', named_struct('p', CAST(NULL AS STRING),"
-                " 'r', 0L, 'bc', 0L, 'bh', 0L)"
+                " 'r', 0L, 'bc', 0L, 'bg', CAST(NULL AS STRING))"
             )
-            same = f"named_struct('p', {a}.p, 'r', {a}.r + 1L, 'bc', {a}.bc, 'bh', {a}.bh)"
+            same = f"named_struct('p', {a}.p, 'r', {a}.r + 1L, 'bc', {a}.bc, 'bg', {a}.bg)"
             new = (
                 f"named_struct('p', x.p{n}, 'r', 1L,"
-                f" 'bc', IF({a}.r > {a}.bc, {a}.r, {a}.bc),"
-                f" 'bh', IF({a}.r > {a}.bc, {a}.r * length({a}.p), {a}.bh))"
+                f" 'bc', IF({better}, {a}.r, {a}.bc),"
+                f" 'bg', IF({better}, {a}.p, {a}.bg))"
             )
             fins.append(
-                f"'top{n}', IF({a}.r > {a}.bc, {a}.r * length({a}.p), {a}.bh)"
+                f"'top{n}', IF({better}, {a}.r * length({a}.p),"
+                f" {a}.bc * length({a}.bg))"
             )
         else:
             zeros.append(
