@@ -1196,6 +1196,7 @@ def minhash_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iters):
         # min over own label and every neighbor's label
         msgs = sym.join(
@@ -1217,6 +1218,15 @@ def minhash_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # a silently non-converged labeling is a WRONG answer (labels
+        # would disagree with the oracle's transitive closure) — refuse
+        # instead; components deeper than max_iters need the
+        # large-star/small-star O(log n) contraction (docs/NEXT.md)
+        raise RuntimeError(
+            f"component labeling did not converge in {max_iters} rounds "
+            "(component diameter exceeds the bound); raise max_iters"
+        )
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "comp")
