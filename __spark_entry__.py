@@ -3115,6 +3115,14 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_components(_t(spark, sf_dir, "documents"))
 
 
+def dedup_lsh_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the LSH components (NEW r8): the
+    dedup yield curve a keep-one policy realizes."""
+    from transferdb_spark.ext.dedup import minhash_component_stats
+
+    return minhash_component_stats(_t(spark, sf_dir, "documents"))
+
+
 def dedup_lsh_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-level keep-one survivors (NEW r8): anti-join the
     non-representative members of each LSH component; pair-level
@@ -4753,6 +4761,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         EXACT_DEDUP_SUMMARY_SQL,
         EXACT_SURVIVORS_SQL,
         minhash_components_sql,
+        minhash_component_stats_sql,
         minhash_keep_one_sql,
     minhash_lsh_sql,
         ngram_jaccard_rare_sql,
@@ -4811,6 +4820,7 @@ def _ext_oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": minhash_lsh_sql(),
         "dedup_lsh_components": minhash_components_sql(),
         "dedup_lsh_keep_one": minhash_keep_one_sql(),
+        "dedup_lsh_component_stats": minhash_component_stats_sql(),
         "attribution_pairs": _attribution_sql(),
         "funnel_step_latency": _funnel_latency_sql(),
         "embedding_norms": EMBEDDING_NORMS_SQL,
@@ -5090,6 +5100,7 @@ EXT_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_components": dedup_lsh_components,
     "dedup_lsh_keep_one": dedup_lsh_keep_one,
+    "dedup_lsh_component_stats": dedup_lsh_component_stats,
     "attribution_pairs": attribution_pairs_q,
     "funnel_step_latency": funnel_step_latency_q,
     "embedding_norms": embedding_norms_q,

@@ -1178,61 +1178,22 @@ def minhash_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     candidate graph; component = min doc_id reachable (deterministic
     representative), cluster_size = member count.
 
-    Distributed shape: each round is one join + one groupBy keyed on
-    node id (edge relation is banding-bounded, never all-pairs), with
-    localCheckpoint per round to stop lineage growth — the unigram-EM
-    discipline. The driver sees one changed-row COUNT per round, never
-    node data; rounds are bounded by the component diameter (~log n
-    with star-contraction, tiny for near-dup graphs)."""
+    Delegates the propagation to neardup_clusters — ONE connected-
+    components engine in this module (min-label rounds with
+    localCheckpoint lineage discipline, pointer-jump fallback for
+    adversarial chains, converge-or-raise) — and adds the LSH edge
+    derivation and the per-component size rollup. The edge relation is
+    banding-bounded, never all-pairs."""
     edges = minhash_lsh_candidates(docs, persist=False)
-    sym = edges.unionByName(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).persist()
-    labels = (
-        sym.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+    labels = neardup_clusters(edges, max_iter=max_iters)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
     )
-    changed = -1
-    for _ in range(max_iters):
-        # min over own label and every neighbor's label
-        msgs = sym.join(
-            labels.withColumnRenamed("node", "doc_a"), "doc_a"
-        ).select(F.col("doc_b").alias("node"), "comp")
-        new = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    sym.unpersist()
-    if changed != 0:
-        # a silently non-converged labeling is a WRONG answer (labels
-        # would disagree with the oracle's transitive closure) — refuse
-        # instead; components deeper than max_iters need the
-        # large-star/small-star O(log n) contraction (docs/NEXT.md)
-        raise RuntimeError(
-            f"component labeling did not converge in {max_iters} rounds "
-            "(component diameter exceeds the bound); raise max_iters"
-        )
-    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
-        labels.join(sizes, "comp")
+        labels.join(sizes, "cluster_id")
         .select(
-            F.col("node").alias("doc_id"),
-            F.col("comp").alias("component"),
+            "doc_id",
+            F.col("cluster_id").alias("component"),
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
         .orderBy("doc_id")
@@ -1299,4 +1260,37 @@ FROM documents d
 LEFT JOIN comps c ON d.doc_id = c.doc_id AND c.doc_id <> c.component
 WHERE c.doc_id IS NULL
 ORDER BY d.doc_id
+"""
+
+
+def minhash_component_stats(docs: DataFrame) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs) — the dedup yield curve:
+    how many near-dup groups of each size exist and how many documents
+    they hold (n_docs - n_clusters summed = rows a keep-one policy
+    removes). One extra groupBy over the component relation."""
+    comps = minhash_components(docs)
+    return (
+        comps.groupBy("cluster_size")
+        .agg(
+            F.count_distinct("component").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def minhash_component_stats_sql() -> str:
+    return f"""
+WITH comps AS MATERIALIZED ({minhash_components_sql().replace("ORDER BY doc_id", "")})
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM comps
+GROUP BY cluster_size
+ORDER BY cluster_size
 """
