@@ -3106,10 +3106,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH candidate graph (NEW r8):
-    candidate pairs are not clusters — min-label propagation closes
-    A~B~C chains into one keep-one group. Iterative join+groupBy per
-    round, localCheckpoint discipline, rounds bounded by component
-    diameter; oracle is a recursive-CTE closure over the same edges."""
+    candidate pairs are not clusters — connected components closes
+    A~B~C chains into one keep-one group. Alternating large-star/
+    small-star contraction (two groupBy+join steps per round,
+    localCheckpoint discipline, O(log n) rounds on any graph shape);
+    oracle is a recursive-CTE closure over the same edges."""
     from transferdb_spark.ext.dedup import minhash_components
 
     return minhash_components(_t(spark, sf_dir, "documents"))
@@ -3590,7 +3591,7 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over SimHash near-dup pairs: Spark's
-    iterative min-label propagation vs the oracle's recursive-CTE
+    large-star/small-star contraction vs the oracle's recursive-CTE
     transitive-closure fixpoint — two independent formulations of the
     same clustering must agree.
 

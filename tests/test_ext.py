@@ -213,25 +213,33 @@ def test_gopher_quality_rules_branch_coverage(spark):
     assert len(LANG_STOPWORDS["en"]) >= 8
 
 
-def test_neardup_clusters_long_chain_pointer_doubling(spark):
-    """An adversarial 1000-link chain (diameter 999) exceeds the plain
-    min-propagation budget; the automatic pointer-doubling fallback
-    must converge (log D rounds) and collapse everything to one
-    cluster — and a dense multi-cluster graph still resolves exactly."""
+def test_neardup_clusters_long_chain_logarithmic_rounds(spark):
+    """An adversarial 1000-link path graph (diameter 999) would need
+    999 rounds under plain min-label propagation — a hard availability
+    cliff. The large-star/small-star engine must collapse it to one
+    cluster in ≤ log₂(n)+c alternating rounds (Kiveris et al.'s bound),
+    and a dense multi-cluster graph still resolves exactly."""
+    import math
+
     from transferdb_spark.ext.dedup import neardup_clusters
 
+    n = 1000
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    out = neardup_clusters(chain, max_iter=5).collect()
-    assert len(out) == 1000
+    out = neardup_clusters(chain).collect()
+    assert len(out) == n
     assert {r["cluster_id"] for r in out} == {0}
+    assert neardup_clusters.last_rounds <= math.ceil(math.log2(n)) + 4, (
+        neardup_clusters.last_rounds
+    )
 
     # two clusters + a singleton-free disjoint triangle: exact labels
     edges = [(10, 11), (11, 12), (20, 21), (21, 22), (22, 20)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(df).collect()}
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20}
+    assert neardup_clusters.last_rounds <= 4
 
 
 def test_ann_auto_planes_bound_bucket_occupancy(spark, emb):

@@ -1073,6 +1073,56 @@ def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_attribution_pairs_hot_user_bucketed_join(spark):
+    """Hot-user bound: the batch attribution join must key on
+    (user_id, time_bucket), not user_id alone — otherwise one bot user
+    makes the candidate set quadratic in its lifetime event count. The
+    plan must shuffle on both keys, and the bucketed rewrite must stay
+    byte-identical to brute force on a fixture that crosses bucket
+    boundaries and hits the exact within_s edge."""
+    import datetime as _dt
+    import itertools
+
+    from transferdb_spark.streaming.joins import attribution_pairs
+
+    w = 100  # small window so the fixture crosses many buckets
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    # bot user: 40 clicks + 40 purchases spread over 40 windows —
+    # brute force would build 1600 candidates; bucketing admits only
+    # same/adjacent-window ones
+    for i in range(40):
+        rows.append((f"c{i}", 1, "click", base + _dt.timedelta(seconds=i * w)))
+        rows.append((f"p{i}", 1, "purchase", base + _dt.timedelta(seconds=i * w + 1)))
+    # edge cases: match at exactly within_s, and a cross-bucket match
+    rows.append(("ce", 2, "click", base))
+    rows.append(("pe", 2, "purchase", base + _dt.timedelta(seconds=w)))  # == within_s
+    rows.append(("cx", 3, "click", base + _dt.timedelta(seconds=w - 1)))
+    rows.append(("px", 3, "purchase", base + _dt.timedelta(seconds=w + 1)))  # next bucket
+    ev = spark.createDataFrame(
+        rows, "event_id string, user_id long, event_type string, ts timestamp"
+    )
+
+    out = attribution_pairs(ev, within_s=w)
+    got = {(r["user_id"], r["src_event_id"], r["dst_event_id"]) for r in out.collect()}
+    by_user = {}
+    for eid, uid, typ, ts in rows:
+        by_user.setdefault(uid, []).append((eid, typ, ts))
+    want = set()
+    for uid, evs in by_user.items():
+        for (ca, ta, tsa), (cb, tb, tsb) in itertools.product(evs, evs):
+            if ta == "click" and tb == "purchase" and tsa <= tsb and (
+                (tsb - tsa).total_seconds() <= w
+            ):
+                want.add((uid, ca, cb))
+    assert got == want and ("3", ) not in got  # sanity: non-empty, exact
+    assert (2, "ce", "pe") in got and (3, "cx", "px") in got
+
+    # the shuffle key must include the bucket, not user_id alone
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan, plan
+
+
 def test_incr_sync_meta_is_sql_queryable(spark, tmp_path):
     """The state-TABLE surface: highs and the error log expose
     relations a SELECT can join/filter — the reference's meta-schema

@@ -125,97 +125,109 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     near-dup edges). THE canonical dedup decision structure: 'a~b and
     b~c' must collapse a, b, c together even when a≁c directly.
 
-    Spark-first shape: iterative min-label propagation — each round is
-    one join+groupBy (label(v) ← min over v and its neighbours), and
-    rounds needed = graph diameter. Banded near-dup graphs are dense
-    within clusters (diameter is small); for adversarial long-chain
-    graphs switch to pointer-doubling (log D rounds). Converges ≤
-    max_iter or raises — never silently wrong.
+    Spark-first shape: alternating LARGE-STAR / SMALL-STAR contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public literature). Each round is two groupBy+join steps
+    over the *current* edge set; the edge set contracts toward stars
+    (child → component-min) and the round count is O(log² n) worst
+    case, O(log n) observed — including on adversarial path graphs
+    where plain min-label propagation needs diameter rounds. That
+    makes deep quote-chain / boilerplate-gradient components an
+    O(log n) cost instead of an availability cliff at 100 TB.
+
+    Invariant maintained between steps: every edge is oriented
+    (u > v), so large-star's output is already small-star's input and
+    no re-orientation pass is needed. Convergence = edge set is a
+    fixed point of the round (stars are fixed points of both steps);
+    checked with one anti-join + count per round. Converges ≤ max_iter
+    rounds or raises — never silently wrong. The number of rounds the
+    last call took is recorded on `neardup_clusters.last_rounds` so
+    tests can assert the logarithmic bound.
 
     Non-SQL-expressible iteratively, but the ORACLE can state the same
     fixpoint as a recursive CTE (min over the transitive closure), so
     the two independent formulations check each other."""
-    edges = pairs.select(
-        F.col("doc_a").cast("long").alias("a"), F.col("doc_b").cast("long").alias("b")
+    # localCheckpoint (eager) on every round output: iterative
+    # DataFrames otherwise grow their logical plan geometrically and
+    # plan processing alone OOMs the driver after ~10 rounds.
+    # Checkpointing truncates lineage to the materialized blocks — the
+    # standard pattern for iterative algorithms on DataFrames
+    # (production clusters would use a reliable checkpoint dir).
+    edges = (
+        pairs.select(
+            F.greatest(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("u"),
+            F.least(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
     )
-    # localCheckpoint (eager) on every iteration output: iterative
-    # DataFrames otherwise grow their logical plan geometrically (each
-    # round references the previous labels three times), and plan
-    # processing alone OOMs the driver after ~10 rounds. Checkpointing
-    # truncates lineage to the materialized blocks — the standard
-    # pattern for iterative algorithms on DataFrames (production
-    # clusters would use a reliable checkpoint dir).
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
-    labels, converged = _cc_rounds(sym, labels, max_iter, pointer_jump=False)
-    if not converged:
-        # long-chain graph: plain propagation needs diameter rounds —
-        # switch to pointer doubling (label(v) also shortcuts to
-        # label(label(v)) each round), which closes distance 2^k after
-        # k rounds, so 48 more rounds cover any graph that fits in
-        # storage (2^48 nodes)
-        labels, converged = _cc_rounds(sym, labels, 48, pointer_jump=True)
+    rounds = 0
+    converged = False
+    n_old = edges.count()
+    for _ in range(max_iter):
+        rounds += 1
+        contracted = _small_star(_large_star(edges)).localCheckpoint()
+        n_new = contracted.count()
+        # both sides are distinct sets: equal size + empty one-sided
+        # difference ⇒ set equality ⇒ fixed point reached
+        changed = contracted.join(edges, ["u", "v"], "left_anti").count()
+        edges = contracted
+        if changed == 0 and n_new == n_old:
+            converged = True
+            break
+        n_old = n_new
+    neardup_clusters.last_rounds = rounds
     if not converged:
         raise RuntimeError(
-            "neardup_clusters did not converge even under pointer doubling — "
-            "inconsistent edge relation?"
+            f"neardup_clusters did not converge in {max_iter} large-star/"
+            "small-star rounds — inconsistent edge relation?"
         )
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    # converged edge set is a union of stars (child → root, u > v):
+    # children label from their edge, roots label themselves
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .union(edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")))
+        .distinct()
+    )
 
 
-def _cc_rounds(
-    sym: DataFrame, labels: DataFrame, max_iter: int, pointer_jump: bool
-) -> tuple[DataFrame, bool]:
-    """Min-label rounds; returns (labels, converged).
+neardup_clusters.last_rounds = 0
 
-    pointer_jump=False: label(v) ← min(label(v), min_{u~v} label(u)) —
-    one join+groupBy per round, rounds needed = diameter. Right for
-    banded near-dup graphs (dense clusters, tiny diameter).
-    pointer_jump=True adds the doubling step label(v) ← min(...,
-    label(label(v))) — a second self-join per round, log(D) rounds on
-    adversarial chains (the MapReduce-CC 'pointer jumping' technique,
-    public literature: Kiveris et al., Connected Components in
-    MapReduce and Beyond)."""
-    for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nl"))
-        )
-        cand = labels.join(neigh, labels["node"] == neigh["a"], "left").select(
-            labels["node"].alias("node"),
-            F.least(labels["label"], F.coalesce(neigh["nl"], labels["label"])).alias(
-                "label"
-            ),
-        )
-        if pointer_jump:
-            # shortcut through the label graph: labels is total over
-            # nodes and every label IS a node id, so the lookup is a
-            # left join that only misses when label(v)==v's root
-            parent = labels.select(
-                F.col("node").alias("p_node"), F.col("label").alias("p_label")
-            )
-            cand = cand.join(parent, cand["label"] == parent["p_node"], "left").select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
-            )
-        new_labels = cand.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels, True
-    return labels, False
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step: every node attaches its LARGER neighbours to
+    the minimum of its closed neighbourhood. One groupBy (per-node
+    min) + one join (re-emit) over the symmetrized edge set. Output
+    keeps the u > v orientation: the emitted edge (v, m) has
+    v > u ≥ m."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step: every node attaches its SMALLER neighbours
+    (and itself) to the minimum among them. Input/output are both
+    (u > v)-oriented, so the per-node min over smaller neighbours IS
+    the closed-neighbourhood min."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    rewritten = edges.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return (
+        rewritten.union(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
 
 def exact_dedup_summary(docs: DataFrame) -> DataFrame:
@@ -1166,11 +1178,10 @@ ORDER BY source_a, source_b
 # never share a band, yet all three are one near-dup GROUP and a
 # keep-one policy must retain exactly one of them. This is the
 # connected-components step every production dedup pipeline runs after
-# banding (the BigQuery/Dataproc-era "large-star/small-star" trick is
-# the classic distributed formulation; plain min-label propagation
-# converges in O(component diameter) rounds, and near-dup components
-# are shallow by construction — a chain of length d needs d distinct
-# band collisions).
+# banding. The engine is the classic distributed formulation —
+# alternating large-star/small-star contraction (Kiveris et al.,
+# SoCC'14) — which needs only O(log n) rounds even on deep chain
+# components, where plain min-label propagation needs diameter rounds.
 
 
 def minhash_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
@@ -1179,9 +1190,9 @@ def minhash_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     representative), cluster_size = member count.
 
     Delegates the propagation to neardup_clusters — ONE connected-
-    components engine in this module (min-label rounds with
-    localCheckpoint lineage discipline, pointer-jump fallback for
-    adversarial chains, converge-or-raise) — and adds the LSH edge
+    components engine in this module (alternating large-star/small-star
+    contraction, O(log n) rounds on any graph shape, localCheckpoint
+    lineage discipline, converge-or-raise) — and adds the LSH edge
     derivation and the per-component size rollup. The edge relation is
     banding-bounded, never all-pairs."""
     edges = minhash_lsh_candidates(docs, persist=False)

@@ -34,21 +34,40 @@ def attribution_pairs(
     """Batch twin: all (user_id, src_ts, dst_ts) pairs where a
     src-type event precedes a dst-type event by at most within_s
     seconds (strictly before or simultaneous — ts_src <= ts_dst).
-    One shuffle keyed on user_id; the per-user join is bounded by the
-    per-user event count, and at 100 TB AQE's skew handling splits a
-    hot user the same way sessionize's window does."""
-    clicks = ev.where(F.col("event_type") == src_type).select(
-        "user_id",
-        F.col("ts").alias("src_ts"),
-        F.col("event_id").alias("src_event_id"),
+
+    Hot-user bound: joining on user_id alone makes the candidate set
+    quadratic in per-user event density — a bot with 10⁵ clicks and
+    10⁵ purchases builds 10¹⁰ candidates before the time predicate
+    runs, and AQE skew-splitting redistributes but cannot shrink that.
+    So both sides are pre-bucketed by floor(epoch(ts)/within_s) and
+    joined on (user_id, bucket): a src event in bucket b can only
+    match dst events in buckets {b, b+1} (dst_ts − src_ts ∈
+    [0, within_s] pins floor(dst/W) to floor(src/W) or +1), so the
+    src side is exploded to those two bucket keys. Each true pair
+    matches on exactly ONE (user, bucket) key — the dst bucket is a
+    single value — so no dedup pass is needed and the OUTPUT is
+    byte-identical to the plain user_id join (the oracle SQL is
+    unchanged). Candidates per key are now bounded by events within
+    ±1 window instead of the user's lifetime history; only pairs the
+    semantics actually demand survive past the join."""
+    bucket = F.floor(F.col("ts").cast("double") / F.lit(float(within_s)))
+    clicks = (
+        ev.where(F.col("event_type") == src_type)
+        .select(
+            "user_id",
+            F.col("ts").alias("src_ts"),
+            F.col("event_id").alias("src_event_id"),
+            F.explode(F.array(bucket, bucket + F.lit(1))).alias("bucket"),
+        )
     )
     buys = ev.where(F.col("event_type") == dst_type).select(
         "user_id",
         F.col("ts").alias("dst_ts"),
         F.col("event_id").alias("dst_event_id"),
+        bucket.alias("bucket"),
     )
     return (
-        clicks.join(buys, "user_id")
+        clicks.join(buys, ["user_id", "bucket"])
         .where(
             (F.col("src_ts") <= F.col("dst_ts"))
             & (
