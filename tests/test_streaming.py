@@ -617,10 +617,8 @@ def test_distributed_apply_stream_with_per_table_scn_resume(spark, tmp_path):
     per table, not via one global SCN."""
     import sqlite3
 
-    from transferdb_spark.streaming.live_apply import (
-        read_table_scns,
-        run_redo_apply_stream_dbapi,
-    )
+    from transferdb_spark.state.store import IncrSyncMeta
+    from transferdb_spark.streaming.live_apply import run_redo_apply_stream_dbapi
 
     db = str(tmp_path / "t.db")
     with sqlite3.connect(db) as c:
@@ -629,7 +627,7 @@ def test_distributed_apply_stream_with_per_table_scn_resume(spark, tmp_path):
 
     feed = tmp_path / "feed"
     feed.mkdir()
-    scn_path = str(tmp_path / "scns.json")
+    meta = IncrSyncMeta(str(tmp_path), "resume")
     import json as _json
 
     def drop(name, rows):
@@ -647,7 +645,7 @@ def test_distributed_apply_stream_with_per_table_scn_resume(spark, tmp_path):
         q = run_redo_apply_stream_dbapi(
             spark, str(feed), str(tmp_path / ck),
             lambda: __import__("sqlite3").connect(db, timeout=60),
-            scn_path, num_partitions=2,
+            meta, num_partitions=2,
         )
         q.awaitTermination(180)
 
@@ -658,7 +656,7 @@ def test_distributed_apply_stream_with_per_table_scn_resume(spark, tmp_path):
             return dict(c.execute(f"SELECT ID, V FROM {tbl}").fetchall())
 
     assert state("A") == {1: 15} and state("B") == {1: 100}
-    assert read_table_scns(scn_path) == {"A": 5, "B": 3}
+    assert meta.highs() == {"A": 5, "B": 3}
 
     # FULL redelivery (fresh Spark checkpoint) + one new per-table txn:
     # A's gate is 5, B's is 3 — only the new SCN-4 B txn applies even
@@ -669,7 +667,7 @@ def test_distributed_apply_stream_with_per_table_scn_resume(spark, tmp_path):
     run("ck2")
     assert state("A") == {1: 15}  # no duplicate re-apply
     assert state("B") == {1: 100, 2: 200}
-    assert read_table_scns(scn_path) == {"A": 5, "B": 4}
+    assert meta.highs() == {"A": 5, "B": 4}
 
 
 def test_jdbc_apply_batch_never_collects_change_payload(spark, tmp_path, monkeypatch):
@@ -917,6 +915,33 @@ def test_distributed_apply_meta_table_makes_retry_exactly_once(spark, tmp_path):
     assert metas == [("A", "t1", 2), ("A", "t2", 4)]
 
 
+def test_ensure_apply_meta_table_probes_usability(tmp_path):
+    """ensure_apply_meta_table must not swallow a CREATE failure that
+    leaves the table unusable (e.g. no DDL privilege): the probe SELECT
+    classifies 'already exists' (fine, idempotent) vs 'cannot host the
+    meta table' (ONE clear error at setup, instead of per-unit SELECT
+    failures deep inside the stream)."""
+    import sqlite3
+
+    import pytest as _pytest
+
+    from transferdb_spark.streaming.live_apply import ensure_apply_meta_table
+
+    db = str(tmp_path / "t.db")
+    conn = sqlite3.connect(db)
+    ensure_apply_meta_table(conn, "incr_sync_meta")  # creates
+    ensure_apply_meta_table(conn, "incr_sync_meta")  # idempotent (probe passes)
+    conn.close()
+
+    # read-only target: CREATE fails AND the table absent -> clear error
+    ro = sqlite3.connect(f"file:{db}?mode=ro", uri=True)
+    with _pytest.raises(RuntimeError, match="not usable on the target"):
+        ensure_apply_meta_table(ro, "other_meta")
+    # but a PRE-CREATED table on the same read-only target probes fine
+    ensure_apply_meta_table(ro, "incr_sync_meta")
+    ro.close()
+
+
 def test_distributed_apply_failed_txn_holds_watermark_and_replays(spark, tmp_path):
     """ADVICE(high) regression: a FAILED transaction must be PERSISTED
     to the error log and must hold its table's SCN checkpoint at
@@ -954,6 +979,7 @@ def test_distributed_apply_failed_txn_holds_watermark_and_replays(spark, tmp_pat
             spark, str(feed), str(tmp_path / ck),
             lambda: __import__("sqlite3").connect(db, timeout=60),
             meta=meta, num_partitions=2, on_error="continue",
+            meta_table="incr_sync_meta",
         )
         q.awaitTermination(180)
 

@@ -154,12 +154,30 @@ def _sql_str(v: str) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def _safe_rollback(conn) -> None:
+    """rollback() that tolerates autocommit/odd DBAPI connections —
+    some drivers raise on rollback outside a transaction, which would
+    otherwise mask the error that triggered the rollback."""
+    try:
+        conn.rollback()
+    except Exception:  # noqa: BLE001 — nothing to roll back
+        pass
+
+
 def ensure_apply_meta_table(conn, meta_table: str) -> None:
-    """Create the TARGET-side applied-transaction meta table if absent.
-    The composite PRIMARY KEY doubles as a uniqueness guard: even if
-    two racing task attempts both pass the SELECT probe, the second
-    INSERT violates the PK and its whole transaction rolls back — the
-    data rows can never land twice."""
+    """Create the TARGET-side applied-transaction meta table if absent,
+    then VERIFY it is usable. The composite PRIMARY KEY doubles as a
+    uniqueness guard: even if two racing task attempts both pass the
+    SELECT probe, the second INSERT violates the PK and its whole
+    transaction rolls back — the data rows can never land twice.
+
+    DBAPI drivers expose no portable IF NOT EXISTS or error codes, so
+    the CREATE failure cannot be classified as 'already exists' vs
+    'no DDL privilege' by inspection. Instead the CREATE error is
+    tolerated ONLY if a probe SELECT against the table then succeeds;
+    otherwise ONE clear error surfaces here, at stream start — not a
+    per-unit SELECT failure deep inside the apply loop."""
+    create_err: Exception | None = None
     try:
         cur = conn.cursor()
         try:
@@ -173,8 +191,26 @@ def ensure_apply_meta_table(conn, meta_table: str) -> None:
         finally:
             cur.close()
         conn.commit()
-    except Exception:  # noqa: BLE001 — already exists (no portable IF NOT EXISTS)
-        conn.rollback()
+    except Exception as e:  # noqa: BLE001 — classified by the probe below
+        create_err = e
+        _safe_rollback(conn)
+    try:
+        cur = conn.cursor()
+        try:
+            cur.execute(
+                f"SELECT table_name FROM {meta_table} WHERE commit_scn = -1"
+            )
+            cur.fetchone()
+        finally:
+            cur.close()
+        _safe_rollback(conn)  # end the read txn cleanly
+    except Exception as probe_err:
+        raise RuntimeError(
+            f"apply meta table {meta_table!r} is not usable on the target "
+            f"(create: {create_err or 'ok'}; probe: {probe_err}). Grant DDL "
+            "or pre-create the table, or pass meta_table=None for "
+            "at-least-once apply."
+        ) from (create_err or probe_err)
 
 
 def apply_changes_distributed(
@@ -279,7 +315,7 @@ def apply_changes_distributed(
                             seen = cur.fetchone() is not None
                         finally:
                             cur.close()
-                        conn.rollback()  # end the read txn cleanly
+                        _safe_rollback(conn)  # end the read txn cleanly
                         if seen:
                             out.append(
                                 (r["table_name"], r["xid"], scn, "skipped",
@@ -398,39 +434,17 @@ def safe_table_watermarks(status_rows) -> tuple[dict[str, int], list[dict]]:
     return {t: h for t, h in highs.items() if h >= 0}, errors
 
 
-def read_table_scns(path: str) -> dict[str, int]:
-    """Per-table SCN checkpoint file — the incr_sync_meta twin of the
-    scalar read_scn_checkpoint."""
-    if not os.path.exists(path):
-        return {}
-    with open(path) as fh:
-        return {k: int(v) for k, v in json.load(fh).items()}
-
-
-def write_table_scns(path: str, highs: dict[str, int]) -> None:
-    """Merge the batch's per-table high-waters into the checkpoint
-    (max-wins — a replayed batch can never regress a table's SCN)."""
-    cur = read_table_scns(path)
-    for t, s in highs.items():
-        cur[t] = max(int(s), cur.get(t, -1))
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(cur, fh)
-    os.rename(tmp, path)  # single-writer (the streaming query)
-
-
 def run_redo_apply_stream_dbapi(
     spark: SparkSession,
     source_dir: str,
     checkpoint_dir: str,
     connect,
-    scn_path=None,
+    meta=None,
     target_schema: str = "",
     dialect: str = "ansi",
     num_partitions: int | None = None,
     available_now: bool = True,
-    meta=None,
-    meta_table: str | None = "incr_sync_meta",
+    meta_table: str | None = None,
     on_error: str = "halt",
 ):
     """The fully DISTRIBUTED live loop: a JSON-lines redo feed streams
@@ -440,17 +454,23 @@ def run_redo_apply_stream_dbapi(
     batch — bounded by the batch's transaction count, never row data).
 
     Checkpoint state (reference incr_sync_meta semantics, sync_meta_
-    incr.go): pass ``meta`` (state.store.IncrSyncMeta — the queryable,
-    lock-merged state table, preferred) or the legacy ``scn_path``
-    JSON file. Each table's SCN advances only to its CONTIGUOUS-
-    SUCCESS watermark: a failed transaction holds its table's
-    checkpoint at min(failed commit_scn) - 1 and is persisted to the
-    append-only error log, so it replays on redelivery instead of
-    being silently gated out. ``meta_table`` adds the target-side
-    same-transaction checkpoint (see apply_changes_distributed), which
-    makes that replay — and any Spark task retry — exactly-once: the
-    already-applied units above the held watermark skip via their meta
-    rows rather than re-executing.
+    incr.go): ``meta`` (state.store.IncrSyncMeta — the queryable,
+    lock-merged state table) is THE one source of truth for replay
+    gating; the legacy per-table scn_path JSON file was retired so the
+    two surfaces can never diverge. Each table's SCN advances only to
+    its CONTIGUOUS-SUCCESS watermark: a failed transaction holds its
+    table's checkpoint at min(failed commit_scn) - 1 and is persisted
+    to the append-only error log, so it replays on redelivery instead
+    of being silently gated out.
+
+    ``meta_table`` (OPT-IN) adds the target-side same-transaction
+    checkpoint (see apply_changes_distributed), which makes that
+    replay — and any Spark task retry — exactly-once: the already-
+    applied units above the held watermark skip via their meta rows
+    rather than re-executing. It is opt-in because it needs DDL (or a
+    pre-created table) on the target: ensure_apply_meta_table verifies
+    usability and surfaces one clear error if the target cannot host
+    it. Without it the apply is at-least-once under task retries.
 
     ``on_error='halt'`` (default — the reference hard-fails on any
     apply error) raises after persisting the error log + watermarks,
@@ -458,26 +478,19 @@ def run_redo_apply_stream_dbapi(
     consuming."""
     from transferdb_spark.state.store import IncrSyncMeta
 
-    if meta is None and scn_path is None:
-        raise ValueError("pass meta=IncrSyncMeta(...) or scn_path=...")
+    if not isinstance(meta, IncrSyncMeta):
+        raise ValueError(
+            "pass meta=IncrSyncMeta(...) — the scn_path JSON checkpoint was "
+            "retired; build an IncrSyncMeta over the same directory instead"
+        )
 
     def read_highs() -> dict[str, int]:
-        return meta.highs() if meta is not None else read_table_scns(scn_path)
+        return meta.highs()
 
     def persist(highs: dict[str, int], errors: list[dict]) -> None:
-        if isinstance(meta, IncrSyncMeta):
-            if highs:
-                meta.merge(highs)
-            meta.record_errors(errors)
-        else:
-            if highs:
-                write_table_scns(scn_path, highs)
-            if errors:
-                import time as _t
-
-                with open(str(scn_path) + ".errors.jsonl", "a") as fh:
-                    for e in errors:
-                        fh.write(json.dumps({**e, "ts": _t.time()}) + "\n")
+        if highs:
+            meta.merge(highs)
+        meta.record_errors(errors)
 
     stream = (
         spark.readStream.schema("scn long, xid string, sql_redo string")
