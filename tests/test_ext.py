@@ -1798,6 +1798,30 @@ def test_cluster_balanced_sample_quotas(spark, emb):
     assert sorted(r["vec_id"] for r in again) == sorted(r["vec_id"] for r in rows)
 
 
+def test_train_weights_diverged_raises_and_unpersists(spark):
+    """A train whose weights go non-finite (here: lr=inf — the
+    algebraic sigmoid's bounded gradient self-limits any finite lr)
+    must fail LOUDLY with ArithmeticError — not crash later trying to
+    parse CAST('inf' AS DOUBLE) — and the persisted feature relation
+    must not leak past the call (the finally contract)."""
+    import pytest as _pytest
+
+    from transferdb_spark.ext.classifier import train_weights
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd", "wiki"), (2, "zz yy xx ww", "web")],
+        "doc_id long, text string, source string",
+    )
+
+    def cached():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = cached()
+    with _pytest.raises(ArithmeticError, match="non-finite"):
+        train_weights(docs, iters=3, lr=float("inf"))
+    assert cached() == before  # no cache entry survived the failure
+
+
 def test_quality_classifier_matches_numpy_reference(spark, docs):
     """Differential: distributed algebraic-sigmoid GD training == a
     pure-numpy replica (same hashing, quantization, iteration count),
@@ -3112,6 +3136,37 @@ def test_ngram_repetition_short_docs_and_known_values(spark):
         assert list(gdf[c]) == list(want[c]), c
 
 
+def test_ngram_repetition_control_chars_differential(spark):
+    """ADVICE regression: a sub-space control character inside a token
+    (\\x01, \\x05 — \\s+ alone would keep them) used to sort a suffix
+    like 'x y\\x05z …' BETWEEN 'x y' and 'x y a', splitting a gram run
+    in the fused sorted-suffix fold and undercounting vs the groupBy
+    oracle. The tokenizer now consumes \\x00-\\x1f as separators on
+    BOTH engines, so these fixtures must agree exactly."""
+    import duckdb
+    import pandas as pd
+
+    from transferdb_spark.ext.text import ngram_repetition, ngram_repetition_sql
+
+    rows = [
+        (1, "x y\x05z q x y a x y a x y b"),  # the reported run-split shape
+        (2, "a\x01b a\x01b a\x01b"),            # control char inside every token
+        (3, "p q\x1fr p q r p q r"),            # class edge 0x1f
+        (4, "n\x00m n m n m"),                  # NUL byte
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in ngram_repetition(docs).collect()}
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(ngram_repetition_sql()).df()
+    gdf = pd.DataFrame([got[k] for k in sorted(got)])
+    for c in want.columns:
+        assert list(gdf[c]) == list(want[c]), c
+    # doc 1 is now 'x y z q x y a x y a x y b': top 2-gram 'x y' x4
+    assert got[1]["rep_top2"] == round(4 * 3 / len("x y z q x y a x y a x y b"), 5)
+
+
 def test_script_profile_multilingual_differential(spark):
     """Unicode script fractions on a constructed multilingual corpus
     must match the DuckDB oracle exactly — mixed-script docs, a
@@ -3575,13 +3630,13 @@ def test_funnel_step_latency_custom_steps_match_generated_oracle(spark, sf_dir):
 
 
 def test_ngram_repetition_control_char_tie_break(spark):
-    """Tie-break regression for the fused single-sort fold: suffix
-    order guarantees equal grams are contiguous but NOT that distinct
-    grams appear in gram order — a token containing a sub-space
-    control char inverts it ("a b\\x01 ..." sorts before "a b ..."
-    while the gram 'a b' < 'a b\\x01'). With counts tied, the top gram
-    must still be the lexicographically SMALLEST, matching the DuckDB
-    (cnt DESC, gram ASC) window."""
+    """Historic tie-break shape for the fused single-sort fold: a
+    token carrying a sub-space control char ("b\\x01") used to invert
+    gram order in the sorted suffix array. The tokenizer now consumes
+    \\x00-\\x1f as separators (so NO token character can sort below the
+    gram join separator — the fold's contiguity + ascending-order
+    invariant holds by construction), which makes this fixture
+    tokenize as plain 'a b' x4; both engines must agree exactly."""
     import duckdb
     import pandas as pd
 
@@ -3597,6 +3652,7 @@ def test_ngram_repetition_control_char_tie_break(spark):
     want = con.execute(ngram_repetition_sql()).df().iloc[0].to_dict()
     for k in got:
         assert got[k] == want[k], (k, got[k], want[k])
-    # the tie resolves to 'a b' (len 3, count 2): 6 chars / total
-    total = len(text)
-    assert abs(got["rep_top2"] - round(6 / total, 5)) < 1e-9
+    # '\x01' is a separator now: 'a b' occurs 4x (len 3), and
+    # total_chars counts the NORMALIZED token join (control chars gone)
+    total = len(" ".join(t.replace("\x01", "") for t in toks))
+    assert abs(got["rep_top2"] - round(12 / total, 5)) < 1e-9

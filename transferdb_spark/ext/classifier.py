@@ -123,40 +123,60 @@ def train_weights(
     # localCheckpoint) so the unpersist in the finally keeps the
     # prune-mode lifecycle contract: no cache entries survive the call.
     hits = _hits(docs, bigrams).repartition("doc_id").persist()
-    n_docs = docs.count()  # scalar, driver-side like the SQL twin's CROSS JOIN n
     w = {b: 0.0 for b in range(_dim(bigrams) + 1)}
-    for _ in range(iters):
-        # weights as a LITERAL array lookup, not a broadcast join: the
-        # model is dim+1 doubles, so element_at(array(...), bucket+1)
-        # embeds it in the plan — one job, zero exchanges on the
-        # pre-partitioned feature relation. repr() round-trips IEEE
-        # doubles exactly through Spark's literal parser, so the
-        # arithmetic is bit-identical to the joined form.
-        warr = "array(" + ", ".join(
-            f"CAST({float(w[b])!r} AS DOUBLE)" for b in range(_dim(bigrams) + 1)
-        ) + ")"
-        z = (
-            hits.withColumn("w", F.expr(f"element_at({warr}, bucket + 1)"))
-            .groupBy("doc_id", "y")
-            .agg(F.sum(_dec(F.col("w") * F.col("x"))).cast("double").alias("z"))
-        )
-        err = z.select(
-            "doc_id",
-            (
-                F.lit(0.5)
-                + F.col("z") / (F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z"))))
-                - F.col("y").cast("double")
-            ).alias("err"),
-        )
-        grads = (
-            hits.join(err, "doc_id")
-            .groupBy("bucket")
-            .agg(F.sum(_dec(F.col("err") * F.col("x"))).cast("double").alias("g"))
-            .collect()  # <= dim+1 rows: model-sized, corpus-independent
-        )
-        for r in grads:
-            w[r["bucket"]] = w[r["bucket"]] - lr * (r["g"] / float(n_docs))
-    hits.unpersist()
+    # try/finally so the prune-mode lifecycle contract actually holds:
+    # an exception mid-loop (or a failed collect) must not leak the
+    # persisted feature relation for the session lifetime
+    try:
+        n_docs = docs.count()  # scalar, driver-side like the SQL twin's CROSS JOIN n
+        for _ in range(iters):
+            # weights as a LITERAL array lookup, not a broadcast join: the
+            # model is dim+1 doubles, so element_at(array(...), bucket+1)
+            # embeds it in the plan — one job, zero exchanges on the
+            # pre-partitioned feature relation. repr() round-trips IEEE
+            # doubles exactly through Spark's literal parser, so the
+            # arithmetic is bit-identical to the joined form. A non-finite
+            # weight has no SQL-literal round-trip (CAST('inf' AS DOUBLE)
+            # fails to parse) and means the train diverged — fail loudly.
+            if any(w[b] != w[b] or w[b] in (float("inf"), float("-inf")) for b in w):
+                raise ArithmeticError(
+                    f"train_weights diverged to non-finite weights: "
+                    f"{ {b: v for b, v in w.items() if v != v or abs(v) == float('inf')} }"
+                    f" — lower lr (= {lr})"
+                )
+            warr = "array(" + ", ".join(
+                f"CAST({float(w[b])!r} AS DOUBLE)" for b in range(_dim(bigrams) + 1)
+            ) + ")"
+            z = (
+                hits.withColumn("w", F.expr(f"element_at({warr}, bucket + 1)"))
+                .groupBy("doc_id", "y")
+                .agg(F.sum(_dec(F.col("w") * F.col("x"))).cast("double").alias("z"))
+            )
+            err = z.select(
+                "doc_id",
+                (
+                    F.lit(0.5)
+                    + F.col("z") / (F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z"))))
+                    - F.col("y").cast("double")
+                ).alias("err"),
+            )
+            grads = (
+                hits.join(err, "doc_id")
+                .groupBy("bucket")
+                .agg(F.sum(_dec(F.col("err") * F.col("x"))).cast("double").alias("g"))
+                .collect()  # <= dim+1 rows: model-sized, corpus-independent
+            )
+            for r in grads:
+                if r["g"] is None:
+                    # decimal(28) accumulator overflowed — the train
+                    # diverged past ~1e19 before weights reached IEEE inf
+                    raise ArithmeticError(
+                        "train_weights diverged: non-finite/overflowed "
+                        f"gradient for bucket {r['bucket']} — lower lr (= {lr})"
+                    )
+                w[r["bucket"]] = w[r["bucket"]] - lr * (r["g"] / float(n_docs))
+    finally:
+        hits.unpersist()
     rows = [(b, float(v)) for b, v in sorted(w.items())]
     out = spark.createDataFrame(rows, "bucket int, weight double")
     return out.select(

@@ -126,8 +126,11 @@ def _contrib_sql(idf: str, w: str) -> str:
     return stable_round_sql(f"CAST({idf} AS DOUBLE) * {w} / {float(IDF_SCALE)}", 6)
 
 
-# TOKENS_SQL (ext/text.py) inlined per-query over the `documents` view
-_TOKS_CTE = "SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents"
+# TOKENS_SQL (ext/text.py) per-query over the `documents` view — the
+# import keeps the two engines' tokenizer contract in ONE place
+from transferdb_spark.ext.text import TOKENS_SQL as _TOKENS_SQL
+
+_TOKS_CTE = f"SELECT doc_id, {_TOKENS_SQL} AS t FROM documents"
 
 
 def bm25_topk(

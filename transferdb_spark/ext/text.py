@@ -15,9 +15,16 @@ from pyspark.sql.types import StringType
 
 from transferdb_spark.functions.canonical import stable_round, stable_round_sql
 
-# whitespace tokenization of lowercased text — the shared contract
-TOKENS = "split(trim(lower(text)), '\\\\s+')"
-TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+# whitespace tokenization of lowercased text — the shared contract.
+# The split class also consumes sub-space control characters
+# (\x00-\x1f): \s alone leaves e.g. \x01 INSIDE a token, and a token
+# character below 0x20 sorts below the space the suffix-array fold
+# joins grams with — which would split a gram's run in the sorted
+# suffix array (_rep_fold_all_expr's contiguity invariant) and
+# undercount repetition. With the class below, every token character
+# is > 0x20 by construction, on BOTH engines identically.
+TOKENS = "split(trim(lower(text)), '[\\\\s\\\\x00-\\\\x1f]+')"
+TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '[\\s\\x00-\\x1f]+')"
 
 
 def tokens_col() -> Column:

@@ -108,12 +108,66 @@ def committed_version(spark: SparkSession, path: str) -> int:
     )
 
 
-def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Snapshot read, optionally AS OF a version — the manifest
-    resolver's job (state/snapshots.read_snapshot/resolve_version_at)
-    done by the format's own log."""
+def read_version(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Snapshot read, optionally AS OF a version or a wall-clock
+    timestamp — the manifest resolver's job (state/snapshots.
+    read_snapshot/resolve_version_at) done by the format's own log
+    (Delta versionAsOf/timestampAsOf, public API)."""
     fmt = _require()
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass either version or timestamp_ms, not both")
     reader = spark.read.format(fmt)
     if version is not None:
         reader = reader.option("versionAsOf", version)
+    if timestamp_ms is not None:
+        import datetime as _dt
+
+        reader = reader.option(
+            "timestampAsOf",
+            _dt.datetime.fromtimestamp(timestamp_ms / 1000.0).strftime(
+                "%Y-%m-%d %H:%M:%S.%f"
+            ),
+        )
     return reader.load(path)
+
+
+def is_format_table(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds a committed table of the active format —
+    the dispatch predicate the read paths share with the writers, so a
+    pre-format manifest/parquet store at the same path keeps its own
+    protocol instead of being misread through the format."""
+    if not HAS_TABLE_FORMAT:
+        return False
+    from delta.tables import DeltaTable  # noqa: PLC0415 — gated import
+
+    return bool(DeltaTable.isDeltaTable(spark, path))
+
+
+def atomic_merge(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key: str,
+    scn_col: str | None = None,
+) -> None:
+    """One-commit MERGE (upsert by key) — snapshots.merge_snapshot's
+    copy-on-write done by the format's own file pruning
+    (delta.tables.DeltaTable.merge, public API). scn_col != None is
+    the per-key latest-wins gate: a matched row is replaced only when
+    the batch's scn is >= the stored one (ties prefer the batch,
+    idempotent redelivery), mirroring merge_snapshot exactly."""
+    _require()
+    from delta.tables import DeltaTable  # noqa: PLC0415 — gated import
+
+    target = DeltaTable.forPath(spark, path).alias("t")
+    m = target.merge(batch.alias("s"), f"t.{key} = s.{key}")
+    if scn_col is not None:
+        m = m.whenMatchedUpdateAll(condition=f"s.{scn_col} >= t.{scn_col}")
+    else:
+        m = m.whenMatchedUpdateAll()
+    m.whenNotMatchedInsertAll().execute()
