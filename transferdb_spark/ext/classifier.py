@@ -122,13 +122,27 @@ def train_weights(
     # exchanges collapse into this single pass. persist (not
     # localCheckpoint) so the unpersist in the finally keeps the
     # prune-mode lifecycle contract: no cache entries survive the call.
-    hits = _hits(docs, bigrams).repartition("doc_id").persist()
+    # NOTE (round-9 A/B): chaining all iterations into ONE lazy DAG —
+    # the Spark mirror of the oracle's w0..wT CTE chain — measured 5×
+    # SLOWER (14.4 s vs 2.95 s at sf0.1): each w_i is referenced by
+    # both z_i and w_{i+1}, and without a materialization point the
+    # whole subtree re-executes per reference (the exact CTE-inlining
+    # blowup the oracle fixes with AS MATERIALIZED). Per-iteration
+    # driver steps with literal weights ARE the materialization points,
+    # at the cost of one model-sized collect per iteration.
+    n_docs = docs.count()  # scalar, driver-side like the SQL twin's CROSS JOIN n
+    # partition grain: per-iteration jobs are scheduling-bound at small
+    # SF (2 stages × parts tasks × ITERS); ~3k docs per partition keeps
+    # tasks meaningful while still using the full cluster once the
+    # corpus is large (min 8, capped by defaultParallelism).
+    parts = max(8, min(docs.sparkSession.sparkContext.defaultParallelism,
+                       int(n_docs) // 3000 + 1))
+    hits = _hits(docs, bigrams).repartition(parts, "doc_id").persist()
     w = {b: 0.0 for b in range(_dim(bigrams) + 1)}
     # try/finally so the prune-mode lifecycle contract actually holds:
     # an exception mid-loop (or a failed collect) must not leak the
     # persisted feature relation for the session lifetime
     try:
-        n_docs = docs.count()  # scalar, driver-side like the SQL twin's CROSS JOIN n
         for _ in range(iters):
             # weights as a LITERAL array lookup, not a broadcast join: the
             # model is dim+1 doubles, so element_at(array(...), bucket+1)
