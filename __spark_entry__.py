@@ -1715,6 +1715,52 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_t(spark, sf_dir, "documents"))
 
 
+def filter_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation waterfall (NEW r9): per Gopher rule, its
+    standalone bite, its marginal bite in waterfall order, and the
+    surviving corpus — the accounting every pipeline owner reads
+    before flipping a rule. One narrow pass + one one-row agg."""
+    from transferdb_spark.ext.text import filter_funnel
+
+    return filter_funnel(_t(spark, sf_dir, "documents"))
+
+
+def blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist document filtering per source (NEW r9): the C4/Dolma
+    bad-word filter as exact-token matching over the shared tokenizer,
+    rolled up to (docs, flagged, hits, rate) per source."""
+    from transferdb_spark.ext.text import blocklist_filter
+
+    return blocklist_filter(_t(spark, sf_dir, "documents"))
+
+
+def embedding_energy_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (NEW r9): per-label head-energy
+    share Σ||x[:16]||²/Σ||x||² plus the worst vector — exact integer
+    folds on the QSCALE grid, DECIMAL(38,0) label sums."""
+    from transferdb_spark.ext.similarity import embedding_energy_ratio
+
+    return embedding_energy_ratio(_t(spark, sf_dir, "embeddings"))
+
+
+def _filter_funnel_sql() -> str:
+    from transferdb_spark.ext.text import filter_funnel_sql
+
+    return filter_funnel_sql()
+
+
+def _blocklist_filter_sql() -> str:
+    from transferdb_spark.ext.text import blocklist_filter_sql
+
+    return blocklist_filter_sql()
+
+
+def _embedding_energy_ratio_sql() -> str:
+    from transferdb_spark.ext.similarity import embedding_energy_ratio_sql
+
+    return embedding_energy_ratio_sql()
+
+
 def _repetition_sql() -> str:
     from transferdb_spark.ext.text import REPETITION_SQL
 
@@ -5203,6 +5249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": semdedup_prune_q,
         "ann_topk_lsh_auto": ann_topk_lsh_auto_q,
         "gopher_quality_rules": gopher_quality_rules,
+        "filter_funnel": filter_funnel_q,
+        "blocklist_filter": blocklist_filter_q,
+        "embedding_energy_ratio": embedding_energy_ratio_q,
         # -- north-star LLM-pipeline operators (31-48)
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
@@ -5517,6 +5566,9 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "event_transitions": EVENT_TRANSITIONS_SQL,
         "gopher_quality_rules": _gopher_quality_sql(),
+        "filter_funnel": _filter_funnel_sql(),
+        "blocklist_filter": _blocklist_filter_sql(),
+        "embedding_energy_ratio": _embedding_energy_ratio_sql(),
         "domain_mix_sample": _domain_mix_sql(),
         **_ext_oracle_sql(),
     }

@@ -84,6 +84,13 @@ BENCH_QUERIES = [
     "chunk_documents",
     "knn_label_vote",
     "embedding_int8_stats",
+    # round-9 additions: new first-class ops + the two round-8 ops the
+    # verdict asked scaling evidence for
+    "dedup_lsh_keep_one",
+    "attribution_pairs",
+    "filter_funnel",
+    "blocklist_filter",
+    "embedding_energy_ratio",
 ]
 
 

@@ -3656,3 +3656,85 @@ def test_ngram_repetition_control_char_tie_break(spark):
     # total_chars counts the NORMALIZED token join (control chars gone)
     total = len(" ".join(t.replace("\x01", "") for t in toks))
     assert abs(got["rep_top2"] - round(12 / total, 5)) < 1e-9
+
+
+def test_filter_funnel_waterfall_reconciles(spark):
+    """Hand-built corpus: the waterfall must attribute each doc to its
+    FIRST failing rule, the standalone counts must see every failure,
+    and the final n_remaining must equal gopher_quality's keep count."""
+    import duckdb
+    import pandas as pd
+
+    from transferdb_spark.ext.text import (
+        GOPHER_RULES,
+        filter_funnel,
+        filter_funnel_sql,
+        gopher_quality,
+    )
+
+    good = "the and for with that this from have " * 8  # passes everything
+    rows = [
+        (1, good),
+        (2, "the and for"),                     # fails min_words (stage 0)
+        (3, ("supercalifragilistic " * 60) + "the and"),  # long words (stage 3)
+        (4, good + " ###### ##### #####"),      # symbol ratio (stage 4)
+        (5, "12 34 56 78 " * 20),               # non-alpha + no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["stage"]: r.asDict() for r in filter_funnel(docs).collect()}
+    assert [out[i]["rule"] for i in range(len(GOPHER_RULES))] == [
+        n for n, _ in GOPHER_RULES
+    ]
+    removed = sum(out[i]["n_removed_here"] for i in out)
+    kept = gopher_quality(docs).agg({"keep": "sum"}).first()[0]
+    assert removed == len(rows) - kept
+    assert out[len(GOPHER_RULES) - 1]["n_remaining"] == kept
+    # doc 2 fails min_words first — even though it also lacks stopwords
+    assert out[0]["n_removed_here"] >= 1
+    # remaining is monotone non-increasing
+    rem = [out[i]["n_remaining"] for i in range(len(GOPHER_RULES))]
+    assert rem == sorted(rem, reverse=True)
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(filter_funnel_sql()).df()
+    got = filter_funnel(docs).toPandas()
+    for c in want.columns:
+        assert list(got[c]) == list(want[c].astype(got[c].dtype)), c
+
+
+def test_blocklist_filter_counts_exact_tokens(spark):
+    """Exact-token semantics: 'slowly' must not trip a 'slow' entry;
+    flagging needs min_hits matches; rollup is per source."""
+    from transferdb_spark.ext.text import blocklist_filter
+
+    rows = [
+        (1, "slow slow slow query", "a"),     # 3 hits -> flagged
+        (2, "slowly slower slowest", "a"),    # 0 hits (no exact match)
+        (3, "merge big slow", "b"),           # 3 hits across terms -> flagged
+        (4, "merge merge", "b"),              # 2 hits -> not flagged
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in blocklist_filter(docs).collect()}
+    assert got["a"]["n_docs"] == 2 and got["a"]["n_flagged"] == 1
+    assert got["a"]["total_hits"] == 3 and got["a"]["flag_rate"] == 0.5
+    assert got["b"]["n_flagged"] == 1 and got["b"]["total_hits"] == 5
+
+
+def test_embedding_energy_ratio_known_values(spark):
+    """Hand-computed energy split: a vector with all mass in the head
+    scores 1, an even split scores 0.5, and min_ratio picks the worst
+    vector of the label."""
+    from transferdb_spark.ext.similarity import embedding_energy_ratio
+
+    rows = [
+        (1, [1.0, 1.0, 0.0, 0.0], 7),   # head(2) carries all energy
+        (2, [1.0, 0.0, 1.0, 0.0], 7),   # half
+        (3, [0.0, 0.0, 2.0, 0.0], 8),   # none
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r.asDict() for r in embedding_energy_ratio(emb, head=2).collect()}
+    assert got[7]["n_vecs"] == 2
+    # pooled: (2 + 1) head units over (2 + 2) total = 0.75
+    assert got[7]["energy_ratio"] == 0.75 and got[7]["min_ratio"] == 0.5
+    assert got[8]["energy_ratio"] == 0.0 and got[8]["min_ratio"] == 0.0

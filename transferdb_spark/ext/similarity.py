@@ -920,3 +920,81 @@ SELECT vec_id,
 FROM withm
 ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit — how much of each vector's energy the
+# first MRL_HEAD dimensions carry. The question every embedding-store
+# owner asks before truncating stored dims (MRL, Kusupati et al. 2022,
+# public literature): if we keep only the head, what fraction of
+# squared norm — and therefore of dot-product mass — survives?
+
+MRL_HEAD = 16  # truncation prefix length audited (of the stored dim)
+
+
+def embedding_energy_ratio(emb: DataFrame, head: int = MRL_HEAD) -> DataFrame:
+    """Per-label truncation-fidelity rollup: (label, n_vecs,
+    energy_ratio, min_ratio) where energy_ratio is the label's pooled
+    head-energy share Σ‖x[:head]‖² / Σ‖x‖² and min_ratio the worst
+    single vector (the one a truncated index will hurt most).
+
+    Exactness contract (house rule, same grid as the int8 audit):
+    elements are quantized to BIGINTs on the QSCALE grid, per-vector
+    energies are exact integer folds, and the per-LABEL sums accumulate
+    as DECIMAL(38,0) — int64 would overflow near 10⁹ vectors at this
+    grid — so no float summation ever crosses the engine boundary;
+    doubles appear only in the two output divisions."""
+    from transferdb_spark.functions.canonical import stable_round
+
+    q = (
+        f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    head_e = f"aggregate(slice(q, 1, {head}), 0L, (acc, v) -> acc + v * v)"
+    tot_e = "aggregate(q, 0L, (acc, v) -> acc + v * v)"
+    per = (
+        emb.select("label", F.expr(q).alias("q"))
+        .select("label", F.expr(head_e).alias("he"), F.expr(tot_e).alias("te"))
+        .withColumn(
+            "r",
+            F.when(
+                F.col("te") > 0, stable_round(F.col("he") / F.col("te"), 6)
+            ),
+        )
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            stable_round(
+                F.sum(F.col("he").cast("decimal(38,0)")).cast("double")
+                / F.sum(F.col("te").cast("decimal(38,0)")).cast("double"),
+                6,
+            ).alias("energy_ratio"),
+            F.min("r").alias("min_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_energy_ratio_sql(head: int = MRL_HEAD) -> str:
+    from transferdb_spark.functions.canonical import stable_round_sql
+
+    q_elem = f"CAST(floor(CAST(x AS DOUBLE) * {QSCALE}.0 + 0.5) AS BIGINT)"
+    return f"""
+WITH q AS (
+  SELECT label, list_transform(embedding, x -> {q_elem}) AS q
+  FROM embeddings),
+per AS (
+  SELECT label,
+         CAST(list_sum(list_transform(q[1:{head}], v -> v * v)) AS BIGINT) AS he,
+         CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS te
+  FROM q)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST({stable_round_sql("CAST(SUM(he) AS DOUBLE) / CAST(SUM(te) AS DOUBLE)", 6)} AS DOUBLE) AS energy_ratio,
+       MIN(CASE WHEN te > 0 THEN CAST({stable_round_sql("he / te", 6)} AS DOUBLE) END) AS min_ratio
+FROM per
+GROUP BY label
+ORDER BY label
+"""

@@ -611,24 +611,171 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
         alpha.alias("alpha_word_frac"),
         stop_hits.alias("stopword_hits"),
     )
-    keep = (
-        (F.col("n_words") >= 50)
-        & (F.col("n_words") <= 100000)
-        & (F.col("mean_word_len") >= 3)
-        & (F.col("mean_word_len") <= 10)
-        & (F.col("symbol_word_ratio") <= 0.1)
-        & (F.col("bullet_line_frac") <= 0.9)
-        & (F.col("ellipsis_line_frac") <= 0.3)
-        & (F.col("alpha_word_frac") >= 0.8)
-        & (F.col("stopword_hits") >= 2)
-    )
+    # the keep verdict is the conjunction of GOPHER_RULES (the shared
+    # rule table below) so the verdict, the filter-funnel attribution
+    # and the oracle can never drift apart
+    keep = F.expr(" AND ".join(f"({c})" for _, c in GOPHER_RULES))
     return out.withColumn("keep", keep.cast("int")).orderBy("doc_id")
 
 
-def gopher_quality_sql() -> str:
-    stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+# Gopher keep rules in FIXED waterfall order — one shared table drives
+# the keep verdict, the filter-funnel attribution, and both engines'
+# SQL (the condition strings are valid Spark SQL and DuckDB SQL over
+# the scored facet columns).
+GOPHER_RULES: tuple[tuple[str, str], ...] = (
+    ("min_words", "n_words >= 50"),
+    ("max_words", "n_words <= 100000"),
+    ("min_mean_word_len", "mean_word_len >= 3"),
+    ("max_mean_word_len", "mean_word_len <= 10"),
+    ("symbol_word_ratio", "symbol_word_ratio <= 0.1"),
+    ("bullet_lines", "bullet_line_frac <= 0.9"),
+    ("ellipsis_lines", "ellipsis_line_frac <= 0.3"),
+    ("alpha_words", "alpha_word_frac >= 0.8"),
+    ("stopwords", "stopword_hits >= 2"),
+)
+
+
+def filter_funnel(docs: DataFrame) -> DataFrame:
+    """Quality-filter ablation accounting — the table every pipeline
+    owner reads before flipping a rule: for each Gopher rule, in the
+    fixed waterfall order, (stage, rule, n_fail_alone, n_removed_here,
+    n_remaining) where n_fail_alone counts docs failing the rule
+    regardless of other rules (its standalone bite), n_removed_here
+    counts docs whose FIRST failing rule is this one (its marginal
+    bite given everything before it), and n_remaining is the surviving
+    corpus after the stage. Σ n_removed_here = docs removed overall,
+    so the waterfall reconciles exactly with gopher_quality's keep.
+
+    Scale: one narrow pass over the facet columns + ONE global agg
+    producing a single rules-wide row, exploded to |rules| rows —
+    per-rule counters ride the map side, the shuffle carries one row."""
+    g = gopher_quality(docs)
+    n_rules = len(GOPHER_RULES)
+    flags = g.select(
+        *[
+            F.expr(f"CAST(NOT ({cond}) AS INT)").alias(f"_f{i}")
+            for i, (_, cond) in enumerate(GOPHER_RULES)
+        ]
+    )
+    first_fail = "CASE " + " ".join(
+        f"WHEN _f{i} = 1 THEN {i}" for i in range(n_rules)
+    ) + " ELSE 99 END"
+    flags = flags.withColumn("_ff", F.expr(first_fail))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i in range(n_rules):
+        aggs.append(F.sum(F.col(f"_f{i}")).alias(f"_a{i}"))
+        aggs.append(F.sum((F.col("_ff") == i).cast("int")).alias(f"_h{i}"))
+    row = flags.agg(*aggs)
+    structs = []
+    for i, (name, _) in enumerate(GOPHER_RULES):
+        removed_cum = sum((F.col(f"_h{j}") for j in range(i + 1)), F.lit(0))
+        structs.append(
+            F.struct(
+                F.lit(i).cast("int").alias("stage"),
+                F.lit(name).alias("rule"),
+                F.col(f"_a{i}").cast("long").alias("n_fail_alone"),
+                F.col(f"_h{i}").cast("long").alias("n_removed_here"),
+                (F.col("_n") - removed_cum).cast("long").alias("n_remaining"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .orderBy("stage")
+    )
+
+
+def filter_funnel_sql() -> str:
+    n_rules = len(GOPHER_RULES)
+    f_cols = ", ".join(
+        f"CASE WHEN NOT ({cond}) THEN 1 ELSE 0 END AS f{i}"
+        for i, (_, cond) in enumerate(GOPHER_RULES)
+    )
+    ff = "CASE " + " ".join(
+        f"WHEN NOT ({cond}) THEN {i}" for i, (_, cond) in enumerate(GOPHER_RULES)
+    ) + " ELSE 99 END"
+    a_cols = ", ".join(
+        f"SUM(f{i}) AS a{i}, SUM(CASE WHEN ff = {i} THEN 1 ELSE 0 END) AS h{i}"
+        for i in range(n_rules)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage, '{name}' AS rule, CAST(a{i} AS BIGINT) AS n_fail_alone, "
+        f"CAST(h{i} AS BIGINT) AS n_removed_here, "
+        f"CAST(n - ({' + '.join(f'h{j}' for j in range(i + 1))}) AS BIGINT) AS n_remaining "
+        "FROM agg"
+        for i, (name, _) in enumerate(GOPHER_RULES)
+    )
     return f"""
-WITH base AS (
+WITH {_gopher_scored_ctes()},
+flags AS (SELECT {f_cols}, {ff} AS ff FROM scored),
+agg AS (SELECT COUNT(*) AS n, {a_cols} FROM flags)
+SELECT * FROM ({rows})
+ORDER BY stage
+"""
+
+
+# Placeholder blocklist over the synthetic fixture vocabulary — the
+# operator is the C4/Dolma bad-word document filter; a real deployment
+# swaps the term list (and raises MIN_BLOCK_HITS) without touching the
+# plan shape.
+DEFAULT_BLOCKLIST: tuple[str, ...] = ("slow", "merge", "big")
+MIN_BLOCK_HITS = 3
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    min_hits: int = MIN_BLOCK_HITS,
+) -> DataFrame:
+    """Blocklist document filtering rollup: per source, how many docs
+    a term blocklist flags (≥ min_hits token matches) and the total
+    match volume. The per-doc hit count is a narrow array filter over
+    the shared tokenizer (exact token equality, not substring — 'class'
+    never trips a 'lass' entry); the rollup is one small groupBy."""
+    lst = ", ".join(f"'{t}'" for t in terms)
+    hits = F.expr(f"size(filter({TOKENS}, t -> t IN ({lst})))")
+    per = docs.select(
+        "source",
+        hits.alias("hits"),
+    ).withColumn("flagged", (F.col("hits") >= min_hits).cast("int"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+            F.sum("hits").cast("long").alias("total_hits"),
+            stable_round(
+                F.sum("flagged") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("flag_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def blocklist_filter_sql(
+    terms: tuple[str, ...] = DEFAULT_BLOCKLIST, min_hits: int = MIN_BLOCK_HITS
+) -> str:
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH per AS (
+  SELECT source,
+         len(list_filter({TOKENS_SQL}, t -> t IN ({lst}))) AS hits
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN hits >= {min_hits} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       CAST({stable_round_sql(f"SUM(CASE WHEN hits >= {min_hits} THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)", 6)} AS DOUBLE) AS flag_rate
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+
+def _gopher_scored_ctes() -> str:
+    stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""base AS (
   SELECT doc_id,
          {TOKENS_SQL} AS t,
          regexp_split_to_array(text, '\n') AS lines,
@@ -658,15 +805,14 @@ scored AS (
          CAST({stable_round_sql('alpha_words / nz', 5)} AS DOUBLE) AS alpha_word_frac,
          stopword_hits
   FROM facet
-)
-SELECT *,
-       CAST(n_words >= 50 AND n_words <= 100000
-        AND mean_word_len >= 3 AND mean_word_len <= 10
-        AND symbol_word_ratio <= 0.1
-        AND bullet_line_frac <= 0.9
-        AND ellipsis_line_frac <= 0.3
-        AND alpha_word_frac >= 0.8
-        AND stopword_hits >= 2 AS INT) AS keep
+)"""
+
+
+def gopher_quality_sql() -> str:
+    keep = " AND ".join(cond for _, cond in GOPHER_RULES)
+    return f"""
+WITH {_gopher_scored_ctes()}
+SELECT *, CAST({keep} AS INT) AS keep
 FROM scored
 ORDER BY doc_id
 """
