@@ -1715,6 +1715,15 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_t(spark, sf_dir, "documents"))
 
 
+def lsh_cluster_purity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH component purity audit (NEW r9): exact shingle-Jaccard over
+    each component's banded edges — mean/min per component quantify
+    the transitive chaining leak before a keep-one delete."""
+    from transferdb_spark.ext.dedup import lsh_cluster_purity
+
+    return lsh_cluster_purity(_t(spark, sf_dir, "documents"))
+
+
 def filter_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter ablation waterfall (NEW r9): per Gopher rule, its
     standalone bite, its marginal bite in waterfall order, and the
@@ -1741,6 +1750,12 @@ def embedding_energy_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.similarity import embedding_energy_ratio
 
     return embedding_energy_ratio(_t(spark, sf_dir, "embeddings"))
+
+
+def _lsh_cluster_purity_sql() -> str:
+    from transferdb_spark.ext.dedup import lsh_cluster_purity_sql
+
+    return lsh_cluster_purity_sql()
 
 
 def _filter_funnel_sql() -> str:
@@ -5250,6 +5265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh_auto": ann_topk_lsh_auto_q,
         "gopher_quality_rules": gopher_quality_rules,
         "filter_funnel": filter_funnel_q,
+        "dedup_cluster_purity": lsh_cluster_purity_q,
         "blocklist_filter": blocklist_filter_q,
         "embedding_energy_ratio": embedding_energy_ratio_q,
         # -- north-star LLM-pipeline operators (31-48)
@@ -5567,6 +5583,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": EVENT_TRANSITIONS_SQL,
         "gopher_quality_rules": _gopher_quality_sql(),
         "filter_funnel": _filter_funnel_sql(),
+        "dedup_cluster_purity": _lsh_cluster_purity_sql(),
         "blocklist_filter": _blocklist_filter_sql(),
         "embedding_energy_ratio": _embedding_energy_ratio_sql(),
         "domain_mix_sample": _domain_mix_sql(),

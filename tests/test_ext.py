@@ -3738,3 +3738,40 @@ def test_embedding_energy_ratio_known_values(spark):
     # pooled: (2 + 1) head units over (2 + 2) total = 0.75
     assert got[7]["energy_ratio"] == 0.75 and got[7]["min_ratio"] == 0.5
     assert got[8]["energy_ratio"] == 0.0 and got[8]["min_ratio"] == 0.0
+
+
+def test_lsh_cluster_purity_flags_chained_components(spark):
+    """Hand-built corpus: two true near-dups plus a 'bridge' doc that
+    shares half its text with each — if banding chains all three into
+    one component, the purity audit must show min_edge_jaccard well
+    below mean; and a clean exact-dup pair must score jaccard 1.0.
+    Differential vs the DuckDB recursive-closure oracle."""
+    import duckdb
+    import pandas as pd
+
+    from transferdb_spark.ext.dedup import lsh_cluster_purity, lsh_cluster_purity_sql
+
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [
+        (1, a),
+        (2, a),  # exact dup of 1 -> jaccard 1.0
+        (3, "one two three four five six seven eight " * 4),
+        (4, "one two three four five six seven eight " * 2
+            + "nine ten eleven twelve thirteen fourteen " * 2),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lsh_cluster_purity(docs).collect()
+    assert got, "fixture must band at least one component"
+    by_comp = {r["component"]: r.asDict() for r in got}
+    assert 1 in by_comp and by_comp[1]["min_edge_jaccard"] == 1.0
+    for r in got:
+        assert r["min_edge_jaccard"] <= r["mean_edge_jaccard"]
+        assert r["n_edges"] >= r["n_members"] - 1  # connected
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(lsh_cluster_purity_sql()).df()
+    gdf = lsh_cluster_purity(docs).toPandas()
+    assert len(gdf) == len(want)
+    for c in want.columns:
+        assert list(gdf[c]) == list(want[c].astype(gdf[c].dtype)), c

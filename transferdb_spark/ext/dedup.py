@@ -1231,15 +1231,14 @@ def minhash_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
-def minhash_components_sql() -> str:
-    """DuckDB oracle: recursive min-label closure over the SAME edge
-    relation the Spark side derives (shared band SQL). UNION (set
-    semantics) bounds the recursion; MIN over reachable ids equals the
-    propagation fixpoint on an undirected graph."""
+def _lsh_graph_ctes() -> str:
+    """Shared DuckDB CTE prefix: the LSH band graph (sigs → bands →
+    edges) plus the recursive min-label closure (walk → labeled).
+    UNION (set semantics) bounds the recursion; MIN over reachable ids
+    equals the propagation fixpoint on an undirected graph."""
     r = NUM_HASHES // BANDS
     band_hash = _h64_duck(f"array_to_string(sig[b * {r} + 1: b * {r} + {r}], ',')")
-    return f"""
-WITH RECURSIVE sigs AS MATERIALIZED (
+    return f"""sigs AS MATERIALIZED (
   SELECT doc_id, {MINHASH_SIG_SQL} AS sig
   FROM (SELECT doc_id, {SHINGLE_HASHES_SQL} AS shh
         FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM documents))
@@ -1260,12 +1259,108 @@ walk(node, comp) AS (
 ),
 labeled AS (
   SELECT node, MIN(comp) AS component FROM walk GROUP BY node
-)
+)"""
+
+
+def minhash_components_sql() -> str:
+    """DuckDB oracle: recursive min-label closure over the SAME edge
+    relation the Spark side derives (shared band SQL)."""
+    return f"""
+WITH RECURSIVE {_lsh_graph_ctes()}
 SELECT CAST(node AS BIGINT) AS doc_id,
        CAST(component AS BIGINT) AS component,
        CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
 FROM labeled
 ORDER BY doc_id
+"""
+
+
+def lsh_cluster_purity(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Dedup QA: is each LSH component actually TIGHT? Per component:
+    (component, n_members, n_edges, mean_edge_jaccard,
+    min_edge_jaccard) where the Jaccards are EXACT shingle overlap
+    over the component's banded candidate edges. Banding chains A~B~C
+    into one keep-one group even when A and C never share a band; a
+    component whose min edge Jaccard sits far below the band's design
+    threshold was chained by collisions, not duplication — the audit
+    every production dedup runs before deleting losers.
+
+    Scale: edges stay banding-bounded (never all-pairs); the exact
+    Jaccard joins the per-doc distinct-shingle arrays onto edge
+    ENDPOINTS only (two hash joins keyed by doc id), and the rollup is
+    one groupBy(component). The mean accumulates as DECIMAL(18,5) —
+    order-independent, so the cross-engine hash cannot drift."""
+    edges = minhash_lsh_candidates(docs, persist=False)
+    labels = neardup_clusters(edges, max_iter=max_iters)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    sh = _shingled(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = stable_round(
+        common / (F.size("sh_a") + F.size("sh_b") - common), 5
+    )
+    per_edge = (
+        edges.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", jac.alias("jac"))
+        .join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    )
+    return (
+        per_edge.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            stable_round(
+                F.sum(F.col("jac").cast("decimal(18,5)")).cast("double")
+                / F.count(F.lit(1)),
+                5,
+            ).alias("mean_edge_jaccard"),
+            F.min("jac").alias("min_edge_jaccard"),
+        )
+        .join(sizes, "cluster_id")
+        .select(
+            F.col("cluster_id").alias("component"),
+            "n_members",
+            "n_edges",
+            "mean_edge_jaccard",
+            "min_edge_jaccard",
+        )
+        .orderBy("component")
+    )
+
+
+def lsh_cluster_purity_sql() -> str:
+    return f"""
+WITH RECURSIVE {_lsh_graph_ctes()},
+shd AS MATERIALIZED (
+  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM documents
+),
+pe AS (
+  SELECT e.doc_a, e.doc_b,
+         len(list_intersect(a.sh, b.sh)) AS common,
+         len(a.sh) AS na, len(b.sh) AS nb
+  FROM (SELECT DISTINCT src AS doc_a, dst AS doc_b FROM edges WHERE src < dst) e
+  JOIN shd a ON e.doc_a = a.doc_id
+  JOIN shd b ON e.doc_b = b.doc_id
+),
+pj AS (
+  SELECT doc_a,
+         CAST({stable_round_sql("common / CAST(na + nb - common AS DOUBLE)", 5)} AS DOUBLE) AS jac
+  FROM pe
+),
+members AS (SELECT component, COUNT(*) AS n_members FROM labeled GROUP BY component)
+SELECT CAST(l.component AS BIGINT) AS component,
+       CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST({stable_round_sql("CAST(SUM(CAST(jac AS DECIMAL(18,5))) AS DOUBLE) / COUNT(*)", 5)} AS DOUBLE) AS mean_edge_jaccard,
+       MIN(jac) AS min_edge_jaccard
+FROM pj
+JOIN labeled l ON pj.doc_a = l.node
+JOIN members m ON l.component = m.component
+GROUP BY l.component, m.n_members
+ORDER BY component
 """
 
 
