@@ -1724,6 +1724,24 @@ def lsh_cluster_purity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cluster_purity(_t(spark, sf_dir, "documents"))
 
 
+def source_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative shingle novelty per source (NEW r9): what fraction of
+    a source's distinct shingles is first seen there — coverage vs
+    volume for the mixing table; 8-byte-hash shuffle only."""
+    from transferdb_spark.ext.dedup import source_novelty
+
+    return source_novelty(_t(spark, sf_dir, "documents"))
+
+
+def length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length anomalies (NEW r9): exact median + MAD
+    of char length and the count beyond 3*MAD — catches truncated
+    shards a mean/stddev gate misses."""
+    from transferdb_spark.ext.text import length_outliers
+
+    return length_outliers(_t(spark, sf_dir, "documents"))
+
+
 def filter_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter ablation waterfall (NEW r9): per Gopher rule, its
     standalone bite, its marginal bite in waterfall order, and the
@@ -1750,6 +1768,18 @@ def embedding_energy_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferdb_spark.ext.similarity import embedding_energy_ratio
 
     return embedding_energy_ratio(_t(spark, sf_dir, "embeddings"))
+
+
+def _source_novelty_sql() -> str:
+    from transferdb_spark.ext.dedup import source_novelty_sql
+
+    return source_novelty_sql()
+
+
+def _length_outliers_sql() -> str:
+    from transferdb_spark.ext.text import length_outliers_sql
+
+    return length_outliers_sql()
 
 
 def _lsh_cluster_purity_sql() -> str:
@@ -5266,6 +5296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_rules": gopher_quality_rules,
         "filter_funnel": filter_funnel_q,
         "dedup_cluster_purity": lsh_cluster_purity_q,
+        "source_novelty": source_novelty_q,
+        "length_outliers": length_outliers_q,
         "blocklist_filter": blocklist_filter_q,
         "embedding_energy_ratio": embedding_energy_ratio_q,
         # -- north-star LLM-pipeline operators (31-48)
@@ -5584,6 +5616,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_rules": _gopher_quality_sql(),
         "filter_funnel": _filter_funnel_sql(),
         "dedup_cluster_purity": _lsh_cluster_purity_sql(),
+        "source_novelty": _source_novelty_sql(),
+        "length_outliers": _length_outliers_sql(),
         "blocklist_filter": _blocklist_filter_sql(),
         "embedding_energy_ratio": _embedding_energy_ratio_sql(),
         "domain_mix_sample": _domain_mix_sql(),

@@ -3775,3 +3775,46 @@ def test_lsh_cluster_purity_flags_chained_components(spark):
     assert len(gdf) == len(want)
     for c in want.columns:
         assert list(gdf[c]) == list(want[c].astype(gdf[c].dtype)), c
+
+
+def test_source_novelty_first_wins_accounting(spark):
+    """Hand-built: source 'a' owns every shingle it has; 'b' repeats
+    half of a's text (novel half) ; 'c' is pure repeat (novelty 0)."""
+    from transferdb_spark.ext.dedup import source_novelty
+
+    t1 = "one two three four five six seven eight nine ten"
+    t2 = "one two three four five six seven eight nine ten " \
+         "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, t1, "a"),
+        (2, t2, "b"),
+        (3, t1, "c"),   # every shingle already seen in 'a'
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in source_novelty(docs).collect()}
+    assert got["a"]["n_novel"] == got["a"]["n_shingles"]  # first source
+    assert got["c"]["n_novel"] == 0 and got["c"]["novelty_rate"] == 0.0
+    assert 0 < got["b"]["n_novel"] < got["b"]["n_shingles"]
+    # b's shingles = a's 8 (its first 10 tokens repeat t1 exactly) +
+    # b's novel ones (boundary shingles like 'nine ten alpha' included)
+    assert got["b"]["n_shingles"] == got["a"]["n_shingles"] + got["b"]["n_novel"]
+
+
+def test_length_outliers_median_mad(spark):
+    """Exact median/MAD on a constructed source: one absurdly long doc
+    must be the only outlier, and MAD must resist it (unlike stddev)."""
+    from transferdb_spark.ext.text import length_outliers
+
+    rows = [
+        (1, "x" * 100, "s"),
+        (2, "x" * 102, "s"),
+        (3, "x" * 104, "s"),
+        (4, "x" * 98, "s"),
+        (5, "x" * 5000, "s"),  # the truncation/concat bug
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = length_outliers(docs).collect()[0].asDict()
+    assert got["n_docs"] == 5 and got["med_len"] == 102.0
+    # abs devs: 2, 0, 2, 4, 4898 -> median 2
+    assert got["mad_len"] == 2.0
+    assert got["n_outliers"] == 1  # only the 5000-char doc exceeds 3*MAD... (4 < 6? no)

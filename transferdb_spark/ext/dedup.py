@@ -1420,3 +1420,59 @@ FROM comps
 GROUP BY cluster_size
 ORDER BY cluster_size
 """
+
+
+def source_novelty(docs: DataFrame) -> DataFrame:
+    """Cumulative corpus novelty per source — consumed in source-name
+    order, what fraction of a source's distinct shingles is NEW (never
+    seen in any earlier source)? The curriculum/freshness accounting a
+    data-mixing owner reads next to the duplication matrix: a source
+    whose novelty_rate is near zero adds volume, not coverage.
+
+    Shape: distinct (source, shingle-hash) pairs → one groupBy(hash)
+    electing the first (min) source per shingle → two small per-source
+    rollups. The shuffle carries 8-byte hashes, O(distinct shingles)
+    rows — never document text, never all-pairs."""
+    pairs = (
+        _shingled(docs)
+        .join(docs.select("doc_id", F.col("source").alias("src")), "doc_id")
+        .select("src", F.explode(F.expr(SHINGLE_HASHES)).alias("h"))
+        .distinct()
+    )
+    totals = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
+    firsts = pairs.groupBy("h").agg(F.min("src").alias("first_src"))
+    novels = firsts.groupBy("first_src").agg(F.count(F.lit(1)).alias("n_novel"))
+    return (
+        totals.join(novels, totals["src"] == novels["first_src"], "left")
+        .select(
+            totals["src"].alias("source"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            stable_round(
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_novelty_sql() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT source AS src, u.h
+  FROM (SELECT source, {SHINGLE_HASHES_SQL} AS shh
+        FROM (SELECT source, list_distinct({SHINGLES_SQL}) AS sh FROM documents)),
+       UNNEST(shh) AS u(h)
+),
+totals AS (SELECT src, COUNT(*) AS n_shingles FROM pairs GROUP BY src),
+firsts AS (SELECT h, MIN(src) AS first_src FROM pairs GROUP BY h),
+novels AS (SELECT first_src, COUNT(*) AS n_novel FROM firsts GROUP BY first_src)
+SELECT t.src AS source,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST({stable_round_sql("COALESCE(n.n_novel, 0) / CAST(t.n_shingles AS DOUBLE)", 6)} AS DOUBLE) AS novelty_rate
+FROM totals t LEFT JOIN novels n ON t.src = n.first_src
+ORDER BY source
+"""

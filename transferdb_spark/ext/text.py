@@ -1877,3 +1877,73 @@ FROM toks t LEFT JOIN per_n p ON t.doc_id = p.doc_id
 GROUP BY t.doc_id, t.tok_chars
 ORDER BY t.doc_id
 """
+
+
+def length_outliers(docs: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust per-source length-anomaly accounting: median and MAD
+    (median absolute deviation) of document character length, and how
+    many docs sit beyond k·MAD — the data-quality sweep that catches
+    truncated shards and concatenation bugs where a mean/stddev gate
+    is dragged by the outliers it is hunting.
+
+    Exactness: median/MAD use exact interpolated percentile
+    (Spark `percentile` == DuckDB `quantile_cont`, same linear
+    interpolation on the same integer lengths — the midpoints are
+    dyadic rationals, bit-identical in IEEE). Two grouped passes + one
+    join; per-source state is two numbers, never row data."""
+    lens = docs.select("source", F.length("text").cast("long").alias("len"))
+    med = lens.groupBy("source").agg(
+        F.expr("percentile(len, 0.5)").alias("med_len"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    dev = (
+        lens.join(med, "source")
+        .select("source", "med_len", "n_docs", F.abs(F.col("len") - F.col("med_len")).alias("ad"))
+    )
+    mad = dev.groupBy("source", "med_len", "n_docs").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad_len")
+    )
+    out = (
+        lens.join(mad, "source")
+        .withColumn(
+            "is_out",
+            (
+                F.abs(F.col("len") - F.col("med_len"))
+                > F.lit(float(k)) * F.col("mad_len")
+            ).cast("int"),
+        )
+        .groupBy("source", "med_len", "mad_len", "n_docs")
+        .agg(F.sum("is_out").cast("long").alias("n_outliers"))
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("med_len").cast("double").alias("med_len"),
+        F.col("mad_len").cast("double").alias("mad_len"),
+        "n_outliers",
+    ).orderBy("source")
+
+
+def length_outliers_sql(k: float = 3.0) -> str:
+    return f"""
+WITH lens AS (SELECT source, CAST(length(text) AS BIGINT) AS len FROM documents),
+med AS (
+  SELECT source, quantile_cont(len, 0.5) AS med_len, COUNT(*) AS n_docs
+  FROM lens GROUP BY source
+),
+mad AS (
+  SELECT l.source, med_len, n_docs,
+         quantile_cont(abs(l.len - med_len), 0.5) AS mad_len
+  FROM lens l JOIN med USING (source)
+  GROUP BY l.source, med_len, n_docs
+)
+SELECT m.source,
+       CAST(m.n_docs AS BIGINT) AS n_docs,
+       CAST(m.med_len AS DOUBLE) AS med_len,
+       CAST(m.mad_len AS DOUBLE) AS mad_len,
+       CAST(SUM(CASE WHEN abs(l.len - m.med_len) > {float(k)} * m.mad_len
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM lens l JOIN mad m USING (source)
+GROUP BY m.source, m.n_docs, m.med_len, m.mad_len
+ORDER BY m.source
+"""
