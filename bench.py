@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "filter_funnel",
     "blocklist_filter",
     "embedding_energy_ratio",
+    "source_novelty",
+    "length_outliers",
 ]
 
 

@@ -119,7 +119,7 @@ GROUP BY {_h64_duck('trim(lower(text))')}
 """
 
 
-def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def neardup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
     """Connected components over a near-dup pair relation → per-doc
     cluster label (the min doc_id reachable through any chain of
     near-dup edges). THE canonical dedup decision structure: 'a~b and
@@ -144,7 +144,10 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     no re-orientation pass is needed. Convergence = edge set is a
     fixed point of the round (stars are fixed points of both steps),
     checked with ONE left-join stats job per round. Converges ≤
-    max_iter rounds or raises — never silently wrong. The number of
+    max_iter rounds or raises — never silently wrong; the default
+    budget (64) covers the O(log² n) worst case for any corpus that
+    fits in storage, and the loop exits at the fixed point, so an
+    oversized budget costs nothing. The number of
     rounds the last call took is recorded on
     `neardup_clusters.last_rounds` so tests can assert the
     logarithmic bound.
@@ -1204,7 +1207,7 @@ ORDER BY source_a, source_b
 # components, where plain min-label propagation needs diameter rounds.
 
 
-def minhash_components(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+def minhash_components(docs: DataFrame, max_iters: int = 64) -> DataFrame:
     """(doc_id, component, cluster_size) for every doc in the LSH
     candidate graph; component = min doc_id reachable (deterministic
     representative), cluster_size = member count.
@@ -1275,7 +1278,7 @@ ORDER BY doc_id
 """
 
 
-def lsh_cluster_purity(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+def lsh_cluster_purity(docs: DataFrame, max_iters: int = 64) -> DataFrame:
     """Dedup QA: is each LSH component actually TIGHT? Per component:
     (component, n_members, n_edges, mean_edge_jaccard,
     min_edge_jaccard) where the Jaccards are EXACT shingle overlap
