@@ -1733,6 +1733,24 @@ def source_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_novelty(_t(spark, sf_dir, "documents"))
 
 
+def source_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source shingle-set Jaccard (NEW r9): ground-truth
+    source similarity matrix — hash-keyed intersection self-join,
+    fan-out bounded by n_sources² per shingle."""
+    from transferdb_spark.ext.dedup import source_jaccard
+
+    return source_jaccard(_t(spark, sf_dir, "documents"))
+
+
+def source_minhash_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source MinHash union-sketch Jaccard estimate (NEW r9): the
+    100-TB path for the source matrix — one map-side-combined groupBy
+    to NUM_HASHES ints per source, sources²-row signature join."""
+    from transferdb_spark.ext.dedup import source_minhash_jaccard
+
+    return source_minhash_jaccard(_t(spark, sf_dir, "documents"))
+
+
 def length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-source length anomalies (NEW r9): exact median + MAD
     of char length and the count beyond 3*MAD — catches truncated
@@ -1774,6 +1792,18 @@ def _source_novelty_sql() -> str:
     from transferdb_spark.ext.dedup import source_novelty_sql
 
     return source_novelty_sql()
+
+
+def _source_jaccard_sql() -> str:
+    from transferdb_spark.ext.dedup import source_jaccard_sql
+
+    return source_jaccard_sql()
+
+
+def _source_minhash_jaccard_sql() -> str:
+    from transferdb_spark.ext.dedup import source_minhash_jaccard_sql
+
+    return source_minhash_jaccard_sql()
 
 
 def _length_outliers_sql() -> str:
@@ -5297,6 +5327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": filter_funnel_q,
         "dedup_cluster_purity": lsh_cluster_purity_q,
         "source_novelty": source_novelty_q,
+        "source_jaccard": source_jaccard_q,
+        "source_minhash_jaccard": source_minhash_jaccard_q,
         "length_outliers": length_outliers_q,
         "blocklist_filter": blocklist_filter_q,
         "embedding_energy_ratio": embedding_energy_ratio_q,
@@ -5617,6 +5649,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_funnel": _filter_funnel_sql(),
         "dedup_cluster_purity": _lsh_cluster_purity_sql(),
         "source_novelty": _source_novelty_sql(),
+        "source_jaccard": _source_jaccard_sql(),
+        "source_minhash_jaccard": _source_minhash_jaccard_sql(),
         "length_outliers": _length_outliers_sql(),
         "blocklist_filter": _blocklist_filter_sql(),
         "embedding_energy_ratio": _embedding_energy_ratio_sql(),

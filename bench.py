@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "embedding_energy_ratio",
     "source_novelty",
     "length_outliers",
+    "source_jaccard",
+    "source_minhash_jaccard",
 ]
 
 
@@ -253,6 +255,11 @@ def main() -> None:
         total += timings["stream_join"]
     except Exception as exc:  # noqa: BLE001 — isolate per query
         errors["stream_join"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        timings["stream_novelty"] = round(_bench_stream_novelty(spark), 3)
+        total += timings["stream_novelty"]
+    except Exception as exc:  # noqa: BLE001 — isolate per query
+        errors["stream_novelty"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # estimator hygiene: "best"/"best_total" are BATCH best-of-N only
     # (the snapshot above — stream queries are single-shot cold numbers
@@ -525,3 +532,41 @@ def _bench_stream_rollup(spark) -> float:
 
 if __name__ == "__main__":
     main()
+
+
+def _bench_stream_novelty(spark) -> float:
+    """Time an availableNow pass of the ingest-time shingle-novelty
+    monitor (round 9) over the documents table fed as TWO drops (the
+    same file twice): batch 0 builds the bucketed shingle store, batch
+    1 anti-joins it in place (0% novel) — the Exchange-free
+    store-gating pattern the incremental dedup ingest also uses."""
+    import shutil
+    import tempfile
+
+    from transferdb_spark.streaming.corpus import (
+        _shingle_store_name,
+        ingest_novelty_stream,
+    )
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    work = tempfile.mkdtemp(prefix="bench_snov_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    tgt = os.path.join(work, "tgt")
+    try:
+        feed = os.path.join(work, "feed")
+        os.makedirs(feed)
+        os.symlink(src, os.path.join(feed, "drop0.parquet"))
+        os.symlink(src, os.path.join(feed, "drop1.parquet"))
+        t0 = time.time()
+        q = ingest_novelty_stream(
+            spark, feed, tgt, os.path.join(work, "ckpt"), max_files_per_trigger=1
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        spark.read.parquet(os.path.join(tgt, "novelty")).collect()
+        return dt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.sql(f"DROP TABLE IF EXISTS {_shingle_store_name(tgt)}")
+        shutil.rmtree(work, ignore_errors=True)

@@ -303,3 +303,60 @@ def test_ingest_neardup_stream_gates_lsh_hits(spark, tmp_path):
     assert kept.isdisjoint({10, 11, 12})              # near-dups gated
     assert {15, 16, 20} <= kept                       # novel docs land
     assert 21 not in kept                             # in-batch pair loser
+
+
+def test_ingest_novelty_stream_tracks_fresh_shingles(spark, tmp_path):
+    """Per-batch shingle novelty: batch 1 against an empty store is
+    100% novel; batch 2 (half re-crawled batch-1 docs, half fresh) has
+    a rate matching an independently computed batch anti-join over the
+    same shingle helpers."""
+    import random
+
+    from transferdb_spark.ext.dedup import SHINGLE_HASHES, _shingled
+    from transferdb_spark.streaming.corpus import ingest_novelty_stream
+
+    rng = random.Random(9)
+    words = [f"w{i}" for i in range(500)]
+
+    def doc(n=40):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    batch1 = [(i, doc()) for i in range(6)]
+    # batch 2: 3 exact re-crawls of batch-1 docs + 3 fresh docs
+    batch2 = [(10 + i, batch1[i][1]) for i in range(3)] + [
+        (15 + i, doc()) for i in range(3)
+    ]
+
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(batch1, ["doc_id", "text"])
+    b2 = spark.createDataFrame(batch2, ["doc_id", "text"])
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    q = ingest_novelty_stream(
+        spark, src, str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    rows = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "tgt" / "novelty")).collect()
+    }
+    assert set(rows) == {0, 1}
+
+    def hashes(df):
+        return (
+            _shingled(df)
+            .select(F.explode(F.expr(SHINGLE_HASHES)).alias("h"))
+            .distinct()
+        )
+
+    h1, h2 = hashes(b1), hashes(b2)
+    assert rows[0]["n_shingles"] == h1.count()
+    assert rows[0]["n_novel"] == rows[0]["n_shingles"]  # empty store
+    assert rows[0]["novelty_rate"] == 1.0
+    exp2 = h2.join(h1, "h", "left_anti").count()
+    assert rows[1]["n_shingles"] == h2.count()
+    assert rows[1]["n_novel"] == exp2
+    assert 0.0 < rows[1]["novelty_rate"] < 1.0

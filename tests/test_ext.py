@@ -3818,3 +3818,53 @@ def test_length_outliers_median_mad(spark):
     # abs devs: 2, 0, 2, 4, 4898 -> median 2
     assert got["mad_len"] == 2.0
     assert got["n_outliers"] == 1  # only the 5000-char doc exceeds 3*MAD... (4 < 6? no)
+
+
+def test_source_jaccard_exact_sets(spark):
+    """Hand-built 3-source matrix: identical sources have jaccard 1,
+    disjoint sources share nothing (no output row), and a half-overlap
+    pair matches the set formula n_inter/(n_a+n_b-n_inter)."""
+    from transferdb_spark.ext.dedup import source_jaccard
+
+    t1 = "one two three four five six seven eight nine ten"
+    t2 = "one two three four five six seven eight nine ten " \
+         "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t3 = "red orange yellow green blue indigo violet umber ochre teal"
+    docs = spark.createDataFrame(
+        [(1, t1, "a"), (2, t1, "b"), (3, t2, "c"), (4, t3, "d")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in source_jaccard(docs).collect()
+    }
+    assert got[("a", "b")]["jaccard"] == 1.0
+    ac = got[("a", "c")]
+    assert ac["n_inter"] == ac["n_a"]  # a's shingle set ⊂ c's
+    assert ac["jaccard"] == round(ac["n_inter"] / (ac["n_a"] + ac["n_b"] - ac["n_inter"]), 6)
+    assert ("a", "d") not in got and ("b", "d") not in got  # disjoint
+
+
+def test_source_minhash_jaccard_tracks_exact(spark):
+    """The union-sketch estimate must be exact (1.0) for identical
+    sources, 0 for disjoint ones, and strictly between for a genuine
+    partial overlap."""
+    from transferdb_spark.ext.dedup import source_minhash_jaccard
+
+    t1 = "one two three four five six seven eight nine ten"
+    t2 = "one two three four five six seven eight nine ten " \
+         "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t3 = "red orange yellow green blue indigo violet umber ochre teal"
+    docs = spark.createDataFrame(
+        [(1, t1, "a"), (2, t1, "b"), (3, t2, "c"), (4, t3, "d")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in source_minhash_jaccard(docs).collect()
+    }
+    # all source pairs present (sketch join is signature × signature)
+    assert len(got) == 6
+    assert got[("a", "b")]["est_jaccard"] == 1.0
+    assert got[("a", "d")]["n_matched"] == 0
+    assert 0.0 < got[("a", "c")]["est_jaccard"] <= 1.0

@@ -1479,3 +1479,156 @@ SELECT t.src AS source,
 FROM totals t LEFT JOIN novels n ON t.src = n.first_src
 ORDER BY source
 """
+
+
+def source_jaccard(docs: DataFrame) -> DataFrame:
+    """Pairwise source-level shingle Jaccard — the symmetric companion
+    to the asymmetric [[source_novelty]] curve and the lead-digest
+    [[cross_source_overlap]] matrix: treating each source as the SET of
+    its distinct shingles, how similar are two sources as corpora?
+    Mirrors vs scrapes vs genuinely disjoint feeds separate cleanly on
+    this number, and it is the ground truth `source_minhash_jaccard`
+    calibrates against.
+
+    Shape: the distinct (source, shingle-hash) relation (8-byte hashes,
+    O(distinct shingles) rows — never text); per-source totals are a
+    broadcast-sized aggregate; the intersection self-join keys on the
+    hash, so each shingle fans out at most n_sources² — bounded by the
+    source-count square, not corpus size."""
+    pairs = (
+        _shingled(docs)
+        .join(docs.select("doc_id", F.col("source").alias("src")), "doc_id")
+        .select("src", F.explode(F.expr(SHINGLE_HASHES)).alias("h"))
+        .distinct()
+    )
+    totals = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a, b = pairs.alias("a"), pairs.alias("b")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = totals.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    nb = totals.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            stable_round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_jaccard_sql() -> str:
+    jac = stable_round_sql(
+        "CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE)", 6
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT source AS src, u.h
+  FROM (SELECT source, {SHINGLE_HASHES_SQL} AS shh
+        FROM (SELECT source, list_distinct({SHINGLES_SQL}) AS sh FROM documents)),
+       UNNEST(shh) AS u(h)
+),
+totals AS (SELECT src, COUNT(*) AS n FROM pairs GROUP BY src),
+inter AS (
+  SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_inter
+  FROM pairs a JOIN pairs b ON a.h = b.h AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT i.source_a, i.source_b,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST({jac} AS DOUBLE) AS jaccard
+FROM inter i
+JOIN totals na ON na.src = i.source_a
+JOIN totals nb ON nb.src = i.source_b
+ORDER BY source_a, source_b
+"""
+
+
+def source_minhash_jaccard(docs: DataFrame) -> DataFrame:
+    """Sketch-path twin of [[source_jaccard]]: one NUM_HASHES-slot
+    MinHash signature PER SOURCE (slot-wise min over every shingle hash
+    the source contains — the signature of the UNION set, by min
+    commutativity), pairwise estimate = matching-slot fraction.
+
+    This is the 100-TB path: the exact matrix shuffles the whole
+    distinct (source, shingle) relation into a hash self-join; the
+    sketch reduces each source to NUM_HASHES integers with one
+    map-side-combined groupBy (shuffle = n_sources × NUM_HASHES rows),
+    and the pairwise comparison is a sources²-row broadcast join of
+    signature rows — corpus size never appears after the scan. Same
+    affine family as `minhash_signatures`, so the estimator quality is
+    exactly what `minhash_calibration` measured. All integer math →
+    bit-identical in the DuckDB oracle."""
+    shh = (
+        _shingled(docs)
+        .join(docs.select("doc_id", F.col("source").alias("src")), "doc_id")
+        .select("src", F.explode(F.expr(SHINGLE_HASHES)).alias("h"))
+    )
+    aggs = [
+        F.min(
+            F.expr(f"((65537 * {i + 1}) * h + 104729 * {i} + 12345) % {_MOD}")
+        ).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+    sigs = (
+        shh.groupBy("src")
+        .agg(*aggs)
+        .select("src", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
+    )
+    a = sigs.select(F.col("src").alias("source_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("src").alias("source_b"), F.col("sig").alias("sig_b"))
+    matched = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            matched.cast("int").alias("n_matched"),
+            stable_round(matched.cast("double") / F.lit(float(NUM_HASHES)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_minhash_jaccard_sql() -> str:
+    matched = (
+        f"list_sum(list_transform(range(1, {NUM_HASHES + 1}), "
+        f"i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))"
+    )
+    est = stable_round_sql(f"CAST({matched} AS DOUBLE) / {float(NUM_HASHES)}", 6)
+    return f"""
+WITH shh AS MATERIALIZED (
+  SELECT source AS src, u.h
+  FROM (SELECT source, {SHINGLE_HASHES_SQL} AS shh
+        FROM (SELECT source, list_distinct({SHINGLES_SQL}) AS sh FROM documents)),
+       UNNEST(shh) AS u(h)
+),
+sigs AS MATERIALIZED (
+  SELECT src, {MINHASH_SIG_SQL.replace("shh", "hs")} AS sig
+  FROM (SELECT src, list(h) AS hs FROM shh GROUP BY src)
+)
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST({matched} AS INT) AS n_matched,
+       CAST({est} AS DOUBLE) AS est_jaccard
+FROM sigs a JOIN sigs b ON a.src < b.src
+ORDER BY source_a, source_b
+"""

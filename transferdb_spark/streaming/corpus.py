@@ -386,3 +386,97 @@ def ingest_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# ingest-time NOVELTY accounting — the freshness monitor a continuous
+# corpus ingest runs next to the dedup gate: per micro-batch, how many
+# of the batch's distinct shingles has the store never seen?
+
+
+def _shingle_store_name(target_dir: str) -> str:
+    import hashlib
+
+    return "novelty_sh_" + hashlib.md5(target_dir.encode()).hexdigest()[:10]
+
+
+def ingest_novelty_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    store_table: str | None = None,
+    store_buckets: int = SIG_BUCKETS,
+):
+    """Documents stream → per-batch shingle-novelty rate, persisted to
+    ``target_dir/novelty`` as (batch_id, n_shingles, n_novel,
+    novelty_rate) — the streaming twin of ext/dedup.source_novelty
+    with arrival order in place of source order. A feed whose novelty
+    rate decays to zero is re-crawling, not growing — the signal that
+    gates further ingest spend.
+
+    Replay safety mirrors the dedup gate: the store is partitioned by
+    batch_id, a redelivered batch first excludes (and then DROPs) its
+    own partition, so it recomputes the identical answer. Scale
+    mirrors it too: the store is a BUCKETED table keyed by the 8-byte
+    shingle hash — the anti-join that classifies every batch reads
+    store buckets in place (no store-side Exchange); only the batch's
+    distinct hashes shuffle, so per-batch cost is O(batch shingles),
+    not O(store)."""
+    from transferdb_spark.ext.dedup import SHINGLE_HASHES, _shingled
+
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    out_dir = os.path.join(target_dir, "novelty")
+    table = store_table or _shingle_store_name(target_dir)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        hashes = (
+            _shingled(batch)
+            .select(F.explode(F.expr(SHINGLE_HASHES)).alias("h"))
+            .distinct()
+            .persist()
+        )
+        try:
+            novel = hashes
+            if spark.catalog.tableExists(table):
+                store = spark.table(table).where(
+                    F.col("batch_id") != batch_id  # replay safety
+                )
+                novel = hashes.join(store.select("h"), "h", "left_anti")
+            novel = novel.persist()
+            n_sh, n_novel = hashes.count(), novel.count()
+            rate = round(n_novel / n_sh, 6) if n_sh else 0.0
+            spark.createDataFrame(
+                [(batch_id, n_sh, n_novel, rate)],
+                "batch_id long, n_shingles long, n_novel long, novelty_rate double",
+            ).coalesce(1).write.mode("overwrite").partitionBy("batch_id").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(out_dir)
+            if spark.catalog.tableExists(table):
+                spark.sql(
+                    f"ALTER TABLE {table} DROP IF EXISTS PARTITION (batch_id={batch_id})"
+                )
+            (
+                novel.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .partitionBy("batch_id")
+                .bucketBy(store_buckets, "h")
+                .sortBy("h")
+                .format("parquet")
+                .saveAsTable(table)
+            )
+        finally:
+            novel.unpersist()
+            hashes.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
