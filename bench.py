@@ -530,8 +530,6 @@ def _bench_stream_rollup(spark) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _bench_stream_novelty(spark) -> float:
@@ -570,3 +568,7 @@ def _bench_stream_novelty(spark) -> float:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.sql(f"DROP TABLE IF EXISTS {_shingle_store_name(tgt)}")
         shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

