@@ -1733,6 +1733,15 @@ def source_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_novelty(_t(spark, sf_dir, "documents"))
 
 
+def kmeans_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette over the SemDeDup k-means
+    (NEW r9): O(n·k) centroid form — one Arrow pass + k-row aggregate;
+    exact-integer d², SIL_SCALE-grid scores; oracle replays training."""
+    from transferdb_spark.ext.semdedup import kmeans_silhouette
+
+    return kmeans_silhouette(_t(spark, sf_dir, "embeddings"))
+
+
 def source_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source shingle-set Jaccard (NEW r9): ground-truth
     source similarity matrix — hash-keyed intersection self-join,
@@ -1792,6 +1801,12 @@ def _source_novelty_sql() -> str:
     from transferdb_spark.ext.dedup import source_novelty_sql
 
     return source_novelty_sql()
+
+
+def _kmeans_silhouette_sql() -> str:
+    from transferdb_spark.ext.semdedup import kmeans_silhouette_sql
+
+    return kmeans_silhouette_sql()
 
 
 def _source_jaccard_sql() -> str:
@@ -5328,6 +5343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_purity": lsh_cluster_purity_q,
         "source_novelty": source_novelty_q,
         "source_jaccard": source_jaccard_q,
+        "kmeans_silhouette": kmeans_silhouette_q,
         "source_minhash_jaccard": source_minhash_jaccard_q,
         "length_outliers": length_outliers_q,
         "blocklist_filter": blocklist_filter_q,
@@ -5650,6 +5666,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_purity": _lsh_cluster_purity_sql(),
         "source_novelty": _source_novelty_sql(),
         "source_jaccard": _source_jaccard_sql(),
+        "kmeans_silhouette": _kmeans_silhouette_sql(),
         "source_minhash_jaccard": _source_minhash_jaccard_sql(),
         "length_outliers": _length_outliers_sql(),
         "blocklist_filter": _blocklist_filter_sql(),

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "length_outliers",
     "source_jaccard",
     "source_minhash_jaccard",
+    "kmeans_silhouette",
 ]
 
 

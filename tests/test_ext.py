@@ -3868,3 +3868,49 @@ def test_source_minhash_jaccard_tracks_exact(spark):
     assert got[("a", "b")]["est_jaccard"] == 1.0
     assert got[("a", "d")]["n_matched"] == 0
     assert 0.0 < got[("a", "c")]["est_jaccard"] <= 1.0
+
+
+def test_kmeans_silhouette_matches_numpy_reference(spark, emb):
+    """Differential: the Arrow silhouette pass must equal a sequential
+    numpy replay of the exact-integer recurrence (train → assign →
+    a²/b² → grid-snap → per-cluster mean/min), and every score must
+    land in [0, 1] (assignment is argmin over the final centroids, so
+    a ≤ b by construction)."""
+    import numpy as np
+
+    from transferdb_spark.ext.semdedup import (
+        ITERS,
+        K,
+        SIL_SCALE,
+        kmeans_centroids,
+        kmeans_silhouette,
+    )
+    from transferdb_spark.ext.similarity import QSCALE
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * QSCALE + 0.5
+    ).astype(np.int64)
+
+    C = np.asarray(kmeans_centroids(emb, K, ITERS), dtype=np.int64)
+    S = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)
+    own = np.argmin(S, axis=1)
+    d2 = (X * X).sum(axis=1)[:, None] + S
+    r = np.arange(len(X))
+    a2 = d2[r, own]
+    masked = d2.copy()
+    masked[r, own] = np.iinfo(np.int64).max
+    b2 = masked.min(axis=1)
+    hi = np.maximum(a2, b2).astype(np.float64)
+    s = np.where(hi == 0, 0.0, (np.sqrt(b2.astype(float)) - np.sqrt(a2.astype(float))) / np.sqrt(hi))
+    sq = np.floor(s * SIL_SCALE + 0.5).astype(np.int64)
+
+    got = {g["cluster"]: g for g in kmeans_silhouette(emb).collect()}
+    for c in sorted(set(own)):
+        m = sq[own == c]
+        assert got[c]["n_vecs"] == len(m)
+        # stable_round is half-up; Python round() is banker's
+        half_up = lambda v: np.floor(v * 1e6 + 0.5) / 1e6
+        assert got[c]["mean_silhouette"] == half_up(m.sum() / (len(m) * SIL_SCALE))
+        assert got[c]["min_silhouette"] == half_up(m.min() / SIL_SCALE)
+        assert 0.0 <= got[c]["min_silhouette"] <= got[c]["mean_silhouette"] <= 1.0

@@ -453,3 +453,133 @@ SELECT vec_id, cluster, CAST(cluster_size AS INT) AS cluster_size, quota
 FROM rk WHERE rn <= quota
 ORDER BY cluster, vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cluster-quality audit — simplified silhouette
+
+
+SIL_SCALE = 1_000_000  # silhouette quantization grid (6dp)
+
+
+def _silhouette_udf(cents: list[list[int]]):
+    """struct(cluster, sq) in ONE Arrow pass: own-cluster assignment +
+    the quantized simplified-silhouette score. d² to every centroid is
+    the exact-integer identity ‖x‖² + ‖c‖² − 2x·c; the only floats are
+    the final sqrt/div, computed from identical int64 inputs on both
+    engines (IEEE sqrt is correctly rounded), then snapped to the
+    SIL_SCALE grid so aggregation stays exact-integer."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    C = np.asarray(cents, dtype=np.int64)
+    CN2 = (C * C).sum(axis=1)
+    out_t = StructType(
+        [StructField("cluster", IntegerType()), StructField("sq", LongType())]
+    )
+
+    @pandas_udf(out_t)
+    def score(e: pd.Series) -> pd.DataFrame:
+        X = _qmat(e)
+        if X.shape[0] == 0:
+            return pd.DataFrame(
+                {"cluster": pd.Series([], dtype="int32"),
+                 "sq": pd.Series([], dtype="int64")}
+            )
+        S = CN2[None, :] - 2 * (X @ C.T)
+        own = np.argmin(S, axis=1)  # first-min → lowest cluster on ties
+        d2 = (X * X).sum(axis=1)[:, None] + S  # exact int64 distances²
+        rows = np.arange(X.shape[0])
+        a2 = d2[rows, own]
+        masked = d2.copy()
+        masked[rows, own] = np.iinfo(np.int64).max
+        b2 = masked.min(axis=1)
+        hi = np.maximum(a2, b2).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (np.sqrt(b2.astype(np.float64)) - np.sqrt(a2.astype(np.float64))) / np.sqrt(hi)
+        s = np.where(hi == 0, 0.0, s)
+        sq = np.floor(s * SIL_SCALE + 0.5).astype(np.int64)
+        return pd.DataFrame({"cluster": own.astype(np.int32), "sq": sq})
+
+    return score
+
+
+def kmeans_silhouette(emb: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
+    """Per-cluster simplified silhouette (Hruschka et al.'s centroid
+    variant of Rousseeuw 1987, public literature): for each vector,
+    a = distance to its OWN final centroid, b = distance to the nearest
+    OTHER centroid, s = (b−a)/max(a,b). The cluster-quality audit read
+    next to [[semdedup_clusters]] before trusting a SemDeDup prune or a
+    cluster-balanced sample: a cluster whose mean s ≈ 0 is an arbitrary
+    Voronoi slice, not a semantic group.
+
+    Scale: the full silhouette is O(n²) — a non-starter; this is the
+    O(n·k) centroid form. Training is the shared fixed-round Lloyd
+    loop; scoring is ONE stateless Arrow pass (centroid matrix in the
+    UDF closure, k×DIM ints), then a k-row groupBy. No joins, no
+    shuffle beyond the k-row aggregate — corpus size appears only in
+    the scan. Since assignment IS argmin over the final centroids,
+    a ≤ b and s ∈ [0, 1] here. All comparisons exact-integer; the
+    per-row score snaps to the SIL_SCALE grid so sums are
+    order-independent across engines."""
+    cents = kmeans_centroids(emb, k, iters)
+    scored = emb.select(_silhouette_udf(cents)(F.col("embedding")).alias("s")).select(
+        F.col("s.cluster").alias("cluster"), F.col("s.sq").alias("sq")
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq").alias("ssum"),
+            F.min("sq").alias("smin"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n").cast("long").alias("n_vecs"),
+            stable_round(
+                F.col("ssum").cast("double") / (F.col("n") * F.lit(float(SIL_SCALE))), 6
+            ).alias("mean_silhouette"),
+            stable_round(F.col("smin").cast("double") / F.lit(float(SIL_SCALE)), 6).alias(
+                "min_silhouette"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+def kmeans_silhouette_sql(k: int = K, iters: int = ITERS) -> str:
+    mean_s = stable_round_sql(
+        f"CAST(SUM(sq) AS DOUBLE) / (COUNT(*) * {float(SIL_SCALE)})", 6
+    )
+    min_s = stable_round_sql(f"CAST(MIN(sq) AS DOUBLE) / {float(SIL_SCALE)}", 6)
+    return f"""
+WITH {_kmeans_ctes(k, iters)},
+cnf AS (SELECT cluster, SUM(q[g.i] * q[g.i]) AS n2c
+        FROM c{iters}, UNNEST(generate_series(1, {DIM})) g(i) GROUP BY cluster),
+m2 AS (
+  SELECT e.vec_id, c.cluster, MIN(cn.n2c) - 2 * SUM(e.xq[g.i] * c.q[g.i]) AS m
+  FROM eq e CROSS JOIN c{iters} c
+  JOIN cnf cn ON cn.cluster = c.cluster,
+  UNNEST(generate_series(1, {DIM})) g(i)
+  GROUP BY e.vec_id, c.cluster
+),
+scored AS (
+  SELECT d.vec_id, f.cluster,
+         MIN(CASE WHEN d.cluster = f.cluster THEN n.n2 + d.m END) AS a2,
+         MIN(CASE WHEN d.cluster <> f.cluster THEN n.n2 + d.m END) AS b2
+  FROM m2 d JOIN aF f USING (vec_id) JOIN nm n USING (vec_id)
+  GROUP BY d.vec_id, f.cluster
+),
+si AS (
+  SELECT cluster,
+         CASE WHEN greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                   / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) * {SIL_SCALE} + 0.5) AS BIGINT)
+         END AS sq
+  FROM scored
+)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST({mean_s} AS DOUBLE) AS mean_silhouette,
+       CAST({min_s} AS DOUBLE) AS min_silhouette
+FROM si GROUP BY cluster ORDER BY cluster
+"""
