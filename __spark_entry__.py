@@ -1733,6 +1733,15 @@ def source_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_novelty(_t(spark, sf_dir, "documents"))
 
 
+def source_kl_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential per-source KL drift vs ingest history (NEW r9):
+    distribution-shift companion to source_novelty — term-partitioned
+    cumulative window, DECIMAL(38,0) ln-micro sums."""
+    from transferdb_spark.ext.text import source_kl_drift
+
+    return source_kl_drift(_t(spark, sf_dir, "documents"))
+
+
 def kmeans_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster simplified silhouette over the SemDeDup k-means
     (NEW r9): O(n·k) centroid form — one Arrow pass + k-row aggregate;
@@ -1801,6 +1810,12 @@ def _source_novelty_sql() -> str:
     from transferdb_spark.ext.dedup import source_novelty_sql
 
     return source_novelty_sql()
+
+
+def _source_kl_drift_sql() -> str:
+    from transferdb_spark.ext.text import source_kl_drift_sql
+
+    return source_kl_drift_sql()
 
 
 def _kmeans_silhouette_sql() -> str:
@@ -5344,6 +5359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_novelty": source_novelty_q,
         "source_jaccard": source_jaccard_q,
         "kmeans_silhouette": kmeans_silhouette_q,
+        "source_kl_drift": source_kl_drift_q,
         "source_minhash_jaccard": source_minhash_jaccard_q,
         "length_outliers": length_outliers_q,
         "blocklist_filter": blocklist_filter_q,
@@ -5667,6 +5683,7 @@ def oracle_sql() -> dict[str, str]:
         "source_novelty": _source_novelty_sql(),
         "source_jaccard": _source_jaccard_sql(),
         "kmeans_silhouette": _kmeans_silhouette_sql(),
+        "source_kl_drift": _source_kl_drift_sql(),
         "source_minhash_jaccard": _source_minhash_jaccard_sql(),
         "length_outliers": _length_outliers_sql(),
         "blocklist_filter": _blocklist_filter_sql(),

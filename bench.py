@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "source_jaccard",
     "source_minhash_jaccard",
     "kmeans_silhouette",
+    "source_kl_drift",
 ]
 
 

@@ -3914,3 +3914,23 @@ def test_kmeans_silhouette_matches_numpy_reference(spark, emb):
         assert got[c]["mean_silhouette"] == half_up(m.sum() / (len(m) * SIL_SCALE))
         assert got[c]["min_silhouette"] == half_up(m.min() / SIL_SCALE)
         assert 0.0 <= got[c]["min_silhouette"] <= got[c]["mean_silhouette"] <= 1.0
+
+
+def test_source_kl_drift_orders_shift(spark):
+    """Hand-built: first source has NULL drift (no history); a source
+    repeating the history's token mix drifts less than one with a
+    disjoint vocabulary; history scalars accumulate exactly."""
+    from transferdb_spark.ext.text import source_kl_drift
+
+    t_mix = "cat dog cat dog cat dog cat dog"
+    t_new = "zebra quagga okapi tapir zebra quagga okapi tapir"
+    docs = spark.createDataFrame(
+        [(1, t_mix, "a"), (2, t_mix, "b"), (3, t_new, "c")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r.asDict() for r in source_kl_drift(docs).collect()}
+    assert got["a"]["kl_drift"] is None and got["a"]["n_hist_tokens"] == 0
+    assert got["b"]["n_hist_tokens"] == got["a"]["n_tokens"]
+    assert got["c"]["n_hist_tokens"] == got["a"]["n_tokens"] + got["b"]["n_tokens"]
+    assert got["b"]["hist_vocab"] == 2 and got["c"]["hist_vocab"] == 2
+    assert got["b"]["kl_drift"] < got["c"]["kl_drift"]  # same mix vs disjoint

@@ -1947,3 +1947,146 @@ FROM lens l JOIN mad m USING (source)
 GROUP BY m.source, m.n_docs, m.med_len, m.mad_len
 ORDER BY m.source
 """
+
+
+def source_kl_drift(docs: DataFrame) -> DataFrame:
+    """Sequential vocabulary drift per source — consumed in source-name
+    order, how far has each source's token distribution moved from
+    everything ingested before it? KL(source ‖ history) restricted to
+    the source's own support, with add-one smoothing on the history
+    side over the union vocabulary — the distribution-shift companion
+    to the set-freshness [[source_novelty]] curve (novelty says "new
+    shingles"; drift says "different MIX"). First source has no
+    history → NULL.
+
+    Shape: one token explode + groupBy(src, term) — the vocab-build
+    shuffle, O(distinct (src,term)) rows; the per-term history count
+    is ONE cumulative window PARTITIONED BY TERM (same key as the
+    vocab build, exchange reused — never a global window); per-source
+    scalars (token totals, cumulative vocab) come from a triangular
+    self-join of the sources-sized relation (broadcast, n_sources²
+    rows). Cross-engine determinism: the ln is quantized ONCE to
+    BIGINT micro-units (the idf discipline), per-term contributions
+    c·ln_micro accumulate in DECIMAL(38,0) — exact and
+    order-independent — and the single divide happens at the output
+    boundary."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.col("source").alias("src"), F.explode(F.expr(TOKENS)).alias("term"))
+        .groupBy("src", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_hist = (
+        Window.partitionBy("term")
+        .orderBy("src")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_ch = counts.withColumn("ch", F.coalesce(F.sum("c").over(w_hist), F.lit(0)))
+
+    per_src = counts.groupBy("src").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab")
+    )
+    news = (
+        counts.groupBy("term")
+        .agg(F.min("src").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("v_new"))
+    )
+    base = per_src.join(news, "src", "left").select(
+        "src", "n", "vocab", F.coalesce("v_new", F.lit(0)).alias("v_new")
+    )
+    # cumulative history scalars via a triangular self-join of the
+    # sources-sized relation — NOT a global (single-partition) window
+    b = base.select(
+        F.col("src").alias("bsrc"), F.col("n").alias("bn"), F.col("v_new").alias("bv")
+    )
+    scalars = (
+        base.join(F.broadcast(b), F.col("bsrc") < F.col("src"), "left")
+        .groupBy("src", "n", "vocab")
+        .agg(
+            F.coalesce(F.sum("bn"), F.lit(0)).alias("n_h"),
+            F.coalesce(F.sum("bv"), F.lit(0)).alias("v_h"),
+        )
+    )
+
+    ln_arg = (F.col("c").cast("double") * (F.col("n_h") + F.col("v_h")).cast("double")) / (
+        F.col("n").cast("double") * (F.col("ch") + 1).cast("double")
+    )
+    ln_micro = F.floor(F.log(ln_arg) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    contrib = (F.col("c") * ln_micro).cast("decimal(38,0)")
+    return (
+        with_ch.join(F.broadcast(scalars), "src")
+        .groupBy("src", "n", "vocab", "n_h", "v_h")
+        .agg(F.sum(contrib).alias("ssum"))
+        .select(
+            F.col("src").alias("source"),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.col("n_h").cast("long").alias("n_hist_tokens"),
+            F.col("v_h").cast("long").alias("hist_vocab"),
+            F.when(
+                F.col("n_h") > 0,
+                stable_round(
+                    F.col("ssum").cast("double") / (F.col("n").cast("double") * F.lit(1e6)),
+                    9,
+                ),
+            ).alias("kl_drift"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_kl_drift_sql() -> str:
+    ln_arg = (
+        "(CAST(c AS DOUBLE) * CAST(n_h + v_h AS DOUBLE)) / "
+        "(CAST(n AS DOUBLE) * CAST(ch + 1 AS DOUBLE))"
+    )
+    ln_micro = f"CAST(floor(ln({ln_arg}) * 1000000.0 + 0.5) AS BIGINT)"
+    kl = stable_round_sql("CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)", 9)
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT source AS src, u.tok AS term, COUNT(*) AS c
+  FROM (SELECT source, {TOKENS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
+  GROUP BY 1, 2
+),
+with_ch AS (
+  SELECT src, term, c,
+         COALESCE(SUM(c) OVER (PARTITION BY term ORDER BY src
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ch
+  FROM counts
+),
+per_src AS (SELECT src, SUM(c) AS n, COUNT(*) AS vocab FROM counts GROUP BY src),
+news AS (
+  SELECT src, COUNT(*) AS v_new
+  FROM (SELECT term, MIN(src) AS src FROM counts GROUP BY term) GROUP BY src
+),
+base AS (
+  SELECT p.src, p.n, p.vocab, COALESCE(w.v_new, 0) AS v_new
+  FROM per_src p LEFT JOIN news w USING (src)
+),
+scalars AS (
+  SELECT a.src, a.n, a.vocab,
+         COALESCE(SUM(b.n), 0) AS n_h, COALESCE(SUM(b.v_new), 0) AS v_h
+  FROM base a LEFT JOIN base b ON b.src < a.src
+  GROUP BY 1, 2, 3
+),
+agged AS (
+  SELECT src, n, vocab, n_h, v_h,
+         -- guard: first source has no history -> ln(0); DuckDB raises
+         -- where Spark's log() returns NULL, and the output CASE masks
+         -- the row anyway
+         SUM(CASE WHEN n_h > 0 THEN CAST(c * {ln_micro} AS DECIMAL(38,0)) END) AS ssum
+  FROM (SELECT wc.src, wc.c, wc.ch, sc.n, sc.vocab, sc.n_h, sc.v_h
+        FROM with_ch wc JOIN scalars sc USING (src)) w
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT src AS source,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       CAST(n_h AS BIGINT) AS n_hist_tokens,
+       CAST(v_h AS BIGINT) AS hist_vocab,
+       CASE WHEN n_h > 0 THEN CAST({kl} AS DOUBLE) END AS kl_drift
+FROM agged
+ORDER BY source
+"""
