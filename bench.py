@@ -262,6 +262,11 @@ def main() -> None:
         total += timings["stream_novelty"]
     except Exception as exc:  # noqa: BLE001 — isolate per query
         errors["stream_novelty"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        timings["stream_drift"] = round(_bench_stream_drift(spark), 3)
+        total += timings["stream_drift"]
+    except Exception as exc:  # noqa: BLE001 — isolate per query
+        errors["stream_drift"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # estimator hygiene: "best"/"best_total" are BATCH best-of-N only
     # (the snapshot above — stream queries are single-shot cold numbers
@@ -569,6 +574,46 @@ def _bench_stream_novelty(spark) -> float:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.sql(f"DROP TABLE IF EXISTS {_shingle_store_name(tgt)}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
+
+
+def _bench_stream_drift(spark) -> float:
+    """Time an availableNow pass of the ingest-time KL-drift monitor
+    (round 9) over the documents table fed as TWO drops: batch 0
+    builds the bucketed token-count store, batch 1 measures drift
+    against it (same file -> drift ~0) via the Exchange-free store
+    join + scalar history from the metric rows."""
+    import shutil
+    import tempfile
+
+    from transferdb_spark.streaming.corpus import (
+        _term_store_name,
+        ingest_drift_stream,
+    )
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    work = tempfile.mkdtemp(prefix="bench_sdrift_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    tgt = os.path.join(work, "tgt")
+    try:
+        feed = os.path.join(work, "feed")
+        os.makedirs(feed)
+        os.symlink(src, os.path.join(feed, "drop0.parquet"))
+        os.symlink(src, os.path.join(feed, "drop1.parquet"))
+        t0 = time.time()
+        q = ingest_drift_stream(
+            spark, feed, tgt, os.path.join(work, "ckpt"), max_files_per_trigger=1
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        spark.read.parquet(os.path.join(tgt, "drift")).collect()
+        return dt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.sql(f"DROP TABLE IF EXISTS {_term_store_name(tgt)}")
         shutil.rmtree(work, ignore_errors=True)
 
 

@@ -360,3 +360,51 @@ def test_ingest_novelty_stream_tracks_fresh_shingles(spark, tmp_path):
     assert rows[1]["n_shingles"] == h2.count()
     assert rows[1]["n_novel"] == exp2
     assert 0.0 < rows[1]["novelty_rate"] < 1.0
+
+
+def test_ingest_drift_stream_matches_batch_curve(spark, tmp_path):
+    """Equivalence: with one drop per source, arriving in source-name
+    order, the streaming KL-drift curve must reproduce the batch
+    source_kl_drift numbers exactly (same estimator, same ln grid,
+    same DECIMAL sums)."""
+    import random
+
+    from transferdb_spark.ext.text import source_kl_drift
+    from transferdb_spark.streaming.corpus import ingest_drift_stream
+
+    rng = random.Random(17)
+    words = [f"w{i}" for i in range(120)]
+
+    def doc(n=60):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    batches = [
+        [(10 * b + i, doc(), f"s{b}") for i in range(4)] for b in range(3)
+    ]
+    src = str(tmp_path / "src")
+    all_rows = []
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string, source string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        all_rows += rows
+
+    q = ingest_drift_stream(
+        spark, src, str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["batch_id"]: r.asDict()
+        for r in spark.read.parquet(str(tmp_path / "tgt" / "drift")).collect()
+    }
+    docs = spark.createDataFrame(all_rows, "doc_id long, text string, source string")
+    want = {r["source"]: r.asDict() for r in source_kl_drift(docs).collect()}
+    assert set(got) == {0, 1, 2}
+    for b in range(3):
+        g, w = got[b], want[f"s{b}"]
+        assert g["n_tokens"] == w["n_tokens"]
+        assert g["vocab"] == w["vocab"]
+        assert g["n_hist_tokens"] == w["n_hist_tokens"]
+        assert g["hist_vocab"] == w["hist_vocab"]
+        assert g["kl_drift"] == w["kl_drift"]

@@ -485,3 +485,141 @@ def ingest_novelty_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# ingest-time DISTRIBUTION-drift accounting — the streaming twin of
+# ext/text.source_kl_drift with arrival order in place of source
+# order: per micro-batch, KL(batch ‖ everything ingested before it).
+
+
+def _term_store_name(target_dir: str) -> str:
+    import hashlib
+
+    return "drift_tc_" + hashlib.md5(target_dir.encode()).hexdigest()[:10]
+
+
+def ingest_drift_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    store_table: str | None = None,
+    store_buckets: int = SIG_BUCKETS,
+):
+    """Documents stream → per-batch vocabulary KL drift, persisted to
+    ``target_dir/drift`` as (batch_id, n_tokens, vocab, v_new,
+    n_hist_tokens, hist_vocab, kl_drift). Same estimator as the batch
+    [[source_kl_drift]] (support-restricted KL, add-one smoothing on
+    the history side, ln quantized to BIGINT micro-units, DECIMAL
+    sums), so when each drop is one source the stream reproduces the
+    batch curve exactly — pinned by test. A feed whose drift collapses
+    to ~0 is sending the same mix; a spike is a changed upstream.
+
+    Scale/replay mirror the novelty monitor: the token-count store is
+    a BUCKETED table keyed by term (store side joins its buckets in
+    place, no Exchange; only the batch's vocabulary shuffles), history
+    SCALARS come from the tiny per-batch metric rows (never a store
+    scan), and a redelivered batch excludes-then-DROPs its own store
+    partition, recomputing the identical answer. Per-batch cost is
+    O(batch vocabulary), not O(store)."""
+    from transferdb_spark.ext.text import TOKENS
+
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    out_dir = os.path.join(target_dir, "drift")
+    table = store_table or _term_store_name(target_dir)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch.select(F.explode(F.expr(TOKENS)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        try:
+            # history scalars from prior metric rows — O(#batches)
+            n_h = v_h = 0
+            if os.path.isdir(out_dir):
+                prior = (
+                    spark.read.parquet(out_dir)
+                    .where(F.col("batch_id") != batch_id)  # replay safety
+                    .agg(F.sum("n_tokens").alias("n"), F.sum("v_new").alias("v"))
+                    .first()
+                )
+                n_h, v_h = int(prior["n"] or 0), int(prior["v"] or 0)
+            hist = None
+            if spark.catalog.tableExists(table):
+                hist = (
+                    spark.table(table)
+                    .where(F.col("batch_id") != batch_id)
+                    .select("term", F.col("c").alias("hc"))
+                )
+            if hist is not None:
+                ch = (
+                    counts.join(hist, "term", "left")
+                    .groupBy("term", "c")
+                    .agg(F.coalesce(F.sum("hc"), F.lit(0)).alias("ch"))
+                )
+            else:
+                ch = counts.select("term", "c", F.lit(0).alias("ch"))
+            ln_arg = (F.col("c").cast("double") * F.lit(float(n_h + v_h))) / (
+                F.col("n").cast("double") * (F.col("ch") + 1).cast("double")
+            )
+            agg = ch.crossJoin(
+                ch.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab"))
+            ).agg(
+                F.first("n").alias("n"),
+                F.first("vocab").alias("vocab"),
+                F.sum(F.when(F.col("ch") == 0, 1).otherwise(0)).alias("v_new"),
+                F.sum(
+                    F.when(
+                        F.lit(n_h > 0),
+                        (
+                            F.col("c")
+                            * F.floor(F.log(ln_arg) * F.lit(1e6) + F.lit(0.5)).cast("long")
+                        ).cast("decimal(38,0)"),
+                    )
+                ).alias("ssum"),
+            ).first()
+            n_b, vocab_b, v_new = int(agg["n"] or 0), int(agg["vocab"] or 0), int(agg["v_new"] or 0)
+            kl = None
+            if n_h > 0 and agg["ssum"] is not None and n_b:
+                # driver-side twin of canonical.stable_round (half-up
+                # via floor — matches the batch operator bit-for-bit)
+                import math
+
+                kl = math.floor(float(agg["ssum"]) / (n_b * 1e6) * 1e9 + 0.5) / 1e9
+            spark.createDataFrame(
+                [(batch_id, n_b, vocab_b, v_new, n_h, v_h, kl)],
+                "batch_id long, n_tokens long, vocab long, v_new long, "
+                "n_hist_tokens long, hist_vocab long, kl_drift double",
+            ).repartition(1).write.mode("overwrite").partitionBy("batch_id").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(out_dir)
+            if spark.catalog.tableExists(table):
+                spark.sql(
+                    f"ALTER TABLE {table} DROP IF EXISTS PARTITION (batch_id={batch_id})"
+                )
+            (
+                counts.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .partitionBy("batch_id")
+                .bucketBy(store_buckets, "term")
+                .sortBy("term")
+                .format("parquet")
+                .saveAsTable(table)
+            )
+        finally:
+            counts.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
