@@ -1733,6 +1733,16 @@ def source_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_novelty(_t(spark, sf_dir, "documents"))
 
 
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprints (NEW r9, MOSS scheme): rightmost
+    min of each w-window of k-gram hashes — guaranteed shared
+    fingerprint for any ≥ w+k−1-token overlap; one narrow explode +
+    one doc-partitioned window pass."""
+    from transferdb_spark.ext.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def source_kl_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential per-source KL drift vs ingest history (NEW r9):
     distribution-shift companion to source_novelty — term-partitioned
@@ -1810,6 +1820,12 @@ def _source_novelty_sql() -> str:
     from transferdb_spark.ext.dedup import source_novelty_sql
 
     return source_novelty_sql()
+
+
+def _winnow_fingerprints_sql() -> str:
+    from transferdb_spark.ext.text import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql()
 
 
 def _source_kl_drift_sql() -> str:
@@ -5360,6 +5376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_jaccard": source_jaccard_q,
         "kmeans_silhouette": kmeans_silhouette_q,
         "source_kl_drift": source_kl_drift_q,
+        "winnow_fingerprints": winnow_fingerprints_q,
         "source_minhash_jaccard": source_minhash_jaccard_q,
         "length_outliers": length_outliers_q,
         "blocklist_filter": blocklist_filter_q,
@@ -5684,6 +5701,7 @@ def oracle_sql() -> dict[str, str]:
         "source_jaccard": _source_jaccard_sql(),
         "kmeans_silhouette": _kmeans_silhouette_sql(),
         "source_kl_drift": _source_kl_drift_sql(),
+        "winnow_fingerprints": _winnow_fingerprints_sql(),
         "source_minhash_jaccard": _source_minhash_jaccard_sql(),
         "length_outliers": _length_outliers_sql(),
         "blocklist_filter": _blocklist_filter_sql(),

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "source_minhash_jaccard",
     "kmeans_silhouette",
     "source_kl_drift",
+    "winnow_fingerprints",
 ]
 
 

@@ -3934,3 +3934,50 @@ def test_source_kl_drift_orders_shift(spark):
     assert got["c"]["n_hist_tokens"] == got["a"]["n_tokens"] + got["b"]["n_tokens"]
     assert got["b"]["hist_vocab"] == 2 and got["c"]["hist_vocab"] == 2
     assert got["b"]["kl_drift"] < got["c"]["kl_drift"]  # same mix vs disjoint
+
+
+def test_winnow_fingerprints_guarantee_and_reference(spark):
+    """The winnowing guarantee: docs sharing a run of ≥ w+k−1 tokens
+    share at least one fingerprint; per-doc selection matches a
+    sequential Python replay (rightmost-min per full window)."""
+    import random
+
+    from transferdb_spark.ext.dedup import _h64
+    from transferdb_spark.ext.text import WINNOW_K, WINNOW_W, winnow_fingerprints
+
+    rng = random.Random(23)
+    words = [f"t{i}" for i in range(300)]
+
+    def doc(n=50):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    shared = doc(WINNOW_W + WINNOW_K - 1)  # exactly the guarantee length
+    d1 = doc() + " " + shared + " " + doc()
+    d2 = doc() + " " + shared + " " + doc()
+    d3 = doc()
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    fps = {d: {fp for _, fp in v} for d, v in by_doc.items()}
+    assert fps[1] & fps[2]  # guarantee: shared run -> shared fingerprint
+
+    # sequential replay on doc 3 (hashes via Spark to share the exact md5 contract)
+    toks = d3.lower().split()
+    grams = [" ".join(toks[i : i + WINNOW_K]) for i in range(len(toks) - WINNOW_K + 1)]
+    hs = [
+        r["h"]
+        for r in spark.createDataFrame([(g,) for g in grams], "s string")
+        .selectExpr(_h64("s") + " AS h")
+        .collect()
+    ]
+    want = set()
+    for j in range(len(hs) - WINNOW_W + 1):
+        window = hs[j : j + WINNOW_W]
+        m = min(window)
+        p = max(i for i, h in enumerate(window) if h == m) + j
+        want.add((p, hs[p]))
+    assert set(by_doc[3]) == want

@@ -2090,3 +2090,82 @@ SELECT src AS source,
 FROM agged
 ORDER BY source
 """
+
+
+WINNOW_K = 4  # k-gram width of each fingerprint hash
+WINNOW_W = 8  # winnowing window: one fingerprint per w consecutive grams
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting",
+    public literature — the MOSS scheme): hash every k-token gram,
+    then in each sliding window of w consecutive gram hashes select
+    the minimum, rightmost on ties. The selection guarantees that any
+    shared run of ≥ w+k−1 tokens yields at least one SHARED
+    fingerprint, with expected density 2/(w+1) — the property the
+    whole-text [[doc_fingerprint]] digest and fixed-stride shingles
+    both lack (robust to single-token edits and to alignment shift).
+    Plagiarism/copy detection joins on fp; containment dedup uses the
+    fingerprint sets as a cheap pre-filter.
+
+    Shape: one narrow gram-hash explode (O(tokens) rows, 8-byte
+    hashes), then ONE window pass partitioned by doc_id — the
+    rightmost-min per window is a single max(struct(-h, pos)) window
+    aggregate, no self-join, no shuffle beyond the doc_id
+    repartition. Docs shorter than k+w−1 tokens have no full window
+    and are excluded on both engines."""
+    from transferdb_spark.ext.dedup import _h64
+    from pyspark.sql.window import Window
+
+    gram = _h64(f"concat_ws(' ', slice(toks, i, {k}))")
+    grams = f"transform(sequence(1, size(toks) - {k} + 1), i -> {gram})"
+    g = (
+        docs.withColumn("toks", F.expr(TOKENS))
+        .where(F.size("toks") >= k + w - 1)
+        .select("doc_id", F.posexplode(F.expr(grams)).alias("g", "h"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("g").rowsBetween(0, w - 1)
+    sel = F.max(F.struct((-F.col("h")).alias("nh"), F.col("g").alias("p"))).over(win)
+    cnt = F.count(F.lit(1)).over(win)
+    return (
+        g.select("doc_id", sel.alias("s"), cnt.alias("cnt"))
+        .where(F.col("cnt") == w)  # full windows only
+        .select(
+            "doc_id",
+            F.col("s.p").cast("int").alias("pos"),
+            (-F.col("s.nh")).cast("long").alias("fp"),
+        )
+        .distinct()
+        .orderBy("doc_id", "pos")
+    )
+
+
+def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    from transferdb_spark.ext.dedup import _h64_duck
+
+    gram = _h64_duck(f"array_to_string(list_slice(toks, u.i, u.i + {k} - 1), ' ')")
+    return f"""
+WITH tk AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+g AS MATERIALIZED (
+  SELECT doc_id, u.i - 1 AS g, {gram} AS h
+  FROM tk, UNNEST(generate_series(1, len(toks) - {k} + 1)) u(i)
+  WHERE len(toks) >= {k} + {w} - 1
+),
+mx AS (SELECT doc_id, MAX(g) AS mg FROM g GROUP BY doc_id),
+mem AS (
+  SELECT a.doc_id, a.g AS j, b.g AS p, b.h
+  FROM g a
+  JOIN mx USING (doc_id)
+  JOIN g b ON b.doc_id = a.doc_id AND b.g BETWEEN a.g AND a.g + {w} - 1
+  WHERE a.g <= mx.mg - {w} + 1
+),
+sel AS (
+  SELECT doc_id, j, p, h,
+         row_number() OVER (PARTITION BY doc_id, j ORDER BY h ASC, p DESC) AS rn
+  FROM mem
+)
+SELECT DISTINCT doc_id, CAST(p AS INT) AS pos, CAST(h AS BIGINT) AS fp
+FROM sel WHERE rn = 1
+ORDER BY doc_id, pos
+"""
