@@ -408,3 +408,45 @@ def test_ingest_drift_stream_matches_batch_curve(spark, tmp_path):
         assert g["n_hist_tokens"] == w["n_hist_tokens"]
         assert g["hist_vocab"] == w["hist_vocab"]
         assert g["kl_drift"] == w["kl_drift"]
+
+
+def test_ingest_monitors_replay_identically(spark, tmp_path):
+    """Replay safety: reprocessing the same drops from a FRESH
+    checkpoint (every batch redelivered) must leave both monitors'
+    metric rows and stores byte-identical — each batch excludes, then
+    DROPs and rewrites, its own store partition."""
+    import random
+    import shutil
+
+    from transferdb_spark.streaming.corpus import (
+        ingest_drift_stream,
+        ingest_novelty_stream,
+    )
+
+    rng = random.Random(31)
+    words = [f"w{i}" for i in range(200)]
+    src = str(tmp_path / "src")
+    for b in range(2):
+        rows = [(10 * b + i, " ".join(rng.choice(words) for _ in range(40))) for i in range(4)]
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def run(kind, fn, out_name):
+        tgt = str(tmp_path / f"tgt_{kind}")
+        results = []
+        for attempt in range(2):
+            ckpt = str(tmp_path / f"ckpt_{kind}_{attempt}")  # fresh -> full redelivery
+            q = fn(spark, src, tgt, ckpt, max_files_per_trigger=1)
+            q.awaitTermination(180)
+            rows = sorted(
+                tuple(r) for r in
+                spark.read.parquet(tgt + "/" + out_name)
+                .orderBy("batch_id").collect()
+            )
+            results.append(rows)
+        return results
+
+    first, second = run("nov", ingest_novelty_stream, "novelty")
+    assert first == second
+    first, second = run("dr", ingest_drift_stream, "drift")
+    assert first == second

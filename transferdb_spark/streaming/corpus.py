@@ -317,8 +317,11 @@ def ingest_neardup_stream(
     and (b) the batch itself (min-doc_id wins within a band cluster);
     hits are suppressed, survivors land in docs/batch_id=N and their
     signatures append to the store partition batch_id=N. Replay safety:
-    a redelivered batch first DROPs its own store partition (and is
-    excluded from its own store read), so it lands identically.
+    the store read keeps only STRICTLY-EARLIER partitions and the
+    batch DROPs-then-rewrites its own, so a redelivered batch lands
+    identically — and a restart from a wiped checkpoint (ids reset to
+    0) cannot see "future" partitions either; any stale higher
+    partitions are overwritten as the restarted stream advances.
 
     Scale: the store is a BUCKETED table keyed by band_key — the join
     that gates every batch reads the store's buckets in place with NO
@@ -343,7 +346,7 @@ def ingest_neardup_stream(
             drop = None
             if spark.catalog.tableExists(table):
                 store = spark.table(table).where(
-                    F.col("batch_id") != batch_id  # replay safety
+                    F.col("batch_id") < batch_id  # history = strictly earlier
                 )
                 drop = candidate_store_join(sigs, store)
             within = (
@@ -416,9 +419,10 @@ def ingest_novelty_stream(
     rate decays to zero is re-crawling, not growing — the signal that
     gates further ingest spend.
 
-    Replay safety mirrors the dedup gate: the store is partitioned by
-    batch_id, a redelivered batch first excludes (and then DROPs) its
-    own partition, so it recomputes the identical answer. Scale
+    Replay safety mirrors the dedup gate: history is the
+    STRICTLY-EARLIER store partitions, and a batch DROPs-then-rewrites
+    its own — identical answers under same-id redelivery AND under a
+    wiped-checkpoint restart (pinned by the replay-identity test). Scale
     mirrors it too: the store is a BUCKETED table keyed by the 8-byte
     shingle hash — the anti-join that classifies every batch reads
     store buckets in place (no store-side Exchange); only the batch's
@@ -445,7 +449,7 @@ def ingest_novelty_stream(
             novel = hashes
             if spark.catalog.tableExists(table):
                 store = spark.table(table).where(
-                    F.col("batch_id") != batch_id  # replay safety
+                    F.col("batch_id") < batch_id  # history = strictly earlier
                 )
                 novel = hashes.join(store.select("h"), "h", "left_anti")
             novel = novel.persist()
@@ -521,9 +525,11 @@ def ingest_drift_stream(
     a BUCKETED table keyed by term (store side joins its buckets in
     place, no Exchange; only the batch's vocabulary shuffles), history
     SCALARS come from the tiny per-batch metric rows (never a store
-    scan), and a redelivered batch excludes-then-DROPs its own store
-    partition, recomputing the identical answer. Per-batch cost is
-    O(batch vocabulary), not O(store)."""
+    scan), and history is the STRICTLY-EARLIER partitions with the
+    batch DROPping-then-rewriting its own — identical answers under
+    same-id redelivery and under a wiped-checkpoint restart (pinned by
+    the replay-identity test). Per-batch cost is O(batch vocabulary),
+    not O(store)."""
     from transferdb_spark.ext.text import TOKENS
 
     schema = spark.read.parquet(source_dir).schema
@@ -547,7 +553,7 @@ def ingest_drift_stream(
             if os.path.isdir(out_dir):
                 prior = (
                     spark.read.parquet(out_dir)
-                    .where(F.col("batch_id") != batch_id)  # replay safety
+                    .where(F.col("batch_id") < batch_id)  # history = strictly earlier
                     .agg(F.sum("n_tokens").alias("n"), F.sum("v_new").alias("v"))
                     .first()
                 )
@@ -556,7 +562,7 @@ def ingest_drift_stream(
             if spark.catalog.tableExists(table):
                 hist = (
                     spark.table(table)
-                    .where(F.col("batch_id") != batch_id)
+                    .where(F.col("batch_id") < batch_id)
                     .select("term", F.col("c").alias("hc"))
                 )
             if hist is not None:
