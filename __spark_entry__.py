@@ -1743,6 +1743,15 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def winnow_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS copy-detection pairs (NEW r9): docs sharing ≥2 winnowing
+    fingerprints, with per-side totals for containment; posting-list
+    bounded self-join on the 8-byte fingerprint."""
+    from transferdb_spark.ext.text import winnow_neardup_pairs
+
+    return winnow_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
 def source_kl_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential per-source KL drift vs ingest history (NEW r9):
     distribution-shift companion to source_novelty — term-partitioned
@@ -1820,6 +1829,12 @@ def _source_novelty_sql() -> str:
     from transferdb_spark.ext.dedup import source_novelty_sql
 
     return source_novelty_sql()
+
+
+def _winnow_neardup_pairs_sql() -> str:
+    from transferdb_spark.ext.text import winnow_neardup_pairs_sql
+
+    return winnow_neardup_pairs_sql()
 
 
 def _winnow_fingerprints_sql() -> str:
@@ -5377,6 +5392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_silhouette": kmeans_silhouette_q,
         "source_kl_drift": source_kl_drift_q,
         "winnow_fingerprints": winnow_fingerprints_q,
+        "winnow_neardup_pairs": winnow_neardup_pairs_q,
         "source_minhash_jaccard": source_minhash_jaccard_q,
         "length_outliers": length_outliers_q,
         "blocklist_filter": blocklist_filter_q,
@@ -5702,6 +5718,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_silhouette": _kmeans_silhouette_sql(),
         "source_kl_drift": _source_kl_drift_sql(),
         "winnow_fingerprints": _winnow_fingerprints_sql(),
+        "winnow_neardup_pairs": _winnow_neardup_pairs_sql(),
         "source_minhash_jaccard": _source_minhash_jaccard_sql(),
         "length_outliers": _length_outliers_sql(),
         "blocklist_filter": _blocklist_filter_sql(),

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "kmeans_silhouette",
     "source_kl_drift",
     "winnow_fingerprints",
+    "winnow_neardup_pairs",
 ]
 
 

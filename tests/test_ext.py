@@ -3981,3 +3981,30 @@ def test_winnow_fingerprints_guarantee_and_reference(spark):
         p = max(i for i, h in enumerate(window) if h == m) + j
         want.add((p, hs[p]))
     assert set(by_doc[3]) == want
+
+
+def test_winnow_neardup_pairs_detects_copies(spark):
+    """A doc embedding a long verbatim passage from another is paired
+    with ≥ min_shared shared fingerprints; unrelated docs are not."""
+    import random
+
+    from transferdb_spark.ext.text import winnow_neardup_pairs
+
+    rng = random.Random(41)
+    words = [f"t{i}" for i in range(300)]
+
+    def doc(n=60):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    passage = doc(30)  # long verbatim overlap
+    d1 = doc() + " " + passage
+    d2 = passage + " " + doc()
+    d3 = doc()
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r.asDict() for r in winnow_neardup_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    p = pairs[(1, 2)]
+    assert p["n_shared"] >= 2 and p["n_shared"] <= min(p["n_a"], p["n_b"])
+    assert not any(3 in k for k in pairs)

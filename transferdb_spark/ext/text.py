@@ -2169,3 +2169,81 @@ SELECT DISTINCT doc_id, CAST(p AS INT) AS pos, CAST(h AS BIGINT) AS fp
 FROM sel WHERE rn = 1
 ORDER BY doc_id, pos
 """
+
+
+WINNOW_MIN_SHARED = 2  # pair audit threshold: ≥2 shared fingerprints
+
+
+def winnow_neardup_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """MOSS-style copy detection end-to-end: doc pairs sharing at
+    least ``min_shared`` winnowing fingerprints, with the shared count
+    and each side's fingerprint total (containment numerators). By the
+    winnowing guarantee every ≥ w+k−1-token verbatim overlap
+    contributes a shared fingerprint, so sustained copying can't hide;
+    density 2/(w+1) keeps the index ~4× smaller than full shingling at
+    these parameters.
+
+    Shape: the fingerprint relation from [[winnow_fingerprints]]
+    (already ~2/(w+1) of gram count), distinct (doc, fp), one
+    self-join keyed on the 8-byte fp — fan-out per fp bounded by its
+    doc-frequency, the same posting-list bound the n-gram Jaccard
+    index uses — then a pair groupBy with a HAVING gate."""
+    fps = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
+    totals = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    ta = totals.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    tb = totals.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def winnow_neardup_pairs_sql(
+    k: int = WINNOW_K, w: int = WINNOW_W, min_shared: int = WINNOW_MIN_SHARED
+) -> str:
+    inner = winnow_fingerprints_sql(k, w).strip().rstrip()
+    # reuse the fingerprint query as a CTE body (strip its ORDER BY)
+    assert inner.endswith("ORDER BY doc_id, pos")
+    inner = inner[: -len("ORDER BY doc_id, pos")]
+    return f"""
+WITH fpq AS MATERIALIZED ({inner}),
+fps AS (SELECT DISTINCT doc_id, fp FROM fpq),
+totals AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_shared}
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(ta.n_fp AS BIGINT) AS n_a,
+       CAST(tb.n_fp AS BIGINT) AS n_b
+FROM pairs p
+JOIN totals ta ON ta.doc_id = p.doc_a
+JOIN totals tb ON tb.doc_id = p.doc_b
+ORDER BY doc_a, doc_b
+"""
