@@ -4008,3 +4008,50 @@ def test_winnow_neardup_pairs_detects_copies(spark):
     p = pairs[(1, 2)]
     assert p["n_shared"] >= 2 and p["n_shared"] <= min(p["n_a"], p["n_b"])
     assert not any(3 in k for k in pairs)
+
+
+def test_jpeg_lossless_sof11_arith_exact_roundtrips():
+    """SOF11 arithmetic lossless (T.81 Annex H.2): encode→decode
+    reproduces the input EXACTLY — all 7 predictors, 8/12/16-bit
+    precision, 1- and 3-component, point transform, and the
+    modulo-2^16 extreme diffs; and on smooth content the QM stream
+    beats the Huffman SOF3 stream."""
+    import numpy as np
+
+    from transferdb_spark.ext.jpeg import decode_jpeg_native, encode_jpeg_lossless
+    from transferdb_spark.ext.jpeg_arith import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    for pred in range(1, 8):
+        out = decode_jpeg_native(encode_jpeg_lossless_arith(img, predictor=pred))
+        assert np.array_equal(out[:, :, 0], img), pred
+
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg_native(encode_jpeg_lossless_arith(rgb, predictor=4)), rgb
+    )
+
+    img16 = rng.integers(0, 65536, (12, 14), dtype=np.uint16)
+    out16 = decode_jpeg_native(encode_jpeg_lossless_arith(img16))
+    assert np.array_equal(out16[:, :, 0], img16)
+
+    img12 = rng.integers(0, 4096, (8, 9), dtype=np.uint16)
+    out12 = decode_jpeg_native(encode_jpeg_lossless_arith(img12, prec=12))
+    assert np.array_equal(out12[:, :, 0], img12)
+
+    ext = np.array([[0, 32768, 0, 32768], [65535, 0, 32767, 1]], dtype=np.uint16)
+    oute = decode_jpeg_native(encode_jpeg_lossless_arith(ext))
+    assert np.array_equal(oute[:, :, 0], ext)
+
+    imgp = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+    outp = decode_jpeg_native(encode_jpeg_lossless_arith(imgp, predictor=4, pt=2))
+    assert np.array_equal(outp[:, :, 0], (imgp >> 2) << 2)
+
+    # adaptive coding wins on smooth content (where Huffman's fixed
+    # category code can't shrink below 1 bit/sample)
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = ((yy + xx) // 4).astype(np.uint8)
+    a = encode_jpeg_lossless_arith(smooth, predictor=4)
+    hh = encode_jpeg_lossless(smooth, predictor=4)
+    assert len(a) < len(hh)

@@ -10,10 +10,12 @@ keeps the full range as uint16), grayscale or YCbCr with 4:4:4 /
 4:2:2 / 4:2:0 subsampling, restart markers. Arithmetic-coded
 sequential frames (SOF9 + DAC conditioning) decode via the Annex D
 QM-coder in ext/jpeg_arith.py, arithmetic progressive (SOF10) via its
-Annex G.2 scan decoders, and LOSSLESS (SOF3, Annex H predictive —
+Annex G.2 scan decoders, LOSSLESS (SOF3, Annex H predictive —
 all 7 predictors, 2..16-bit, point transform, exact roundtrip) in
-this module; only the hierarchical modes (SOF5-7/13-15) and the
-arithmetic lossless form route to NotImplementedError — the one
+this module, and ARITHMETIC LOSSLESS (SOF11, Annex H.2: the same
+predictors with QM-coded differences under the 2-D (Da, Db)
+conditioning model) via ext/jpeg_arith.py; only the hierarchical
+modes (SOF5-7/13-15) route to NotImplementedError — the one
 dispatch point an imaging library replaces in production.
 
 Encoder: the test-side twin (4:4:4, ITU T.81 Annex K quantization and
@@ -319,7 +321,28 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 "lossless": True,
                 "prec": prec,
             }
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xCB:
+            # SOF11 arithmetic lossless (T.81 Annex H.2): predictive
+            # like SOF3, QM-coded differences with the 2-D (Da, Db)
+            # conditioning model in ext/jpeg_arith.py
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"invalid lossless precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": False,
+                "arith": True,
+                "lossless": True,
+                "prec": prec,
+            }
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            # hierarchical modes: the one deliberate dispatch edge
             raise NotImplementedError(f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             s = 0
@@ -343,10 +366,15 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 scan_sel.append({"id": cid, "dc": tids >> 4, "ac": tids & 0x0F})
             data_pos = pos + 2 + seg_len
             if frame.get("lossless"):
-                # SOF3: Ss selects the predictor (1..7), Al is the
-                # point transform
+                # SOF3/SOF11: Ss selects the predictor (1..7), Al is
+                # the point transform
                 pred_sel = seg[1 + 2 * ns]
                 pt = seg[3 + 2 * ns] & 0x0F
+                if frame.get("arith"):
+                    return _decode_lossless_arith_scan(
+                        buf, data_pos, frame, scan_sel, dc_cond,
+                        restart_interval, pred_sel, pt, native,
+                    )
                 return _decode_lossless_scan(
                     buf, data_pos, frame, scan_sel, huff_dc,
                     restart_interval, pred_sel, pt, native,
@@ -610,13 +638,15 @@ def _decode_lossless_scan(
                 p[y, x] = v
             fresh = False
             mcu += 1
+    return _lossless_output(planes, prec, pt, native)
+
+
+def _lossless_output(planes, prec, pt, native):
+    """Assemble lossless planes: point-transform shift back, then raw
+    stacking (3-comp) or grayscale path — T.81 Annex H has no color
+    model, so no YCbCr transform on RAW component values."""
     shifted = [(p.astype(np.int32) << pt) for p in planes]
     if len(shifted) == 3:
-        # lossless sources (DNG/medical) carry RAW component values —
-        # T.81 Annex H has no color model, so the YCbCr->RGB transform
-        # _planes_to_rgb applies to DCT frames would corrupt them.
-        # Stack the planes untouched; the exact-roundtrip contract
-        # holds per component.
         maxv = (1 << prec) - 1
         out = np.stack(shifted, axis=2)
         np.clip(out, 0, maxv, out=out)
@@ -627,6 +657,88 @@ def _decode_lossless_scan(
         return np.rint(out.astype(np.float64) * (255.0 / maxv)).astype(np.uint8)
     full = [p.astype(np.float64) for p in shifted]
     return _planes_to_rgb(full, prec, native)
+
+
+def _decode_lossless_arith_scan(
+    buf, pos, frame, scan_sel, dc_cond, restart_interval, pred_sel, pt, native
+):
+    """SOF11 scan (T.81 Annex H.2): the SOF3 raster/prediction flow
+    with QM-coded differences — 2-D (Da, Db) conditioning, stats per
+    DAC table id, everything (decoder, statistics, predictions,
+    neighbor classes) re-initialized at restart markers."""
+    from transferdb_spark.ext.jpeg_arith import (
+        DEFAULT_DC_COND,
+        LL_STAT_BINS,
+        _ArithDecoder,
+        _decode_ll_diff,
+        _ll_ctx,
+        _ll_track,
+    )
+
+    comps = frame["comps"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError("subsampled lossless JPEG")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component lossless JPEG")
+    if pred_sel not in _LL_PREDICT:
+        raise ValueError(f"invalid lossless predictor {pred_sel}")
+    h, w, prec = frame["h"], frame["w"], frame["prec"]
+    sel = {s["id"]: s for s in scan_sel}
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in comps]
+    default_pred = 1 << (prec - pt - 1)
+    predict = _LL_PREDICT[pred_sel]
+
+    def fresh_state(p):
+        return (
+            _ArithDecoder(buf, p),
+            {sel[c["id"]]["dc"]: bytearray(LL_STAT_BINS) for c in comps},
+            [np.zeros(w, dtype=np.int64) for _ in comps],  # class above
+            [0] * len(comps),  # class left
+        )
+
+    dec, stats, cls_above, cls_left = fresh_state(pos)
+    mcu = 0
+    fresh = True
+    for y in range(h):
+        for ci in range(len(comps)):
+            cls_left[ci] = 0
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                p = dec.bp
+                while p + 1 < len(buf) and not (
+                    buf[p] == 0xFF and 0xD0 <= buf[p + 1] <= 0xD7
+                ):
+                    p += 1
+                if p + 1 >= len(buf):
+                    raise ValueError(
+                        "truncated arithmetic JPEG: missing restart"
+                    )
+                dec, stats, cls_above, cls_left = fresh_state(p + 2)
+                fresh = True
+            for ci, c in enumerate(comps):
+                s = sel[c["id"]]
+                lo, up = dc_cond.get(s["dc"], DEFAULT_DC_COND)
+                ca, cb = cls_left[ci], int(cls_above[ci][x])
+                diff, k = _decode_ll_diff(
+                    dec, stats[s["dc"]], _ll_ctx(ca, cb), _ll_track(cb), lo, up
+                )
+                cls_left[ci] = k
+                cls_above[ci][x] = k
+                p_ = planes[ci]
+                if fresh:
+                    pred = default_pred
+                elif y == 0:
+                    pred = int(p_[0, x - 1])
+                elif x == 0:
+                    pred = int(p_[y - 1, 0])
+                else:
+                    pred = predict(
+                        int(p_[y, x - 1]), int(p_[y - 1, x]), int(p_[y - 1, x - 1])
+                    )
+                p_[y, x] = (pred + diff) & 0xFFFF
+            fresh = False
+            mcu += 1
+    return _lossless_output(planes, prec, pt, native)
 
 
 def encode_jpeg_lossless(

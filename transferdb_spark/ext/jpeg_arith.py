@@ -46,46 +46,52 @@ import struct
 import numpy as np
 
 # T.81 Table D.3: (Qe, NMPS, NLPS, SWITCH). Index 113 is the
-# non-adaptive bin used for sign decisions (F.1.4.4.1.2).
+# non-adaptive sign bin used for sign decisions (F.1.4.4.1.2).
+# NOTE (round 9): the original transcription had the NMPS/NLPS
+# columns swapped — symmetric encode/decode kept every round-trip
+# exact, but adaptation ran BACKWARDS (MPS re-attacked, LPS grew
+# confident), costing ~10x on skewed streams and hitting a stuck
+# 15-bit/symbol LPS loop at the Qe=0x0001 state. The monotonic
+# self-check below now pins the correct orientation.
 _QE = (
-    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
-    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
-    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
-    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
-    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
-    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
-    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
-    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
-    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
-    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
-    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
-    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
-    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
-    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
-    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
-    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
-    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
-    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
-    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
-    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
-    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
-    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
-    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
-    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
-    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
-    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
-    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
-    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
-    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
-    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
-    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
-    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
-    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
-    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
-    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
-    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
-    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
-    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1),
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
     (0x5A1D, 113, 113, 0),  # non-adaptive sign bin
 )
 
@@ -95,6 +101,12 @@ _QE = (
 for _i, (_q, _nm, _nl, _sw) in enumerate(_QE):
     assert 0 < _q <= 0x5B12 and 0 <= _nm < len(_QE) and 0 <= _nl < len(_QE)
     assert not _sw or _q > 0x5000, _i
+    if _i < 113:
+        # orientation: MPS transitions grow confidence (Qe does not
+        # increase); LPS transitions re-attack (Qe does not decrease)
+        # except at SWITCH states, where the MPS flip IS the re-attack
+        assert _QE[_nm][0] <= _q, _i
+        assert _sw or _QE[_nl][0] >= _q, _i
 
 FIXED_BIN = 113  # table index of the never-adapting sign state
 
@@ -925,5 +937,166 @@ def encode_jpeg_arith_progressive(px: np.ndarray, prec: int = 8) -> bytes:
                         enc, ac_st[t], sign_st, coefs[ci][by, bx], ss, se, al
                     )
         out += enc.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Annex H.2 — LOSSLESS arithmetic coding (SOF11). The DC statistical
+# model generalized to two dimensions: the context for each sample's
+# prediction difference is the pair of 5-way conditioning classes
+# (zero / ±small / ±large, via the DAC (L,U) parameters exactly as in
+# DC coding) of the difference coded to the LEFT (Da) and ABOVE (Db)
+# — 25 contexts × (S0, SS, SP, SN). Two magnitude-track sets (X/M)
+# are kept, selected by whether Db is in a large class; tracks are 32
+# bins (16-bit differences → categories to 2^14). At line starts and
+# after restarts the missing neighbor classes are zero, on both the
+# encode and decode paths.
+
+LL_STAT_BINS = 164  # 25×4 contexts (0-99), track A X/M 100-131, track B 132-163
+LL_TRACK_A = 100
+LL_TRACK_B = 132
+
+
+def _ll_ctx(ca: int, cb: int) -> int:
+    return 4 * (5 * ca + cb)
+
+
+def _ll_track(cb: int) -> int:
+    return LL_TRACK_B if cb >= 3 else LL_TRACK_A
+
+
+def _decode_ll_diff(dec, st, ctx, xbase, lo, up):
+    """→ (difference in [-32768, 32767], conditioning class 0..4)."""
+    if dec.decode(st, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(st, ctx + 1)
+    bin_ = ctx + 2 + sign
+    m = dec.decode(st, bin_)
+    if m:
+        m = 1
+        x = xbase
+        while dec.decode(st, x):
+            m <<= 1
+            if m == 0x10000:
+                raise ValueError(
+                    "corrupt arithmetic JPEG: lossless magnitude overflow"
+                )
+            x += 1
+        bin_ = x
+    cat = m
+    v = m
+    mag = bin_ + 16
+    while m > 1:
+        m >>= 1
+        if dec.decode(st, mag):
+            v |= m
+    v += 1
+    if sign:
+        v = -v
+    return v, _dc_class(cat, sign, lo, up) // 4
+
+
+def _encode_ll_diff(enc, st, ctx, xbase, lo, up, diff):
+    """Mirror of _decode_ll_diff; returns the conditioning class."""
+    if diff == 0:
+        enc.encode(st, ctx, 0)
+        return 0
+    enc.encode(st, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, ctx + 1, sign)
+    m = (-diff if sign else diff) - 1
+    bin_ = ctx + 2 + sign
+    if m == 0:
+        enc.encode(st, bin_, 0)
+        cat = 0
+    else:
+        enc.encode(st, bin_, 1)
+        cat = 1
+        x = xbase
+        while (cat << 1) <= m:
+            enc.encode(st, x, 1)
+            cat <<= 1
+            x += 1
+        enc.encode(st, x, 0)
+        bin_ = x
+    mag = bin_ + 16
+    mm = cat
+    while mm > 1:
+        mm >>= 1
+        enc.encode(st, mag, 1 if (m & mm) else 0)
+    return _dc_class(cat, sign, lo, up) // 4
+
+
+def encode_jpeg_lossless_arith(
+    px: np.ndarray, predictor: int = 1, pt: int = 0, prec: int | None = None
+) -> bytes:
+    """Integer samples → SOF11 arithmetic lossless JPEG — the QM-coded
+    twin of encode_jpeg_lossless: same predictors, same mod-2^16
+    difference arithmetic, NO color transform (Annex H has no color
+    model), so decode_jpeg_native must reproduce the input exactly.
+    All components share conditioning table 0; default (L,U) is
+    serialized in an explicit DAC segment."""
+    from transferdb_spark.ext.jpeg import _LL_PREDICT, _sof_segment
+
+    if px.ndim == 2:
+        planes = [px]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        planes = [px[:, :, ci] for ci in range(3)]
+    else:
+        raise ValueError("expected (h, w) grayscale or (h, w, 3) samples")
+    if prec is None:
+        prec = 8 if px.dtype == np.uint8 else 16
+    if not 2 <= prec <= 16:
+        raise ValueError("prec must be in 2..16")
+    if predictor not in _LL_PREDICT:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    h, w = px.shape[:2]
+    comps = [(p.astype(np.int64) >> pt).astype(np.int64) for p in planes]
+    ncomp = len(comps)
+    predict = _LL_PREDICT[predictor]
+    default_pred = 1 << (prec - pt - 1)
+    lo, up = DEFAULT_DC_COND
+
+    out = bytearray(b"\xff\xd8")
+    out += _sof_segment(0xCB, h, w, prec=prec, ncomp=ncomp)
+    out += b"\xff\xcc" + struct.pack(">H", 2 + 2)
+    out += bytes([0x00, (up << 4) | lo])
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x00])  # conditioning table 0 for all
+    out += bytes([predictor, 0, pt])
+
+    enc = _ArithEncoder()
+    st = bytearray(LL_STAT_BINS)
+    cls_above = [np.zeros(w, dtype=np.int64) for _ in comps]
+    cls_left = [0] * ncomp
+    for y in range(h):
+        for ci in range(ncomp):
+            cls_left[ci] = 0
+        for x in range(w):
+            for ci, samples in enumerate(comps):
+                if (y, x) == (0, 0):
+                    pred = default_pred
+                elif y == 0:
+                    pred = int(samples[0, x - 1])
+                elif x == 0:
+                    pred = int(samples[y - 1, 0])
+                else:
+                    pred = predict(
+                        int(samples[y, x - 1]),
+                        int(samples[y - 1, x]),
+                        int(samples[y - 1, x - 1]),
+                    )
+                diff = (int(samples[y, x]) - pred) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                ca, cb = cls_left[ci], int(cls_above[ci][x])
+                k = _encode_ll_diff(
+                    enc, st, _ll_ctx(ca, cb), _ll_track(cb), lo, up, diff
+                )
+                cls_left[ci] = k
+                cls_above[ci][x] = k
+    out += enc.finish()
     out += b"\xff\xd9"
     return bytes(out)
