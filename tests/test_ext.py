@@ -4055,3 +4055,49 @@ def test_jpeg_lossless_sof11_arith_exact_roundtrips():
     a = encode_jpeg_lossless_arith(smooth, predictor=4)
     hh = encode_jpeg_lossless(smooth, predictor=4)
     assert len(a) < len(hh)
+
+
+def test_jpeg_hierarchical_lossless_exact_roundtrips():
+    """Annex J hierarchical lossless pyramid: DHP + base frame + EXP +
+    differential frames reproduce the input EXACTLY in both entropy
+    forms (SOF3+SOF7 Huffman, SOF11+SOF15 arithmetic), across depths,
+    odd dimensions, 3 components, and 16-bit samples; torn streams
+    keep the error contract."""
+    import numpy as np
+    import pytest
+
+    from transferdb_spark.ext.jpeg import (
+        decode_jpeg_native,
+        encode_jpeg_hierarchical_lossless,
+    )
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    for arith in (False, True):
+        for levels in (1, 2, 3):
+            out = decode_jpeg_native(
+                encode_jpeg_hierarchical_lossless(img, levels=levels, arith=arith)
+            )
+            assert np.array_equal(out[:, :, 0], img), (arith, levels)
+
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    for arith in (False, True):
+        assert np.array_equal(
+            decode_jpeg_native(
+                encode_jpeg_hierarchical_lossless(rgb, levels=2, predictor=4, arith=arith)
+            ),
+            rgb,
+        )
+
+    img16 = rng.integers(0, 65536, (12, 14), dtype=np.uint16)
+    out16 = decode_jpeg_native(encode_jpeg_hierarchical_lossless(img16, levels=3))
+    assert np.array_equal(out16[:, :, 0], img16)
+
+    # a differential frame outside a hierarchical sequence (no DHP)
+    # must error, not silently decode
+    buf = encode_jpeg_hierarchical_lossless(img, levels=2)
+    i = buf.find(b"\xff\xc7")  # the SOF7 differential frame
+    assert i > 0
+    torn = b"\xff\xd8" + buf[i:]
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg_native(torn)

@@ -14,9 +14,13 @@ Annex G.2 scan decoders, LOSSLESS (SOF3, Annex H predictive —
 all 7 predictors, 2..16-bit, point transform, exact roundtrip) in
 this module, and ARITHMETIC LOSSLESS (SOF11, Annex H.2: the same
 predictors with QM-coded differences under the 2-D (Da, Db)
-conditioning model) via ext/jpeg_arith.py; only the hierarchical
-modes (SOF5-7/13-15) route to NotImplementedError — the one
-dispatch point an imaging library replaces in production.
+conditioning model) via ext/jpeg_arith.py. HIERARCHICAL (Annex J)
+decodes for the lossless pyramid: DHP + EXP reference expansion +
+differential lossless frames (SOF7 Huffman / SOF15 arithmetic) over
+any supported non-differential base, with the Annex J.1.1.2
+interpolation and mod-2^16 reconstruction; only the differential
+DCT hierarchical frames (SOF5/6/13/14) route to NotImplementedError
+— the one dispatch point an imaging library replaces in production.
 
 Encoder: the test-side twin (4:4:4, ITU T.81 Annex K quantization and
 Huffman tables) so round-trips exercise the full marker → Huffman →
@@ -247,6 +251,9 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
     restart_interval = 0
     coef = None  # progressive only: per-comp zigzag coefficient blocks
     scans_done = 0
+    hier = None  # DHP seen: {"h","w","prec"} — hierarchical (Annex J)
+    ref = None  # hierarchical reference planes (int64, current res)
+    pending_exp = None  # EXP marker: (Eh, Ev) reference expansion
     while pos < len(buf):
         if buf[pos] != 0xFF:
             pos += 1
@@ -301,10 +308,11 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 "arith": marker in (0xC9, 0xCA),
                 "prec": prec,
             }
-        elif marker == 0xC3:
+        elif marker in (0xC3, 0xC7):
             # SOF3 lossless (T.81 Annex H): predictive, no DCT. The
             # sample precision spans 2..16 bits; sampling stays 1:1 in
-            # practice (DNG/medical), enforced at scan decode.
+            # practice (DNG/medical), enforced at scan decode. SOF7 is
+            # its DIFFERENTIAL hierarchical form (Annex J).
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if not 2 <= prec <= 16:
                 raise ValueError(f"invalid lossless precision {prec}")
@@ -319,12 +327,14 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 "progressive": False,
                 "arith": False,
                 "lossless": True,
+                "differential": marker == 0xC7,
                 "prec": prec,
             }
-        elif marker == 0xCB:
+        elif marker in (0xCB, 0xCF):
             # SOF11 arithmetic lossless (T.81 Annex H.2): predictive
             # like SOF3, QM-coded differences with the 2-D (Da, Db)
-            # conditioning model in ext/jpeg_arith.py
+            # conditioning model in ext/jpeg_arith.py. SOF15 is its
+            # DIFFERENTIAL hierarchical form (Annex J).
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if not 2 <= prec <= 16:
                 raise ValueError(f"invalid lossless precision {prec}")
@@ -339,10 +349,20 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 "progressive": False,
                 "arith": True,
                 "lossless": True,
+                "differential": marker == 0xCF,
                 "prec": prec,
             }
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
-            # hierarchical modes: the one deliberate dispatch edge
+        elif marker == 0xDE:
+            # DHP (Annex J): hierarchical progression — full-resolution
+            # dimensions; the frames that follow build the pyramid
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            hier = {"h": h, "w": w, "prec": prec}
+        elif marker == 0xDF:
+            # EXP (Annex J): expand the reference before the next frame
+            pending_exp = (seg[0] >> 4, seg[0] & 0x0F)
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
+            # differential DCT hierarchical frames: the one deliberate
+            # dispatch edge left
             raise NotImplementedError(f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             s = 0
@@ -367,18 +387,54 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
             data_pos = pos + 2 + seg_len
             if frame.get("lossless"):
                 # SOF3/SOF11: Ss selects the predictor (1..7), Al is
-                # the point transform
+                # the point transform (0 for differential frames)
                 pred_sel = seg[1 + 2 * ns]
                 pt = seg[3 + 2 * ns] & 0x0F
-                if frame.get("arith"):
-                    return _decode_lossless_arith_scan(
-                        buf, data_pos, frame, scan_sel, dc_cond,
+                diffr = frame.get("differential", False)
+                if hier is None:
+                    if diffr:
+                        raise ValueError("differential frame without DHP")
+                    if frame.get("arith"):
+                        return _decode_lossless_arith_scan(
+                            buf, data_pos, frame, scan_sel, dc_cond,
+                            restart_interval, pred_sel, pt, native,
+                        )
+                    return _decode_lossless_scan(
+                        buf, data_pos, frame, scan_sel, huff_dc,
                         restart_interval, pred_sel, pt, native,
                     )
-                return _decode_lossless_scan(
-                    buf, data_pos, frame, scan_sel, huff_dc,
-                    restart_interval, pred_sel, pt, native,
-                )
+                if frame.get("arith"):
+                    planes, end = _decode_lossless_arith_scan(
+                        buf, data_pos, frame, scan_sel, dc_cond,
+                        restart_interval, pred_sel, pt, native,
+                        differential=diffr, want_planes=True,
+                    )
+                else:
+                    planes, end = _decode_lossless_scan(
+                        buf, data_pos, frame, scan_sel, huff_dc,
+                        restart_interval, pred_sel, pt, native,
+                        differential=diffr, want_planes=True,
+                    )
+                planes = [p.astype(np.int64) << pt for p in planes]
+                fh, fw = frame["h"], frame["w"]
+                if diffr:
+                    if ref is None:
+                        raise ValueError("differential frame without reference")
+                    if pending_exp is not None:
+                        ref = [_exp_upsample(r, *pending_exp) for r in ref]
+                        pending_exp = None
+                    if any(r.shape[0] < fh or r.shape[1] < fw for r in ref):
+                        raise ValueError("reference smaller than differential frame")
+                    # Annex J reconstruction: modulo-2^16 addition
+                    ref = [
+                        (r[:fh, :fw] + d) & 0xFFFF for r, d in zip(ref, planes)
+                    ]
+                else:
+                    pending_exp = None
+                    ref = planes
+                pos = _skip_to_marker(buf, end)
+                frame = None
+                continue
             if frame.get("arith") and frame.get("progressive"):
                 # SOF10: each SOS is one band/bit layer, QM-coded;
                 # statistics re-initialize per scan
@@ -421,6 +477,11 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
             pos = _skip_to_marker(buf, end)
             continue
         pos += 2 + seg_len
+    if hier is not None and ref is not None:
+        out = [
+            np.clip(r, 0, (1 << hier["prec"]) - 1).astype(np.int32) for r in ref
+        ]
+        return _lossless_output(out, hier["prec"], 0, native)
     if frame is not None and frame.get("progressive") and scans_done:
         return _reconstruct_progressive(frame, coef, qt, native)
     raise ValueError("no scan data found")
@@ -569,7 +630,8 @@ _LL_PREDICT = {
 
 
 def _decode_lossless_scan(
-    buf, pos, frame, scan_sel, huff_dc, restart_interval, pred_sel, pt, native
+    buf, pos, frame, scan_sel, huff_dc, restart_interval, pred_sel, pt, native,
+    differential=False, want_planes=False,
 ):
     """One lossless scan → pixels. Components interleave one sample
     each per MCU (sampling must be 1:1 — the shape DNG/medical files
@@ -580,7 +642,7 @@ def _decode_lossless_scan(
         raise NotImplementedError("subsampled lossless JPEG")
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component lossless JPEG")
-    if pred_sel not in _LL_PREDICT:
+    if not differential and pred_sel not in _LL_PREDICT:
         raise ValueError(f"invalid lossless predictor {pred_sel}")
     h, w, prec = frame["h"], frame["w"], frame["prec"]
     sel = {s["id"]: s for s in scan_sel}
@@ -590,7 +652,9 @@ def _decode_lossless_scan(
     planes = [np.zeros((h, w), dtype=np.int32) for _ in comps]
     reader = _BitReader(buf, pos)
     default_pred = 1 << (prec - pt - 1)
-    predict = _LL_PREDICT[pred_sel]
+    # differential frames (Annex J): the prediction is ZERO — the coded
+    # value IS the (mod 2^16) difference from the upsampled reference
+    predict = (lambda ra, rb, rc: 0) if differential else _LL_PREDICT[pred_sel]
     mcu = 0
     fresh = True  # start of scan / just past a restart
     for y in range(h):
@@ -624,7 +688,9 @@ def _decode_lossless_scan(
                 )
             for ci, diff in enumerate(decoded):
                 p = planes[ci]
-                if fresh:
+                if differential:
+                    pred = 0
+                elif fresh:
                     pred = default_pred
                 elif y == 0:
                     pred = int(p[0, x - 1])  # row 0: Ra
@@ -638,6 +704,8 @@ def _decode_lossless_scan(
                 p[y, x] = v
             fresh = False
             mcu += 1
+    if want_planes:
+        return planes, reader.pos
     return _lossless_output(planes, prec, pt, native)
 
 
@@ -659,8 +727,190 @@ def _lossless_output(planes, prec, pt, native):
     return _planes_to_rgb(full, prec, native)
 
 
+def _exp_upsample(p, eh, ev):
+    """Annex J.1.1.2 reference expansion: even outputs copy the input,
+    odd outputs interpolate (a + b + 1) >> 1 with edge replication."""
+    if eh:
+        hh, ww = p.shape
+        q = np.zeros((hh, 2 * ww), dtype=p.dtype)
+        q[:, 0::2] = p
+        if ww > 1:
+            q[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        q[:, -1] = p[:, -1]
+        p = q
+    if ev:
+        hh, ww = p.shape
+        q = np.zeros((2 * hh, ww), dtype=p.dtype)
+        q[0::2, :] = p
+        if hh > 1:
+            q[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        q[-1, :] = p[-1, :]
+        p = q
+    return p
+
+
+def _ll_frame_fragment(comps, prec, predictor, differential, arith):
+    """SOF..entropy bytes for ONE lossless (or differential-lossless)
+    hierarchical frame. `comps` holds SAMPLE planes (non-differential,
+    predictive coding applies) or signed DIFFERENCE planes
+    (differential: prediction is zero, values code as-is)."""
+    h, w = comps[0].shape
+    ncomp = len(comps)
+    diffs_per_sample = []
+    if differential:
+        for y in range(h):
+            for x in range(w):
+                for p in comps:
+                    d = int(p[y, x]) & 0xFFFF
+                    if d >= 32768:
+                        d -= 65536
+                    diffs_per_sample.append(d)
+    else:
+        predict = _LL_PREDICT[predictor]
+        default_pred = 1 << (prec - 1)
+        for y in range(h):
+            for x in range(w):
+                for p in comps:
+                    if (y, x) == (0, 0):
+                        pred = default_pred
+                    elif y == 0:
+                        pred = int(p[0, x - 1])
+                    elif x == 0:
+                        pred = int(p[y - 1, 0])
+                    else:
+                        pred = predict(
+                            int(p[y, x - 1]), int(p[y - 1, x]), int(p[y - 1, x - 1])
+                        )
+                    d = (int(p[y, x]) - pred) & 0xFFFF
+                    if d >= 32768:
+                        d -= 65536
+                    diffs_per_sample.append(d)
+
+    out = bytearray()
+    if arith:
+        from transferdb_spark.ext.jpeg_arith import (
+            DEFAULT_DC_COND,
+            LL_STAT_BINS,
+            _ArithEncoder,
+            _encode_ll_diff,
+            _ll_ctx,
+            _ll_track,
+        )
+
+        lo, up = DEFAULT_DC_COND
+        out += _sof_segment(0xCF if differential else 0xCB, h, w, prec=prec, ncomp=ncomp)
+        out += b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x00, (up << 4) | lo])
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for cid in range(1, ncomp + 1):
+            out += bytes([cid, 0x00])
+        out += bytes([0 if differential else predictor, 0, 0])
+        enc = _ArithEncoder()
+        st = bytearray(LL_STAT_BINS)
+        cls_above = [np.zeros(w, dtype=np.int64) for _ in comps]
+        cls_left = [0] * ncomp
+        i = 0
+        for y in range(h):
+            for ci in range(ncomp):
+                cls_left[ci] = 0
+            for x in range(w):
+                for ci in range(ncomp):
+                    d = diffs_per_sample[i]
+                    i += 1
+                    ca, cb = cls_left[ci], int(cls_above[ci][x])
+                    k = _encode_ll_diff(
+                        enc, st, _ll_ctx(ca, cb), _ll_track(cb), lo, up, d
+                    )
+                    cls_left[ci] = k
+                    cls_above[ci][x] = k
+        out += enc.finish()
+        return bytes(out)
+
+    ops: list[tuple[int, int, int]] = []
+    cats = set()
+    for d in diffs_per_sample:
+        raw = d & 0xFFFF
+        if raw == 32768:
+            t, code = 16, 0
+        else:
+            t, code = _magnitude(d)
+        cats.add(t)
+        ops.append((t, code, t if t != 16 else 0))
+    out += _sof_segment(0xC7 if differential else 0xC3, h, w, prec=prec, ncomp=ncomp)
+    bits, vals = _flat_table(sorted(cats))
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+    out += bytes([0x00]) + bytes(bits) + bytes(vals)
+    codes = _encode_codes(bits, vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x00])
+    out += bytes([0 if differential else predictor, 0, 0])
+    wtr = _BitWriter()
+    for t, code, nbits in ops:
+        hc, hl = codes[t]
+        wtr.write(hc, hl)
+        if nbits:
+            wtr.write(code & ((1 << nbits) - 1), nbits)
+    wtr.flush()
+    out += wtr.out
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical_lossless(
+    img: np.ndarray,
+    levels: int = 2,
+    predictor: int = 1,
+    prec: int | None = None,
+    arith: bool = False,
+) -> bytes:
+    """Integer samples → HIERARCHICAL lossless JPEG (T.81 Annex J):
+    DHP, a reduced-resolution non-differential lossless base frame
+    (SOF3, or SOF11 when arith=True), then per level an EXP reference
+    expansion and a DIFFERENTIAL lossless frame (SOF7 / SOF15) coding
+    source − upsampled(reference) mod 2^16. Because every rung is
+    lossless, decode_jpeg_native reproduces the input exactly — the
+    progressive-resolution transmission mode with a lossless final
+    rung, round-trip-tested like the other codec rungs."""
+    if img.ndim == 2:
+        planes = [img]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        planes = [img[:, :, ci] for ci in range(3)]
+    else:
+        raise ValueError("expected (h, w) grayscale or (h, w, 3) samples")
+    if prec is None:
+        prec = 8 if img.dtype == np.uint8 else 16
+    if not 2 <= prec <= 16:
+        raise ValueError("prec must be in 2..16")
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    if predictor not in _LL_PREDICT:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    comps = [p.astype(np.int64) for p in planes]
+    h, w = img.shape[:2]
+
+    pyr = [comps]
+    for _ in range(levels - 1):
+        if min(pyr[-1][0].shape) < 2:
+            break  # can't halve further — shallower pyramid
+        pyr.append([p[::2, ::2] for p in pyr[-1]])
+
+    out = bytearray(b"\xff\xd8")
+    out += _sof_segment(0xDE, h, w, prec=prec, ncomp=len(comps))  # DHP
+    out += _ll_frame_fragment(pyr[-1], prec, predictor, False, arith)
+    recon = pyr[-1]
+    for k in range(len(pyr) - 2, -1, -1):
+        fh, fw = pyr[k][0].shape
+        ref = [_exp_upsample(r, 1, 1)[:fh, :fw] for r in recon]
+        dplanes = [(s - r) & 0xFFFF for s, r in zip(pyr[k], ref)]
+        out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP
+        out += _ll_frame_fragment(dplanes, prec, predictor, True, arith)
+        recon = pyr[k]
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _decode_lossless_arith_scan(
-    buf, pos, frame, scan_sel, dc_cond, restart_interval, pred_sel, pt, native
+    buf, pos, frame, scan_sel, dc_cond, restart_interval, pred_sel, pt, native,
+    differential=False, want_planes=False,
 ):
     """SOF11 scan (T.81 Annex H.2): the SOF3 raster/prediction flow
     with QM-coded differences — 2-D (Da, Db) conditioning, stats per
@@ -680,13 +930,13 @@ def _decode_lossless_arith_scan(
         raise NotImplementedError("subsampled lossless JPEG")
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component lossless JPEG")
-    if pred_sel not in _LL_PREDICT:
+    if not differential and pred_sel not in _LL_PREDICT:
         raise ValueError(f"invalid lossless predictor {pred_sel}")
     h, w, prec = frame["h"], frame["w"], frame["prec"]
     sel = {s["id"]: s for s in scan_sel}
     planes = [np.zeros((h, w), dtype=np.int32) for _ in comps]
     default_pred = 1 << (prec - pt - 1)
-    predict = _LL_PREDICT[pred_sel]
+    predict = (lambda ra, rb, rc: 0) if differential else _LL_PREDICT[pred_sel]
 
     def fresh_state(p):
         return (
@@ -725,7 +975,9 @@ def _decode_lossless_arith_scan(
                 cls_left[ci] = k
                 cls_above[ci][x] = k
                 p_ = planes[ci]
-                if fresh:
+                if differential:
+                    pred = 0
+                elif fresh:
                     pred = default_pred
                 elif y == 0:
                     pred = int(p_[0, x - 1])
@@ -738,6 +990,8 @@ def _decode_lossless_arith_scan(
                 p_[y, x] = (pred + diff) & 0xFFFF
             fresh = False
             mcu += 1
+    if want_planes:
+        return planes, dec.bp
     return _lossless_output(planes, prec, pt, native)
 
 
