@@ -4101,3 +4101,40 @@ def test_jpeg_hierarchical_lossless_exact_roundtrips():
     torn = b"\xff\xd8" + buf[i:]
     with pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg_native(torn)
+
+
+def test_jpeg_hierarchical_mixed_lossless_final_rung():
+    """Annex J canonical profile: lossy DCT base + lossless
+    differential refinements. The decoded output must sit within the
+    YCbCr<->RGB integer round-trip bound (|err| <= 2) of the source —
+    i.e. the component planes reconstruct EXACTLY — in both entropy
+    forms, and a base-only decode (refinements stripped) must be
+    measurably worse, proving the refinement carries real signal."""
+    import numpy as np
+
+    from transferdb_spark.ext.jpeg import (
+        decode_jpeg_native,
+        encode_jpeg_hierarchical_mixed,
+    )
+
+    yy, xx = np.mgrid[0:33, 0:41]
+    base = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    img = np.stack([base, base[::-1], (base + 64) % 256], axis=2).astype(np.uint8)
+    for arith in (False, True):
+        buf = encode_jpeg_hierarchical_mixed(img, levels=3, arith=arith)
+        out = decode_jpeg_native(buf).astype(np.int64)
+        assert np.abs(out - img.astype(np.int64)).max() <= 2, arith
+
+    rng = np.random.default_rng(37)
+    noisy = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    buf = encode_jpeg_hierarchical_mixed(noisy, levels=2)
+    out = decode_jpeg_native(buf).astype(np.int64)
+    assert np.abs(out - noisy.astype(np.int64)).max() <= 2
+
+    # strip the refinement (truncate at the EXP marker, re-terminate):
+    # the lossy base alone must be much worse on noise content
+    i = buf.find(b"\xff\xdf")
+    assert i > 0
+    base_only = buf[:i] + b"\xff\xd9"
+    out_base = decode_jpeg_native(base_only).astype(np.int64)
+    assert out_base.shape != out.shape or np.abs(out_base - noisy).max() > 2

@@ -15,12 +15,15 @@ all 7 predictors, 2..16-bit, point transform, exact roundtrip) in
 this module, and ARITHMETIC LOSSLESS (SOF11, Annex H.2: the same
 predictors with QM-coded differences under the 2-D (Da, Db)
 conditioning model) via ext/jpeg_arith.py. HIERARCHICAL (Annex J)
-decodes for the lossless pyramid: DHP + EXP reference expansion +
+decodes both the all-lossless pyramid AND the canonical mixed
+profile (lossy DCT base at reduced resolution + lossless
+differential refinements): DHP + EXP reference expansion +
 differential lossless frames (SOF7 Huffman / SOF15 arithmetic) over
-any supported non-differential base, with the Annex J.1.1.2
-interpolation and mod-2^16 reconstruction; only the differential
-DCT hierarchical frames (SOF5/6/13/14) route to NotImplementedError
-— the one dispatch point an imaging library replaces in production.
+a DCT (SOF0/1/9) or lossless base, with the Annex J.1.1.2
+interpolation and mod-2^16 component-domain reconstruction; only
+the differential DCT frames (SOF5/6/13/14) route to
+NotImplementedError — the one dispatch point an imaging library
+replaces in production.
 
 Encoder: the test-side twin (4:4:4, ITU T.81 Annex K quantization and
 Huffman tables) so round-trips exercise the full marker → Huffman →
@@ -435,6 +438,30 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 pos = _skip_to_marker(buf, end)
                 frame = None
                 continue
+            if hier is not None and not frame.get("lossless"):
+                # Annex J: a DCT frame inside a hierarchical sequence
+                # (re)establishes the reference in the component domain
+                if frame.get("progressive"):
+                    raise NotImplementedError("hierarchical progressive frame")
+                if frame.get("arith"):
+                    from transferdb_spark.ext.jpeg_arith import decode_arith_scan
+
+                    planes, end = decode_arith_scan(
+                        buf, data_pos, frame, scan_sel, qt, dc_cond, ac_cond,
+                        restart_interval, native, want_planes=True,
+                    )
+                    pos = _skip_to_arith_marker(buf, end)
+                else:
+                    planes, end = _decode_scan(
+                        buf, data_pos, frame, scan_sel, qt, huff_dc, huff_ac,
+                        restart_interval, native, want_planes=True,
+                    )
+                    pos = _skip_to_marker(buf, end)
+                hier["color"] = len(frame["comps"]) == 3
+                pending_exp = None
+                ref = planes
+                frame = None
+                continue
             if frame.get("arith") and frame.get("progressive"):
                 # SOF10: each SOS is one band/bit layer, QM-coded;
                 # statistics re-initialize per scan
@@ -481,6 +508,11 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
         out = [
             np.clip(r, 0, (1 << hier["prec"]) - 1).astype(np.int32) for r in ref
         ]
+        if hier.get("color"):
+            # DCT-based pyramid: reference planes are YCbCr
+            return _planes_to_rgb(
+                [p.astype(np.float64) for p in out], hier["prec"], native
+            )
         return _lossless_output(out, hier["prec"], 0, native)
     if frame is not None and frame.get("progressive") and scans_done:
         return _reconstruct_progressive(frame, coef, qt, native)
@@ -488,7 +520,8 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
 
 
 def _decode_scan(
-    buf, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval, native=False
+    buf, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval, native=False,
+    want_planes=False,
 ):
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
@@ -557,6 +590,11 @@ def _decode_scan(
         p = planes[ci]
         p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         full.append(p[:h, :w])
+    if want_planes:
+        # hierarchical (Annex J) base: component-domain sample planes
+        # (YCbCr for color frames), rounded to the integer grid the
+        # refinement frames correct against
+        return [np.rint(p).astype(np.int64) & 0xFFFF for p in full], reader.pos
     return _planes_to_rgb(full, frame.get("prec", 8), native)
 
 
@@ -903,6 +941,82 @@ def encode_jpeg_hierarchical_lossless(
         dplanes = [(s - r) & 0xFFFF for s, r in zip(pyr[k], ref)]
         out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP
         out += _ll_frame_fragment(dplanes, prec, predictor, True, arith)
+        recon = pyr[k]
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical_mixed(
+    px: np.ndarray, levels: int = 2, arith: bool = False
+) -> bytes:
+    """(h, w, 3) uint8 → the canonical Annex J profile: a LOSSY DCT
+    base frame at reduced resolution (SOF0, or SOF9 when arith=True)
+    followed by LOSSLESS differential refinement frames (SOF7/SOF15),
+    so decoding yields the encoder's integer YCbCr target exactly —
+    progressive-resolution delivery with a lossless final rung. The
+    encoder replicates the decoder's base reconstruction numerically
+    (same per-block IDCT expression, same rint grid), so the
+    refinement differences correct the REAL decoded reference, not an
+    idealized one."""
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8 RGB samples")
+    h, w = px.shape[:2]
+    if levels < 2:
+        raise ValueError("levels must be >= 2 (a base and one refinement)")
+
+    # integer YCbCr target pyramid (what the decode must reproduce)
+    f = px.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    tgt = [np.rint(np.clip(p, 0, 255)).astype(np.int64) for p in (y, cb, cr)]
+    pyr = [tgt]
+    rgb_pyr = [px]
+    for _ in range(levels - 1):
+        if min(pyr[-1][0].shape) < 2:
+            break
+        pyr.append([p[::2, ::2] for p in pyr[-1]])
+        rgb_pyr.append(rgb_pyr[-1][::2, ::2])
+
+    # base frame: existing full-file DCT encoders, SOI/EOI stripped
+    if arith:
+        from transferdb_spark.ext.jpeg_arith import encode_jpeg_arith
+
+        base_file = encode_jpeg_arith(rgb_pyr[-1])
+    else:
+        base_file = encode_jpeg(rgb_pyr[-1])
+    base_frag = base_file[2:-2]
+
+    # replicate the decoder's base reconstruction: dequant + per-block
+    # IDCT with the decoder's exact float expression, then the rint
+    # grid the hier path applies
+    bh_img, bw_img = rgb_pyr[-1].shape[:2]
+    coefs = _coef_blocks(rgb_pyr[-1])
+    recon = []
+    for ci in range(3):
+        # DQT is serialized (and the decoder multiplies) in ZIGZAG order
+        qtab = (_QT_LUMA if ci == 0 else _QT_CHROMA)[_ZIGZAG]
+        bh, bw = coefs[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                deq = np.zeros(64, dtype=np.float64)
+                deq[_ZIGZAG] = coefs[ci][by, bx] * qtab
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ deq.reshape(8, 8) @ _A + 128.0
+                )
+        recon.append(np.rint(plane[:bh_img, :bw_img]).astype(np.int64) & 0xFFFF)
+
+    out = bytearray(b"\xff\xd8")
+    out += _sof_segment(0xDE, h, w, prec=8, ncomp=3)  # DHP
+    out += base_frag
+    for k in range(len(pyr) - 2, -1, -1):
+        fh, fw = pyr[k][0].shape
+        ref = [_exp_upsample(rp, 1, 1)[:fh, :fw] for rp in recon]
+        dplanes = [(t - rp) & 0xFFFF for t, rp in zip(pyr[k], ref)]
+        out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP
+        out += _ll_frame_fragment(dplanes, 8, 1, True, arith)
         recon = pyr[k]
     out += b"\xff\xd9"
     return bytes(out)

@@ -453,6 +453,7 @@ def decode_arith_scan(
     ac_cond: dict,
     restart_interval: int,
     native: bool = False,
+    want_planes: bool = False,
 ) -> np.ndarray:
     """Interleaved sequential arithmetic scan → pixels (SOF9)."""
     from transferdb_spark.ext.jpeg import _A, _ZIGZAG, _planes_to_rgb
@@ -525,6 +526,8 @@ def decode_arith_scan(
         p = planes[ci]
         p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         full.append(p[:h, :w])
+    if want_planes:
+        return [np.rint(p).astype(np.int64) & 0xFFFF for p in full], dec.bp
     return _planes_to_rgb(full, frame.get("prec", 8), native)
 
 
