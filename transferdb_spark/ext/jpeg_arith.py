@@ -460,7 +460,8 @@ def decode_arith_scan(
 
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
-    shift = float(1 << (frame.get("prec", 8) - 1))
+    # differential frames (Annex J): no level shift
+    shift = 0.0 if frame.get("differential") else float(1 << (frame.get("prec", 8) - 1))
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -527,7 +528,12 @@ def decode_arith_scan(
         p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         full.append(p[:h, :w])
     if want_planes:
-        return [np.rint(p).astype(np.int64) & 0xFFFF for p in full], dec.bp
+        if frame.get("differential"):
+            return [np.rint(p).astype(np.int64) & 0xFFFF for p in full], dec.bp
+        maxv = (1 << frame.get("prec", 8)) - 1
+        return [
+            np.clip(np.rint(p), 0, maxv).astype(np.int64) for p in full
+        ], dec.bp
     return _planes_to_rgb(full, frame.get("prec", 8), native)
 
 
