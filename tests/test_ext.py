@@ -4193,3 +4193,30 @@ def test_jpeg_hierarchical_full_ladder_sof5_sof13():
     assert full_err <= 2
     assert mid.shape == noisy.shape[:2] + (3,) or True  # mid is half-res
     assert base_o.shape != decode_jpeg_native(buf).shape or np.abs(base_o - img64).max() > full_err
+
+
+def test_jpeg_hierarchical_progressive_differential_sof6_sof14():
+    """Differential PROGRESSIVE frames (SOF6/SOF14) — the final T.81
+    frame modes: the 14-scan progressive script over unit-quant
+    difference coefficients reconstructs identically to the sequential
+    differential path (same _diff_coef_blocks integers), so the full
+    ladder still lands within the color round-trip bound."""
+    import numpy as np
+
+    from transferdb_spark.ext.jpeg import (
+        decode_jpeg_native,
+        encode_jpeg_hierarchical_dct,
+    )
+
+    rng = np.random.default_rng(53)
+    noisy = rng.integers(0, 256, (19, 22, 3), dtype=np.uint8)
+    for arith in (False, True):
+        seq = encode_jpeg_hierarchical_dct(noisy, levels=3, arith=arith)
+        prog = encode_jpeg_hierarchical_dct(
+            noisy, levels=3, arith=arith, progressive=True
+        )
+        out_s = decode_jpeg_native(seq).astype(np.int64)
+        out_p = decode_jpeg_native(prog).astype(np.int64)
+        assert np.abs(out_p - noisy.astype(np.int64)).max() <= 2, arith
+        # same coefficients, different transmission: identical pixels
+        assert np.array_equal(out_s, out_p), arith

@@ -21,11 +21,12 @@ differential refinements): DHP + EXP reference expansion +
 differential lossless frames (SOF7 Huffman / SOF15 arithmetic) over
 a DCT (SOF0/1/9) or lossless base, with the Annex J.1.1.2
 interpolation and mod-2^16 component-domain reconstruction, plus
-DIFFERENTIAL sequential DCT refinement frames (SOF5 Huffman / SOF13
-arithmetic: unit-quant DCT of differences, no level shift, clamped
-sample-domain references) — the full Annex J ladder short of the
-differential PROGRESSIVE forms (SOF6/14), the one dispatch point an
-imaging library replaces in production.
+DIFFERENTIAL DCT refinement frames in BOTH transmission orders —
+sequential (SOF5 Huffman / SOF13 arithmetic) and progressive
+(SOF6 / SOF14), unit-quant DCT of differences, no level shift,
+clamped sample-domain references. Every ITU T.81 SOF frame type
+(SOF0-3, 5-7, 9-11, 13-15) now decodes; the remaining external
+dispatch is non-T.81 formats (H.264-class video).
 
 Encoder: the test-side twin (4:4:4, ITU T.81 Annex K quantization and
 Huffman tables) so round-trips exercise the full marker → Huffman →
@@ -267,6 +268,45 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if (
+            hier is not None
+            and frame is not None
+            and frame.get("progressive")
+            and scans_done
+            and (
+                marker in (0xD9, 0xDE, 0xDF)
+                or (0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC))
+            )
+        ):
+            # hierarchical progressive frame ends at the next
+            # structural marker: reconstruct and fold into the pyramid
+            planes = _reconstruct_progressive(
+                frame, coef, qt, native,
+                differential=frame.get("differential", False), want_planes=True,
+            )
+            fh, fw = frame["h"], frame["w"]
+            if frame.get("differential"):
+                if ref is None:
+                    raise ValueError("differential frame without reference")
+                if pending_exp is not None:
+                    ref = [_exp_upsample(rp, *pending_exp) for rp in ref]
+                    pending_exp = None
+                if any(rp.shape[0] < fh or rp.shape[1] < fw for rp in ref):
+                    raise ValueError("reference smaller than differential frame")
+                maxv = (1 << frame.get("prec", 8)) - 1
+                merged = []
+                for rp, d in zip(ref, planes):
+                    s = (rp[:fh, :fw] + d) & 0xFFFF
+                    s = np.where(s >= 32768, s - 65536, s)
+                    merged.append(np.clip(s, 0, maxv).astype(np.int64))
+                ref = merged
+            else:
+                hier["color"] = len(frame["comps"]) == 3
+                pending_exp = None
+                ref = planes
+            frame = None
+            coef = None
+            scans_done = 0
         if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack_from(">H", buf, pos + 2)[0]
@@ -368,9 +408,25 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
             # EXP (Annex J): expand the reference before the next frame
             pending_exp = (seg[0] >> 4, seg[0] & 0x0F)
         elif marker in (0xC6, 0xCE):
-            # differential PROGRESSIVE frames: the one deliberate
-            # dispatch edge left
-            raise NotImplementedError(f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
+            # Annex J DIFFERENTIAL progressive frames (SOF6 Huffman,
+            # SOF14 arithmetic): standard progressive scan machinery
+            # over difference coefficients, no level shift
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": True,
+                "arith": marker == 0xCE,
+                "differential": True,
+                "prec": prec,
+            }
+            coef = None
+            scans_done = 0
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             s = 0
             while s + 1 < len(seg):
@@ -444,11 +500,16 @@ def _decode_jpeg(buf: bytes, native: bool = False) -> np.ndarray:
                 continue
             if frame.get("differential") and hier is None:
                 raise ValueError("differential frame without DHP")
-            if hier is not None and not frame.get("lossless"):
+            if (
+                hier is not None
+                and not frame.get("lossless")
+                and not frame.get("progressive")
+            ):
                 # Annex J: a DCT frame inside a hierarchical sequence
-                # (re)establishes the reference in the component domain
-                if frame.get("progressive"):
-                    raise NotImplementedError("hierarchical progressive frame")
+                # (re)establishes (or differentially refines) the
+                # reference in the component domain; progressive frames
+                # fall through to the scan-accumulate branches and fold
+                # in at the frame-boundary hook above
                 if frame.get("arith"):
                     from transferdb_spark.ext.jpeg_arith import decode_arith_scan
 
@@ -977,12 +1038,11 @@ def encode_jpeg_hierarchical_lossless(
     return bytes(out)
 
 
-def _dct_diff_fragment(dplanes, arith):
-    """SOF..entropy bytes for one DIFFERENTIAL sequential DCT frame
-    (SOF5 Huffman / SOF13 arithmetic): DCT of signed difference planes
-    with NO level shift and a unit quantization table (id 2), Huffman
-    via per-frame flat tables (diff magnitudes exceed Annex K's 8-bit
-    categories)."""
+def _diff_coef_blocks(dplanes):
+    """Signed difference planes → unit-quantized zigzag DCT blocks
+    (no level shift) — shared by the sequential and progressive
+    differential fragments AND the encoder-side reconstruction, so
+    all three see identical integers."""
     fh, fw = dplanes[0].shape
     bh, bw = (fh + 7) // 8, (fw + 7) // 8
     coefs = []
@@ -994,6 +1054,18 @@ def _dct_diff_fragment(dplanes, arith):
         coef = np.einsum("ij,abjk,kl->abil", _A, blocks, _A.T)
         q = np.round(coef).astype(np.int32)  # unit quantization
         coefs.append(q.reshape(bh, bw, 64)[:, :, _ZIGZAG])
+    return coefs
+
+
+def _dct_diff_fragment(dplanes, arith):
+    """SOF..entropy bytes for one DIFFERENTIAL sequential DCT frame
+    (SOF5 Huffman / SOF13 arithmetic): DCT of signed difference planes
+    with NO level shift and a unit quantization table (id 2), Huffman
+    via per-frame flat tables (diff magnitudes exceed Annex K's 8-bit
+    categories)."""
+    fh, fw = dplanes[0].shape
+    coefs = _diff_coef_blocks(dplanes)
+    bh, bw = coefs[0].shape[:2]
 
     out = bytearray()
     # unit DQT, table id 2 (Pq=0 8-bit entries)
@@ -1077,19 +1149,138 @@ def _dct_diff_fragment(dplanes, arith):
     return bytes(out)
 
 
+def _prog_diff_fragment(dplanes, arith):
+    """SOF..entropy bytes for one DIFFERENTIAL progressive DCT frame
+    (SOF6 Huffman / SOF14 arithmetic): the standard 14-scan
+    progressive script over unit-quantized difference coefficients.
+    Coefficients come from the same _diff_coef_blocks as the
+    sequential differential fragment, so the two transmission orders
+    reconstruct identically."""
+    fh, fw = dplanes[0].shape
+    coefs = _diff_coef_blocks(dplanes)
+    bh, bw = coefs[0].shape[:2]
+
+    out = bytearray()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x02]) + bytes([1] * 64)
+    sof = bytearray(
+        bytes([0xFF, 0xCE if arith else 0xC6])
+        + struct.pack(">HBHHB", 8 + 9, 8, fh, fw, 3)
+    )
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 2])
+    out += sof
+
+    bands = ((1, 5), (6, 63))
+    scans: list[tuple] = [("dc_first", None, 0, 0, 0, 1), ("dc_refine", None, 0, 0, 1, 0)]
+    for ci in range(3):
+        for ss, se in bands:
+            scans.append(("ac_first", ci, ss, se, 0, 1))
+    for ci in range(3):
+        for ss, se in bands:
+            scans.append(("ac_refine", ci, ss, se, 1, 0))
+
+    if arith:
+        from transferdb_spark.ext.jpeg_arith import (
+            AC_STAT_BINS,
+            DC_STAT_BINS,
+            DEFAULT_AC_COND,
+            DEFAULT_DC_COND,
+            _ArithEncoder,
+            _encode_ac_first_band,
+            _encode_ac_refine_band,
+            _encode_dc_diff,
+            _sign_bin,
+        )
+
+        lo, up = DEFAULT_DC_COND
+        dc_val = (up << 4) | lo
+        out += b"\xff\xcc" + struct.pack(">H", 2 + 8)
+        out += bytes(
+            [0x00, dc_val, 0x01, dc_val, 0x10, DEFAULT_AC_COND, 0x11, DEFAULT_AC_COND]
+        )
+        for kind, ci, ss, se, ah, al in scans:
+            in_scan = [0, 1, 2] if ci is None else [ci]
+            out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(in_scan), len(in_scan))
+            for c in in_scan:
+                t = 0 if c == 0 else 1
+                out += bytes([c + 1, (t << 4) | t])
+            out += bytes([ss, se, (ah << 4) | al])
+            enc = _ArithEncoder()
+            dc_st = {0: bytearray(DC_STAT_BINS), 1: bytearray(DC_STAT_BINS)}
+            ac_st = {0: bytearray(AC_STAT_BINS), 1: bytearray(AC_STAT_BINS)}
+            sign_st = _sign_bin()
+            pred = [0, 0, 0]
+            dc_ctx = [0, 0, 0]
+            lo_, up_ = lo, up
+            if kind == "dc_first":
+                for by in range(bh):
+                    for bx in range(bw):
+                        for c in in_scan:
+                            t = 0 if c == 0 else 1
+                            v = int(coefs[c][by, bx][0]) >> al
+                            diff = v - pred[c]
+                            pred[c] = v
+                            dc_ctx[c] = _encode_dc_diff(
+                                enc, dc_st[t], dc_ctx[c], lo_, up_, diff
+                            )
+            elif kind == "dc_refine":
+                for by in range(bh):
+                    for bx in range(bw):
+                        for c in in_scan:
+                            bit = (int(coefs[c][by, bx][0]) >> al) & 1
+                            enc.encode(sign_st, 0, bit, adapt=False)
+            elif kind == "ac_first":
+                t = 0 if ci == 0 else 1
+                for by in range(bh):
+                    for bx in range(bw):
+                        _encode_ac_first_band(
+                            enc, ac_st[t], sign_st, DEFAULT_AC_COND,
+                            coefs[ci][by, bx], ss, se, al,
+                        )
+            else:
+                t = 0 if ci == 0 else 1
+                for by in range(bh):
+                    for bx in range(bw):
+                        _encode_ac_refine_band(
+                            enc, ac_st[t], sign_st, coefs[ci][by, bx], ss, se, al
+                        )
+            out += enc.finish()
+        return bytes(out)
+
+    for kind, ci, ss, se, ah, al in scans:
+        ops = _scan_ops(kind, coefs, ci, ss, se, ah, al)
+        codes = None
+        syms = sorted({op[1] for op in ops if op[0] == "s"})
+        if syms:
+            bits, vals = _flat_table(syms)
+            cls = 1 if kind.startswith("ac") else 0
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
+            codes = _encode_codes(bits, vals)
+        in_scan = [0, 1, 2] if ci is None else [ci]
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(in_scan), len(in_scan))
+        for c in in_scan:
+            out += bytes([c + 1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        wtr = _BitWriter()
+        for op in ops:
+            if op[0] == "s":
+                hc, hl = codes[op[1]]
+                wtr.write(hc, hl)
+            else:
+                wtr.write(op[1], op[2])
+        wtr.flush()
+        out += wtr.out
+    return bytes(out)
+
+
 def _dct_diff_recon(dplanes_coded, fh, fw):
     """Replicate the decoder's reconstruction of a unit-quant
     differential DCT frame: round-trip the coefficients through the
     same per-block IDCT expression and rint grid."""
     bh, bw = (fh + 7) // 8, (fw + 7) // 8
     out = []
-    for p in dplanes_coded:
-        pad = np.pad(
-            p.astype(np.float64), ((0, bh * 8 - fh), (0, bw * 8 - fw)), mode="edge"
-        )
-        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ij,abjk,kl->abil", _A, blocks, _A.T)
-        q = np.round(coef).astype(np.int32).reshape(bh, bw, 64)[:, :, _ZIGZAG]
+    for q in _diff_coef_blocks(dplanes_coded):
         plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
         for by in range(bh):
             for bx in range(bw):
@@ -1181,7 +1372,7 @@ def encode_jpeg_hierarchical_mixed(
 
 
 def encode_jpeg_hierarchical_dct(
-    px: np.ndarray, levels: int = 3, arith: bool = False
+    px: np.ndarray, levels: int = 3, arith: bool = False, progressive: bool = False
 ) -> bytes:
     """Full Annex J ladder: lossy DCT base, DIFFERENTIAL sequential
     DCT refinements (SOF5 / SOF13, unit quantization) at the
@@ -1246,8 +1437,12 @@ def encode_jpeg_hierarchical_dct(
         dsigned = [np.where(d >= 32768, d - 65536, d) for d in draw]
         out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP
         if k > 0:
-            # intermediate rung: differential DCT (lossy, unit quant)
-            out += _dct_diff_fragment(dsigned, arith)
+            # intermediate rung: differential DCT (lossy, unit quant),
+            # sequential or progressive transmission — same coefficients
+            if progressive:
+                out += _prog_diff_fragment(dsigned, arith)
+            else:
+                out += _dct_diff_fragment(dsigned, arith)
             coded = _dct_diff_recon(dsigned, fh, fw)
             merged = []
             for rp, c in zip(ref, coded):
@@ -1644,10 +1839,12 @@ def _prog_ac_refine(reader, blk, ac_table, state, ss, se, al):
         state["eobrun"] -= 1
 
 
-def _reconstruct_progressive(frame, coef, qt, native=False):
+def _reconstruct_progressive(
+    frame, coef, qt, native=False, differential=False, want_planes=False
+):
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
-    shift = float(1 << (frame.get("prec", 8) - 1))
+    shift = 0.0 if differential else float(1 << (frame.get("prec", 8) - 1))
     hmax, vmax, _, _ = _mcu_geometry(frame)
     full = []
     for ci, c in enumerate(comps):
@@ -1661,6 +1858,11 @@ def _reconstruct_progressive(frame, coef, qt, native=False):
         plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         plane = plane.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         full.append(plane[:h, :w])
+    if want_planes:
+        if differential:
+            return [np.rint(p).astype(np.int64) & 0xFFFF for p in full]
+        maxv = (1 << frame.get("prec", 8)) - 1
+        return [np.clip(np.rint(p), 0, maxv).astype(np.int64) for p in full]
     return _planes_to_rgb(full, frame.get("prec", 8), native)
 
 
