@@ -3757,6 +3757,25 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def media_phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (NEW r9, rows-only: binary
+    decode is non-SQL): each document's leading bytes become a REAL
+    decodable 8x8 PPM image, dHash-banded Hamming LSH pairs the
+    near-identical ones — the multimodal member of the dedup family."""
+    from transferdb_spark.ext.multimodal import phash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    header = F.lit(bytearray(b"P6\n8 8\n255\n"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(header, F.encode(F.rpad(F.col("text"), 192, " "), "UTF-8")).alias(
+            "content"
+        ),
+    )
+    return phash_neardup_pairs(media)
+
+
 def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: query bucket plus every Hamming-1 neighbour."""
     from transferdb_spark.ext.similarity import ann_topk_lsh_multiprobe
@@ -5331,6 +5350,7 @@ EXT_QUERIES = {
     "ann_recall_eval": ann_recall_eval_q,
     "minhash_calibration": minhash_calibration_q,
     "multimodal_features": multimodal_features_q,
+    "media_phash_neardup": media_phash_neardup_q,
 }
 
 
@@ -5532,6 +5552,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # scripts/gen_operator_index.py, which FAILS if a rows-only entry is
 # missing here (the gate for "no undocumented rows-only rows").
 ROWS_ONLY_RATIONALE = {
+    "media_phash_neardup": (
+        "Real binary decode on the hot path: each row's bytes parse as "
+        "a PPM image and hash through the numpy dHash kernel inside "
+        "mapInPandas — no SQL engine can express the decode, so there "
+        "is no DuckDB twin. The hash itself and the banded-LSH recall "
+        "guarantee are pinned by differential pytest (local numpy "
+        "replay equality + noisy-copy/JPEG-re-encode detection)."
+    ),
     "compare_checksum_fast": (
         "Engine-internal production twin of compare_chunk_checksum: "
         "xxhash64 over native values with no canonical rendering. The "

@@ -4220,3 +4220,55 @@ def test_jpeg_hierarchical_progressive_differential_sof6_sof14():
         assert np.abs(out_p - noisy.astype(np.int64)).max() <= 2, arith
         # same coefficients, different transmission: identical pixels
         assert np.array_equal(out_s, out_p), arith
+
+
+def test_phash_neardup_detects_reencodes(spark):
+    """dHash near-dup: a noisy copy and a JPEG re-encode of the same
+    image pair with the original at low Hamming distance; an unrelated
+    image pairs with nothing; the banded-LSH recall guarantee holds
+    (hamming <= bands-1 -> pair found)."""
+    import numpy as np
+
+    from transferdb_spark.ext.jpeg import encode_jpeg
+    from transferdb_spark.ext.multimodal import (
+        dhash64,
+        phash_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(59)
+    yy, xx = np.mgrid[0:32, 0:32]
+    grad = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    base = np.stack([grad, grad[::-1], (grad + 80) % 256], axis=2).astype(np.uint8)
+    noisy = np.clip(
+        base.astype(np.int16) + rng.integers(-2, 3, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+
+    def ppm(px):
+        h, w = px.shape[:2]
+        return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+    rows = [
+        (1, "image", bytearray(ppm(base))),
+        (2, "image", bytearray(ppm(noisy))),
+        (3, "image", bytearray(encode_jpeg(base))),
+        (4, "image", bytearray(ppm(other))),
+        (5, "image", bytearray(b"not an image")),  # quarantined, not fatal
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in phash_neardup_pairs(media).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert not any(4 in k or 5 in k for k in pairs)
+
+    # differential: the Spark-side hash equals a local replay
+    local = dhash64(base)
+    from transferdb_spark.ext.multimodal import image_phashes
+    hashes = {r["media_id"]: r["phash"] for r in image_phashes(media).collect()}
+    assert hashes[1] == local
+    assert hashes[5] is None

@@ -1184,3 +1184,96 @@ def probe_mp3(content: bytes) -> dict:
                     }
         i += 1
     raise ValueError("no MPEG-1 Layer III frame header found")
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup — the multimodal member of the dedup
+# family: re-encodes, resizes, and mild edits survive a dHash, so
+# byte-level digests miss exactly the duplicates this catches.
+
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash, public algorithm): luminance →
+    nearest-neighbour 9×8 grid → horizontal gradient signs, packed
+    row-major MSB-first. Returned as a SIGNED 64-bit value so it lands
+    in a Spark LongType column unchanged."""
+    f = px.astype(np.float64)
+    lum = f @ np.array([0.299, 0.587, 0.114]) if f.ndim == 3 else f
+    h, w = lum.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    g = lum[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def image_phashes(media: DataFrame) -> DataFrame:
+    """(media_id, phash) via Arrow batches; undecodable payloads hash
+    to NULL (the quarantine stance — a mixed corpus must not abort)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for c in pdf["content"]:
+                try:
+                    out.append(dhash64(decode_image(bytes(c))))
+                except Exception:  # noqa: BLE001 — quarantine undecodable
+                    out.append(None)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": out})
+
+    return media.mapInPandas(run, schema=_PHASH_SCHEMA)
+
+
+PHASH_BANDS = 8  # 8 bands × 8 bits: hamming ≤ 7 GUARANTEES a clean band
+
+
+def phash_neardup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by banded-Hamming LSH over dHash:
+    (media_a, media_b, hamming) for pairs within ``max_hamming`` bits.
+
+    Scale: never all-pairs — candidates come from equality on one of
+    PHASH_BANDS 8-bit bands (pigeonhole: hamming ≤ PHASH_BANDS−1
+    implies some band matches, so recall is exact for max_hamming ≤ 7);
+    the verify step is one JVM-side xor+bit_count. The shuffle carries
+    (band, 8-bit value) keys — fan-out per bucket is bounded by the
+    corpus's per-band collision count, the same posting-list bound the
+    MinHash band join relies on."""
+    if max_hamming >= PHASH_BANDS:
+        raise ValueError(f"banded guarantee only holds below {PHASH_BANDS}")
+    hashes = image_phashes(media).where(F.col("phash").isNotNull())
+    bands = (
+        f"transform(sequence(0, {PHASH_BANDS - 1}), "
+        f"b -> named_struct('band', b, 'v', shiftright(phash, b * 8) & 255))"
+    )
+    keyed = hashes.select(
+        "media_id", "phash", F.explode(F.expr(bands)).alias("bk")
+    ).select("media_id", "phash", F.col("bk.band").alias("band"), F.col("bk.v").alias("v"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ham = F.expr("bit_count(a.phash ^ b.phash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("media_a", "media_b")
+    )
