@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "source_kl_drift",
     "winnow_fingerprints",
     "winnow_neardup_pairs",
+    "media_phash_neardup",
 ]
 
 
