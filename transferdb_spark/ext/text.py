@@ -1787,40 +1787,72 @@ ORDER BY doc_id
 _COV_NS = list(range(5, 11))
 
 
-def _dup_cover_expr(n: int) -> str:
-    """Covered-char count for one n as a pure expression chain."""
-    # (gram, idx) pairs sorted by gram then idx
-    pairs = (
-        f"array_sort(transform(filter(sequence(1, size(t)),"
-        f" i -> i + {n} - 1 <= size(t)),"
-        f" i -> struct(array_join(slice(t, i, {n}), ' ') AS g, i AS i)))"
+def _dup_cover_all_expr() -> str:
+    """ALL six rungs' covered-char counts in ONE pass — the same fused
+    single-sorted-suffix-array trick as _rep_fold_all_expr (round-9
+    optimization, guide §1.2 step 1): the per-n expression chain paid
+    six array builds + six O(L log L) sorts per document; here the
+    (10-token-truncated) suffixes are sorted ONCE carrying their start
+    index, and each n's duplicated-gram runs are adjacent in that same
+    order (equal n-token prefixes are contiguous; a too-short suffix
+    carries a NULL prefix for that rung and a NULL never splits a run
+    — the _rep_fold_all_expr contiguity argument verbatim, which rests
+    on the TOKENS contract that every token char is > 0x20). The fold
+    keeps, per n, the current run's start indexes and the accumulated
+    duplicated-run indexes; the FINISH lambda closes the last run and
+    folds each rung's covered positions into a char count directly, so
+    the per-n outputs are plain struct fields and the heavy fold runs
+    once per row."""
+    max_n = max(_COV_NS)
+    suffixes = (
+        "array_sort(transform(filter(sequence(1, size(t)),"
+        " i -> i >= 1 AND i <= size(t)),"
+        f" i -> struct(array_join(slice(t, i, {max_n}), ' ') AS s, i AS i)))"
     )
-    # fold: collect start indexes of runs with >= 2 members
-    zero = (
-        "struct(CAST(NULL AS STRING) AS prev, CAST(array() AS ARRAY<INT>) AS run,"
-        " CAST(array() AS ARRAY<INT>) AS dups)"
+    prefix_fields = ", ".join(
+        f"'p{n}', IF(x.sc >= {n - 1}, substring_index(x.s, ' ', {n}),"
+        " CAST(NULL AS STRING))"
+        for n in _COV_NS
     )
-    step = (
-        "(acc, p) -> IF(acc.prev IS NOT NULL AND p.g = acc.prev,"
-        " named_struct('prev', acc.prev, 'run', array_append(acc.run, p.i),"
-        "              'dups', acc.dups),"
-        " named_struct('prev', p.g, 'run', array(p.i),"
-        "  'dups', IF(size(acc.run) > 1, concat(acc.dups, acc.run), acc.dups)))"
+    grams = (
+        f"transform(transform({suffixes},"
+        " x -> struct(length(x.s) - length(replace(x.s, ' ', '')) AS sc,"
+        " x.s AS s, x.i AS i)),"
+        f" x -> named_struct('i', x.i, {prefix_fields}))"
     )
-    fin = "acc -> IF(size(acc.run) > 1, concat(acc.dups, acc.run), acc.dups)"
-    dup_starts = f"aggregate({pairs}, {zero}, {step}, {fin})"
-    covered = (
-        f"array_distinct(flatten(transform({dup_starts},"
-        f" i -> sequence(i, i + {n} - 1))))"
-    )
-    return (
-        f"aggregate({covered}, 0L, (acc, i) -> acc + length(t[i - 1]))"
-    )
+    zeros, steps, fins = [], [], []
+    for n in _COV_NS:
+        a = f"acc.n{n}"
+        zeros.append(
+            f"'n{n}', named_struct('p', CAST(NULL AS STRING),"
+            " 'r', CAST(array() AS ARRAY<INT>), 'd', CAST(array() AS ARRAY<INT>))"
+        )
+        steps.append(
+            f"'n{n}', IF(x.p{n} IS NULL, {a},"
+            f" IF({a}.p IS NOT NULL AND x.p{n} = {a}.p,"
+            f" named_struct('p', {a}.p, 'r', array_append({a}.r, x.i), 'd', {a}.d),"
+            f" named_struct('p', x.p{n}, 'r', array(x.i),"
+            f" 'd', IF(size({a}.r) > 1, concat({a}.d, {a}.r), {a}.d))))"
+        )
+        dups = f"IF(size({a}.r) > 1, concat({a}.d, {a}.r), {a}.d)"
+        covered = (
+            f"array_distinct(flatten(transform({dups},"
+            f" i -> sequence(i, i + {n - 1}))))"
+        )
+        fins.append(
+            f"'c{n}', aggregate({covered}, 0L, (a2, p) -> a2 + length(t[p - 1]))"
+        )
+    zero = "named_struct(" + ", ".join(zeros) + ")"
+    step = "(acc, x) -> named_struct(" + ", ".join(steps) + ")"
+    fin = "acc -> named_struct(" + ", ".join(fins) + ")"
+    return f"aggregate({grams}, {zero}, {step}, {fin})"
 
 
 def ngram_dup_coverage(docs: DataFrame) -> DataFrame:
     """(doc_id, cov_dup5..cov_dup10) — position-exact duplicated-n-gram
-    char coverage fractions over token chars, stable_round(5)."""
+    char coverage fractions over token chars, stable_round(5). All six
+    rungs share ONE sorted suffix array + ONE fold (round 9; see
+    _dup_cover_all_expr) instead of six builds + sorts."""
     base = spread_narrow(docs).select(
         "doc_id",
         F.expr(TOKENS).alias("t"),
@@ -1829,13 +1861,16 @@ def ngram_dup_coverage(docs: DataFrame) -> DataFrame:
             F.lit(1),
         ).cast("double").alias("tok_chars"),
     )
+    folded = base.select(
+        "doc_id", "tok_chars", F.expr(_dup_cover_all_expr()).alias("dc")
+    )
     cols = [
         stable_round(
-            F.expr(_dup_cover_expr(n)).cast("double") / F.col("tok_chars"), 5
+            F.col("dc").getField(f"c{n}").cast("double") / F.col("tok_chars"), 5
         ).alias(f"cov_dup{n}")
         for n in _COV_NS
     ]
-    return base.select("doc_id", *cols).orderBy("doc_id")
+    return folded.select("doc_id", *cols).orderBy("doc_id")
 
 
 def ngram_dup_coverage_sql() -> str:
