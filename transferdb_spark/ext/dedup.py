@@ -1425,6 +1425,27 @@ ORDER BY cluster_size
 """
 
 
+def _source_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(src, h) shingle-hash pairs, source carried through the shingle
+    projection directly (round-9: replaces a doc_id self-join of the
+    same scan that cost an extra exchange for a column already on the
+    row — guide §2.4); spread_narrow so the tokenize+shingle+hash
+    narrow stage uses every slot even on a single-row-group scan
+    (no-op at real scale). Shared base of the source-similarity family
+    ([[source_novelty]], [[source_jaccard]], [[source_minhash_jaccard]])."""
+    from transferdb_spark.ext.text import spread_narrow
+
+    return (
+        spread_narrow(docs)
+        .withColumn("toks", F.expr(TOKENS))
+        .withColumn("sh", F.array_distinct(F.expr(SHINGLES_FROM_TOKS)))
+        .select(
+            F.col("source").alias("src"),
+            F.explode(F.expr(SHINGLE_HASHES)).alias("h"),
+        )
+    )
+
+
 def source_novelty(docs: DataFrame) -> DataFrame:
     """Cumulative corpus novelty per source — consumed in source-name
     order, what fraction of a source's distinct shingles is NEW (never
@@ -1436,12 +1457,7 @@ def source_novelty(docs: DataFrame) -> DataFrame:
     electing the first (min) source per shingle → two small per-source
     rollups. The shuffle carries 8-byte hashes, O(distinct shingles)
     rows — never document text, never all-pairs."""
-    pairs = (
-        _shingled(docs)
-        .join(docs.select("doc_id", F.col("source").alias("src")), "doc_id")
-        .select("src", F.explode(F.expr(SHINGLE_HASHES)).alias("h"))
-        .distinct()
-    )
+    pairs = _source_shingle_hashes(docs).distinct()
     totals = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
     firsts = pairs.groupBy("h").agg(F.min("src").alias("first_src"))
     novels = firsts.groupBy("first_src").agg(F.count(F.lit(1)).alias("n_novel"))
@@ -1495,12 +1511,7 @@ def source_jaccard(docs: DataFrame) -> DataFrame:
     broadcast-sized aggregate; the intersection self-join keys on the
     hash, so each shingle fans out at most n_sources² — bounded by the
     source-count square, not corpus size."""
-    pairs = (
-        _shingled(docs)
-        .join(docs.select("doc_id", F.col("source").alias("src")), "doc_id")
-        .select("src", F.explode(F.expr(SHINGLE_HASHES)).alias("h"))
-        .distinct()
-    )
+    pairs = _source_shingle_hashes(docs).distinct()
     totals = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     a, b = pairs.alias("a"), pairs.alias("b")
     inter = (
@@ -1574,11 +1585,7 @@ def source_minhash_jaccard(docs: DataFrame) -> DataFrame:
     affine family as `minhash_signatures`, so the estimator quality is
     exactly what `minhash_calibration` measured. All integer math →
     bit-identical in the DuckDB oracle."""
-    shh = (
-        _shingled(docs)
-        .join(docs.select("doc_id", F.col("source").alias("src")), "doc_id")
-        .select("src", F.explode(F.expr(SHINGLE_HASHES)).alias("h"))
-    )
+    shh = _source_shingle_hashes(docs)
     aggs = [
         F.min(
             F.expr(f"((65537 * {i + 1}) * h + 104729 * {i} + 12345) % {_MOD}")
