@@ -59,6 +59,7 @@ from transferdb_spark.ext.similarity import (
     _qmat,
     dot_udf,
     norm_udf,
+    qdot_udf,
 )
 from transferdb_spark.functions.canonical import stable_round, stable_round_sql
 
@@ -153,6 +154,45 @@ def _qvec_struct_udf(cents: list[list[int]]):
     return assign_q
 
 
+def _assign_qn_udf(cents: list[list[int]]):
+    """cluster + quantized vector + exact norm in ONE Arrow pass — the
+    prune stage's per-vector precompute (round-9): everything the
+    in-cluster pair join needs, so no per-pair re-quantization."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    C = np.asarray(cents, dtype=np.int64)
+    CN2 = (C * C).sum(axis=1)
+    out_t = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("q", ArrayType(LongType())),
+            StructField("nrm", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def assign_qn(e: pd.Series) -> pd.DataFrame:
+        X = _qmat(e)
+        if X.shape[0] == 0:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype="int32"),
+                    "q": [],
+                    "nrm": pd.Series([], dtype="float64"),
+                }
+            )
+        S = CN2[None, :] - 2 * (X @ C.T)
+        return pd.DataFrame(
+            {
+                "cluster": np.argmin(S, axis=1).astype(np.int32),
+                "q": list(X),
+                "nrm": np.sqrt((X * X).sum(axis=1).astype(np.float64)),
+            }
+        )
+
+    return assign_qn
+
+
 def kmeans_centroids(
     emb: DataFrame, k: int = K, iters: int = ITERS
 ) -> list[list[int]]:
@@ -228,16 +268,21 @@ def semdedup_prune(
     from pyspark.sql import Window
 
     cents = kmeans_centroids(emb, k, iters)
-    ass = emb.select(
+    # cluster/q/nrm in ONE Arrow pass per VECTOR (round-9, guide
+    # §2.3/§4.1): the in-cluster pair stage then pays a single
+    # integer-dot kernel instead of three UDFs re-quantizing both
+    # sides per pair — same _qmat grid, bit-identical cosines.
+    aq = _assign_qn_udf(cents)
+    ass = emb.select("vec_id", aq(F.col("embedding")).alias("p")).select(
         "vec_id",
-        "embedding",
-        _assign_udf(cents)(F.col("embedding")).alias("cluster"),
-        norm_udf(F.col("embedding")).alias("nrm"),
+        F.col("p.cluster").alias("cluster"),
+        F.col("p.q").alias("q"),
+        F.col("p.nrm").alias("nrm"),
     )
     n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = ass.repartition(n_parts).alias("a")
     b = ass.alias("b")
-    dot = dot_udf.asNondeterministic()(F.col("a.embedding"), F.col("b.embedding"))
+    dot = qdot_udf.asNondeterministic()(F.col("a.q"), F.col("b.q")).cast("double")
     cos = stable_round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND)
     pairs = (
         a.join(

@@ -35,7 +35,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, IntegerType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 DIM = 64
 # 4 planes = 16 buckets: sized so local-test buckets hold enough
@@ -102,6 +109,47 @@ def cosine_expr(a: str, b: str):
     return stable_round(
         dot_udf(F.col(a), F.col(b)) / (norm_udf(F.col(a)) * norm_udf(F.col(b))), ROUND
     )
+
+
+@pandas_udf(LongType())
+def qdot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact dot of two PRE-QUANTIZED int64 vectors — the pair-side
+    kernel of the q/nrm precompute split (round-9, guide §2.3/§4.1):
+    quantization and the two norms move to a once-per-VECTOR pass
+    before the self-join, so the per-PAIR work is one integer matmul
+    instead of three UDF evaluations re-quantizing both sides."""
+    QA = np.stack(a.to_numpy()).astype(np.int64) if len(a) else np.empty((0, DIM), np.int64)
+    QB = np.stack(b.to_numpy()).astype(np.int64) if len(b) else np.empty((0, DIM), np.int64)
+    return pd.Series((QA * QB).sum(axis=1))
+
+
+@pandas_udf(
+    StructType(
+        [
+            StructField("bucket", IntegerType()),
+            StructField("q", ArrayType(LongType())),
+            StructField("nrm", DoubleType()),
+        ]
+    )
+)
+def prep_qbn_udf(emb: pd.Series) -> pd.DataFrame:
+    """ONE Arrow pass per vector → (LSH bucket, quantized int64 vector,
+    exact norm double): everything the banded kNN pair stage needs,
+    computed once per vector instead of once per pair. Integer sums
+    are order-independent, so bucket/dot/norm are bit-identical to the
+    bucket_udf/dot_udf/norm_udf chain (same _qmat grid)."""
+    Q = _qmat(emb)
+    if Q.shape[0] == 0:
+        return pd.DataFrame(
+            {"bucket": pd.Series([], dtype="int32"), "q": [], "nrm": pd.Series([], dtype="float64")}
+        )
+    signs = _signs().astype(np.int64)
+    bucket = np.zeros(len(Q), dtype=np.int32)
+    for i in range(N_PLANES):
+        dots = (Q * signs[i]).sum(axis=1)
+        bucket += np.where(dots >= 0, 1 << i, 0).astype(np.int32)
+    nrm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    return pd.DataFrame({"bucket": bucket, "q": list(Q), "nrm": nrm})
 
 
 def embedding_norms(emb: DataFrame) -> DataFrame:
@@ -565,17 +613,22 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
     round-robin repartitioned — the dim side is broadcast, so the
     probe needs no co-partitioning, and without this a single-file
     local read would funnel every pair evaluation through one task."""
+    # q/nrm precompute (round-9, guide §2.3/§4.1): one Arrow pass per
+    # VECTOR yields bucket+quantized vector+norm; the pair stage pays a
+    # single integer-dot kernel instead of re-quantizing both sides.
     with_b = emb.select(
+        "vec_id", prep_qbn_udf(F.col("embedding")).alias("p")
+    ).select(
         "vec_id",
-        "embedding",
-        bucket_udf(F.col("embedding")).alias("bucket"),
-        norm_udf(F.col("embedding")).alias("nrm"),
+        F.col("p.bucket").alias("bucket"),
+        F.col("p.q").alias("q"),
+        F.col("p.nrm").alias("nrm"),
     )
     n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a, c = with_b.repartition(n_parts).alias("a"), with_b.alias("b")
     from transferdb_spark.functions.canonical import stable_round
 
-    dot = dot_udf.asNondeterministic()(F.col("a.embedding"), F.col("b.embedding"))
+    dot = qdot_udf.asNondeterministic()(F.col("a.q"), F.col("b.q")).cast("double")
     cos = stable_round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND)
     return (
         a.join(
@@ -788,9 +841,20 @@ def knn_label_vote(emb: DataFrame, k: int = 5) -> DataFrame:
     (votes DESC, label ASC)."""
     from pyspark.sql import Window
 
+    from transferdb_spark.functions.canonical import stable_round
+
+    # q/nrm precompute (round-9, guide §2.3/§4.1): bucket, quantized
+    # vector and norm come from ONE Arrow pass per VECTOR; the in-bucket
+    # self-join then pays a single integer-dot kernel per PAIR instead
+    # of three UDFs re-quantizing both sides — same _qmat grid, so
+    # every cosine is bit-identical to the cosine_expr chain.
     b = emb.select(
-        "vec_id", "embedding", "label",
-        bucket_udf(F.col("embedding")).alias("bucket"),
+        "vec_id", "label", prep_qbn_udf(F.col("embedding")).alias("p")
+    ).select(
+        "vec_id", "label",
+        F.col("p.bucket").alias("bucket"),
+        F.col("p.q").alias("q"),
+        F.col("p.nrm").alias("nrm"),
     )
     a, n = b.alias("a"), b.alias("n")
     pairs = a.join(
@@ -802,7 +866,11 @@ def knn_label_vote(emb: DataFrame, k: int = 5) -> DataFrame:
         F.col("a.label").alias("label"),
         F.col("n.label").alias("nlabel"),
         F.col("n.vec_id").alias("nid"),
-        cosine_expr("a.embedding", "n.embedding").cast("double").alias("cos"),
+        stable_round(
+            qdot_udf(F.col("a.q"), F.col("n.q")).cast("double")
+            / (F.col("a.nrm") * F.col("n.nrm")),
+            ROUND,
+        ).cast("double").alias("cos"),
     )
     wn = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nid"))
     knn = pairs.withColumn("rn", F.row_number().over(wn)).where(F.col("rn") <= k)
