@@ -27,18 +27,16 @@ engines (documented here rather than paid everywhere).
 Scale shape = the BPE trainer's (the audited one): corpus → (word,
 cnt) once, then per merge: pair explode → map-side-combined groupBy,
 plus one symbol-count groupBy for the denominators; the driver sees
-ONE argmax row per iteration; merge application is an Arrow-batched
-pandas UDF over the distinct-word table with per-iteration
-localCheckpoint and explicit block freeing.
+ONE argmax row per iteration; merge application is a lazy JVM fold
+over the distinct-word table (round 9 — no Python round-trip), with
+localCheckpoint every 8 merges bounding the lineage and explicit
+block freeing.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from transferdb_spark.ext.bpe import (
     _free_checkpoint,
@@ -46,38 +44,58 @@ from transferdb_spark.ext.bpe import (
     word_counts,
 )
 
-_ARR_STR = T.ArrayType(T.StringType())
-
 SCORE_SCALE = 10**12
 
 
-@pandas_udf(_ARR_STR)
-def _wp_chars_udf(words: pd.Series) -> pd.Series:
-    def split(w):
-        return [w[0]] + ["##" + c for c in w[1:]]
+# initial segmentation as a JVM expression (round-9, guide §4.1): one
+# character per symbol with the ##-continuation prefix — substring and
+# length are code-point based on both engines, matching the Python
+# w[0]/w[1:] split the pandas UDF used to do, without the Arrow
+# round-trip on the training table's build pass.
+_WP_CHARS = (
+    "transform(sequence(1, length(word)),"
+    " i -> IF(i = 1, substring(word, 1, 1), '##' || substring(word, i, 1)))"
+)
 
-    return words.map(split)
 
-
-def _wp_merge_udf(left: str, right: str):
+def _wp_merge_col(left: str, right: str):
+    """Greedy left-to-right non-overlapping merge application as a
+    JVM fold (round-9, guide §4.1 — replaces the per-iteration pandas
+    UDF and its Python-worker round-trip). State = (out, pend): each
+    symbol either completes the (left, right) pair with the pending
+    symbol, or flushes the pending symbol and becomes pending itself —
+    exactly the two-pointer loop of the old UDF (merged pairs consume
+    both symbols, so an emitted merge can never re-merge with the next
+    symbol this round). left/right bind via F.lit, not SQL literals,
+    so arbitrary token bytes need no escaping."""
     merged = left + (right[2:] if right.startswith("##") else right)
 
-    @pandas_udf(_ARR_STR)
-    def apply_merge(syms: pd.Series) -> pd.Series:
-        def m(s):
-            out, i, n = [], 0, len(s)
-            while i < n:
-                if i + 1 < n and s[i] == left and s[i + 1] == right:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            return out
+    def step(acc, s):
+        out, pend = acc["out"], acc["pend"]
+        return (
+            F.when(pend.isNull(), F.struct(out.alias("out"), s.alias("pend")))
+            .when(
+                (pend == F.lit(left)) & (s == F.lit(right)),
+                F.struct(
+                    F.array_append(out, F.lit(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(F.array_append(out, pend).alias("out"), s.alias("pend"))
+            )
+        )
 
-        return syms.map(m)
+    def fin(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pend"])
+        )
 
-    return apply_merge
+    zero = F.struct(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    return F.aggregate(F.col("syms"), zero, step, fin)
 
 
 def train_wordpiece(
@@ -86,9 +104,18 @@ def train_wordpiece(
     """Learn ``n_merges`` WordPiece merges over the documents corpus;
     returns [(left, right, freq, score_q)] in merge order."""
     words, ckpt = _tracked_local_checkpoint(
-        word_counts(docs).select(_wp_chars_udf("word").alias("syms"), "cnt")
+        word_counts(docs).select(F.expr(_WP_CHARS).alias("syms"), "cnt")
     )
     merges: list[tuple[str, str, int, int]] = []
+    # checkpoint CADENCE (round-9): merge application is now a lazy JVM
+    # fold, so a per-iteration localCheckpoint (one extra job each
+    # merge) is overkill — lineage still needs truncating for long
+    # trainings, but every 8 merges bounds the chain at ≤8 stacked
+    # folds (narrow, per-row, no Python) recomputed at most twice per
+    # argmax job. Measured at sf0.1: the per-iteration checkpoint was
+    # ~0.2 s/merge of pure job overhead on a vocabulary-sized table.
+    ckpt_every = 8
+    pending = 0
     for _ in range(n_merges):
         pairs = (
             words.select(
@@ -105,7 +132,11 @@ def train_wordpiece(
         )
         # vocabulary-sized (≤ seed chars + merges so far): broadcast
         # both denominator joins so the only shuffle per iteration is
-        # the two map-side-combined groupBys
+        # the two map-side-combined groupBys. (A round-9 A/B replaced
+        # the two broadcasts with one one-row map broadcast — it
+        # measured ~0.2 s SLOWER per train: the collect_list funnel
+        # adds a single-partition stage that costs more than the
+        # second broadcast build saves.)
         sym_counts = (
             words.select(F.explode("syms").alias("sym"), "cnt")
             .groupBy("sym")
@@ -129,13 +160,15 @@ def train_wordpiece(
         if top is None:
             break
         merges.append((top["l"], top["r"], int(top["freq"]), int(top["score_q"])))
-        words, new_ckpt = _tracked_local_checkpoint(
-            words.select(
-                _wp_merge_udf(top["l"], top["r"])(F.col("syms")).alias("syms"), "cnt"
-            )
+        words = words.select(
+            _wp_merge_col(top["l"], top["r"]).alias("syms"), "cnt"
         )
-        _free_checkpoint(words, ckpt)
-        ckpt = new_ckpt
+        pending += 1
+        if pending >= ckpt_every:
+            words, new_ckpt = _tracked_local_checkpoint(words)
+            _free_checkpoint(words, ckpt)
+            ckpt = new_ckpt
+            pending = 0
     _free_checkpoint(words, ckpt)
     return merges
 
