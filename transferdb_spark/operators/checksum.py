@@ -45,10 +45,19 @@ def chunk_checksums(
     engine-portable variant — needed only when the checksum VALUE is
     compared against another engine (the DuckDB oracle); Spark-vs-Spark
     compare uses xxhash64 (~3-5× cheaper)."""
+    from transferdb_spark.ext.text import spread_narrow
+
     tagged, _, _ = with_chunk_id(df, key, n_chunks, bounds=bounds)
     h = _row_hash(df.schema, cols, portable)
+    # spread_narrow (round-9): the canonical render + hash is the
+    # expensive narrow stage and otherwise runs on however few
+    # partitions the scan produced (ONE for the single-row-group sf
+    # fixtures); the checksum SUM is commutative so the round-robin
+    # cannot change any value, and at real scale the condition makes
+    # this a no-op.
     return (
-        tagged.select("chunk_id", h.alias("h"))
+        spread_narrow(tagged.select("chunk_id", *[c for c in (cols or df.columns)]))
+        .select("chunk_id", h.alias("h"))
         .groupBy("chunk_id")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("h").alias("checksum"))
     )
@@ -85,6 +94,11 @@ def chunk_checksums_native(
     names = cols or df.columns
     args = [x for c in names for x in (F.col(c), F.col(c).isNull())]
     h = F.shiftrightunsigned(F.xxhash64(*args), 64 - HEX_DIGITS * 4)
+    # NO spread_narrow here (round-9 A/B): xxhash64 over native values
+    # is cheap enough that the round-robin exchange of the payload
+    # costs more than the single-row-group serialism it fixes
+    # (0.61 s -> 1.53 s at sf0.1). Only the md5+canonical-render
+    # portable path above clears that bar.
     return (
         tagged.select("chunk_id", h.alias("h"))
         .groupBy("chunk_id")
