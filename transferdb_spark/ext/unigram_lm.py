@@ -182,25 +182,23 @@ def train_unigram(
     # — no session-lifetime cache leak from registry callables.
     words = word_counts(docs).persist()
     try:
-        seeds = _seed_counts(words, max_piece_len).persist()
-        try:
-            # ---- seed: ALL single chars (coverage floor, alphabet-
-            # bounded) + top multi-char substrings ------------------
-            chars = {
-                r["piece"]: int(r["cnt"])
-                for r in seeds.where(F.length("piece") == 1).collect()
-            }
-            multi = {
-                r["piece"]: int(r["cnt"])
-                for r in seeds.where(F.length("piece") > 1)
+        seeds = _seed_counts(words, max_piece_len)
+        # ---- seed: ALL single chars (coverage floor, alphabet-
+        # bounded) + top multi-char substrings — ONE collect (round-9:
+        # the two-branch form persisted seeds and ran two jobs over it;
+        # a union of the char branch with the top-N multi branch is a
+        # single model-sized job, and with only two consumers fused
+        # into one action the persist bought nothing) ----------------
+        seed_rows = (
+            seeds.where(F.length("piece") == 1)
+            .unionAll(
+                seeds.where(F.length("piece") > 1)
                 .orderBy(F.desc("cnt"), "piece")
                 .limit(seed_size)
-                .collect()
-            }
-        finally:
-            seeds.unpersist()
-        counts = dict(chars)
-        counts.update(multi)
+            )
+            .collect()
+        )
+        counts = {r["piece"]: int(r["cnt"]) for r in seed_rows}
 
         # ---- EM: segment with current scores, recount, prune -------
         for _ in range(iters):
