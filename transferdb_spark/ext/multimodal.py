@@ -1220,7 +1220,16 @@ _PHASH_SCHEMA = T.StructType(
 
 def image_phashes(media: DataFrame) -> DataFrame:
     """(media_id, phash) via Arrow batches; undecodable payloads hash
-    to NULL (the quarantine stance — a mixed corpus must not abort)."""
+    to NULL (the quarantine stance — a mixed corpus must not abort).
+
+    spread_narrow first (round-9, guide §2.5/§4): the Python image
+    decode is the expensive per-row stage and otherwise runs on
+    however few partitions the scan produced (one for the
+    single-row-group sf fixtures); a no-op whenever the scan already
+    has enough splits, i.e. always at real scale."""
+    from transferdb_spark.ext.text import spread_narrow
+
+    media = spread_narrow(media)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
