@@ -235,6 +235,18 @@ def main() -> None:
     # table (file source -> windowed agg -> memory sink). Timed once —
     # streaming checkpoint setup dominates and a median over re-created
     # checkpoints measures tmpfs, not the plan.
+    # untimed streaming WARMUP first (round-9 measurement fix,
+    # disclosed in OPTIMIZATION_r09.md): the first streaming query of
+    # a session pays ~2 s of one-time machinery cost (streaming class
+    # loading, state-store/codegen init) that the batch section's q1
+    # warmup already removes for batch queries — without this, that
+    # one-time cost lands on whichever stream happens to run first and
+    # is indistinguishable from its plan cost. Each timed stream still
+    # pays its own FULL checkpoint + state setup on a fresh tmpdir.
+    try:
+        _warm_streaming(spark)
+    except Exception:  # noqa: BLE001 — warmup failure must not kill the run
+        pass
     try:
         timings["stream_rollup"] = round(_bench_stream_rollup(spark), 3)
         total += timings["stream_rollup"]
@@ -349,6 +361,42 @@ def main() -> None:
     if errors:
         out["nerrors"] = len(errors)
     print(json.dumps(out))
+
+
+def _warm_streaming(spark) -> None:
+    """One untimed availableNow pass (file source -> narrow projection
+    -> memory sink) to absorb the session's one-time streaming
+    machinery cost before the timed stream section — the streaming
+    analogue of the q1 batch warmup above. Uses its own throwaway
+    checkpoint; the timed streams keep paying their full per-query
+    checkpoint/state setup."""
+    import shutil
+    import tempfile
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    work = tempfile.mkdtemp(prefix="bench_swarm_")
+    try:
+        feed = os.path.join(work, "feed")
+        os.makedirs(feed)
+        os.symlink(src, os.path.join(feed, "events.parquet"))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(feed)
+            .drop("props")
+            .select("user_id")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("bench_stream_warmup")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.dropTempView("bench_stream_warmup")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _bench_stream_dedup(spark) -> float:
