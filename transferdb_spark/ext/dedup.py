@@ -155,12 +155,17 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
     Non-SQL-expressible iteratively, but the ORACLE can state the same
     fixpoint as a recursive CTE (min over the transitive closure), so
     the two independent formulations check each other."""
-    # localCheckpoint (eager) on every round output: iterative
-    # DataFrames otherwise grow their logical plan geometrically and
-    # plan processing alone OOMs the driver after ~10 rounds.
-    # Checkpointing truncates lineage to the materialized blocks — the
-    # standard pattern for iterative algorithms on DataFrames
-    # (production clusters would use a reliable checkpoint dir).
+    # localCheckpoint on every round output: iterative DataFrames
+    # otherwise grow their logical plan geometrically and plan
+    # processing alone OOMs the driver after ~10 rounds. Checkpointing
+    # truncates lineage to the materialized blocks — the standard
+    # pattern for iterative algorithms on DataFrames (production
+    # clusters would use a reliable checkpoint dir). LAZY (eager=False)
+    # checkpoints: lineage truncation is structural either way, but
+    # lazy lets the round's ONE stats job double as the materializing
+    # action — one job per round instead of two (round-9 §1.2; the
+    # eager form ran a materialize job and then a stats job over the
+    # same blocks).
     edges = (
         pairs.select(
             F.greatest(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("u"),
@@ -168,7 +173,7 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     rounds = 0
@@ -176,7 +181,7 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
     n_old = edges.count()
     for _ in range(max_iter):
         rounds += 1
-        contracted = _small_star(_large_star(edges)).localCheckpoint()
+        contracted = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # ONE stats job per round: both sides are distinct sets, so
         # equal size + empty one-sided difference ⇒ set equality ⇒
         # fixed point reached (a left join counts size and the
@@ -572,7 +577,16 @@ def ngram_jaccard_rare_pairs(docs: DataFrame, threshold: float = 0.5, df_cap: in
     # narrow stage) runs once, not once per consumer; df filtering and
     # the per-doc rare count are windows over the exploded relation —
     # each is one shuffle, replacing the groupBy+join pairs (two fewer
-    # shuffles and no broadcast of the rare-shingle set)
+    # shuffles and no broadcast of the rare-shingle set).
+    # Round-9 A/B (REJECTED): a groupBy(shingle)+collect_list posting-
+    # list form (hot-shingle broadcast anti-join prefilter, row-local
+    # pair generation from the ≤cap sorted list, per-doc counts
+    # attached by join) measured 1.93 s vs 1.28 s for this shape at
+    # sf0.1 — the extra df-count pass over the exploded relation plus
+    # the two attach joins cost more than the window sorts they
+    # replaced, and AQE already reuses the identical shuffle stages of
+    # the self-join's two sides at runtime. Oracle-green both ways;
+    # reverted on measurement (§1.2).
     arr = _shingled(docs).select(
         "doc_id", F.explode(F.expr(SHINGLE_HASHES)).alias("shingle")
     ).persist()
