@@ -15,9 +15,11 @@ Scale shape (100 TB of text):
 - Each merge iteration is: explode adjacent symbol pairs weighted by
   word count → map-side-combined groupBy(pair) → take the argmax row
   (driver sees ONE row, deterministic lexicographic tie-break) →
-  apply the merge with an Arrow-batched pandas UDF over the word
-  table. localCheckpoint truncates lineage per iteration (the same
-  iterative-plan discipline as dedup's connected components).
+  apply the merge as a JVM aggregate fold over the word table (no
+  Python boundary in the loop — round 9, guide §4.1). A per-merge
+  LAZY localCheckpoint truncates lineage; the next argmax job doubles
+  as its materializing action (the same iterative-plan discipline as
+  dedup's connected components).
 - Merges are deterministic: ties break on the lexicographically
   smallest (left, right) pair, so two engines (and re-runs) produce
   identical merge tables.
@@ -41,13 +43,6 @@ from pyspark.sql.functions import pandas_udf
 from transferdb_spark.ext.text import TOKENS
 from transferdb_spark.ext.text import spread_narrow as _spread
 
-# Pass a DataType OBJECT, not a DDL string: string return types are
-# parsed through the JVM at decoration time, which would make merely
-# importing this module require a live SparkSession (and break
-# oracle_sql() in session-free contexts).
-_ARR_STR = T.ArrayType(T.StringType())
-
-
 def word_counts(docs: DataFrame) -> DataFrame:
     """(word, cnt) frequency table — the one corpus-wide shuffle."""
     return (
@@ -58,28 +53,51 @@ def word_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-@pandas_udf(_ARR_STR)
-def _chars_udf(words: pd.Series) -> pd.Series:
-    return words.map(list)
+# Initial char split as a JVM transform (round-9, guide §4.1): no
+# Python boundary in the trainer seed pass. word_counts filters empty
+# words, so sequence(1, length(word)) is always ascending.
+_CHARS_EXPR = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
 
 
-def _merge_udf(left: str, right: str):
-    @pandas_udf(_ARR_STR)
-    def apply_merge(syms: pd.Series) -> pd.Series:
-        merged = left + right
-        def m(s):
-            out, i, n = [], 0, len(s)
-            while i < n:
-                if i + 1 < n and s[i] == left and s[i + 1] == right:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            return out
-        return syms.map(m)
+def _merge_strs_col(left: str, right: str):
+    """Greedy left-to-right non-overlapping merge application as a JVM
+    fold (round-9, guide §4.1 — the same machine as
+    wordpiece._wp_merge_col; replaces the per-iteration pandas UDF and
+    its Python-worker round-trip). State = (out, pend): each symbol
+    either completes the (left, right) pair with the pending symbol,
+    or flushes the pending symbol and becomes pending itself — exactly
+    the two-pointer loop of the old UDF (a merged pair consumes both
+    symbols, so an emitted merge can never re-merge with the next
+    symbol within the same pass). left/right bind via F.lit, not SQL
+    literals, so arbitrary symbol bytes need no escaping."""
+    merged = left + right
 
-    return apply_merge
+    def step(acc, s):
+        out, pend = acc["out"], acc["pend"]
+        return (
+            F.when(pend.isNull(), F.struct(out.alias("out"), s.alias("pend")))
+            .when(
+                (pend == F.lit(left)) & (s == F.lit(right)),
+                F.struct(
+                    F.array_append(out, F.lit(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(F.array_append(out, pend).alias("out"), s.alias("pend"))
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pend"])
+        )
+
+    zero = F.struct(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    return F.aggregate(F.col("syms"), zero, step, fin)
 
 
 def train_merges(
@@ -93,17 +111,25 @@ def train_merges(
     return merges
 
 
-def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
+def _tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> tuple[DataFrame, set]:
     """localCheckpoint plus the ids of the RDD blocks it pinned, so the
     iterative trainers can FREE superseded checkpoints via
     _free_checkpoint: Dataset.unpersist() only talks to the SQL cache
     manager and leaves checkpoint blocks resident for the whole
     session — every training run would otherwise leak one cached RDD
     per merge iteration. Driver code here is single-threaded, so the
-    before/after id diff cannot sweep someone else's cache."""
+    before/after id diff cannot sweep someone else's cache.
+
+    eager=False registers the checkpoint (persist happens at marking
+    time, so the id diff still sees it) but defers materialization to
+    the next job over the relation — used by the merge loops so the
+    following argmax job doubles as the materializing action. Callers
+    must NOT free a lazy checkpoint's PARENT until some job has
+    materialized it (localCheckpoint is non-reliable: dropped parent
+    blocks cannot be recomputed)."""
     sc = df.sparkSession.sparkContext
     before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint()
+    out = df.localCheckpoint(eager=eager)
     ids = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
     return out, ids
 
@@ -123,9 +149,21 @@ def _train_merges_with_words(
     word table — the apply stage (encoded_length_histogram) consumes
     it directly instead of re-running every merge pass."""
     words, ckpt = _tracked_local_checkpoint(
-        word_counts(docs).select(_chars_udf("word").alias("syms"), "cnt")
+        word_counts(docs).select(F.expr(_CHARS_EXPR).alias("syms"), "cnt")
     )
     merges: list[tuple[str, str, int]] = []
+    # Per-merge LAZY localCheckpoint (round-9, the star-contraction
+    # discipline): lineage truncation is structural either way, and
+    # the next iteration's argmax job doubles as the materializing
+    # action — no extra checkpoint job per merge (the old eager form
+    # paid one), and every argmax reads a depth-≤1 fold over
+    # materialized blocks (a cadence-8 variant was A/B-measured: the
+    # recompute + codegen of 8-deep fold chains cost MORE cold than
+    # the per-merge materialize job it saved). Freeing is DEFERRED one
+    # iteration: a lazy checkpoint's parent blocks must stay alive
+    # until the argmax job has materialized it (localCheckpoint is
+    # non-reliable — dropped parent blocks cannot be recomputed).
+    old_ckpt: set | None = None
     for _ in range(n_merges):
         pairs = words.select(
             F.explode(
@@ -137,17 +175,26 @@ def _train_merges_with_words(
             "cnt",
         ).groupBy("p.l", "p.r").agg(F.sum("cnt").alias("freq"))
         top = pairs.orderBy(F.desc("freq"), F.asc("l"), F.asc("r")).first()
+        # the argmax job above materialized the current lazy
+        # checkpoint, so its parent (two checkpoints back) is now
+        # safely recomputation-free to drop
+        if old_ckpt is not None:
+            _free_checkpoint(words, old_ckpt)
+            old_ckpt = None
         if top is None or top["freq"] < min_freq:
             break
         merges.append((top["l"], top["r"], int(top["freq"])))
         words, new_ckpt = _tracked_local_checkpoint(
             words.select(
-                _merge_udf(top["l"], top["r"])(F.col("syms")).alias("syms"), "cnt"
-            )
+                _merge_strs_col(top["l"], top["r"]).alias("syms"), "cnt"
+            ),
+            eager=False,
         )
-        _free_checkpoint(words, ckpt)  # superseded; the new one is materialized
+        old_ckpt = ckpt
         ckpt = new_ckpt
     # the FINAL checkpoint stays alive: callers consume the word table
+    # (plus its parent when the last merge's checkpoint is still
+    # unmaterialized — the consumer's first job materializes it)
     return merges, words
 
 
@@ -302,13 +349,14 @@ def gpt2_pre_tokenize(text: str) -> list[str]:
     return re.findall(GPT2_PRETOK_PY, text)
 
 
-def _bytes_from(word: str) -> list[int]:
-    return list(word.encode("utf-8"))
-
-
-@pandas_udf(_ARR_INT)
-def _bytes_udf(words: pd.Series) -> pd.Series:
-    return words.map(_bytes_from)
+# UTF-8 byte split as a JVM transform (round-9, guide §4.1): hex() of
+# a 1-byte binary slice conv'd back to decimal is the exact byte value
+# — verified equal to list(word.encode('utf-8')) including multi-byte
+# code points. No Python boundary in the trainer seed pass.
+_BYTES_EXPR = (
+    "transform(sequence(1, octet_length(encode(word, 'UTF-8'))),"
+    " i -> CAST(conv(hex(substring(encode(word, 'UTF-8'), i, 1)), 16, 10) AS INT))"
+)
 
 
 def word_counts_gpt2(docs: DataFrame) -> DataFrame:
@@ -328,22 +376,37 @@ def word_counts_gpt2(docs: DataFrame) -> DataFrame:
     )
 
 
-def _merge_ints_udf(left: int, right: int, new_id: int):
-    @pandas_udf(_ARR_INT)
-    def apply_merge(syms: pd.Series) -> pd.Series:
-        def m(s):
-            out, i, n = [], 0, len(s)
-            while i < n:
-                if i + 1 < n and s[i] == left and s[i + 1] == right:
-                    out.append(new_id)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            return out
-        return syms.map(m)
+def _merge_ints_col(left: int, right: int, new_id: int):
+    """Integer-symbol variant of _merge_strs_col: the same greedy
+    non-overlapping (left, right) → new_id fold as a JVM aggregate
+    (round-9, guide §4.1 — replaces the per-merge pandas UDF)."""
 
-    return apply_merge
+    def step(acc, s):
+        out, pend = acc["out"], acc["pend"]
+        return (
+            F.when(pend.isNull(), F.struct(out.alias("out"), s.alias("pend")))
+            .when(
+                (pend == F.lit(left)) & (s == F.lit(right)),
+                F.struct(
+                    F.array_append(out, F.lit(new_id)).alias("out"),
+                    F.lit(None).cast("int").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(F.array_append(out, pend).alias("out"), s.alias("pend"))
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pend"])
+        )
+
+    zero = F.struct(
+        F.expr("CAST(array() AS ARRAY<INT>)").alias("out"),
+        F.lit(None).cast("int").alias("pend"),
+    )
+    return F.aggregate(F.col("syms"), zero, step, fin)
 
 
 def train_bytes(
@@ -370,9 +433,12 @@ def train_bytes(
         return []
     wc = word_counts_gpt2(docs) if pre_tokenizer == "gpt2" else word_counts(docs)
     words, ckpt = _tracked_local_checkpoint(
-        wc.select(_bytes_udf("word").alias("syms"), "cnt")
+        wc.select(F.expr(_BYTES_EXPR).alias("syms"), "cnt")
     )
     merges: list[tuple[int, int, int, int]] = []
+    # per-merge LAZY checkpoint with one-iteration deferred freeing —
+    # see _train_merges_with_words for the full argument
+    old_ckpt: set | None = None
     for step in range(vocab_size - 256):
         pairs = words.select(
             F.explode(
@@ -384,19 +450,27 @@ def train_bytes(
             "cnt",
         ).groupBy("p.l", "p.r").agg(F.sum("cnt").alias("freq"))
         top = pairs.orderBy(F.desc("freq"), F.asc("l"), F.asc("r")).first()
+        if old_ckpt is not None:  # materialized by the argmax job above
+            _free_checkpoint(words, old_ckpt)
+            old_ckpt = None
         if top is None or top["freq"] < min_freq:
             break
         new_id = 256 + step
         merges.append((int(top["l"]), int(top["r"]), new_id, int(top["freq"])))
         words, new_ckpt = _tracked_local_checkpoint(
             words.select(
-                _merge_ints_udf(top["l"], top["r"], new_id)(F.col("syms")).alias("syms"),
-                "cnt",
-            )
+                _merge_ints_col(top["l"], top["r"], new_id).alias("syms"), "cnt"
+            ),
+            eager=False,
         )
-        _free_checkpoint(words, ckpt)
+        old_ckpt = ckpt
         ckpt = new_ckpt
-    _free_checkpoint(words, ckpt)  # merges are collected; nothing reads the table
+    # merges are collected; nothing reads the table — free BOTH live
+    # checkpoints (the last one may be unmaterialized; freeing an
+    # unmaterialized lazy checkpoint is just dropping its persist mark)
+    if old_ckpt is not None:
+        _free_checkpoint(words, old_ckpt)
+    _free_checkpoint(words, ckpt)
     return merges
 
 
