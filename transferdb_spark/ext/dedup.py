@@ -589,13 +589,15 @@ def ngram_jaccard_rare_pairs(docs: DataFrame, threshold: float = 0.5, df_cap: in
     # reverted on measurement (§1.2).
     arr = _shingled(docs).select(
         "doc_id", F.explode(F.expr(SHINGLE_HASHES)).alias("shingle")
-    ).persist()
+    )
     kept = (
         arr.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .filter(F.col("df") <= df_cap)
         .drop("df")
     )
-    sh = kept.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    sh = kept.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).persist()
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(

@@ -2228,7 +2228,7 @@ def winnow_neardup_pairs(
     self-join keyed on the 8-byte fp — fan-out per fp bounded by its
     doc-frequency, the same posting-list bound the n-gram Jaccard
     index uses — then a pair groupBy with a HAVING gate."""
-    fps = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
+    fps = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct().persist()
     totals = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fps.alias("a"), fps.alias("b")
     pairs = (
