@@ -715,13 +715,19 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.8, df_cap: int = DF_
 
     arr = _shingled(docs).select(
         "doc_id", F.explode(F.expr(SHINGLE_HASHES)).alias("shingle")
-    ).persist()
+    )
     kept = (
         arr.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .filter(F.col("df") <= df_cap)
         .drop("df")
     )
-    sh = kept.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    # persist ABOVE the window chain (round 9, same move as
+    # ngram_jaccard_rare_pairs): the broadcast self-join's sides cannot
+    # share shuffle stages, so a below-window persist ran both windows
+    # once per side
+    sh = kept.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).persist()
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(
@@ -1145,7 +1151,9 @@ def cross_source_overlap(docs: DataFrame, prefix_tokens: int = 8) -> DataFrame:
     from transferdb_spark.functions.hashing import portable_hash64
 
     lead = F.concat_ws(" ", F.slice(F.expr(TOKENS), 1, prefix_tokens))
-    d = docs.select("source", portable_hash64(lead).alias("digest")).distinct()
+    # persist: three consumers (per_source + both self-join sides) —
+    # same argument as source_jaccard (round 9)
+    d = docs.select("source", portable_hash64(lead).alias("digest")).distinct().persist()
     per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct"))
     a, b = d.alias("a"), d.alias("b")
     shared = (
@@ -1527,7 +1535,10 @@ def source_jaccard(docs: DataFrame) -> DataFrame:
     broadcast-sized aggregate; the intersection self-join keys on the
     hash, so each shingle fans out at most n_sources² — bounded by the
     source-count square, not corpus size."""
-    pairs = _source_shingle_hashes(docs).distinct()
+    # persist: three consumers (totals + both broadcast self-join
+    # sides) would otherwise each recompute tokenize+shingle+distinct
+    # (broadcast sides cannot reuse shuffle stages — round 9)
+    pairs = _source_shingle_hashes(docs).distinct().persist()
     totals = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     a, b = pairs.alias("a"), pairs.alias("b")
     inter = (

@@ -1260,7 +1260,10 @@ def phash_neardup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     MinHash band join relies on."""
     if max_hamming >= PHASH_BANDS:
         raise ValueError(f"banded guarantee only holds below {PHASH_BANDS}")
-    hashes = image_phashes(media).where(F.col("phash").isNotNull())
+    # persist: the banded self-join's broadcast side cannot reuse the
+    # other side's stages, so without the cache the Python image
+    # decode ran once per side (round 9)
+    hashes = image_phashes(media).where(F.col("phash").isNotNull()).persist()
     bands = (
         f"transform(sequence(0, {PHASH_BANDS - 1}), "
         f"b -> named_struct('band', b, 'v', shiftright(phash, b * 8) & 255))"

@@ -280,7 +280,11 @@ def semdedup_prune(
         F.col("p.nrm").alias("nrm"),
     )
     n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = ass.repartition(n_parts).alias("a")
+    # persist the SPREAD assignment relation for both join sides
+    # (round 9): the broadcast side otherwise re-runs the Arrow
+    # assign/quantize pass; the repartition keeps the fill parallel.
+    ass = ass.repartition(n_parts).persist()
+    a = ass.alias("a")
     b = ass.alias("b")
     dot = qdot_udf.asNondeterministic()(F.col("a.q"), F.col("b.q")).cast("double")
     cos = stable_round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND)

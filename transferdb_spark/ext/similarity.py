@@ -625,7 +625,12 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
         F.col("p.nrm").alias("nrm"),
     )
     n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    a, c = with_b.repartition(n_parts).alias("a"), with_b.alias("b")
+    # persist the SPREAD relation and feed both join sides from it
+    # (round 9): the broadcast side cannot reuse the other side's
+    # shuffle stages, so without the cache the Arrow prep pass ran
+    # once per side; the repartition keeps the fill pass parallel.
+    with_b = with_b.repartition(n_parts).persist()
+    a, c = with_b.alias("a"), with_b.alias("b")
     from transferdb_spark.functions.canonical import stable_round
 
     dot = qdot_udf.asNondeterministic()(F.col("a.q"), F.col("b.q")).cast("double")
@@ -856,6 +861,11 @@ def knn_label_vote(emb: DataFrame, k: int = 5) -> DataFrame:
         F.col("p.q").alias("q"),
         F.col("p.nrm").alias("nrm"),
     )
+    # persist a SPREAD copy for both join sides (round 9): without the
+    # cache the Arrow prep pass ran once per broadcast-join side; the
+    # repartition keeps the fill pass parallel on few-split scans.
+    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    b = b.repartition(n_parts).persist()
     a, n = b.alias("a"), b.alias("n")
     pairs = a.join(
         n,
