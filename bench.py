@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "winnow_neardup_pairs",
     "media_phash_neardup",
+    # round-10 addition: the most expensive declared query (~9 s
+    # single-shot at sf0.1 in round 9), previously invisible to the
+    # bench — added per the round-9 verdict so its optimization (and
+    # any regression) is driver-measurable
+    "bpe_pack_sequences",
 ]
 
 
@@ -355,12 +360,23 @@ def main() -> None:
         # regression.
         "load1_mean": load1_mean,
         "load_normalized_total": load_normalized_total,
+        # cache-fill honesty (round-9 verdict item 5): ~12 queries
+        # persist inside their builder, so warm best-of-N reads a
+        # cache the warmups filled; cold_total (first executions,
+        # cache empty) is the companion number. Per-query cold stays
+        # in BENCH_DETAIL.json.
+        "cold_total": round(sum(colds.values()) + sum(streams.values()), 3),
     }
     if not settled:
         out["noisy"] = True  # loadavg never dropped below the precheck gate
     if errors:
         out["nerrors"] = len(errors)
-    print(json.dumps(out))
+    # compact separators: the driver parses this line from a bounded
+    # stdout capture window (BENCH_r08 overran it and the round-over-
+    # round table came back empty) — every byte counts, and the
+    # queries dict is contractually append-only so it cannot shrink
+    sys.stderr.flush()
+    print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
 def _warm_streaming(spark) -> None:

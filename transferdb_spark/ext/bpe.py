@@ -107,7 +107,13 @@ def train_merges(
 
     Stops early when no pair reaches ``min_freq``.
     """
-    merges, _ = _train_merges_with_words(docs, n_merges, min_freq)
+    merges, words, live = _train_merges_with_words(docs, n_merges, min_freq)
+    # the word table is discarded here, so BOTH still-pinned
+    # checkpoints can be freed (the final one may be unmaterialized —
+    # freeing it just drops the persist mark). Fixes the round-9
+    # advice: this path used to leak two pinned RDDs per call.
+    for ids in live:
+        _free_checkpoint(words, ids)
     return merges
 
 
@@ -144,12 +150,22 @@ def _free_checkpoint(df: DataFrame, ids: set) -> None:
 
 def _train_merges_with_words(
     docs: DataFrame, n_merges: int, min_freq: int
-) -> tuple[list[tuple[str, str, int]], DataFrame]:
+) -> tuple[list[tuple[str, str, int]], DataFrame, list[set]]:
     """Training loop that also returns the fully-merged (syms, cnt)
     word table — the apply stage (encoded_length_histogram) consumes
-    it directly instead of re-running every merge pass."""
+    it directly instead of re-running every merge pass — plus the
+    list of still-pinned checkpoint id sets. A caller that consumes
+    the word table must keep them alive (the final checkpoint may be
+    unmaterialized and its parent is non-reliable); a caller that
+    discards the table should free them all."""
+    # initial checkpoint LAZY too (round-10): the first iteration's
+    # argmax job doubles as its materializing action — one fewer
+    # driver job per trainer call; the un-checkpointed word_counts
+    # lineage is recomputable, so laziness is safe even if nothing
+    # ever materializes it (n_merges=0)
     words, ckpt = _tracked_local_checkpoint(
-        word_counts(docs).select(F.expr(_CHARS_EXPR).alias("syms"), "cnt")
+        word_counts(docs).select(F.expr(_CHARS_EXPR).alias("syms"), "cnt"),
+        eager=False,
     )
     merges: list[tuple[str, str, int]] = []
     # Per-merge LAZY localCheckpoint (round-9, the star-contraction
@@ -195,7 +211,8 @@ def _train_merges_with_words(
     # the FINAL checkpoint stays alive: callers consume the word table
     # (plus its parent when the last merge's checkpoint is still
     # unmaterialized — the consumer's first job materializes it)
-    return merges, words
+    live = [ids for ids in (old_ckpt, ckpt) if ids is not None]
+    return merges, words, live
 
 
 def encoded_length_histogram(docs: DataFrame, n_merges: int = 5) -> DataFrame:
@@ -208,7 +225,12 @@ def encoded_length_histogram(docs: DataFrame, n_merges: int = 5) -> DataFrame:
     loop's final word table IS the fully-merged symbolization, so the
     apply stage reuses it instead of re-tokenizing and re-running
     every merge pass."""
-    _, words = _train_merges_with_words(docs, n_merges, min_freq=2)
+    # still-pinned trainer checkpoints deliberately stay alive: the
+    # returned lazy DataFrame consumes the word table, and a lazy
+    # final checkpoint's parent must survive until the consumer's
+    # first job materializes it (localCheckpoint is non-reliable).
+    # ContextCleaner frees both once the result is garbage.
+    _, words, _live = _train_merges_with_words(docs, n_merges, min_freq=2)
     return (
         words.select(F.size("syms").alias("n_syms"), "cnt")
         .groupBy("n_syms")
@@ -432,8 +454,10 @@ def train_bytes(
     if vocab_size <= 256:
         return []
     wc = word_counts_gpt2(docs) if pre_tokenizer == "gpt2" else word_counts(docs)
+    # initial checkpoint lazy — same argument as _train_merges_with_words
     words, ckpt = _tracked_local_checkpoint(
-        wc.select(F.expr(_BYTES_EXPR).alias("syms"), "cnt")
+        wc.select(F.expr(_BYTES_EXPR).alias("syms"), "cnt"),
+        eager=False,
     )
     merges: list[tuple[int, int, int, int]] = []
     # per-merge LAZY checkpoint with one-iteration deferred freeing —
@@ -660,6 +684,12 @@ def encode_ids_df(
         encode = _make_text_encoder(ranks_b.value, pre_tokenizer, specials, sids)
         return texts.map(encode)
 
+    # per-row Python encode on an under-partitioned scan is the
+    # textbook spread case (guide §2.5/§4 — same as the image-decode
+    # pass): the sf-fixture documents scan is ONE row group, so the
+    # encode otherwise runs on one core of 32. No-op when the scan
+    # already has enough splits.
+    docs = _spread(docs)
     return docs.select(
         "doc_id",
         token_ids(F.col("text")).alias("token_ids"),

@@ -58,6 +58,18 @@ def _layout(base: DataFrame, budget: int, carry_ids: bool = False) -> DataFrame:
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bucket_width = math.ceil(_HASH_SPACE / n_buckets)
     base = base.withColumn("pid", (F.col("h") / F.lit(bucket_width)).cast("int"))
+    if carry_ids:
+        # base is consumed TWICE (the phase-1 totals collect and the
+        # phase-2 layout pass), and on the carry_ids path it contains
+        # the tokenizer-apply Python encode — the most expensive stage
+        # of the whole pack pipeline. Persist so the collect fills the
+        # cache and phase 2 reads it: encode runs once, not once per
+        # consumer (round-9 change-15 mechanism, guide §1.2/§5; the
+        # round-10 plan sweep flagged this builder py=2/imr=0).
+        # Release contract: transferdb_spark/cache.qpersist.
+        from transferdb_spark.cache import qpersist
+
+        base = qpersist(base)
 
     # phase 1: per-bucket token totals -> driver-side exclusive cumsum.
     # O(P) rows cross to the driver; the corpus never does.

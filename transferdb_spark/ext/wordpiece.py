@@ -103,8 +103,13 @@ def train_wordpiece(
 ) -> list[tuple[str, str, int, int]]:
     """Learn ``n_merges`` WordPiece merges over the documents corpus;
     returns [(left, right, freq, score_q)] in merge order."""
+    # initial checkpoint LAZY (round-10, same as the BPE trainers):
+    # the first argmax job doubles as its materializing action — one
+    # fewer driver job per train; the un-checkpointed word_counts
+    # lineage is recomputable, so laziness is safe
     words, ckpt = _tracked_local_checkpoint(
-        word_counts(docs).select(F.expr(_WP_CHARS).alias("syms"), "cnt")
+        word_counts(docs).select(F.expr(_WP_CHARS).alias("syms"), "cnt"),
+        eager=False,
     )
     merges: list[tuple[str, str, int, int]] = []
     # checkpoint CADENCE (round-9): merge application is now a lazy JVM

@@ -42,6 +42,7 @@ def build_training_corpus(
     nfc: bool = False,
     max_compressibility: float | None = None,
 ) -> dict:
+    from transferdb_spark.cache import release_query_caches
     from transferdb_spark.ext.bpe import encode_ids_df, train_bytes
     from transferdb_spark.ext.dedup import minhash_lsh_candidates
     from transferdb_spark.ext.packing import pack_token_sequences, split_assign
@@ -191,6 +192,11 @@ def build_training_corpus(
                 "n_bins": stats["n_bins"],
                 "n_tokens": stats["n_tokens"],
             }
+            # the packer qpersists its layout base (encode runs once,
+            # not once per consumer); this split's bins are fully
+            # materialized (write + stats), so release it before the
+            # next split builds its own
+            release_query_caches()
         manifest["bins"] = per_split
         manifest["bins_dir"] = bins_dir
     finally:
