@@ -466,13 +466,36 @@ def ingest_novelty_stream(
         )
         try:
             novel = hashes
+            store = None
             if spark.catalog.tableExists(table):
                 store = spark.table(table).where(
                     F.col("batch_id") < batch_id  # history = strictly earlier
                 )
                 novel = hashes.join(store.select("h"), "h", "left_anti")
-            novel = novel.persist()
-            n_sh, n_novel = hashes.count(), novel.count()
+            if store is not None:
+                # ONE agg job for both counts (round 10): a left join
+                # against the bucketed store with a seen-flag replaces
+                # the two separate count jobs (and the novel persist
+                # they filled) — per-batch driver jobs 3 → 2; the
+                # store write below recomputes the anti-join once from
+                # the cached hashes, which the bucketed in-place read
+                # keeps O(batch)
+                row = (
+                    hashes.join(
+                        store.select("h").withColumn("_seen", F.lit(1)), "h", "left"
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            F.when(F.col("_seen").isNull(), 1).otherwise(0)
+                        ).alias("nn"),
+                    )
+                    .first()
+                )
+                n_sh, n_novel = int(row["n"]), int(row["nn"] or 0)
+            else:
+                n_sh = hashes.count()
+                n_novel = n_sh
             rate = round(n_novel / n_sh, 6) if n_sh else 0.0
             # one-row metric write: spark.range(...,numPartitions=1) +
             # literal columns is a single 1-task JVM-only job — no
@@ -506,7 +529,6 @@ def ingest_novelty_stream(
                 .saveAsTable(table)
             )
         finally:
-            novel.unpersist()
             hashes.unpersist()
 
     return (

@@ -153,6 +153,11 @@ def streaming_dedup(
     )
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_dedup_to_memory(
     spark,
     source_dir: str,
@@ -161,21 +166,44 @@ def run_dedup_to_memory(
     max_files_per_trigger: int | None = None,
 ):
     """Documents parquet dir → streaming dedup → in-memory survivor
-    table (availableNow drains the backlog then stops)."""
+    table (availableNow drains the backlog then stops).
+
+    State store: RocksDB. The dedup operator keeps one entry per
+    DISTINCT content hash — the highest-cardinality state in the
+    engine (state size tracks corpus cardinality, not window width) —
+    which is exactly the profile RocksDB serves better than the
+    default HDFS-backed map (no full in-heap map copy per commit; at
+    real scale the state won't fit a JVM map at all). The provider is
+    pinned at first start via the session conf (the documented
+    mechanism) and restored after; the tiny-state operators (windowed
+    rollup, interval join) measurably prefer the default map store at
+    bench scale and keep it. A/B (round 10, alternating cycles ×2
+    sessions): dedup median 2.94→2.53 s and 3.22→2.52 s, best
+    2.31→2.09 / 2.30→1.94; join and rollup regressed under RocksDB,
+    so the choice is per-operator, not global."""
     schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
-    return (
-        streaming_dedup(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(prov_key, _ROCKSDB_PROVIDER)
+    try:
+        return (
+            streaming_dedup(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
 
 
 def run_profile_to_memory(
