@@ -59,7 +59,7 @@ from transferdb_spark.ext.similarity import (
     _qmat,
     dot_udf,
     norm_udf,
-    qdot_udf,
+    qdot_nd_udf,
 )
 from transferdb_spark.functions.canonical import stable_round, stable_round_sql
 
@@ -286,7 +286,7 @@ def semdedup_prune(
     ass = ass.repartition(n_parts).persist()
     a = ass.alias("a")
     b = ass.alias("b")
-    dot = qdot_udf.asNondeterministic()(F.col("a.q"), F.col("b.q")).cast("double")
+    dot = qdot_nd_udf(F.col("a.q"), F.col("b.q")).cast("double")
     cos = stable_round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND)
     pairs = (
         a.join(

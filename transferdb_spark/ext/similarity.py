@@ -111,8 +111,7 @@ def cosine_expr(a: str, b: str):
     )
 
 
-@pandas_udf(LongType())
-def qdot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _qdot_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     """Exact dot of two PRE-QUANTIZED int64 vectors — the pair-side
     kernel of the q/nrm precompute split (round-9, guide §2.3/§4.1):
     quantization and the two norms move to a once-per-VECTOR pass
@@ -121,6 +120,19 @@ def qdot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     QA = np.stack(a.to_numpy()).astype(np.int64) if len(a) else np.empty((0, DIM), np.int64)
     QB = np.stack(b.to_numpy()).astype(np.int64) if len(b) else np.empty((0, DIM), np.int64)
     return pd.Series((QA * QB).sum(axis=1))
+
+
+qdot_udf = pandas_udf(_qdot_kernel, LongType())
+
+# Nondeterministic VARIANT for the pair-join consumers (guide §4.4:
+# stops Catalyst pushing a threshold filter below the projection and
+# evaluating the Arrow kernel twice per pair). A SEPARATE UDF object
+# on purpose — asNondeterministic() mutates in place, so round-9's
+# call-site `qdot_udf.asNondeterministic()` silently flipped
+# knn_label_vote's deterministic use of the shared qdot_udf after any
+# pair query ran first (round-9 advice). Values are identical either
+# way; only optimizer freedom differs.
+qdot_nd_udf = pandas_udf(_qdot_kernel, LongType()).asNondeterministic()
 
 
 @pandas_udf(
@@ -633,7 +645,7 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
     a, c = with_b.alias("a"), with_b.alias("b")
     from transferdb_spark.functions.canonical import stable_round
 
-    dot = qdot_udf.asNondeterministic()(F.col("a.q"), F.col("b.q")).cast("double")
+    dot = qdot_nd_udf(F.col("a.q"), F.col("b.q")).cast("double")
     cos = stable_round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND)
     return (
         a.join(
