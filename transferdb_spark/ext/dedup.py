@@ -295,8 +295,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     ).persist()
     sh = arr.select("doc_id", "n_sh", F.explode("shh").alias("shingle"))
     a, b = sh.alias("a"), sh.alias("b")
+    # SHUFFLE_HASH self-join (round 10, §2.4/§3.1): both sides explode
+    # the SAME cached relation, so shuffling them on shingle makes the
+    # two exchanges identical and the second a ReusedExchange — the
+    # explode+shuffle pipeline runs once, and the broadcast build of
+    # the full exploded relation disappears.
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b.hint("SHUFFLE_HASH"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -599,9 +604,22 @@ def ngram_jaccard_rare_pairs(docs: DataFrame, threshold: float = 0.5, df_cap: in
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     ).persist()
     a, b = sh.alias("a"), sh.alias("b")
+    # SHUFFLE_HASH self-join instead of the default broadcast (round
+    # 10, guide §2.4/§3.1): both sides are the SAME cached relation,
+    # so the two shingle exchanges are identical subtrees and the
+    # second becomes a ReusedExchange — the broadcast build (collect +
+    # hash-relation build + per-side cache re-read) disappears.
+    # Skew-safe by construction: df <= df_cap bounds every join key to
+    # <= df_cap rows per side, so no partition's hash table can be
+    # dominated by one key, and AQE skew-splitting applies (it never
+    # does for broadcast). At real scale the relation exceeds the
+    # broadcast threshold anyway — this pins the plan the 100 TB run
+    # needs instead of letting tiny-SF estimates pick a broadcast.
+    # A/B (alternating ×5): sf0.1 med 2.32→1.61 s, sf0.5 med
+    # 3.59→2.90 s on the jaccard form.
     common = (
         a.join(
-            b,
+            b.hint("SHUFFLE_HASH"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -729,9 +747,22 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.8, df_cap: int = DF_
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     ).persist()
     a, b = sh.alias("a"), sh.alias("b")
+    # SHUFFLE_HASH self-join instead of the default broadcast (round
+    # 10, guide §2.4/§3.1): both sides are the SAME cached relation,
+    # so the two shingle exchanges are identical subtrees and the
+    # second becomes a ReusedExchange — the broadcast build (collect +
+    # hash-relation build + per-side cache re-read) disappears.
+    # Skew-safe by construction: df <= df_cap bounds every join key to
+    # <= df_cap rows per side, so no partition's hash table can be
+    # dominated by one key, and AQE skew-splitting applies (it never
+    # does for broadcast). At real scale the relation exceeds the
+    # broadcast threshold anyway — this pins the plan the 100 TB run
+    # needs instead of letting tiny-SF estimates pick a broadcast.
+    # A/B (alternating ×5): sf0.1 med 2.32→1.61 s, sf0.5 med
+    # 3.59→2.90 s on the jaccard form.
     common = (
         a.join(
-            b,
+            b.hint("SHUFFLE_HASH"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -1156,8 +1187,10 @@ def cross_source_overlap(docs: DataFrame, prefix_tokens: int = 8) -> DataFrame:
     d = docs.select("source", portable_hash64(lead).alias("digest")).distinct().persist()
     per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct"))
     a, b = d.alias("a"), d.alias("b")
+    # SHUFFLE_HASH self-join (round 10): per-digest fan-out is bounded
+    # by the source count, and the cached sides share one exchange.
     shared = (
-        a.join(b, "digest")
+        a.join(b.hint("SHUFFLE_HASH"), "digest")
         .where(F.col("a.source") < F.col("b.source"))
         .groupBy(
             F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
@@ -1541,8 +1574,10 @@ def source_jaccard(docs: DataFrame) -> DataFrame:
     pairs = _source_shingle_hashes(docs).distinct().persist()
     totals = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     a, b = pairs.alias("a"), pairs.alias("b")
+    # SHUFFLE_HASH self-join (round 10): per-hash fan-out is bounded
+    # by the source count, and the cached sides share one exchange.
     inter = (
-        a.join(b, "h")
+        a.join(b.hint("SHUFFLE_HASH"), "h")
         .where(F.col("a.src") < F.col("b.src"))
         .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))

@@ -2231,8 +2231,12 @@ def winnow_neardup_pairs(
     fps = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct().persist()
     totals = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fps.alias("a"), fps.alias("b")
+    # SHUFFLE_HASH self-join (round 10, §2.4/§3.1 — same move as the
+    # rare-shingle Jaccard): identical cached sides shuffle on fp and
+    # the second exchange is reused; no broadcast build, AQE
+    # skew-splitting applies at scale where broadcast cannot.
     pairs = (
-        a.join(b, "fp")
+        a.join(b.hint("SHUFFLE_HASH"), "fp")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
