@@ -167,7 +167,16 @@ def pq_codes_histogram(emb: DataFrame, iters: int = ITERS) -> DataFrame:
     balance diagnostic for codebook quality (a dead codeword wastes
     1/KC of that subspace's representational budget)."""
     cb = train_codebook(emb, iters)
-    enc = encode_vectors(emb, cb)
+    # the posexplode's implicit (size > 0 AND isnotnull) filter gets
+    # pushed below the projection and DUPLICATES the encode UDF —
+    # every vector encoded twice (two ArrowEvalPython nodes in the
+    # round-10 before-plan). Marking this call's UDF nondeterministic
+    # (guide §4.4) pins a single evaluation; the object is built fresh
+    # per call, so no shared UDF is mutated. vec_id is dropped from
+    # the scan — the histogram never reads it.
+    enc = emb.select(
+        _encode_udf(cb).asNondeterministic()(F.col("embedding")).alias("codes")
+    )
     return (
         enc.select(F.posexplode("codes").alias("m", "code"))
         .groupBy("m", "code")
