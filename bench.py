@@ -248,45 +248,32 @@ def main() -> None:
     # one-time cost lands on whichever stream happens to run first and
     # is indistinguishable from its plan cost. Each timed stream still
     # pays its own FULL checkpoint + state setup on a fresh tmpdir.
-    try:
-        _warm_streaming(spark)
-    except Exception:  # noqa: BLE001 — warmup failure must not kill the run
-        pass
-    try:
-        timings["stream_rollup"] = round(_bench_stream_rollup(spark), 3)
-        total += timings["stream_rollup"]
-    except Exception as exc:  # noqa: BLE001 — isolate per query
-        errors["stream_rollup"] = f"{type(exc).__name__}: {exc}"[:300]
-    try:
-        timings["stream_dedup"] = round(_bench_stream_dedup(spark), 3)
-        total += timings["stream_dedup"]
-    except Exception as exc:  # noqa: BLE001 — isolate per query
-        errors["stream_dedup"] = f"{type(exc).__name__}: {exc}"[:300]
-    try:
-        timings["stream_transitions"] = round(_bench_stream_transitions(spark), 3)
-        total += timings["stream_transitions"]
-    except Exception as exc:  # noqa: BLE001 — isolate per query
-        errors["stream_transitions"] = f"{type(exc).__name__}: {exc}"[:300]
-    try:
-        timings["stream_funnel"] = round(_bench_stream_funnel(spark), 3)
-        total += timings["stream_funnel"]
-    except Exception as exc:  # noqa: BLE001 — isolate per query
-        errors["stream_funnel"] = f"{type(exc).__name__}: {exc}"[:300]
-    try:
-        timings["stream_join"] = round(_bench_stream_join(spark), 3)
-        total += timings["stream_join"]
-    except Exception as exc:  # noqa: BLE001 — isolate per query
-        errors["stream_join"] = f"{type(exc).__name__}: {exc}"[:300]
-    try:
-        timings["stream_novelty"] = round(_bench_stream_novelty(spark), 3)
-        total += timings["stream_novelty"]
-    except Exception as exc:  # noqa: BLE001 — isolate per query
-        errors["stream_novelty"] = f"{type(exc).__name__}: {exc}"[:300]
-    try:
-        timings["stream_drift"] = round(_bench_stream_drift(spark), 3)
-        total += timings["stream_drift"]
-    except Exception as exc:  # noqa: BLE001 — isolate per query
-        errors["stream_drift"] = f"{type(exc).__name__}: {exc}"[:300]
+    # probe hygiene: SPARK_GRAFT_BENCH_ONLY (a local A/B tool — the
+    # driver never sets it) filters the stream section too, so a
+    # batch-query probe doesn't pay ~2 min of stream spin-up. A full
+    # driver run (no ONLY) is unchanged.
+    stream_benches = [
+        ("stream_rollup", _bench_stream_rollup),
+        ("stream_dedup", _bench_stream_dedup),
+        ("stream_transitions", _bench_stream_transitions),
+        ("stream_funnel", _bench_stream_funnel),
+        ("stream_join", _bench_stream_join),
+        ("stream_novelty", _bench_stream_novelty),
+        ("stream_drift", _bench_stream_drift),
+    ]
+    if only:
+        stream_benches = [(n, f) for n, f in stream_benches if n in only]
+    if stream_benches:
+        try:
+            _warm_streaming(spark)
+        except Exception:  # noqa: BLE001 — warmup failure must not kill the run
+            pass
+    for sname, sfn in stream_benches:
+        try:
+            timings[sname] = round(sfn(spark), 3)
+            total += timings[sname]
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[sname] = f"{type(exc).__name__}: {exc}"[:300]
 
     # estimator hygiene: "best"/"best_total" are BATCH best-of-N only
     # (the snapshot above — stream queries are single-shot cold numbers

@@ -975,8 +975,24 @@ ORDER BY tk.doc_id
 
 def _reassemble_minus(toks: DataFrame, covered: DataFrame) -> DataFrame:
     """Rebuild each doc's TOKEN text minus the ``covered`` positions
-    ((doc_id, pos), 1-based). Shared by the remove-all and keep-one
-    span-dedup policies.
+    ((doc_id, pos), 1-based, duplicates allowed). Shared by the
+    remove-all and keep-one span-dedup policies.
+
+    Round-10 shape (guide §2.3 "shuffle keys/metadata instead of
+    payloads", §2.4): the old form posexploded EVERY token of EVERY
+    doc, anti-joined the covered positions, and collect_list-sorted
+    the survivors back together — i.e. the whole corpus token stream
+    crossed two exchanges to delete a damage-bounded set of
+    positions. Now only the covered positions are shuffled
+    (collect_set per doc — map-side combined, one exchange of the
+    DUPLICATED fraction), joined onto the intact per-doc token
+    arrays, and the deletion is one JVM pass per row:
+    array_except(sequence(1, n), cov) is hash-set based (O(n + m)),
+    order-preserving on its first argument, so the kept positions
+    come out ascending and the rebuilt text is position-ordered
+    without any sort. Token arrays themselves move through at most
+    ONE join exchange (none when the covered side broadcasts), never
+    exploded.
 
     OUTPUT CONTRACT: ``clean_tokens_text`` is rebuilt from the TOKENS
     relation — lowercased, whitespace-split, single-space-joined — so
@@ -985,28 +1001,28 @@ def _reassemble_minus(toks: DataFrame, covered: DataFrame) -> DataFrame:
     offsets, which the token pipeline deliberately discards; use the
     output as a token stream (what an LLM pipeline tokenizes anyway),
     not as a replacement display corpus."""
-    tok_rows = toks.select(
-        "doc_id", "n_tokens", F.posexplode("toks").alias("pos0", "tok")
-    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda st: st["tok"],
-            ),
-            " ",
-        ).alias("clean_tokens_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    base = toks.select("doc_id", "n_tokens")
+    cov = covered.groupBy("doc_id").agg(F.collect_set("pos").alias("cov"))
+    empty = F.array().cast("array<int>")
+    seq = F.when(
+        F.col("n_tokens") >= 1, F.sequence(F.lit(1), F.col("n_tokens"))
+    ).otherwise(empty)
+    kept_pos = F.array_except(seq, F.coalesce(F.col("cov"), empty))
     return (
-        base.join(rebuilt, "doc_id", "left")
+        toks.join(cov, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("clean_tokens_text", F.lit("")).alias("clean_tokens_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+            "n_tokens",
+            kept_pos.alias("kp"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.col("kp"), lambda p: F.element_at(F.col("toks"), p)),
+                " ",
+            ).alias("clean_tokens_text"),
+            F.size("kp").cast("int").alias("n_kept"),
+            (F.col("n_tokens") - F.size("kp")).cast("int").alias("n_removed"),
         )
         .orderBy("doc_id")
     )
@@ -1028,11 +1044,10 @@ def dup_span_removal(docs: DataFrame, n: int = 10) -> DataFrame:
     ordered reassembly. Shuffles carry positions and single tokens.
     """
     toks, dup = _dup_spans(docs, n)
-    covered = (
-        dup.select(
-            "doc_id", F.explode(F.sequence(F.col("start"), F.col("end"))).alias("pos")
-        )
-        .distinct()
+    # no .distinct(): _reassemble_minus collect_set-dedups per doc in
+    # the same exchange that groups the positions (one shuffle, not two)
+    covered = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("start"), F.col("end"))).alias("pos")
     )
     return _reassemble_minus(toks, covered)
 
@@ -1073,9 +1088,11 @@ def dup_span_keep_one(docs: DataFrame, n: int = 10) -> DataFrame:
         .filter(F.col("__e") != F.col("__c"))
         .select("doc_id", "start", (F.col("start") + (n - 1)).alias("end"))
     )
+    # no .distinct(): _reassemble_minus collect_set-dedups per doc in
+    # the same exchange that groups the positions (one shuffle, not two)
     covered = non_canon.select(
         "doc_id", F.explode(F.sequence(F.col("start"), F.col("end"))).alias("pos")
-    ).distinct()
+    )
     return _reassemble_minus(toks, covered)
 
 
