@@ -94,18 +94,35 @@ def _terms(docs: DataFrame) -> DataFrame:
     )
 
 
-def bucket_weights(docs: DataFrame) -> DataFrame:
+def _bucket_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_target, bucket, c) — per-doc bucket occurrence
+    counts, PERSISTED (round 10, guide §1.2): the tokenize + bigram
+    build + md5-bucket explode is the expensive stage of every DSIR
+    query, and both consumers (the model aggregation over buckets and
+    the per-doc scoring pass) previously re-ran it from the scan. One
+    pass now feeds both. The cached relation is the pre-aggregated
+    count table (≤ distinct buckets per doc, not the raw token
+    stream), so the cache and the exchange that fills it carry less
+    than the exploded relation they replace; builder-scoped persist
+    per the cache.py contract."""
+    from transferdb_spark.cache import qpersist
+
+    return qpersist(
+        _terms(docs)
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _weights_from_counts(counts_by_doc: DataFrame) -> DataFrame:
     """(bucket, w) — fixed-point log-importance per feature bucket.
 
-    One exploded pass with conditional sums; the totals join is a
-    1-row broadcast. Output is ≤B rows however large the corpus."""
-    counts = (
-        _terms(docs)
-        .groupBy("bucket")
-        .agg(
-            F.sum("is_target").alias("t"),
-            F.sum(1 - F.col("is_target")).alias("r"),
-        )
+    Conditional sums over the shared per-doc count relation; the
+    totals join is a 1-row broadcast. Output is ≤B rows however large
+    the corpus."""
+    counts = counts_by_doc.groupBy("bucket").agg(
+        F.sum(F.col("is_target") * F.col("c")).alias("t"),
+        F.sum((1 - F.col("is_target")) * F.col("c")).alias("r"),
     )
     totals = counts.agg(
         F.sum("t").alias("tt"), F.sum("r").alias("rt")
@@ -125,18 +142,30 @@ def bucket_weights(docs: DataFrame) -> DataFrame:
     return counts.crossJoin(F.broadcast(totals)).select("bucket", w.alias("w"))
 
 
+def bucket_weights(docs: DataFrame) -> DataFrame:
+    """(bucket, w) — public single-pass form (no shared cache)."""
+    return _weights_from_counts(
+        _terms(docs)
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def doc_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, is_target, n_grams, score) for every document.
 
     score = Σ per-token bucket weight / 10^6 — the exact integer sum
-    crosses to DOUBLE only at the output boundary."""
+    crosses to DOUBLE only at the output boundary. Both passes (model
+    + scoring) read the shared _bucket_counts cache; per-occurrence
+    sums become Σ c·w over the count table — identical integers."""
+    counts_by_doc = _bucket_counts(docs)
     scored = (
-        _terms(docs)
-        .join(F.broadcast(bucket_weights(docs)), "bucket")
+        counts_by_doc
+        .join(F.broadcast(_weights_from_counts(counts_by_doc)), "bucket")
         .groupBy("doc_id", "is_target")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("w").alias("sw"),
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("w")).alias("sw"),
         )
     )
     return scored.select(
@@ -151,12 +180,13 @@ def select_top(docs: DataFrame, k: int = TOP_K) -> DataFrame:
     """Top-k most target-like RAW documents (target rows excluded —
     they define the distribution, they are not candidates). Ordering
     uses the exact integer score; ties break on doc_id."""
+    counts_by_doc = _bucket_counts(docs)
     scored = (
-        _terms(docs)
+        counts_by_doc
         .filter(F.col("is_target") == 0)
-        .join(F.broadcast(bucket_weights(docs)), "bucket")
+        .join(F.broadcast(_weights_from_counts(counts_by_doc)), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum("w").alias("sw"))
+        .agg(F.sum(F.col("c") * F.col("w")).alias("sw"))
     )
     return (
         scored.join(docs.select("doc_id", "source"), "doc_id")
