@@ -1907,6 +1907,38 @@ def test_cms_heavy_hitters_one_sided_and_mergeable(spark, docs):
     assert merged == whole
 
 
+def test_cms_heavy_hitters_matches_raw_occurrence_sketch(spark, docs):
+    """Round-10 internals pin: cms_heavy_hitters now derives the sketch
+    from the persisted exact-count relation (one tokenize pass); every
+    reported est must equal the min over the term's DEPTH cells of the
+    RAW-occurrence sketch (cms_sketch), i.e. the derivation is exact,
+    not an approximation of the old two-pass form."""
+    from transferdb_spark.ext.sketches import DEPTH, WIDTH, cms_heavy_hitters, cms_sketch
+    from transferdb_spark.ext.text import TOKENS
+    from transferdb_spark.functions.hashing import portable_hash64
+
+    raw = {(r["row"], r["col"]): r["cnt"] for r in cms_sketch(docs).collect()}
+    cell = {
+        r["term"]: [
+            (c, r[f"c{c}"]) for c in range(DEPTH)
+        ]
+        for r in docs.select(
+            F.explode(F.expr(TOKENS)).alias("term")
+        ).distinct().select(
+            "term",
+            *[
+                F.pmod(portable_hash64(F.concat(F.lit(f"cms{c}:"), F.col("term"))), F.lit(WIDTH))
+                .cast("int")
+                .alias(f"c{c}")
+                for c in range(DEPTH)
+            ],
+        ).collect()
+    }
+    for r in cms_heavy_hitters(docs, k=50).collect():
+        want = min(raw[cells] for cells in cell[r["term"]])
+        assert r["est"] == want, (r["term"], r["est"], want)
+
+
 def test_hybrid_search_rerank_semantics(spark, docs, emb):
     """The hybrid result is exactly: BM25 top-N candidates, re-ranked
     by cosine — every returned doc must be in the lexical candidate

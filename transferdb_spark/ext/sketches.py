@@ -72,10 +72,30 @@ def cms_sketch(docs: DataFrame) -> DataFrame:
 def cms_heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
     """Top-k candidate tokens by CMS estimate, with the exact count and
     the sketch's one-sided overestimate alongside: (term, est, exact,
-    overestimate). est >= exact always (CMS guarantee)."""
+    overestimate). est >= exact always (CMS guarantee).
+
+    Round-10 shape (guide §1.2): ONE corpus tokenize pass. The sketch
+    is derived from the persisted vocab-sized exact-count relation
+    instead of a second pass over the token stream — a cell's count is
+    Σ exact(term) over the terms hashing into it, the identical
+    integer cms_sketch computes from raw occurrences. Previously the
+    tokenize+explode pipeline ran twice (once per aggregation)."""
+    from transferdb_spark.cache import qpersist
+
     toks = _tokens(docs)
-    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
-    sketch = cms_sketch(docs)
+    exact = qpersist(toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact")))
+    cells = exact.select(
+        "exact",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("row"), _cell(r, F.col("term")).alias("col"))
+                for r in range(DEPTH)
+            ])
+        ).alias("c"),
+    )
+    sketch = cells.groupBy(
+        F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    ).agg(F.sum("exact").alias("cnt"))
     probes = exact.select(
         "term",
         "exact",
